@@ -1,0 +1,34 @@
+"""Parquet-fixture catalog adapter — what tests and the correctness gate use."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from schemamap_spark.catalog.base import CatalogAdapter
+
+DEFAULT_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures"
+)
+
+
+class FixtureCatalog(CatalogAdapter):
+    def __init__(self, spark: SparkSession, fixture_dir: str = DEFAULT_FIXTURE_DIR):
+        self.spark = spark
+        self.dir = fixture_dir
+
+    def _read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.dir, f"{name}.parquet"))
+
+    def relations(self) -> DataFrame:
+        return self._read("cat_rel")
+
+    def columns(self) -> DataFrame:
+        return self._read("cat_attr")
+
+    def constraints(self) -> DataFrame:
+        return self._read("cat_constr")
+
+    def indexes(self) -> DataFrame:
+        return self._read("cat_idx")

@@ -1,0 +1,135 @@
+"""JDBC Postgres catalog adapter.
+
+Reads pg_catalog over spark.read.jdbc and reshapes it into the raw frames the
+SMO builder consumes — the Spark-first equivalent of the reference's
+introspection query (rust/create_schemamap_schema.sql:846-933). Each query is
+pushed down to Postgres via the `query` option, so the JVM only receives the
+already-filtered catalog rows (small), never full tables.
+
+Untested in this container (no live Postgres); exercised structurally via SQL
+assembly unit tests. Connection options follow the standard Spark JDBC source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schemamap_spark.catalog.base import CatalogAdapter, IGNORED_SCHEMAS
+
+
+def _in_list(values) -> str:
+    return ", ".join(f"'{v}'" for v in values)
+
+
+# Pushdown SQL run *inside* Postgres; mirrors the shapes of the reference's
+# relation/column/constraint/index CTEs without copying its text.
+RELATIONS_SQL = f"""
+select ns.nspname as schema_name,
+       cls.relname as table_name,
+       cls.relkind::text as object_type,
+       obj_description(cls.oid) as description,
+       has_schema_privilege(ns.nspname, 'usage') as has_usage,
+       cls.reltuples::bigint as approx_rows
+from pg_catalog.pg_class cls
+join pg_catalog.pg_namespace ns on ns.oid = cls.relnamespace
+where cls.relkind in ('r','v','m')
+  and ns.nspname not in ({_in_list(IGNORED_SCHEMAS)})
+"""
+
+COLUMNS_SQL = f"""
+select ns.nspname as schema_name,
+       cls.relname as table_name,
+       att.attname as column_name,
+       format_type(att.atttypid, att.atttypmod) as data_type,
+       att.attnotnull as not_null,
+       pg_get_expr(ad.adbin, ad.adrelid) as default_value,
+       col_description(cls.oid, att.attnum) as column_description,
+       att.attnum::int as attnum
+from pg_catalog.pg_attribute att
+join pg_catalog.pg_class cls on cls.oid = att.attrelid
+join pg_catalog.pg_namespace ns on ns.oid = cls.relnamespace
+left join pg_catalog.pg_attrdef ad on ad.adrelid = att.attrelid and ad.adnum = att.attnum
+where att.attnum > 0 and not att.attisdropped
+  and cls.relkind in ('r','v','m')
+  and ns.nspname not in ({_in_list(IGNORED_SCHEMAS)})
+"""
+
+CONSTRAINTS_SQL = f"""
+select ns.nspname as schema_name,
+       cls.relname as table_name,
+       con.conname as constraint_name,
+       con.contype::text as constraint_type,
+       pg_get_constraintdef(con.oid) as definition,
+       con.conkey::int[] as keys,
+       con.confkey::int[] as fkeys,
+       pg_get_serial_sequence(ns.nspname || '.' || cls.relname,
+                              (select attname from pg_attribute
+                               where attrelid = cls.oid and attnum = con.conkey[1])) as sequence_name,
+       fns.nspname as ref_schema,
+       fcls.relname as ref_table
+from pg_catalog.pg_constraint con
+join pg_catalog.pg_class cls on cls.oid = con.conrelid
+join pg_catalog.pg_namespace ns on ns.oid = cls.relnamespace
+left join pg_catalog.pg_class fcls on fcls.oid = con.confrelid
+left join pg_catalog.pg_namespace fns on fns.oid = fcls.relnamespace
+where ns.nspname not in ({_in_list(IGNORED_SCHEMAS)})
+union all
+select ns.nspname, cls.relname, 'generated_column', 'g',
+       pg_get_expr(ad.adbin, ad.adrelid), array[att.attnum]::int[], null, null, null, null
+from pg_catalog.pg_attrdef ad
+join pg_catalog.pg_attribute att on att.attrelid = ad.adrelid and att.attnum = ad.adnum
+join pg_catalog.pg_class cls on cls.oid = ad.adrelid
+join pg_catalog.pg_namespace ns on ns.oid = cls.relnamespace
+where att.attgenerated <> '' and ns.nspname not in ({_in_list(IGNORED_SCHEMAS)})
+"""
+
+INDEXES_SQL = f"""
+select ns.nspname as schema_name,
+       cls.relname as table_name,
+       icls.relname as index_name,
+       case when ix.indisunique then 'u'
+            when ix.indisexclusion then 'x'
+            else 'i' end as index_type,
+       regexp_replace(pg_get_indexdef(ix.indexrelid), '(^.*USING )', '') as definition,
+       ix.indimmediate as immediate,
+       ix.indkey::int[] as keys
+from pg_catalog.pg_index ix
+join pg_catalog.pg_class cls on cls.oid = ix.indrelid
+join pg_catalog.pg_class icls on icls.oid = ix.indexrelid
+join pg_catalog.pg_namespace ns on ns.oid = cls.relnamespace
+where ix.indisprimary = false and ix.indisvalid
+  and ns.nspname not in ({_in_list(IGNORED_SCHEMAS)})
+"""
+
+
+class JdbcPostgresCatalog(CatalogAdapter):
+    def __init__(self, spark: SparkSession, url: str, properties: dict | None = None):
+        self.spark = spark
+        self.url = url
+        self.properties = properties or {}
+
+    def _query(self, sql: str) -> DataFrame:
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", sql)
+            .option("driver", "org.postgresql.Driver")
+        )
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        return reader.load()
+
+    def relations(self) -> DataFrame:
+        return self._query(RELATIONS_SQL)
+
+    def columns(self) -> DataFrame:
+        return self._query(COLUMNS_SQL)
+
+    def constraints(self) -> DataFrame:
+        return self._query(CONSTRAINTS_SQL)
+
+    def indexes(self) -> DataFrame:
+        # pg_index.indkey is int2vector; cast happens in SQL. Arrays arrive as
+        # JDBC arrays which Spark maps to ArrayType.
+        return self._query(INDEXES_SQL)

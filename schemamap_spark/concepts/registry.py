@@ -1,0 +1,51 @@
+"""Dynamic concept registry + wide `columns` view builder.
+
+The reference lets users register new boolean "concepts" at runtime
+(`define_concept`, reference rust/create_schemamap_schema.sql:1005-1018) and
+then regenerates a wide `columns` view with one `is_<name>` column per
+registered concept (SCHEMA:1090-1120). Here that metaprogramming is plain
+Python: a dict of Column-expression factories and a select() regeneration —
+no SQL-string templating of user input.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+
+from schemamap_spark.concepts.builtins import BUILTIN_CONCEPTS
+
+_IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+ConceptFn = Callable[[object], Column]
+
+
+class ConceptRegistry:
+    def __init__(self, include_builtins: bool = True):
+        self._concepts: dict[str, ConceptFn] = dict(BUILTIN_CONCEPTS) if include_builtins else {}
+
+    def define(self, name: str, fn: ConceptFn) -> str:
+        """Register (or replace) a concept. Idempotent, like the reference's
+        `create or replace function` (SCHEMA:1010)."""
+        if not _IDENT_RE.match(name):
+            raise ValueError(f"invalid concept name: {name!r}")
+        self._concepts[name] = fn
+        return name
+
+    def names(self) -> list[str]:
+        return sorted(self._concepts)
+
+    def column(self, name: str, smo) -> Column:
+        return self._concepts[name](smo)
+
+    def wide_columns(self, smo_df: DataFrame) -> DataFrame:
+        """SMO → `columns` view: SMO columns + one is_<concept> boolean each.
+
+        Regenerated on every call, so newly defined concepts appear
+        immediately (reference's redefine_smo_view_with_concepts)."""
+        return smo_df.select(
+            "*",
+            *[self._concepts[n](smo_df).alias(f"is_{n}") for n in self.names()],
+        )

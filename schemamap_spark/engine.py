@@ -1,0 +1,123 @@
+"""SchemamapEngine — the user-facing facade.
+
+Ties together: a catalog adapter → SMO (cached/refreshable, the reference's
+materialized view) → concept registry → status; plus entities, mapping
+registry, i18n store, and verification — the same surface the reference
+exposes as its in-database SDK (reference rust/create_schemamap_schema.sql).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schemamap_spark.catalog.base import CatalogAdapter
+from schemamap_spark.concepts.registry import ConceptRegistry
+from schemamap_spark.concepts.status import status_aggregate
+from schemamap_spark.entities.candidates import master_data_entity_candidates
+from schemamap_spark.entities.registry import EntityRegistry
+from schemamap_spark.mapping.bidi import BidiMappingRegistry
+from schemamap_spark.smo.builder import build_smo
+
+
+class SchemamapEngine:
+    def __init__(self, spark: SparkSession, catalog: CatalogAdapter, warehouse_dir: str | None = None):
+        self.spark = spark
+        self.catalog = catalog
+        self.warehouse_dir = warehouse_dir
+        self.concepts = ConceptRegistry()
+        self.entities = EntityRegistry(spark)
+        self.mappings = BidiMappingRegistry()
+        self._i18n: dict = {}
+        self._smo: DataFrame | None = None
+
+    # --- SMO lifecycle ---------------------------------------------------
+    def refresh(self, concurrently: bool = False) -> DataFrame:
+        """Rebuild the SMO snapshot (reference update_schema_metadata_overview,
+        SCHEMA:379-387).
+
+        With a warehouse dir, the new snapshot is written to a temp dir and
+        atomically renamed into place — the moral equivalent of REFRESH
+        MATERIALIZED VIEW CONCURRENTLY (readers of the old files are never
+        blocked; parquet dirs are immutable once written)."""
+        smo = build_smo(self.catalog)
+        if self.warehouse_dir:
+            target = os.path.join(self.warehouse_dir, "smo")
+            tmp = tempfile.mkdtemp(dir=self.warehouse_dir, prefix=".smo_new_")
+            smo.write.mode("overwrite").parquet(tmp)
+            old = target + ".old"
+            if os.path.exists(target):
+                os.rename(target, old)
+            os.rename(tmp, target)
+            shutil.rmtree(old, ignore_errors=True)
+            self._smo = self.spark.read.parquet(target)
+        else:
+            self._smo = smo.localCheckpoint(eager=not concurrently) if smo.isStreaming is False else smo
+        return self._smo
+
+    def smo(self) -> DataFrame:
+        if self._smo is None:
+            self.refresh()
+        return self._smo
+
+    # --- derived views ----------------------------------------------------
+    def columns(self) -> DataFrame:
+        """Wide, concept-extended view (the reference's dynamic `columns`)."""
+        return self.concepts.wide_columns(self.smo())
+
+    def status(self) -> DataFrame:
+        return status_aggregate(self.columns())
+
+    def status_json(self) -> str:
+        row = self.status().collect()[0].asDict()
+        tenants = [r.asDict() for r in self.entities.list_tenants().orderBy("tenant_id").collect()]
+        mdes = [r.asDict() for r in self.entities.list_mdes().orderBy("mde_name").collect()]
+        row["tenants"] = tenants or None
+        row["master_data_entities"] = mdes or None
+        return json.dumps(row, indent=2, sort_keys=True, default=str)
+
+    def master_data_entity_candidates(self) -> DataFrame:
+        return master_data_entity_candidates(self.catalog)
+
+    # --- misc SDK parity ---------------------------------------------------
+    def verify_installation(self) -> dict:
+        """Reference verify_installation() (SCHEMA:391-396)."""
+        return {
+            "tenants_defined": not self.entities.list_tenants().isEmpty(),
+            "mdes_defined": not self.entities.list_mdes().isEmpty(),
+        }
+
+    def i18n(self) -> dict:
+        return self._i18n
+
+    def update_i18n(self, doc: dict) -> dict:
+        """Shallow-merge like the reference's `i18n_stored || $1` jsonb update
+        (SCHEMA:266-277)."""
+        self._i18n = {**self._i18n, **doc}
+        return self._i18n
+
+    def count_estimate(self, df: DataFrame) -> int:
+        """Plan-based cardinality estimate (reference count_estimate,
+        SCHEMA:825-832, which reads EXPLAIN 'Plan Rows'). Uses Catalyst's
+        optimized-plan stats instead of counting."""
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        opt = stats.rowCount()
+        if opt.isDefined():
+            return int(str(opt.get()))
+        # No CBO stats: for plain file scans, read parquet footer row counts —
+        # metadata only, no data scan; the Spark analog of Postgres reltuples.
+        files = df.inputFiles()
+        if files and all(f.endswith(".parquet") for f in files):
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                total += pq.ParquetFile(f.removeprefix("file:")).metadata.num_rows
+            return total
+        width = max(1, 8 * len(df.schema.fields))
+        return max(0, int(str(stats.sizeInBytes())) // width)

@@ -1,0 +1,74 @@
+"""SparkSession construction and shared I/O helpers.
+
+Everything in the engine goes through `get_spark()` / `load_table()` so that
+session-level settings that affect correctness (UTC session timezone for
+naive-parquet timestamps) and scale (AQE, shuffle partitions) are applied
+uniformly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Tables provided by the driver test data (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "schemamap-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime coalescing of shuffle partitions + skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for any pandas_udf / mapInPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Apply correctness-critical runtime conf to an externally-built session.
+
+    The driver hands us its own SparkSession; parquet timestamps in the test
+    data are timezone-naive, and Spark interprets them in the *session*
+    timezone. Pinning UTC makes wall-clock values (and any date bucketing)
+    engine-independent and DST-free.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_session(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test-data table as a temp view for spark.sql paths."""
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,67 @@
+"""Concept semantics + dynamic registry + status aggregate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schemamap_spark.concepts.registry import ConceptRegistry
+
+
+def test_builtin_concepts_present(engine):
+    wide = engine.columns()
+    names = {f.name for f in wide.schema.fields}
+    for n in [
+        "is_pii", "is_metadata", "is_schema_migration_table", "is_primary_key",
+        "is_foreign_key", "is_unique_key", "is_check_constrained",
+        "is_exclusion_constrained", "is_indexed", "is_generated",
+        "is_natural_key", "is_surrogate_key", "is_self_reference",
+        "is_external_reference", "is_ignored_table",
+    ]:
+        assert n in names
+
+
+def test_surrogate_xor_natural(engine):
+    wide = engine.columns()
+    both = wide.filter(F.col("is_surrogate_key") & F.col("is_natural_key")).count()
+    assert both == 0
+    pk = wide.filter(F.col("is_primary_key"))
+    assert pk.count() == pk.filter(F.col("is_surrogate_key") | F.col("is_natural_key")).count()
+
+
+def test_migration_table_concept(engine):
+    wide = engine.columns()
+    migr = wide.filter(F.col("is_schema_migration_table")).select("table_name").distinct()
+    names = {r.table_name for r in migr.collect()}
+    assert names == {"schema_migrations", "flyway_schema_history"}
+
+
+def test_define_concept_idempotent(engine):
+    """Reference defines a concept twice and expects no error/drift
+    (core_test.clj:163-171)."""
+    reg = engine.concepts
+    for _ in range(2):
+        reg.define("has_default", lambda smo: smo["default_value"].isNotNull())
+    wide = engine.columns()
+    assert "is_has_default" in [f.name for f in wide.schema.fields]
+    n1 = wide.filter(F.col("is_has_default")).count()
+    n2 = engine.smo().filter(F.col("default_value").isNotNull()).count()
+    assert n1 == n2
+
+
+def test_invalid_concept_name_rejected():
+    reg = ConceptRegistry()
+    import pytest
+
+    with pytest.raises(ValueError):
+        reg.define("bad name; drop table", lambda smo: F.lit(True))
+
+
+def test_status_consistency(engine):
+    st = engine.status().collect()[0]
+    assert st.schema_count >= 10
+    assert st.column_count > 1300
+    assert st.table_count > 100
+    assert st.schema_migration_table_count == 2
+    assert st.ignored_table_count == st.schema_migration_table_count
+    assert st.surrogate_key_count + st.natural_key_count == st.primary_key_count
+    assert st.pii_count > 0 and st.indexed_count > 0
