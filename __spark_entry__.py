@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- entry(spark): flagship query on sf0.001 — per-nation order-status
+  distribution with map aggregation + broadcast joins (exercises the engine's
+  join/agg/struct paths end-to-end).
+- queries(): every implemented operator from SURVEY.md §2 (relational Q01-Q26,
+  catalog analytics over the repo fixtures, dedup/similarity/text/multimodal
+  training-data ops, event-stream windowing).
+- oracle_sql(): DuckDB-runnable equivalents; omitted only for genuinely
+  engine-specific ops (simhash/LSH bucketing), which get rows-only checks.
 """
 
 from __future__ import annotations
@@ -15,24 +18,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: status-style relational slice over sf0.001."""
+    from schemamap_spark.suite.relational import q19_map_agg
+
+    return q19_map_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from schemamap_spark.suite import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from schemamap_spark.suite import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

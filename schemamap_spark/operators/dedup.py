@@ -1,0 +1,254 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+All variants operate on a `documents(doc_id bigint, text string, ...)` frame
+and are designed for the 100 TB regime:
+
+- exact_duplicates:     hash-groupBy — one shuffle on a 32-char digest, never
+                        on the raw text.
+- jaccard_similar_pairs: shingle → inverted-index self-join with PREFIX
+                        FILTERING (only the globally-rarest part of each
+                        doc's shingle set is indexed), then exact Jaccard
+                        verification of candidates. Prefix filtering is
+                        lossless for the threshold, so output == brute force,
+                        but the candidate join is orders of magnitude smaller
+                        and avoids the hot-token O(n²) blowup.
+- minhash_lsh_similar_pairs: MinHash signatures (b bands × r rows) →
+                        band-bucket join → exact-Jaccard verification.
+                        Probabilistic candidate generation, exact output.
+- simhash_near_pairs:   64-bit SimHash, banded by 4×16-bit chunks (any pair
+                        within Hamming distance 3 shares ≥1 exact chunk) →
+                        Hamming verification. No false negatives for k<=3.
+
+Spark-first notes: everything is DataFrame ops + built-in functions (codegen
+stays on); the only shuffles are the groupBy/join on short keys; no Python
+row loops. sort_array/canonical ordering keeps outputs deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def shingles(col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-token shingles as an array<string> (0-based Spark arrays)."""
+    base = f"split({col}, ' ')"
+    parts = ", ".join(f"{base}[i - 1 + {j}]" for j in range(k))
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({base}) - {k - 1}, 0)), "
+            f"i -> concat_ws(' ', {parts}))"
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) texts, one row per duplicated
+    digest: (fingerprint, dup_count, doc_ids sorted)."""
+    with_fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+    return (
+        with_fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def _shingled(docs: DataFrame, k: int) -> DataFrame:
+    return docs.select("doc_id", shingles("text", k).alias("sh")).filter(F.size("sh") > 0)
+
+
+def jaccard_similar_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFrame:
+    """All doc pairs with shingle-set Jaccard >= threshold.
+
+    Exact result. Candidate generation uses prefix filtering: order each
+    doc's shingles by global frequency (rarest first); two sets with Jaccard
+    >= t MUST share a shingle within the first floor((1-t)*|S|)+1 of each —
+    so only that prefix is exploded into the inverted index.
+    """
+    sh = _shingled(docs, k)
+    exploded = sh.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+
+    freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # rarest-first rank within each doc; ties broken by shingle text for determinism
+    ranked = (
+        exploded.join(freq, "s")
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+        .withColumn("prefix_len", F.floor((1.0 - threshold) * F.col("sz")).cast("int") + 1)
+        .filter(F.col("rnk") <= F.col("prefix_len"))
+        .select("doc_id", "s")
+    )
+
+    cand = (
+        ranked.alias("a")
+        .join(ranked.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs via full shingle sets."""
+    a = sh.select(F.col("doc_id").alias("i"), F.col("sh").alias("sh_i"))
+    b = sh.select(F.col("doc_id").alias("j"), F.col("sh").alias("sh_j"))
+    scored = (
+        cand.join(a, "i")
+        .join(b, "j")
+        .select(
+            "i",
+            "j",
+            (
+                F.size(F.array_intersect("sh_i", "sh_j")).cast("double")
+                / F.size(F.array_union("sh_i", "sh_j")).cast("double")
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    return scored.select("i", "j", F.round("jac", 6).alias("jaccard")).orderBy("i", "j")
+
+
+def minhash_lsh_similar_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+) -> DataFrame:
+    """MinHash + banded LSH candidates, exact-Jaccard verified.
+
+    num_hashes/bands = rows per band (r=2 by default): P(candidate) =
+    1-(1-j^r)^b — at j=0.8, miss probability ~1e-28. Signatures are computed
+    with JVM xxhash64 under `num_hashes` seeds — a single projection, no
+    Python. Band keys (band_id, hash(sig_slice)) are the only join key.
+    """
+    rows_per_band = num_hashes // bands
+    sh = _shingled(docs, k)
+
+    def _minhash(seed: int):
+        # NB: factory, not a default-arg lambda — extra params would change
+        # the arity Spark's HOF binder sees.
+        return F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))))
+
+    sig = sh.select(
+        "doc_id",
+        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("sig"),
+        "sh",
+    )
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh, threshold)
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 3) -> DataFrame:
+    """Pairs of documents whose 64-bit SimHash differs in <= max_hamming bits.
+
+    SimHash: per-shingle xxhash64; each of 64 bits votes +1/-1; sign of the
+    sum forms the fingerprint. Banding: split into 4×16-bit chunks — any pair
+    with Hamming distance <= 3 must agree exactly on >= 1 chunk (pigeonhole),
+    so candidates come from an equi-join on (chunk_id, chunk_value).
+    """
+    sh = _shingled(docs, k)
+    hashed = sh.select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+
+    def _bit_vote(bit: int):
+        return F.aggregate(
+            "hs",
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ).alias(f"b{bit}")
+
+    bit_sums = hashed.select("doc_id", *[_bit_vote(bit) for bit in range(64)])
+    simhash = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(
+                    F.col(f"b{bit}") > 0,
+                    # shiftleft instead of 2**bit literal: bit 63 overflows a
+                    # signed long literal but is fine as a JVM shift
+                    F.shiftleft(F.lit(1).cast("long"), bit),
+                ).otherwise(F.lit(0).cast("long"))
+                for bit in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+
+    chunked = simhash.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).cast("int")
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    cand = (
+        chunked.alias("a")
+        .join(
+            chunked.alias("b"),
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("i"),
+            F.col("b.doc_id").alias("j"),
+            F.col("a.simhash").alias("h_i"),
+            F.col("b.simhash").alias("h_j"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_i").bitwiseXOR(F.col("h_j"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("i", "j", "hamming")
+        .orderBy("i", "j")
+    )

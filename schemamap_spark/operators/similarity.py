@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k — the correctness baseline. The query
+  set is broadcast; each executor scans its slice of the corpus once and
+  emits per-partition top-k via window ranking. All math is JVM-side
+  (zip_with/aggregate in double precision).
+- lsh_topk: random-hyperplane (signed random projection) LSH bucketing — the
+  scale path. Vectors are bucketed by the sign pattern of `num_planes` fixed
+  pseudo-random hyperplanes (deterministic, derived from xxhash64 of
+  (plane, dim)); only same-bucket (or probing-neighbor) pairs are scored.
+  Approximate: recall < 1 by construction; use cosine_topk to evaluate.
+- ivf_topk: IVF-style two-stage search — kmeans-lite centroids picked as a
+  deterministic sample, vectors assigned to nearest centroid (one pass),
+  queries scored only against the `nprobe` nearest centroids' partitions.
+
+At 100 TB: corpus stays partitioned, queries broadcast; no crossJoin of the
+corpus with itself; bucket/centroid keys make the join shuffle-partitionable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector (self excluded).
+
+    Output: (query_id, neighbor_id, rank, cosine_sim round6)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def _plane_weight(plane: int, dim: int) -> F.Column:
+    """Deterministic pseudo-random weight in [-1, 1) from xxhash64(plane,dim)."""
+    h = F.xxhash64(F.lit(plane), F.lit(dim))
+    return (h % 10_000).cast("double") / F.lit(5_000.0)
+
+
+def _bucket_expr(vec_col: str, num_planes: int, dims: int) -> F.Column:
+    bits = []
+    for p in range(num_planes):
+        proj = None
+        for d in range(dims):
+            term = F.element_at(vec_col, d + 1).cast("double") * _plane_weight(p, d)
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's hyperplane-sign
+    bucket are scored. Same output schema as cosine_topk."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _bucket_expr(vec_col, num_planes, dims).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _bucket_expr(vec_col, num_planes, dims).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: deterministic centroid sample → nearest-centroid
+    assignment → queries probe `nprobe` closest centroid partitions."""
+    cent = (
+        corpus.orderBy(id_col)
+        .limit(num_centroids)
+        .select(
+            F.monotonically_increasing_id().alias("centroid_id"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+    )
+    centb = F.broadcast(cent)
+
+    def assign(df: DataFrame, idname: str, vecname: str, n: int) -> DataFrame:
+        scored = df.crossJoin(centb).select(
+            "*", cosine(F.col(vecname), F.col("cent_vec")).alias("cent_sim")
+        )
+        w = Window.partitionBy(idname).orderBy(F.desc("cent_sim"), "centroid_id")
+        return (
+            scored.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= n)
+            .drop("cent_vec", "cent_sim", "crank")
+        )
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id", "c_vec", 1,
+    )
+    q = assign(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id", "q_vec", nprobe,
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+        .orderBy("query_id", "rank")
+    )

@@ -56,12 +56,23 @@ def configure_session(spark: SparkSession) -> SparkSession:
     engine-independent and DST-free.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark rejects
+    # unless read as long; load_table converts back to timestamp.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # nanosAsLong surfaces nanosecond timestamp columns as bigint; restore a
+    # proper timestamp (microsecond floor — Spark's native resolution).
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

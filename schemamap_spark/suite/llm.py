@@ -1,0 +1,261 @@
+"""Training-data-pipeline correctness queries (dedup, similarity search,
+text analysis, multimodal plumbing) over the driver's documents/embeddings
+tables and the repo's images fixture.
+
+Oracle strategy:
+- dedup_exact / jaccard / minhash: the Spark side runs the SCALABLE algorithm
+  (prefix filtering / banded LSH + exact verification); the DuckDB oracle
+  computes the exact answer by brute force. Candidate pruning is lossless
+  (prefix filter) or overwhelmingly so (LSH at the data's similarity margin),
+  so outputs must match exactly.
+- simhash has no portable oracle (engine-specific 64-bit hashing) → rows-only.
+- embeddings: double-precision arithmetic in both engines, rounded to 6.
+- multimodal: the deterministic fake decoder's outputs are reproducible in
+  SQL from octet_length + byte checksum (DuckDB reads the same parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
+from schemamap_spark.functions import text as TX
+from schemamap_spark.operators import dedup as DD
+from schemamap_spark.operators import similarity as SIM
+from schemamap_spark.session import load_table
+
+FIX = DEFAULT_FIXTURE_DIR
+
+_JACCARD_T = 0.5
+_SHINGLE_K = 3
+
+
+def dedup_exact(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        DD.exact_duplicates(docs)
+        .select("fingerprint", "dup_count", F.array_join("doc_ids", ",").alias("doc_ids_csv"))
+        .orderBy("fingerprint")
+    )
+
+
+def dedup_jaccard(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return DD.jaccard_similar_pairs(docs, _JACCARD_T, _SHINGLE_K)
+
+
+def dedup_minhash_lsh(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return DD.minhash_lsh_similar_pairs(docs, _JACCARD_T, _SHINGLE_K)
+
+
+def dedup_simhash(spark, sf):  # rows-only check (engine-specific hashing)
+    docs = load_table(spark, sf, "documents")
+    return DD.simhash_near_pairs(docs, max_hamming=3, k=_SHINGLE_K)
+
+
+def ann_topk_cosine(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.cosine_topk(emb, queries, k=5)
+
+
+def ann_lsh_cosine(spark, sf):  # approximate — rows-only check
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.lsh_topk(emb, queries, k=5, num_planes=8, dims=64)
+
+
+def text_lang_id(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", TX.lang_id("text").alias("predicted_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def text_quality(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.round(TX.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
+        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+def text_token_stats(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum(TX.token_count("text")).alias("total_tokens"),
+            F.sum(TX.word_count("text")).alias("total_words"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum(TX.token_count("text")).cast("double"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+def text_fingerprint(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("doc_id", TX.doc_fingerprint("text", _SHINGLE_K).alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+def multimodal_decode(spark, sf):
+    from schemamap_spark.operators.multimodal import decode_images
+
+    images = spark.read.parquet(f"{FIX}/images.parquet")
+    # checksum_mod is part of the plumbing contract but has no clean SQL
+    # counterpart (byte-level blob access differs per engine); the oracle
+    # covers the length-derived metadata.
+    return (
+        decode_images(images, fake=True)
+        .select("image_id", "doc_id", "fmt", "n_bytes", "width", "height")
+        .orderBy("image_id")
+    )
+
+
+SPARK_QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_jaccard": dedup_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_topk_cosine": ann_topk_cosine,
+    "ann_lsh_cosine": ann_lsh_cosine,
+    "text_lang_id": text_lang_id,
+    "text_quality": text_quality,
+    "text_token_stats": text_token_stats,
+    "text_fingerprint": text_fingerprint,
+    "multimodal_decode": multimodal_decode,
+}
+
+# ---- shared oracle snippets -------------------------------------------------
+
+_SHINGLE_CTE = """
+with t as (select doc_id, string_split(text, ' ') as toks from documents),
+sh as (
+  select doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+         i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) as sh
+  from t where len(toks) >= 3
+),
+ex as (select doc_id, unnest(sh) as s from sh),
+sz as (select doc_id, len(sh) as s_n from sh),
+pairs as (
+  select a.doc_id as i, b.doc_id as j, count(*) as shared
+  from ex a join ex b on a.s = b.s and a.doc_id < b.doc_id
+  group by 1, 2
+),
+jac as (
+  select i, j,
+         shared * 1.0 / (sa.s_n + sb.s_n - shared) as jac
+  from pairs
+  join sz sa on sa.doc_id = i
+  join sz sb on sb.doc_id = j
+)
+select i, j, round(jac, 6) as jaccard from jac where jac >= 0.5 order by i, j
+"""
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+_HITS = ", ".join(
+    "len(list_filter(string_split(text,' '), t -> list_contains({mk}, t))) as h_{lang}".format(
+        mk="[" + ",".join(f"'{m}'" for m in TX.LANG_MARKERS[lang]) + "]",
+        lang=lang,
+    )
+    for lang in _LANGS
+)
+
+_STOP = "['the','a','of','and','is','to','in']"
+
+ORACLE_SQL = {
+    "dedup_exact": """
+        select fingerprint, dup_count, doc_ids_csv from (
+          select md5(lower(trim(text))) as fingerprint,
+                 count(*) as dup_count,
+                 array_to_string(list_sort(list(doc_id)), ',') as doc_ids_csv
+          from documents group by 1
+        ) where dup_count > 1 order by fingerprint
+    """,
+    "dedup_jaccard": _SHINGLE_CTE,
+    "dedup_minhash_lsh": _SHINGLE_CTE,
+    "ann_topk_cosine": """
+        with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        q as (select vec_id, v from e where vec_id < 10),
+        scored as (
+          select q.vec_id as query_id, e.vec_id as neighbor_id,
+                 list_dot_product(q.v, e.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v)))
+                 as sim
+          from q join e on e.vec_id <> q.vec_id
+        ),
+        ranked as (
+          select query_id, neighbor_id,
+                 row_number() over (partition by query_id order by sim desc, neighbor_id) as rank,
+                 sim
+          from scored
+        )
+        select query_id, neighbor_id, cast(rank as int) as rank, round(sim, 6) as cosine_sim
+        from ranked where rank <= 5 order by query_id, rank
+    """,
+    "text_lang_id": f"""
+        with h as (select doc_id, {_HITS} from documents),
+        m as (select doc_id, h_de, h_en, h_es, h_fr, h_zh,
+                     greatest(h_de, h_en, h_es, h_fr, h_zh) as mx from h)
+        select doc_id,
+          case when mx = 0 then 'und'
+               when h_de = mx then 'de'
+               when h_en = mx then 'en'
+               when h_es = mx then 'es'
+               when h_fr = mx then 'fr'
+               else 'zh' end as predicted_lang
+        from m order by doc_id
+    """,
+    "text_quality": f"""
+        with t as (select doc_id, string_split(text, ' ') as toks from documents),
+        s as (
+          select doc_id,
+                 len(toks) as n_tokens,
+                 len(list_distinct(toks)) * 1.0 / len(toks) as dr,
+                 len(list_filter(toks, x -> list_contains({_STOP}, x))) * 1.0 / len(toks) as sr
+          from t
+        )
+        select doc_id,
+               cast(n_tokens as int) as n_tokens,
+               round(dr, 6) as distinct_ratio,
+               round(sr, 6) as stopword_ratio,
+               round(0.5 * least(n_tokens / 100.0, 1.0) + 0.4 * dr
+                     + 0.1 * least(sr * 5.0, 1.0), 6) as quality
+        from s order by doc_id
+    """,
+    "text_token_stats": r"""
+        select source,
+               cast(sum(len(string_split(text, ' '))) as bigint) as total_tokens,
+               cast(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+'))) as bigint) as total_words,
+               round(sum(n_chars) * 1.0 / sum(len(string_split(text, ' '))), 6) as chars_per_token
+        from documents group by source order by source
+    """,
+    "text_fingerprint": """
+        with t as (select doc_id, string_split(text, ' ') as toks from documents),
+        sh as (
+          select doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) as sh
+          from t
+        )
+        select doc_id, list_min(list_transform(sh, s -> md5(s))) as fingerprint
+        from sh order by doc_id
+    """,
+    "multimodal_decode": f"""
+        select image_id, doc_id, fmt,
+               cast(octet_length(payload) as bigint) as n_bytes,
+               cast(octet_length(payload) % 640 as int) as width,
+               cast(octet_length(payload) % 480 as int) as height
+        from read_parquet('{FIX}/images.parquet')
+        order by image_id
+    """,
+}

@@ -1,0 +1,335 @@
+"""Relational-operator correctness queries over the driver test data
+(SURVEY.md §2.3 Q01–Q16, Q19, Q21, Q26).
+
+Determinism rules used throughout:
+- money aggregates go through decimal(18,2) so sums are exact and
+  engine/order independent (doubles are neither);
+- ratio scores are computed in double and round()ed to 6 digits;
+- top-k queries carry explicit tiebreak columns so LIMIT selects the same
+  row set in both engines (the driver's value hash is order-insensitive,
+  but membership under LIMIT must match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from schemamap_spark.session import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q01 scan + projection -------------------------------------------------
+def q01_scan(spark, sf):
+    return _t(spark, sf, "nation").orderBy("n_nationkey")
+
+
+# --- Q02 IN-list + range filter ---------------------------------------------
+def q02_filter_in(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderstatus").isin("F", "O") & (F.col("o_totalprice") > 1000))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# --- Q03 inner join + group count -------------------------------------------
+def q03_join_agg(spark, sf):
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("n_name")
+    )
+
+
+# --- Q04 left outer join ------------------------------------------------------
+def q04_left_join(spark, sf):
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("customer_count"))
+        .orderBy("n_name")
+    )
+
+
+# --- Q05 anti join (NOT IN) ----------------------------------------------------
+def q05_anti_join(spark, sf):
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        n.join(c.select("c_nationkey").distinct(), n.n_nationkey == c.c_nationkey, "left_anti")
+        .select("n_nationkey")
+        .orderBy("n_nationkey")
+    )
+
+
+# --- Q06 semi join (EXISTS) ----------------------------------------------------
+def q06_semi_join(spark, sf):
+    s, li = _t(spark, sf, "supplier"), _t(spark, sf, "lineitem")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q07 global min/max broadcast + normalization -------------------------------
+def q07_minmax_norm(spark, sf):
+    c = _t(spark, sf, "customer")
+    st = c.groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    mm = st.agg(F.min("n").alias("mn"), F.max("n").alias("mx"))
+    return (
+        st.crossJoin(F.broadcast(mm))
+        .select(
+            "k",
+            F.round(
+                (F.col("n") - F.col("mn")).cast("double")
+                / F.nullif((F.col("mx") - F.col("mn")).cast("double"), F.lit(0.0)),
+                6,
+            ).alias("norm_score"),
+        )
+        .orderBy("k")
+    )
+
+
+# --- Q08 distinct set aggregation ------------------------------------------------
+def q08_collect_set(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("statuses"))
+        .orderBy("o_custkey")
+    )
+
+
+# --- Q09 count distinct, incl. composite -------------------------------------------
+def q09_count_distinct(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("supp_nd"),
+        F.countDistinct("l_suppkey", "l_partkey").alias("supp_part_nd"),
+    )
+
+
+# --- Q10 filtered counts -------------------------------------------------------------
+def q10_filtered_counts(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned_cnt"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted_cnt"),
+    )
+
+
+# --- Q11 sum(case when) ----------------------------------------------------------------
+def q11_sum_case(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.agg(
+        F.sum(F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0)).alias("urgent_cnt")
+    )
+
+
+# --- Q12 top-k ranking --------------------------------------------------------------------
+def q12_topk(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        .orderBy(F.desc("s"), "o_custkey")
+        .limit(10)
+    )
+
+
+# --- Q13 union / union all -------------------------------------------------------------------
+def q13_union(spark, sf):
+    n = _t(spark, sf, "nation")
+    a = n.filter(F.col("n_regionkey") == 0).select("n_name")
+    b = n.filter(F.col("n_nationkey") < 5).select("n_name")
+    return a.union(b).distinct().orderBy("n_name")
+
+
+def q13_union_all(spark, sf):
+    n = _t(spark, sf, "nation")
+    a = n.filter(F.col("n_regionkey") == 0).select("n_name")
+    b = n.filter(F.col("n_nationkey") < 5).select("n_name")
+    return a.unionAll(b).orderBy("n_name")
+
+
+# --- Q14 scalar string/array functions ----------------------------------------------------------
+def q14_scalar_fns(spark, sf):
+    p = _t(spark, sf, "part")
+    return (
+        p.orderBy("p_partkey")
+        .limit(100)
+        .select(
+            F.trim(F.col("p_name")).alias("trimmed_name"),
+            F.split(F.col("p_brand"), "#").getItem(1).alias("brand_num"),
+            F.array_join(F.split(F.col("p_name"), " "), ",").alias("name_csv"),
+            F.substring(F.col("p_type"), 3, 1_000_000).alias("type_tail"),
+            F.lower(F.regexp_replace(F.col("p_brand"), "#", "_")).alias("brand_slug"),
+            F.split_part(F.col("p_brand"), F.lit("#"), F.lit(1)).alias("brand_word"),
+        )
+    )
+
+
+# --- Q15 POSIX regex (~*) ----------------------------------------------------------------------
+def q15_regex(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.filter(F.col("p_name").rlike("(?i)^(sm|re)")).agg(
+        F.count(F.lit(1)).alias("regex_cnt")
+    )
+
+
+# --- Q16 ILIKE --------------------------------------------------------------------------------
+def q16_ilike(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.filter(F.col("p_type").ilike("%econ%")).agg(F.count(F.lit(1)).alias("ilike_cnt"))
+
+
+# --- Q19 nested map aggregation (A10), compared as exploded sorted entries ----------------------
+def q19_map_agg(spark, sf):
+    o, c, n = _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # build the map (the operator under test), then explode back to rows so the
+    # comparison is engine-neutral (map iteration order is not portable)
+    mapped = per.groupBy("n_name").agg(
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))).alias("m")
+    )
+    return (
+        mapped.select("n_name", F.explode("m").alias("o_orderstatus", "cnt"))
+        .orderBy("n_name", "o_orderstatus")
+    )
+
+
+# --- Q21 exact count (estimate asserted engine-side in tests) ------------------------------------
+def q21_count(spark, sf):
+    return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("exact_cnt"))
+
+
+# --- Q26 JSON edge canonicalization ---------------------------------------------------------------
+def q26_to_json(spark, sf):
+    n = _t(spark, sf, "nation")
+    return (
+        n.filter(F.col("n_regionkey") == 1)
+        .agg(
+            F.to_json(
+                F.sort_array(F.collect_list(F.struct("n_nationkey", "n_name")))
+            ).alias("nations_json")
+        )
+    )
+
+
+SPARK_QUERIES = {
+    "q01_scan": q01_scan,
+    "q02_filter_in": q02_filter_in,
+    "q03_join_agg": q03_join_agg,
+    "q04_left_join": q04_left_join,
+    "q05_anti_join": q05_anti_join,
+    "q06_semi_join": q06_semi_join,
+    "q07_minmax_norm": q07_minmax_norm,
+    "q08_collect_set": q08_collect_set,
+    "q09_count_distinct": q09_count_distinct,
+    "q10_filtered_counts": q10_filtered_counts,
+    "q11_sum_case": q11_sum_case,
+    "q12_topk": q12_topk,
+    "q13_union": q13_union,
+    "q13_union_all": q13_union_all,
+    "q14_scalar_fns": q14_scalar_fns,
+    "q15_regex": q15_regex,
+    "q16_ilike": q16_ilike,
+    "q19_map_agg": q19_map_agg,
+    "q21_count": q21_count,
+    "q26_to_json": q26_to_json,
+}
+
+ORACLE_SQL = {
+    "q01_scan": "select * from nation order by n_nationkey",
+    "q02_filter_in": (
+        "select o_orderkey from orders "
+        "where o_orderstatus in ('F','O') and o_totalprice > 1000 order by 1"
+    ),
+    "q03_join_agg": (
+        "select n_name, count(*) as c from customer "
+        "join nation on c_nationkey = n_nationkey group by 1 order by 1"
+    ),
+    "q04_left_join": (
+        "select n_name, count(c_custkey) as customer_count from nation "
+        "left join customer on c_nationkey = n_nationkey group by 1 order by 1"
+    ),
+    "q05_anti_join": (
+        "select n_nationkey from nation where n_nationkey not in "
+        "(select distinct c_nationkey from customer) order by 1"
+    ),
+    "q06_semi_join": (
+        "select s_suppkey from supplier where exists "
+        "(select 1 from lineitem where l_suppkey = s_suppkey) order by 1"
+    ),
+    "q07_minmax_norm": (
+        "with st as (select c_nationkey as k, count(*) as n from customer group by 1), "
+        "mm as (select min(n) as mn, max(n) as mx from st) "
+        "select k, round((n - mn) * 1.0 / nullif(mx - mn, 0), 6) as norm_score "
+        "from st, mm order by 1"
+    ),
+    "q08_collect_set": (
+        "select o_custkey, array_to_string(list_sort(list(distinct o_orderstatus)), ',') "
+        "as statuses from orders group by 1 order by 1"
+    ),
+    "q09_count_distinct": (
+        "select count(distinct l_suppkey) as supp_nd, "
+        "count(distinct (l_suppkey, l_partkey)) as supp_part_nd from lineitem"
+    ),
+    "q10_filtered_counts": (
+        "select count(*) filter (where l_returnflag = 'R') as returned_cnt, "
+        "count(*) filter (where l_discount > 0.05) as discounted_cnt from lineitem"
+    ),
+    "q11_sum_case": (
+        "select sum(case when o_orderpriority like '1%' then 1 else 0 end) as urgent_cnt "
+        "from orders"
+    ),
+    "q12_topk": (
+        "select o_custkey, sum(cast(o_totalprice as decimal(18,2))) as s from orders "
+        "group by 1 order by s desc, o_custkey limit 10"
+    ),
+    "q13_union": (
+        "select n_name from nation where n_regionkey = 0 "
+        "union select n_name from nation where n_nationkey < 5 order by 1"
+    ),
+    "q13_union_all": (
+        "select n_name from nation where n_regionkey = 0 "
+        "union all select n_name from nation where n_nationkey < 5 order by 1"
+    ),
+    "q14_scalar_fns": (
+        "select trim(p_name) as trimmed_name, "
+        "string_split(p_brand, '#')[2] as brand_num, "
+        "array_to_string(string_split(p_name, ' '), ',') as name_csv, "
+        "substring(p_type, 3) as type_tail, "
+        "lower(replace(p_brand, '#', '_')) as brand_slug, "
+        "split_part(p_brand, '#', 1) as brand_word "
+        "from (select * from part order by p_partkey limit 100)"
+    ),
+    "q15_regex": (
+        "select count(*) as regex_cnt from part where regexp_matches(p_name, '(?i)^(sm|re)')"
+    ),
+    "q16_ilike": "select count(*) as ilike_cnt from part where p_type ilike '%econ%'",
+    "q19_map_agg": (
+        "select n_name, o_orderstatus, count(*) as cnt from orders "
+        "join customer on o_custkey = c_custkey "
+        "join nation on c_nationkey = n_nationkey "
+        "group by 1, 2 order by 1, 2"
+    ),
+    "q21_count": "select count(*) as exact_cnt from lineitem",
+    "q26_to_json": (
+        "select to_json(list_sort(list(struct_pack(n_nationkey := n_nationkey, "
+        "n_name := n_name)))) as nations_json from nation where n_regionkey = 1"
+    ),
+}

@@ -1,0 +1,124 @@
+"""Event-stream operator queries (batch-checkable renditions).
+
+The same windowing logic runs as a real Structured Streaming pipeline in
+schemamap_spark/streaming/pipeline.py (watermarks + windows, tested with a
+file stream); here it's executed on the bounded events table so DuckDB can
+oracle it. Session timezone is pinned UTC (session.load_table), so epoch
+arithmetic agrees across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schemamap_spark.session import load_table
+
+
+def events_tumbling_window(spark, sf):
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def events_sessionize(spark, sf):
+    """30-minute-gap session windows per user (the streaming session-window
+    operator, run on bounded input)."""
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def events_top_users_daily(spark, sf):
+    """Daily per-user activity ranking — window function over event-time
+    buckets (top 3 users per day by event count)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(F.desc("n"), "user_id")
+    return (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("day", "user_id", "n", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("day", "rnk")
+    )
+
+
+SPARK_QUERIES = {
+    "events_tumbling_window": events_tumbling_window,
+    "events_sessionize": events_sessionize,
+    "events_top_users_daily": events_top_users_daily,
+}
+
+ORACLE_SQL = {
+    "events_tumbling_window": """
+        select cast(epoch(time_bucket(interval '1 hour', ts)) as bigint) as window_start,
+               event_type,
+               count(*) as n,
+               sum(cast(value as decimal(18,2))) as total_value
+        from events
+        group by 1, 2 order by 1, 2
+    """,
+    "events_sessionize": """
+        with ordered as (
+          select user_id, ts,
+                 lag(ts) over (partition by user_id order by ts) as prev_ts
+          from events
+        ),
+        marked as (
+          select user_id, ts,
+                 case when prev_ts is null or ts - prev_ts > interval '30 minutes'
+                      then 1 else 0 end as new_session
+          from ordered
+        ),
+        sessions as (
+          select user_id, ts,
+                 sum(new_session) over (partition by user_id order by ts
+                                        rows unbounded preceding) as session_id
+          from marked
+        )
+        select user_id,
+               -- floor, not cast: DuckDB's double->bigint cast rounds, Spark's
+               -- unix_timestamp floors to the second
+               cast(floor(epoch(min(ts))) as bigint) as session_start,
+               count(*) as n_events
+        from sessions
+        group by user_id, session_id
+        order by user_id, session_start
+    """,
+    "events_top_users_daily": """
+        with daily as (
+          select strftime(ts, '%Y-%m-%d') as day, user_id, count(*) as n
+          from events group by 1, 2
+        ),
+        ranked as (
+          select day, user_id, n,
+                 row_number() over (partition by day order by n desc, user_id) as rnk
+          from daily
+        )
+        select day, user_id, n, cast(rnk as int) as rnk
+        from ranked where rnk <= 3 order by day, rnk
+    """,
+}

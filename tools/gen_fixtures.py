@@ -286,6 +286,23 @@ def gen_app(rng: np.random.RandomState):
     return orgs, projects, so, sp, tenants
 
 
+def gen_images(rng: np.random.RandomState):
+    """Opaque binary payloads + typed metadata — multimodal-column fixture.
+
+    Payload bytes are deterministic pseudo-random; real image decoding is
+    stubbed in the engine (no imaging libs in this container), so only
+    byte-level properties matter.
+    """
+    n = 300
+    payloads = [rng.bytes(int(rng.randint(200, 4000))) for _ in range(n)]
+    return pd.DataFrame(dict(
+        image_id=np.arange(n, dtype=np.int64),
+        doc_id=rng.randint(0, 500, n).astype(np.int64),
+        fmt=[["png", "jpg", "webp"][i % 3] for i in range(n)],
+        payload=payloads,
+    ))
+
+
 def gen_registries():
     bidi = pd.DataFrame([
         dict(name="trim_str", i18n='{"name":{"en":"Trim"}}', forward_fn_name="trim_str",
@@ -313,9 +330,11 @@ def main() -> None:
     rel, attr, constr, idx = gen_catalog(rng)
     role_edges, grants = gen_doctor(rng, rel)
     orgs, projects, so, sp, tenants = gen_app(rng)
+    images = gen_images(rng)
     bidi, i18n = gen_registries()
 
     frames = dict(
+        images=images,
         cat_rel=rel, cat_attr=attr, cat_constr=constr, cat_idx=idx,
         role_edges=role_edges, table_grants=grants,
         organizations=orgs, projects=projects,
