@@ -1,0 +1,146 @@
+"""CLI porcelain: init / status / refresh / doctor / snapshot / restore / list.
+
+JSON to stdout, logs to stderr (pipeable to jq) — the reference CLI's contract
+(rust/src/main.rs:31-33, porcelain.rs:113-118).
+
+Usage: python -m schemamap_spark.cli <command> [--warehouse DIR] [--fixtures DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def _engine(args):
+    from schemamap_spark import SchemamapEngine
+    from schemamap_spark.catalog import FixtureCatalog
+    from schemamap_spark.session import get_spark
+
+    spark = get_spark("schemamap-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    catalog = FixtureCatalog(spark, args.fixtures) if args.fixtures else FixtureCatalog(spark)
+    return SchemamapEngine(spark, catalog, warehouse_dir=args.warehouse)
+
+
+def cmd_init(args) -> dict:
+    from schemamap_spark.plans.dryrun import InitPlan
+
+    eng = _engine(args)
+    wh = args.warehouse or os.path.join(os.getcwd(), "warehouse")
+    plan = (
+        InitPlan()
+        .add(f"create warehouse layout at {wh}", lambda: os.makedirs(wh, exist_ok=True))
+        .add("seed bidi mapping registry (trim_str/identity/split_comma_array)", lambda: None)
+        .add("seed data-migration states + sources", lambda: None)
+        .add("build schema-metadata-overview snapshot", lambda: eng.refresh())
+    )
+    if args.dry_run:
+        return {"dry_run": True, "plan": plan.render().split("\n")}
+    done = plan.execute()
+    return {"initialized": True, "steps": done, "warehouse": wh}
+
+
+def cmd_status(args) -> dict:
+    eng = _engine(args)
+    if args.refresh:
+        eng.refresh()
+    return json.loads(eng.status_json())
+
+
+def cmd_refresh(args) -> dict:
+    eng = _engine(args)
+    eng.refresh()
+    return {"refreshed": True, "columns": eng.smo().count()}
+
+
+def cmd_doctor(args) -> dict:
+    """Role-closure + grant-aggregation health report over the doctor
+    fixtures (reference rust/src/doctor.rs:58-132)."""
+    from schemamap_spark.operators.graph import transitive_closure
+
+    eng = _engine(args)
+    spark = eng.spark
+    fixture_dir = args.fixtures or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures")
+    edges = spark.read.parquet(os.path.join(fixture_dir, "role_edges.parquet"))
+    closure = transitive_closure(edges)
+    schemamap_members = (
+        closure.filter(F.col("roleof") == "schemamap").select("member").orderBy("member")
+    )
+    grants = spark.read.parquet(os.path.join(fixture_dir, "table_grants.parquet"))
+    grant_summary = (
+        grants.groupBy("grantee", "privilege_type")
+        .agg(F.countDistinct("table_schema", "table_name").alias("table_count"))
+        .groupBy("grantee")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("privilege_type", "table_count")))
+            ).alias("privileges")
+        )
+        .orderBy("grantee")
+    )
+    return {
+        "roles_reaching_schemamap": [r.member for r in schemamap_members.collect()],
+        "grants": {r.grantee: dict(r.privileges) for r in grant_summary.collect()},
+        "smo_columns": eng.smo().count(),
+    }
+
+
+def cmd_snapshot(args) -> dict:
+    from schemamap_spark.snapshots import SnapshotManager
+
+    return SnapshotManager(args.warehouse).create(args.name)
+
+
+def cmd_restore(args) -> dict:
+    from schemamap_spark.snapshots import SnapshotManager
+
+    return SnapshotManager(args.warehouse).restore(args.name)
+
+
+def cmd_list(args) -> dict:
+    from schemamap_spark.snapshots import SnapshotManager
+
+    return {"snapshots": SnapshotManager(args.warehouse).list()}
+
+
+def main(argv: list[str] | None = None) -> int:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--warehouse", default=None)
+    common.add_argument("--fixtures", default=None)
+
+    p = argparse.ArgumentParser(prog="schemamap-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+    sp = sub.add_parser("init", parents=[common])
+    sp.add_argument("--dry-run", action="store_true")
+    sp = sub.add_parser("status", parents=[common])
+    sp.add_argument("--refresh", action="store_true", default=True)
+    sp.add_argument("--no-refresh", dest="refresh", action="store_false")
+    sub.add_parser("refresh", parents=[common])
+    sub.add_parser("doctor", parents=[common])
+    for name in ("snapshot", "restore"):
+        sp = sub.add_parser(name, parents=[common])
+        sp.add_argument("name")
+    sub.add_parser("list", parents=[common])
+
+    args = p.parse_args(argv)
+    handler = {
+        "init": cmd_init, "status": cmd_status, "refresh": cmd_refresh,
+        "doctor": cmd_doctor, "snapshot": cmd_snapshot, "restore": cmd_restore,
+        "list": cmd_list,
+    }[args.command]
+    try:
+        out = handler(args)
+    except Exception as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(out, indent=2, sort_keys=True, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,8 +34,26 @@ def tokens(col: str = "text") -> F.Column:
     return F.split(F.col(col), " ")
 
 
+def shingles_from_tokens(toks_col: str, k: int = 3) -> F.Column:
+    """Distinct k-token shingles from a PRE-SPLIT token-array column.
+
+    Operating on a materialized token column matters: referencing
+    `split(text)` inside the transform lambda would re-split the full text
+    for every element access (k × n_tokens splits per document) — Catalyst's
+    CollapseProject keeps a separately-projected non-cheap expression
+    evaluated once."""
+    parts = ", ".join(f"{toks_col}[i - 1 + {j}]" for j in range(k))
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 0)), "
+            f"i -> concat_ws(' ', {parts}))"
+        )
+    )
+
+
 def shingles(col: str = "text", k: int = 3) -> F.Column:
-    """Distinct k-token shingles as an array<string> (0-based Spark arrays)."""
+    """Shingles straight from a text column — only for one-shot expressions;
+    prefer shingles_from_tokens via a projected token column in pipelines."""
     base = f"split({col}, ' ')"
     parts = ", ".join(f"{base}[i - 1 + {j}]" for j in range(k))
     return F.array_distinct(
@@ -63,7 +81,21 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def _shingled(docs: DataFrame, k: int) -> DataFrame:
-    return docs.select("doc_id", shingles("text", k).alias("sh")).filter(F.size("sh") > 0)
+    # Small-file inputs arrive as 1-2 partitions; shingling/hashing is the
+    # CPU-heavy fan-out, so spread it across the cluster FIRST. At 100 TB the
+    # scan is already wide and AQE will coalesce the extra shuffle away.
+    from schemamap_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs, "doc_id")
+    # Filter on token count, not on size(sh): a size(sh)>0 predicate gets
+    # pushed below the repartition and re-evaluates the whole shingle
+    # expression on the narrow pre-shuffle plan. size(toks) >= k is the
+    # equivalent cheap predicate.
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select("doc_id", shingles_from_tokens("toks", k).alias("sh"))
+    )
 
 
 def jaccard_similar_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFrame:
@@ -74,7 +106,7 @@ def jaccard_similar_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -
     >= t MUST share a shingle within the first floor((1-t)*|S|)+1 of each —
     so only that prefix is exploded into the inverted index.
     """
-    sh = _shingled(docs, k)
+    sh = _shingled(docs, k).persist()
     exploded = sh.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
 
     freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -136,21 +168,35 @@ def minhash_lsh_similar_pairs(
     Python. Band keys (band_id, hash(sig_slice)) are the only join key.
     """
     rows_per_band = num_hashes // bands
-    sh = _shingled(docs, k)
+    # persisted: reused by the signature branch and both verify branches
+    sh = _shingled(docs, k).persist()
+
+    # Hash every shingle ONCE (the expensive string hash), then derive the
+    # num_hashes minhash functions as universal-hash affine transforms
+    # (a*h + b) mod p over the Mersenne prime p = 2^31-1. Signature cost is
+    # O(|sh|) string hashes instead of O(|sh| * num_hashes), and all products
+    # stay below 2^62 (ANSI-safe — Spark 4 raises on long overflow).
+    P = 2_147_483_647  # 2^31 - 1
+    base = sh.withColumn(
+        "hs", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(P)))
+    )
 
     def _minhash(seed: int):
-        # NB: factory, not a default-arg lambda — extra params would change
-        # the arity Spark's HOF binder sees.
-        return F.array_min(F.transform("sh", lambda s: F.xxhash64(s, F.lit(seed))))
+        a = (0x9E3779B9 * (seed + 1)) % (P - 1) + 1
+        b = (0x85EBCA6B * (seed + 7)) % P
+        return F.array_min(
+            F.transform("hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(P)))
+        )
 
-    sig = sh.select(
+    # Band rows carry ONLY (doc_id, band, bucket) — never the shingle arrays;
+    # replicating payload through a 64-way posexplode would dominate the
+    # shuffle. Verification re-joins the shingle sets by doc_id afterwards.
+    sig = base.select(
         "doc_id",
         F.array(*[_minhash(i) for i in range(num_hashes)]).alias("sig"),
-        "sh",
     )
     banded = sig.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.array(
                 *[

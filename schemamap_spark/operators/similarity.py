@@ -49,10 +49,15 @@ def cosine_topk(
     """Exact top-k cosine neighbors for every query vector (self excluded).
 
     Output: (query_id, neighbor_id, rank, cosine_sim round6)."""
+    from schemamap_spark.session import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -102,7 +107,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing the query's hyperplane-sign
     bucket are scored. Same output schema as cosine_topk."""
-    c = corpus.select(
+    from schemamap_spark.session import ensure_parallelism
+
+    c = ensure_parallelism(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _bucket_expr(vec_col, num_planes, dims).alias("bucket"),

@@ -1,0 +1,56 @@
+"""Dry-run plans and plan inspection.
+
+The reference CLI can run `init` in dry-run mode, PRINTING every DDL step
+instead of executing (an interpreter over Option<Client> —
+rust/src/init.rs:72-77, 94-97, 111-121). The Spark engine mirrors that: every
+bootstrap step is a (description, action) pair; dry_run renders the plan,
+execute runs it. `explain_str` exposes Catalyst's formatted physical plan for
+perf review (pushed filters, broadcast vs shuffle joins, codegen spans).
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Callable
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def plan_json(df: DataFrame) -> dict:
+    qe = df._jdf.queryExecution()
+    return {
+        "logical": qe.analyzed().toString(),
+        "optimized": qe.optimizedPlan().toString(),
+        "physical": qe.executedPlan().toString(),
+    }
+
+
+@dataclass
+class InitPlan:
+    """Ordered bootstrap steps with dry-run support (engine init parity)."""
+
+    steps: list[tuple[str, Callable[[], None]]] = field(default_factory=list)
+
+    def add(self, description: str, action: Callable[[], None]) -> "InitPlan":
+        self.steps.append((description, action))
+        return self
+
+    def render(self) -> str:
+        return "\n".join(f"{i + 1}. {d}" for i, (d, _) in enumerate(self.steps))
+
+    def execute(self, dry_run: bool = False) -> list[str]:
+        done = []
+        for desc, action in self.steps:
+            if not dry_run:
+                action()
+            done.append(desc)
+        return done

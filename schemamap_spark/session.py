@@ -62,6 +62,16 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Spread a narrow (few-file) input across the cluster before CPU-heavy
+    work. No-op when the scan is already wide; at scale the input has many
+    splits and this never fires."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism, key) if key else df.repartition(parallelism)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

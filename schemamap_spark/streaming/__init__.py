@@ -1,0 +1,13 @@
+from schemamap_spark.streaming.pipeline import (
+    stream_events_from_directory,
+    windowed_counts,
+    sessionized,
+    start_memory_sink,
+)
+
+__all__ = [
+    "stream_events_from_directory",
+    "windowed_counts",
+    "sessionized",
+    "start_memory_sink",
+]

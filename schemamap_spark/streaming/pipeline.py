@@ -1,0 +1,86 @@
+"""Structured Streaming operators over event streams.
+
+The reference has NO streaming operators (SURVEY.md §2 — its import flow is
+asynchronous batch); this module is the engine's forward-looking extension:
+the same windowing/sessionization semantics exposed in the batch suite
+(schemamap_spark/suite/streams.py) run here as real streams with watermarks,
+so a pipeline validated against the DuckDB oracle in batch can be promoted to
+streaming unchanged.
+
+Scale notes: file-source streams scale by directory listing + maxFilesPerTrigger;
+state-store size is bounded by the watermark horizon; output modes chosen so
+late data within the watermark corrects previously-emitted windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events_from_directory(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    reader = (
+        spark.readStream.format(fmt)
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    )
+    return reader.load(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows with a watermark bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-merged) per user — the streaming twin of the
+    batch events_sessionize query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """Run a streaming frame into an in-memory table (tests / smoke).
+    Returns the StreamingQuery; callers awaitTermination/processAllAvailable."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

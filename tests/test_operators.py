@@ -1,0 +1,107 @@
+"""Dedup / similarity / graph / text / multimodal operator tests (sf0.001)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schemamap_spark.operators import dedup as DD
+from schemamap_spark.operators import similarity as SIM
+from schemamap_spark.operators.graph import transitive_closure
+from schemamap_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jaccard_equals_minhash(spark):
+    """Prefix-filtered exact jaccard and LSH+verify must agree (both exact)."""
+    docs = load_table(spark, SF, "documents")
+    a = {(r.i, r.j) for r in DD.jaccard_similar_pairs(docs, 0.5).collect()}
+    b = {(r.i, r.j) for r in DD.minhash_lsh_similar_pairs(docs, 0.5).collect()}
+    assert a == b
+
+
+def test_simhash_finds_neardups(spark):
+    docs = load_table(spark, SF, "documents")
+    sim = {(r.i, r.j) for r in DD.simhash_near_pairs(docs, 3).collect()}
+    jac = {(r.i, r.j) for r in DD.jaccard_similar_pairs(docs, 0.8).collect()}
+    # simhash(≤3 bits) should recover a large share of the 0.8-jaccard dups
+    if jac:
+        assert len(sim & jac) / len(jac) >= 0.5
+
+
+def test_exact_duplicates_on_constructed_dups(spark):
+    docs = load_table(spark, SF, "documents").limit(20)
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
+    both = docs.unionByName(dup)
+    groups = DD.exact_duplicates(both).collect()
+    assert len(groups) == 20
+    assert all(g.dup_count == 2 for g in groups)
+
+
+def test_cosine_topk_selfconsistency(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        sims = [r.cosine_sim for r in sorted(rows, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_topk_is_subset_quality(spark):
+    """LSH results exist and never beat exact top-1."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {r.query_id: r.cosine_sim for r in SIM.cosine_topk(emb, q, k=1).collect()}
+    approx = SIM.lsh_topk(emb, q, k=1).collect()
+    for r in approx:
+        assert r.cosine_sim <= exact[r.query_id] + 1e-9
+
+
+def test_ivf_topk_runs(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3).collect()
+    assert 0 < len(out) <= 9
+
+
+def test_transitive_closure_diamond(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("d", "e")],
+        "member string, roleof string",
+    )
+    got = {(r.member, r.roleof) for r in transitive_closure(edges).collect()}
+    assert ("a", "e") in got and ("a", "d") in got and ("b", "e") in got
+    assert len(got) == 5 + 4  # 5 direct + (a,d),(a,e),(b,e),(c,e)
+
+
+def test_multimodal_decode_plumbing(spark):
+    from schemamap_spark.operators.multimodal import decode_images
+
+    images = spark.read.parquet("/root/repo/fixtures/images.parquet")
+    out = decode_images(images, fake=True)
+    rows = out.collect()
+    assert len(rows) == images.count()
+    for r in rows[:10]:
+        assert r.width == r.n_bytes % 640
+        assert 0 <= r.checksum_mod < 997
+
+
+def test_multimodal_real_decode_raises(spark):
+    import pytest
+
+    from schemamap_spark.operators.multimodal import decode_images, sample_frames
+
+    images = spark.read.parquet("/root/repo/fixtures/images.parquet")
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_images(images, fake=False)
+    with pytest.raises(NotImplementedError):
+        sample_frames(images)
