@@ -16,8 +16,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from schemamap_spark.catalog.base import CatalogAdapter
+from schemamap_spark.catalog.base import IGNORED_SCHEMAS, CatalogAdapter
 from schemamap_spark.concepts.registry import ConceptRegistry
+from schemamap_spark.functions.registry import FunctionRegistry
 from schemamap_spark.concepts.status import status_aggregate
 from schemamap_spark.entities.candidates import master_data_entity_candidates
 from schemamap_spark.entities.registry import EntityRegistry
@@ -33,6 +34,18 @@ class SchemamapEngine:
         self.concepts = ConceptRegistry()
         self.entities = EntityRegistry(spark)
         self.mappings = BidiMappingRegistry()
+        self.functions = FunctionRegistry()
+        # well-known updatable slots (reference SCHEMA:462-483); list_tenants
+        # redefinition routes through the entity registry so the status view
+        # and verify_installation see it immediately.
+        self.functions.register_builtin(
+            "list_tenants", self.entities.list_tenants,
+            "tenant discovery UDTF (default empty; user-overridable)",
+        )
+        self.functions.register_builtin(
+            "ignored_schemas", lambda: list(IGNORED_SCHEMAS),
+            "schemas excluded from introspection",
+        )
         self._i18n: dict = {}
         self._smo: DataFrame | None = None
 

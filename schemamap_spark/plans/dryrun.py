@@ -34,6 +34,42 @@ def plan_json(df: DataFrame) -> dict:
     }
 
 
+def tables_in_plan(df: DataFrame) -> list[str]:
+    """Source tables/files referenced by a DataFrame's analyzed plan — the
+    Spark rendition of the reference doctor's MDE plan-walk, which extracts
+    the table set from a user's MDE view definition (rust/src/doctor.rs:
+    252-264, incl. its `left join … and false` declared-relation idiom:
+    constant-false joins still name their relation in the plan)."""
+    plan = df._jdf.queryExecution().analyzed()
+    out: list[str] = []
+
+    def walk(node) -> None:
+        name = node.nodeName()
+        if name == "SubqueryAlias":
+            out.append(str(node.identifier()))
+        elif name == "LogicalRelation":
+            # file-backed relation: surface its root path(s)
+            try:
+                paths = node.relation().location().rootPaths()
+                for i in range(paths.size()):
+                    out.append(str(paths.apply(i)))
+            except Exception:
+                out.append(node.simpleString(100)[:80])
+        elif "Relation" in name:
+            out.append(node.simpleString(100)[:80])
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    seen: set[str] = set()
+    uniq = []
+    for t in out:
+        if t not in seen:
+            seen.add(t)
+            uniq.append(t)
+    return uniq
+
+
 @dataclass
 class InitPlan:
     """Ordered bootstrap steps with dry-run support (engine init parity)."""

@@ -8,11 +8,11 @@ schema, and order-insensitive value hash. Column aliases MUST match pairwise.
 
 from __future__ import annotations
 
-from schemamap_spark.suite import catalog_suite, llm, relational, streams
+from schemamap_spark.suite import catalog_suite, imports_suite, llm, relational, streams
 
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
-for mod in (relational, catalog_suite, llm, streams):
+for mod in (relational, catalog_suite, llm, streams, imports_suite):
     SPARK_QUERIES.update(mod.SPARK_QUERIES)
     ORACLE_SQL.update(mod.ORACLE_SQL)
 
