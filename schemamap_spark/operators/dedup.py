@@ -157,15 +157,15 @@ def minhash_lsh_similar_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     k: int = 3,
-    num_hashes: int = 128,
-    bands: int = 64,
+    num_hashes: int = 64,
+    bands: int = 32,
 ) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified.
 
     num_hashes/bands = rows per band (r=2 by default): P(candidate) =
-    1-(1-j^r)^b — at j=0.8, miss probability ~1e-28. Signatures are computed
-    with JVM xxhash64 under `num_hashes` seeds — a single projection, no
-    Python. Band keys (band_id, hash(sig_slice)) are the only join key.
+    1-(1-j^r)^b — at j=0.8 with b=32, miss probability ~3e-15; candidates are
+    exact-verified so false positives only cost join work. Band keys
+    (band_id, hash(sig_slice)) are the only join key.
     """
     rows_per_band = num_hashes // bands
     # persisted: reused by the signature branch and both verify branches

@@ -39,6 +39,38 @@ def cosine(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All vector pairs with cosine >= threshold (embedding near-duplicate
+    detection). Norms are precomputed per row — identical values to the
+    per-pair formula (sqrt(dot(v,v)) is a pure function of v), so results
+    stay bit-equal to the naive oracle while the pair loop does one dot
+    instead of three. The smaller side is broadcast; at corpus×corpus scale
+    swap the broadcast for LSH bucketing (lsh_topk) as candidate pruning."""
+    from schemamap_spark.session import ensure_parallelism
+
+    base = ensure_parallelism(corpus, id_col).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+    ).withColumn("nrm", _norm(F.col("v")))
+    a = base.select(F.col("vid").alias("i"), F.col("v").alias("v_i"), F.col("nrm").alias("n_i"))
+    b = base.select(F.col("vid").alias("j"), F.col("v").alias("v_j"), F.col("nrm").alias("n_j"))
+    return (
+        a.join(F.broadcast(b), F.col("i") < F.col("j"))
+        .select(
+            "i",
+            "j",
+            (_dot(F.col("v_i"), F.col("v_j")) / (F.col("n_i") * F.col("n_j"))).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("i", "j", F.round("sim", 6).alias("cosine_sim"))
+        .orderBy("i", "j")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

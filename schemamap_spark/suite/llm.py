@@ -54,6 +54,11 @@ def dedup_simhash(spark, sf):  # rows-only check (engine-specific hashing)
     return DD.simhash_near_pairs(docs, max_hamming=3, k=_SHINGLE_K)
 
 
+def dedup_embedding_cosine(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return SIM.cosine_near_pairs(emb, threshold=0.45)
+
+
 def ann_topk_cosine(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -127,6 +132,7 @@ SPARK_QUERIES = {
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_cosine": ann_lsh_cosine,
     "text_lang_id": text_lang_id,
@@ -184,6 +190,16 @@ ORACLE_SQL = {
     """,
     "dedup_jaccard": _SHINGLE_CTE,
     "dedup_minhash_lsh": _SHINGLE_CTE,
+    "dedup_embedding_cosine": """
+        with e as (select vec_id, embedding::DOUBLE[] as v,
+                          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) as nrm
+                   from embeddings)
+        select a.vec_id as i, b.vec_id as j,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) as cosine_sim
+        from e a join e b on a.vec_id < b.vec_id
+        where list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+        order by i, j
+    """,
     "ann_topk_cosine": """
         with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
         q as (select vec_id, v from e where vec_id < 10),
