@@ -50,6 +50,28 @@ def read_staging_xlsx(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def read_google_sheet(spark: SparkSession, spreadsheet_id: str, range_a1: str = "A:Z") -> DataFrame:
+    """GOOGLE_SPREADSHEET source (declared by the reference,
+    SCHEMA:421). Contract: Sheets API values → all-string DataFrame with the
+    first row as header — identical downstream shape to read_staging_csv.
+    The API client is not available in this container."""
+    raise NotImplementedError(
+        "Google Sheets staging requires the Sheets API client; contract: "
+        "values[0] = header, remaining rows all-string, then the standard "
+        "mapping/validation pipeline applies"
+    )
+
+
+def read_salesforce(spark: SparkSession, soql: str) -> DataFrame:
+    """SALESFORCE source (declared by the reference, SCHEMA:425). Contract:
+    Bulk API 2.0 query → CSV batches → all-string DataFrame. Client not
+    available in this container."""
+    raise NotImplementedError(
+        "Salesforce staging requires simple-salesforce / Bulk API; contract: "
+        "SOQL → CSV batches → read_staging_csv-shaped DataFrame"
+    )
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,

@@ -74,6 +74,14 @@ def sessionized(
     )
 
 
+def deduplicated_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once-per-event-id dedup within the watermark horizon
+    — the streaming twin of exact_duplicates removal, with state bounded by
+    the watermark (dropDuplicatesWithinWatermark keeps one state entry per
+    key only until the watermark passes it)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     """Run a streaming frame into an in-memory table (tests / smoke).
     Returns the StreamingQuery; callers awaitTermination/processAllAvailable."""

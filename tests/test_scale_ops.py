@@ -1,0 +1,83 @@
+"""Skew/bucketing helpers, type mapping, streaming dedup, source stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemamap_spark.catalog.types import pg_type_to_spark, spark_type_to_pg
+from schemamap_spark.operators.skew import bucketed_join, salted_join, write_bucketed
+from schemamap_spark.session import load_table
+
+
+def test_salted_join_equals_plain_join(spark):
+    c = load_table(spark, "/root/testdata/sf0.001", "customer")
+    n = load_table(spark, "/root/testdata/sf0.001", "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    plain = c.join(n, "c_nationkey").groupBy("n_name").count()
+    salted = salted_join(c, n, "c_nationkey").groupBy("n_name").count()
+    assert {(r.n_name, r["count"]) for r in plain.collect()} == {
+        (r.n_name, r["count"]) for r in salted.collect()
+    }
+
+
+def test_bucketed_join_no_shuffle(spark):
+    from schemamap_spark.plans.dryrun import explain_str
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    write_bucketed(o, "b_orders", "o_custkey", 8)
+    write_bucketed(c, "b_customers", "o_custkey", 8)
+    joined = bucketed_join(spark, "b_orders", "b_customers", "o_custkey")
+    plan = explain_str(joined)
+    # co-located: no shuffle Exchange (broadcast would also be shuffle-free,
+    # so disqualify it to prove bucketing did the work)
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == o.count()
+
+
+def test_pg_type_mapping_roundtrips():
+    cases = {
+        "text": "string",
+        "character varying(50)": "string",
+        "numeric(10,2)": "decimal(10,2)",
+        "timestamp with time zone": "timestamp",
+        "uuid": "string",
+        "bigint": "bigint",
+        "integer[]": "array<int>",
+        "boolean": "boolean",
+    }
+    for pg, sp in cases.items():
+        assert pg_type_to_spark(pg) == sp
+    assert spark_type_to_pg("decimal(10,2)") == "numeric(10,2)"
+    assert spark_type_to_pg("array<bigint>") == "bigint[]"
+    assert spark_type_to_pg("timestamp") == "timestamp with time zone"
+
+
+def test_streaming_dedup(spark, tmp_path):
+    from schemamap_spark.streaming import start_memory_sink, stream_events_from_directory
+    from schemamap_spark.streaming.pipeline import deduplicated_stream
+
+    d = str(tmp_path / "dup_events")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    ev.write.mode("overwrite").parquet(d)
+    ev.write.mode("append").parquet(d)  # every event twice
+
+    stream = stream_events_from_directory(spark, d)
+    q = start_memory_sink(deduplicated_stream(stream), "dedup_events")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.table("dedup_events").count()
+    assert got == 200  # duplicates dropped within the watermark
+
+
+def test_declared_source_stubs(spark):
+    from schemamap_spark.sources.readers import read_google_sheet, read_salesforce
+
+    with pytest.raises(NotImplementedError):
+        read_google_sheet(spark, "sheet-id")
+    with pytest.raises(NotImplementedError):
+        read_salesforce(spark, "SELECT Id FROM Account")
