@@ -58,7 +58,9 @@ class SchemamapEngine:
         atomically renamed into place — the moral equivalent of REFRESH
         MATERIALIZED VIEW CONCURRENTLY (readers of the old files are never
         blocked; parquet dirs are immutable once written)."""
-        smo = build_smo(self.catalog)
+        # canonical sort only when persisting (byte-stable snapshot files);
+        # in-memory consumers (status, concepts) don't pay for it
+        smo = build_smo(self.catalog, ordered=self.warehouse_dir is not None)
         if self.warehouse_dir:
             target = os.path.join(self.warehouse_dir, "smo")
             tmp = tempfile.mkdtemp(dir=self.warehouse_dir, prefix=".smo_new_")

@@ -14,6 +14,9 @@ the cases AQE can't:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -49,6 +52,14 @@ def write_bucketed(
 ) -> None:
     """Persist as a bucketed (+ optionally sorted) managed table: joins and
     aggregations on bucket_col then run WITHOUT a shuffle."""
+    spark = df.sparkSession
+    # idempotent across sessions: a stale location without a metastore entry
+    # (fresh derby metastore, surviving warehouse dir) blocks saveAsTable
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table_name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)

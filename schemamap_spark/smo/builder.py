@@ -68,13 +68,18 @@ def _per_column_indexes(indexes: DataFrame) -> DataFrame:
     )
 
 
-def build_smo(catalog: CatalogAdapter) -> DataFrame:
+def build_smo(catalog: CatalogAdapter, ordered: bool = False) -> DataFrame:
     """Raw catalog frames → SMO DataFrame (schema per SMO_COLUMNS).
 
     Null-handling choice: columns with no constraints/indexes carry EMPTY
     arrays (not null) — concepts then compose with `F.exists` without null
     guards; the reference's NULL-from-FILTER jsonb behaves equivalently under
     its `exists(jsonb_array_elements(...))` tests.
+
+    `ordered` applies the reference's canonical (schema, table, column) sort
+    (SCHEMA:967) — wanted when PERSISTING a snapshot or printing, but a pure
+    cost for aggregate consumers (a global sort feeding an agg is ~5x the
+    whole status query); default off, consumers order at the edge.
     """
     rel = catalog.relations().filter(F.col("has_usage"))
     cols = catalog.columns()
@@ -95,5 +100,6 @@ def build_smo(catalog: CatalogAdapter) -> DataFrame:
         .withColumn("indexes", F.coalesce("indexes", F.array().cast("array<struct<name:string,type:string,definition:string,immediate:boolean>>")))
         .select(*SMO_COLUMNS)
     )
-    # canonical order (reference SCHEMA:967: order by 1,2,3)
-    return out.orderBy("schema_name", "table_name", "column_name")
+    if ordered:
+        return out.orderBy("schema_name", "table_name", "column_name")
+    return out

@@ -262,7 +262,7 @@ ORACLE_SQL = {
     "q25_optimistic_merge": f"""
         select id,
                case when id <= 15 then upper(name) else name end as name,
-               case when id <= 15 then 1 else 0 end as version
+               cast(case when id <= 15 then 1 else 0 end as bigint) as version
         from {_p('organizations')}
         order by id
     """,

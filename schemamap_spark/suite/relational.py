@@ -216,6 +216,54 @@ def q21_count(spark, sf):
     return _t(spark, sf, "lineitem").agg(F.count(F.lit(1)).alias("exact_cnt"))
 
 
+# --- Q27 portable exact-arithmetic statistics --------------------------------
+def q27_stats(spark, sf):
+    """avg / stddev over doubles are order-dependent across engines; computing
+    them from EXACT decimal sums (sum, sum-of-squares, count) makes the final
+    double arithmetic deterministic and portable."""
+    li = _t(spark, sf, "lineitem")
+    d = F.col("l_extendedprice").cast("decimal(18,2)")
+    per = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d).alias("price_sum"),
+        F.sum((d * d).cast("decimal(38,4)")).alias("price_sumsq"),
+        F.min(d).alias("price_min"),
+        F.max(d).alias("price_max"),
+    )
+    return per.select(
+        "l_returnflag",
+        "n",
+        "price_sum",
+        "price_min",
+        "price_max",
+        F.round(F.col("price_sum").cast("double") / F.col("n").cast("double"), 6).alias("price_avg"),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("price_sumsq").cast("double")
+                    - F.col("price_sum").cast("double") * F.col("price_sum").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (F.col("n").cast("double") - 1.0)
+            ),
+            4,
+        ).alias("price_stddev"),
+    ).orderBy("l_returnflag")
+
+
+# --- Q28 rollup (grouping-set aggregation) -----------------------------------
+def q28_rollup(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 # --- Q26 JSON edge canonicalization ---------------------------------------------------------------
 def q26_to_json(spark, sf):
     n = _t(spark, sf, "nation")
@@ -250,6 +298,8 @@ SPARK_QUERIES = {
     "q19_map_agg": q19_map_agg,
     "q21_count": q21_count,
     "q26_to_json": q26_to_json,
+    "q27_stats": q27_stats,
+    "q28_rollup": q28_rollup,
 }
 
 ORACLE_SQL = {
@@ -293,8 +343,9 @@ ORACLE_SQL = {
         "count(*) filter (where l_discount > 0.05) as discounted_cnt from lineitem"
     ),
     "q11_sum_case": (
-        "select sum(case when o_orderpriority like '1%' then 1 else 0 end) as urgent_cnt "
-        "from orders"
+        # cast: DuckDB sum(int) is HUGEINT; Spark's is bigint
+        "select cast(sum(case when o_orderpriority like '1%' then 1 else 0 end) as bigint) "
+        "as urgent_cnt from orders"
     ),
     "q12_topk": (
         "select o_custkey, sum(cast(o_totalprice as decimal(18,2))) as s from orders "
@@ -332,4 +383,29 @@ ORACLE_SQL = {
         "select to_json(list_sort(list(struct_pack(n_nationkey := n_nationkey, "
         "n_name := n_name)))) as nations_json from nation where n_regionkey = 1"
     ),
+    "q27_stats": """
+        with per as (
+          select l_returnflag,
+                 count(*) as n,
+                 sum(cast(l_extendedprice as decimal(18,2))) as price_sum,
+                 sum(cast(cast(l_extendedprice as decimal(18,2))
+                          * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as price_sumsq,
+                 min(cast(l_extendedprice as decimal(18,2))) as price_min,
+                 max(cast(l_extendedprice as decimal(18,2))) as price_max
+          from lineitem group by 1
+        )
+        select l_returnflag, n, price_sum, price_min, price_max,
+               round(cast(price_sum as double) / n, 6) as price_avg,
+               round(sqrt((cast(price_sumsq as double)
+                           - cast(price_sum as double) * cast(price_sum as double) / n)
+                          / (n - 1.0)), 4) as price_stddev
+        from per order by 1
+    """,
+    "q28_rollup": """
+        select l_returnflag, l_linestatus, count(*) as n,
+               sum(cast(l_quantity as decimal(18,2))) as qty_sum
+        from lineitem
+        group by rollup (l_returnflag, l_linestatus)
+        order by 1, 2
+    """,
 }
