@@ -73,13 +73,28 @@ class ImportPipeline:
         if new is MigrationState.IMPORTED:
             row["imported_at"] = dt.datetime.now(dt.timezone.utc)
 
+    _MIGRATIONS_SCHEMA = (
+        "id bigint, state string, source string, mde_name string, "
+        "import_started_at timestamp, imported_at timestamp, summary string, "
+        "version bigint"
+    )
+
     def data_migrations(self) -> DataFrame:
         return self.spark.createDataFrame(
-            [tuple(r.values()) for r in self._migrations],
-            "id bigint, state string, source string, mde_name string, "
-            "import_started_at timestamp, imported_at timestamp, summary string, "
-            "version bigint",
+            [tuple(r.values()) for r in self._migrations], self._MIGRATIONS_SCHEMA
         )
+
+    def save_migrations(self, path: str) -> None:
+        """Persist the bookkeeping table (atomic overwrite)."""
+        from schemamap_spark.sources.sinks import write_parquet_atomic
+
+        write_parquet_atomic(self.data_migrations(), path, ordered_by=["id"])
+
+    def load_migrations(self, path: str) -> None:
+        """Resume bookkeeping from a persisted table (ids continue after max)."""
+        rows = self.spark.read.parquet(path).orderBy("id").collect()
+        self._migrations = [r.asDict() for r in rows]
+        self._next_id = max((r["id"] for r in self._migrations), default=0) + 1
 
     # --- the pipeline ---------------------------------------------------
     def run(

@@ -82,6 +82,44 @@ def deduplicated_stream(events: DataFrame, watermark: str = "2 hours") -> DataFr
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def running_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user running event count + value total,
+    emitted once per micro-batch via applyInPandasWithState — the escape
+    hatch for stateful logic Spark's built-in windows can't express.
+
+    The batch function is self-contained (no module-global references) so
+    workers never need this package importable.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield _pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     """Run a streaming frame into an in-memory table (tests / smoke).
     Returns the StreamingQuery; callers awaitTermination/processAllAvailable."""

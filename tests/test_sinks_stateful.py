@@ -1,0 +1,89 @@
+"""JDBC sink SQL assembly, atomic parquet writes, stateful streaming op,
+migration-bookkeeping persistence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemamap_spark.session import load_table
+from schemamap_spark.sources.sinks import staged_merge_sql, write_parquet_atomic
+
+
+def test_staged_merge_sql():
+    sql = staged_merge_sql(
+        "staging_orgs", "public.organizations",
+        columns=["id", "name", "website"], keys=["id"],
+    )
+    assert "insert into public.organizations (id, name, website)" in sql
+    assert "on conflict (id) do update set name = excluded.name, website = excluded.website" in sql
+
+
+def test_staged_merge_sql_rejects_injection():
+    with pytest.raises(ValueError):
+        staged_merge_sql("s; drop table x", "t", ["a"], ["a"])
+    with pytest.raises(ValueError):
+        staged_merge_sql("s", "t", ["a b"], ["a"])
+
+
+def test_write_parquet_atomic_swap(spark, tmp_path):
+    target = str(tmp_path / "tbl")
+    df1 = spark.range(10).withColumnRenamed("id", "v")
+    write_parquet_atomic(df1, target)
+    assert spark.read.parquet(target).count() == 10
+    df2 = spark.range(3).withColumnRenamed("id", "v")
+    write_parquet_atomic(df2, target, ordered_by=["v"])
+    assert spark.read.parquet(target).count() == 3  # replaced, not appended
+
+
+def test_running_user_stats_stateful(spark, tmp_path):
+    from schemamap_spark.streaming import start_memory_sink, stream_events_from_directory
+    from schemamap_spark.streaming.pipeline import running_user_stats
+
+    d = str(tmp_path / "ev")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+
+    stream = stream_events_from_directory(spark, d)
+    q = start_memory_sink(running_user_stats(stream), "user_stats", output_mode="update")
+    q.processAllAvailable()
+    q.stop()
+
+    # last emitted state per user must equal the batch aggregate
+    got_df = spark.table("user_stats")
+    latest = {r.user_id: (r.n_events, round(r.total_value, 2)) for r in got_df.collect()}
+    want = {
+        r.user_id: (r.n, round(r.total, 2))
+        for r in spark.read.parquet(d)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    # update-mode emits one row per batch; with availableNow all files land in
+    # one batch per source file set — the final row per user is the total
+    for uid, (n, total) in want.items():
+        assert latest[uid][0] == n
+        assert abs(latest[uid][1] - total) < 0.05
+
+
+def test_migrations_persistence(spark, tmp_path):
+    from schemamap_spark.imports import ColumnRule, ImportPipeline
+    from schemamap_spark.sources.readers import read_staging_csv
+
+    staging = read_staging_csv(spark, "/root/repo/fixtures/staging_organizations.csv")
+    target = spark.read.parquet("/root/repo/fixtures/organizations.parquet").select("id", "name")
+    pipe = ImportPipeline(spark)
+    pipe.run(
+        staging=staging, target=target, keys=["id"],
+        column_mappings={"id": ("id", "identity"), "name": ("name", "trim_str")},
+        casts={"id": "bigint"},
+        rules=[ColumnRule("name", not_null=True)],
+    )
+    path = str(tmp_path / "migrations")
+    pipe.save_migrations(path)
+
+    pipe2 = ImportPipeline(spark)
+    pipe2.load_migrations(path)
+    rows = pipe2.data_migrations().collect()
+    assert len(rows) == 1 and rows[0].state == "IMPORTED"
+    assert pipe2._next_id == 2
