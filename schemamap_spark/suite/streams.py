@@ -66,10 +66,53 @@ def events_top_users_daily(spark, sf):
     )
 
 
+def events_asof_join(spark, sf):
+    """As-of join: each purchase matched to the user's most recent prior (or
+    simultaneous) view — an operator Spark lacks natively, implemented with
+    the union + running-last-value window (operators/temporal.py); DuckDB's
+    native ASOF JOIN is the oracle."""
+    from schemamap_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_event_id")
+    )
+    joined = asof_join(purchases, views, key="user_id", ts="ts", right_cols=["view_event_id"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.col("view_event_id_right").alias("view_event_id"),
+        F.unix_timestamp("ts_right").alias("view_epoch"),
+    ).orderBy("event_id")
+
+
+def events_range_join(spark, sf):
+    """Range join: events counted into per-user daily 00:00-06:00 windows via
+    bucketed interval join (operators/temporal.py)."""
+    from schemamap_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf, "events")
+    intervals = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("start_ts"))
+        .distinct()
+        .withColumn("end_ts", F.col("start_ts") + F.expr("interval 6 hours"))
+    )
+    joined = range_join(ev, intervals, key="user_id")
+    return (
+        joined.groupBy("user_id", F.unix_timestamp("start_ts").alias("window_epoch"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("user_id", "window_epoch")
+    )
+
+
 SPARK_QUERIES = {
     "events_tumbling_window": events_tumbling_window,
     "events_sessionize": events_sessionize,
     "events_top_users_daily": events_top_users_daily,
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
 }
 
 ORACLE_SQL = {
@@ -107,6 +150,36 @@ ORACLE_SQL = {
         from sessions
         group by user_id, session_id
         order by user_id, session_start
+    """,
+    "events_asof_join": """
+        with purchases as (
+          select event_id, user_id, ts from events where event_type = 'purchase'
+        ),
+        views as (
+          select event_id as view_event_id, user_id, ts from events where event_type = 'view'
+        )
+        select p.event_id, p.user_id,
+               cast(floor(epoch(p.ts)) as bigint) as purchase_epoch,
+               v.view_event_id,
+               cast(floor(epoch(v.ts)) as bigint) as view_epoch
+        from purchases p
+        asof left join views v
+          on p.user_id = v.user_id and v.ts <= p.ts
+        order by p.event_id
+    """,
+    "events_range_join": """
+        with intervals as (
+          select distinct user_id, date_trunc('day', ts) as start_ts,
+                 date_trunc('day', ts) + interval 6 hours as end_ts
+          from events
+        )
+        select e.user_id,
+               cast(floor(epoch(i.start_ts)) as bigint) as window_epoch,
+               count(*) as n
+        from events e
+        join intervals i
+          on e.user_id = i.user_id and e.ts >= i.start_ts and e.ts < i.end_ts
+        group by 1, 2 order by 1, 2
     """,
     "events_top_users_daily": """
         with daily as (
