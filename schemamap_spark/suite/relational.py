@@ -264,6 +264,52 @@ def q28_rollup(spark, sf):
     )
 
 
+# --- Q29/Q30 intersect / except ----------------------------------------------
+def q29_intersect(spark, sf):
+    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nk"))
+        .intersect(s.select(F.col("s_nationkey").alias("nk")))
+        .orderBy("nk")
+    )
+
+
+def q30_except(spark, sf):
+    n, c = _t(spark, sf, "nation"), _t(spark, sf, "customer")
+    return (
+        n.select(F.col("n_nationkey").alias("nk"))
+        .exceptAll(c.select(F.col("c_nationkey").alias("nk")).distinct())
+        .orderBy("nk")
+    )
+
+
+# --- Q31 exact median over decimals --------------------------------------------
+def q31_median(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("percentile(cast(l_quantity as decimal(18,2)), 0.5)"), 6
+            ).alias("qty_median")
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- Q32 JSON field extraction -------------------------------------------------
+def q32_json_extract(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+            F.count(F.when(F.get_json_object("props", "$.k").cast("bigint") > 50, 1)).alias("k_gt50"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- Q26 JSON edge canonicalization ---------------------------------------------------------------
 def q26_to_json(spark, sf):
     n = _t(spark, sf, "nation")
@@ -300,6 +346,10 @@ SPARK_QUERIES = {
     "q26_to_json": q26_to_json,
     "q27_stats": q27_stats,
     "q28_rollup": q28_rollup,
+    "q29_intersect": q29_intersect,
+    "q30_except": q30_except,
+    "q31_median": q31_median,
+    "q32_json_extract": q32_json_extract,
 }
 
 ORACLE_SQL = {
@@ -407,5 +457,24 @@ ORACLE_SQL = {
         from lineitem
         group by rollup (l_returnflag, l_linestatus)
         order by 1, 2
+    """,
+    "q29_intersect": (
+        "select c_nationkey as nk from customer "
+        "intersect select s_nationkey as nk from supplier order by 1"
+    ),
+    "q30_except": (
+        "select n_nationkey as nk from nation "
+        "except select distinct c_nationkey as nk from customer order by 1"
+    ),
+    "q31_median": """
+        select l_returnflag,
+               round(quantile_cont(cast(l_quantity as decimal(18,2)), 0.5), 6) as qty_median
+        from lineitem group by 1 order by 1
+    """,
+    "q32_json_extract": """
+        select event_type,
+               cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as k_sum,
+               count(*) filter (where cast(json_extract_string(props, '$.k') as bigint) > 50) as k_gt50
+        from events group by 1 order by 1
     """,
 }
