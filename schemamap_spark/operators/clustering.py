@@ -1,0 +1,74 @@
+"""Embedding clustering (k-means) and sketch-based distinct counting.
+
+- kmeans_fit / kmeans_clusters: Spark ML KMeans over an array<float>
+  embedding column (arrays → ml vectors via array_to_vector; fixed seed for
+  reproducibility). Used both as a standalone clustering op for corpus
+  curation and as the centroid source for IVF ANN routing.
+- approx_ndv: HyperLogLog-sketch distinct counts (approx_count_distinct) —
+  the constant-memory path for cardinality at 100 TB where exact
+  count-distinct would shuffle the full key set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Fit KMeans on an array<float/double> column; returns the fitted model
+    (model.clusterCenters() are numpy arrays)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from schemamap_spark.session import ensure_parallelism
+
+    feat = ensure_parallelism(corpus).withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__features")
+    return km.fit(feat)
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every vector to a cluster: (id, cluster_id)."""
+    from pyspark.ml.functions import array_to_vector
+
+    model = kmeans_fit(corpus, k, vec_col, seed)
+    feat = corpus.withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    return (
+        model.transform(feat)
+        .select(F.col(id_col), F.col("prediction").alias("cluster_id"))
+    )
+
+
+def cluster_summary(corpus: DataFrame, k: int = 16, **kw) -> DataFrame:
+    """Per-cluster sizes — the shape a curation pipeline reports."""
+    assigned = kmeans_clusters(corpus, k, **kw)
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster_id")
+    )
+
+
+def approx_ndv(df: DataFrame, cols: list[str], rsd: float = 0.02) -> DataFrame:
+    """HLL-sketch distinct counts for each column, one pass, constant memory
+    per sketch (rsd = target relative standard deviation)."""
+    return df.agg(
+        *[F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_ndv") for c in cols]
+    )

@@ -173,17 +173,29 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "sample",
 ) -> DataFrame:
-    """IVF-style ANN: deterministic centroid sample → nearest-centroid
-    assignment → queries probe `nprobe` closest centroid partitions."""
-    cent = (
-        corpus.orderBy(id_col)
-        .limit(num_centroids)
-        .select(
-            F.monotonically_increasing_id().alias("centroid_id"),
-            F.col(vec_col).alias("cent_vec"),
+    """IVF-style ANN: centroids (deterministic sample, or k-means with
+    centroids='kmeans') → nearest-centroid assignment → queries probe
+    `nprobe` closest centroid partitions."""
+    if centroids == "kmeans":
+        from schemamap_spark.operators.clustering import kmeans_fit
+
+        model = kmeans_fit(corpus, k=num_centroids, vec_col=vec_col)
+        spark = corpus.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            f"centroid_id long, cent_vec array<double>",
         )
-    )
+    else:
+        cent = (
+            corpus.orderBy(id_col)
+            .limit(num_centroids)
+            .select(
+                F.monotonically_increasing_id().alias("centroid_id"),
+                F.col(vec_col).alias("cent_vec"),
+            )
+        )
     centb = F.broadcast(cent)
 
     def assign(df: DataFrame, idname: str, vecname: str, n: int) -> DataFrame:

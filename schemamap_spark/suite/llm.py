@@ -113,6 +113,20 @@ def text_fingerprint(spark, sf):
     )
 
 
+def embed_cluster_sizes(spark, sf):  # rows-only (k-means assignment is engine-specific)
+    from schemamap_spark.operators.clustering import cluster_summary
+
+    emb = load_table(spark, sf, "embeddings")
+    return cluster_summary(emb, k=8)
+
+
+def approx_ndv_events(spark, sf):  # rows-only (HLL estimate is engine-specific)
+    from schemamap_spark.operators.clustering import approx_ndv
+
+    ev = load_table(spark, sf, "events")
+    return approx_ndv(ev, ["user_id", "event_type"])
+
+
 def multimodal_decode(spark, sf):
     from schemamap_spark.operators.multimodal import decode_images
 
@@ -140,6 +154,8 @@ SPARK_QUERIES = {
     "text_token_stats": text_token_stats,
     "text_fingerprint": text_fingerprint,
     "multimodal_decode": multimodal_decode,
+    "embed_cluster_sizes": embed_cluster_sizes,
+    "approx_ndv_events": approx_ndv_events,
 }
 
 # ---- shared oracle snippets -------------------------------------------------
