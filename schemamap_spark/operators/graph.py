@@ -19,6 +19,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "i",
+    b: str = "j",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Undirected connected components by min-label propagation: every node
+    ends with group_id = the smallest node id reachable from it.
+
+    The canonical use: collapse near-duplicate PAIRS (from jaccard/minhash/
+    simhash) into dedup GROUPS, keeping one representative per group.
+
+    Each round: labels join edges (one shuffle), min per node, compare-and-
+    stop; localCheckpoint truncates lineage. Rounds ≈ component diameter —
+    for near-dup clusters (small, dense) this converges in 2-3 rounds.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("group_id"))
+
+
 def transitive_closure(
     edges: DataFrame,
     src: str = "member",

@@ -49,6 +49,20 @@ def dedup_minhash_lsh(spark, sf):
     return DD.minhash_lsh_similar_pairs(docs, _JACCARD_T, _SHINGLE_K)
 
 
+def dedup_groups(spark, sf):
+    """Near-dup pairs collapsed into groups via connected components
+    (min-label propagation); oracle recomputes with a recursive CTE."""
+    from schemamap_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = DD.jaccard_similar_pairs(docs, _JACCARD_T, _SHINGLE_K)
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "group_id")
+        .orderBy("doc_id")
+    )
+
+
 def dedup_simhash(spark, sf):  # rows-only check (engine-specific hashing)
     docs = load_table(spark, sf, "documents")
     return DD.simhash_near_pairs(docs, max_hamming=3, k=_SHINGLE_K)
@@ -145,6 +159,7 @@ SPARK_QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_jaccard": dedup_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_groups": dedup_groups,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_cosine": ann_topk_cosine,
@@ -206,6 +221,35 @@ ORACLE_SQL = {
     """,
     "dedup_jaccard": _SHINGLE_CTE,
     "dedup_minhash_lsh": _SHINGLE_CTE,
+    "dedup_groups": """
+        with recursive t as (select doc_id, string_split(text, ' ') as toks from documents),
+        sh as (
+          select doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) as sh
+          from t where len(toks) >= 3
+        ),
+        ex as (select doc_id, unnest(sh) as s from sh),
+        sz as (select doc_id, len(sh) as s_n from sh),
+        pairs as (
+          select a.doc_id as i, b.doc_id as j, count(*) as shared
+          from ex a join ex b on a.s = b.s and a.doc_id < b.doc_id
+          group by 1, 2
+        ),
+        simpairs as (
+          select i, j from pairs
+          join sz sa on sa.doc_id = i
+          join sz sb on sb.doc_id = j
+          where shared * 1.0 / (sa.s_n + sb.s_n - shared) >= 0.5
+        ),
+        e as (select i as a, j as b from simpairs union select j, i from simpairs),
+        reach(a, b) as (
+          select a, b from e
+          union
+          select r.a, e2.b from reach r join e e2 on r.b = e2.a
+        )
+        select a as doc_id, least(a, min(b)) as group_id
+        from reach group by a order by doc_id
+    """,
     "dedup_embedding_cosine": """
         with e as (select vec_id, embedding::DOUBLE[] as v,
                           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) as nrm

@@ -105,3 +105,24 @@ def test_multimodal_real_decode_raises(spark):
             decode_images(images, fake=False)
     with pytest.raises(NotImplementedError):
         sample_frames(images)
+
+
+def test_connected_components_known_graph(spark):
+    from schemamap_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 1)],  # {1,2,3,8,9} and {5,6}
+        "i long, j long",
+    )
+    got = {r.node: r.group_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 8: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_connected_components_chain_diameter(spark):
+    from schemamap_spark.operators.graph import connected_components
+
+    # a long chain exercises multi-round propagation
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "i long, j long")
+    got = {r.node: r.group_id for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
