@@ -59,35 +59,14 @@ def cmd_refresh(args) -> dict:
 
 
 def cmd_doctor(args) -> dict:
-    """Role-closure + grant-aggregation health report over the doctor
-    fixtures (reference rust/src/doctor.rs:58-132)."""
-    from schemamap_spark.operators.graph import transitive_closure
-
+    """Role-closure + grant-aggregation health report (engine.doctor,
+    reference rust/src/doctor.rs:58-132)."""
     eng = _engine(args)
-    spark = eng.spark
-    fixture_dir = args.fixtures or os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "fixtures")
-    edges = spark.read.parquet(os.path.join(fixture_dir, "role_edges.parquet"))
-    closure = transitive_closure(edges)
-    schemamap_members = (
-        closure.filter(F.col("roleof") == "schemamap").select("member").orderBy("member")
-    )
-    grants = spark.read.parquet(os.path.join(fixture_dir, "table_grants.parquet"))
-    grant_summary = (
-        grants.groupBy("grantee", "privilege_type")
-        .agg(F.countDistinct("table_schema", "table_name").alias("table_count"))
-        .groupBy("grantee")
-        .agg(
-            F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct("privilege_type", "table_count")))
-            ).alias("privileges")
-        )
-        .orderBy("grantee")
-    )
-    return {
-        "roles_reaching_schemamap": [r.member for r in schemamap_members.collect()],
-        "grants": {r.grantee: dict(r.privileges) for r in grant_summary.collect()},
-        "smo_columns": eng.smo().count(),
-    }
+    if args.fixtures:
+        edges = eng.spark.read.parquet(os.path.join(args.fixtures, "role_edges.parquet"))
+        grants = eng.spark.read.parquet(os.path.join(args.fixtures, "table_grants.parquet"))
+        return eng.doctor(edges, grants)
+    return eng.doctor()
 
 
 def cmd_snapshot(args) -> dict:

@@ -100,6 +100,43 @@ class SchemamapEngine:
         return master_data_entity_candidates(self.catalog)
 
     # --- misc SDK parity ---------------------------------------------------
+    def doctor(self, role_edges: DataFrame | None = None, table_grants: DataFrame | None = None) -> dict:
+        """Health report: transitive role closure + nested grant aggregation
+        (reference rust/src/doctor.rs:58-132). Frames default to the repo
+        doctor fixtures; in a Postgres-backed deployment pass JDBC reads of
+        pg_auth_members / information_schema.role_table_grants."""
+        import os
+
+        from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
+        from schemamap_spark.operators.graph import transitive_closure
+
+        if role_edges is None:
+            role_edges = self.spark.read.parquet(os.path.join(DEFAULT_FIXTURE_DIR, "role_edges.parquet"))
+        if table_grants is None:
+            table_grants = self.spark.read.parquet(os.path.join(DEFAULT_FIXTURE_DIR, "table_grants.parquet"))
+
+        closure = transitive_closure(role_edges)
+        reaching = (
+            closure.filter(F.col("roleof") == "schemamap").select("member").orderBy("member")
+        )
+        grants = (
+            table_grants.groupBy("grantee", "privilege_type")
+            .agg(F.countDistinct("table_schema", "table_name").alias("table_count"))
+            .groupBy("grantee")
+            .agg(
+                F.map_from_entries(
+                    F.sort_array(F.collect_list(F.struct("privilege_type", "table_count")))
+                ).alias("privileges")
+            )
+            .orderBy("grantee")
+        )
+        return {
+            "roles_reaching_schemamap": [r.member for r in reaching.collect()],
+            "grants": {r.grantee: dict(r.privileges) for r in grants.collect()},
+            "smo_columns": self.smo().count(),
+            "installation": self.verify_installation(),
+        }
+
     def verify_installation(self) -> dict:
         """Reference verify_installation() (SCHEMA:391-396)."""
         return {
