@@ -96,6 +96,25 @@ class ImportPipeline:
         self._migrations = [r.asDict() for r in rows]
         self._next_id = max((r["id"] for r in self._migrations), default=0) + 1
 
+    # --- export (backward) direction -------------------------------------
+    def export(
+        self,
+        df: DataFrame,
+        column_mappings: dict[str, tuple[str, str]],
+    ) -> DataFrame:
+        """Apply BACKWARD mapping functions — target rows → staging-shaped
+        output (the reference's bidirectional promise: an `exact` mapping
+        round-trips losslessly, SCHEMA:112-137).
+
+        column_mappings: target_col -> (output_col, bidi_mapping_name) —
+        the same registry entries used on import, inverted."""
+        return df.select(
+            *[
+                self.mappings.backward(fn_name)(F.col(src)).alias(dst)
+                for src, (dst, fn_name) in column_mappings.items()
+            ]
+        )
+
     # --- the pipeline ---------------------------------------------------
     def run(
         self,

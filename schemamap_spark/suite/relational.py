@@ -297,6 +297,16 @@ def q31_median(spark, sf):
     )
 
 
+# --- Q33 cube ------------------------------------------------------------------
+def q33_cube(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
 # --- Q32 JSON field extraction -------------------------------------------------
 def q32_json_extract(spark, sf):
     ev = _t(spark, sf, "events")
@@ -350,6 +360,7 @@ SPARK_QUERIES = {
     "q30_except": q30_except,
     "q31_median": q31_median,
     "q32_json_extract": q32_json_extract,
+    "q33_cube": q33_cube,
 }
 
 ORACLE_SQL = {
@@ -476,5 +487,11 @@ ORACLE_SQL = {
                cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as k_sum,
                count(*) filter (where cast(json_extract_string(props, '$.k') as bigint) > 50) as k_gt50
         from events group by 1 order by 1
+    """,
+    "q33_cube": """
+        select o_orderstatus, o_orderpriority, count(*) as n
+        from orders
+        group by cube (o_orderstatus, o_orderpriority)
+        order by 1, 2
     """,
 }

@@ -111,3 +111,20 @@ def test_split_comma_mapping(spark):
         "tags", back(fwd(F.col("tags"))).alias("roundtrip")
     ).filter(F.col("tags") != F.col("roundtrip"))
     assert rt.count() == 0  # exact=True mapping round-trips losslessly
+
+
+def test_export_backward_roundtrip(spark):
+    """exact=True mappings must round-trip: import forward then export
+    backward reproduces the staging values."""
+    staging = read_staging_csv(spark, f"{FIX}/staging_organizations.csv")
+    pipe = ImportPipeline(spark)
+    imported = staging.select(
+        pipe.mappings.forward("split_comma_array")(F.col("tags")).alias("tags_arr"),
+        F.col("tags").alias("orig"),
+    )
+    exported = pipe.export(imported, {"tags_arr": ("tags", "split_comma_array")})
+    joined = imported.select("orig").join(
+        exported.select(F.col("tags").alias("back")), F.col("orig") == F.col("back"), "left_anti"
+    )
+    # every original has a matching exported value (multiset equality via anti-join both ways)
+    assert joined.count() == 0
