@@ -1,0 +1,56 @@
+"""Deterministic sampling / dataset-split operators for training pipelines.
+
+Splits must be REPRODUCIBLE (same row → same split, forever, on any engine,
+any partitioning) — engine RNG (`df.sample`) is none of those. These use a
+multiplicative (Knuth) hash of the stable id, pure integer arithmetic, so
+the assignment is portable enough that the DuckDB oracle recomputes it
+exactly.
+
+bucket(id) = (id * 2654435761) mod 2^31 mod 1000   (Knuth's golden-ratio
+multiplier; products stay < 2^63, ANSI-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761
+MOD = 2_147_483_648  # 2^31
+BUCKETS = 1000
+
+
+def deterministic_bucket(id_col: str) -> Column:
+    """Stable pseudo-uniform bucket in [0, 1000) from a bigint id column."""
+    return F.pmod(F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(MOD)), F.lit(BUCKETS))
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Add a `split` column ('train'/'val'/'test' by default, 96/2/2).
+
+    Weights are per-mille-resolved cumulative thresholds; every row lands in
+    exactly one split and re-running (or re-partitioning, or re-reading)
+    never moves a row."""
+    weights = weights or {"train": 0.96, "val": 0.02, "test": 0.02}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {sum(weights.values())}")
+    b = deterministic_bucket(id_col)
+    expr = None
+    acc = 0
+    for name, w in weights.items():
+        acc += round(w * BUCKETS)
+        cond = b < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # rounding remainder (if any) goes to the last split
+    last = list(weights)[-1]
+    return df.withColumn("split", expr.otherwise(F.lit(last)))
+
+
+def deterministic_sample(df: DataFrame, fraction: float, id_col: str = "doc_id") -> DataFrame:
+    """Stable fraction-of-corpus sample: rows whose bucket falls under
+    fraction*1000. Same rows selected on every run/engine/partitioning."""
+    return df.filter(deterministic_bucket(id_col) < int(round(fraction * BUCKETS)))

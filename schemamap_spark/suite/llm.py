@@ -141,6 +141,20 @@ def approx_ndv_events(spark, sf):  # rows-only (HLL estimate is engine-specific)
     return approx_ndv(ev, ["user_id", "event_type"])
 
 
+def dataset_splits(spark, sf):
+    """Deterministic train/val/test assignment — per-(lang, split) counts;
+    the oracle recomputes the arithmetic-hash buckets exactly."""
+    from schemamap_spark.operators.sampling import assign_splits
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        assign_splits(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
 def multimodal_decode(spark, sf):
     from schemamap_spark.operators.multimodal import decode_images
 
@@ -169,6 +183,7 @@ SPARK_QUERIES = {
     "text_token_stats": text_token_stats,
     "text_fingerprint": text_fingerprint,
     "multimodal_decode": multimodal_decode,
+    "dataset_splits": dataset_splits,
     "embed_cluster_sizes": embed_cluster_sizes,
     "approx_ndv_events": approx_ndv_events,
 }
@@ -325,6 +340,18 @@ ORACLE_SQL = {
         )
         select doc_id, list_min(list_transform(sh, s -> md5(s))) as fingerprint
         from sh order by doc_id
+    """,
+    "dataset_splits": """
+        with b as (
+          select lang, ((doc_id * 2654435761) % 2147483648) % 1000 as bucket
+          from documents
+        )
+        select lang,
+               case when bucket < 960 then 'train'
+                    when bucket < 980 then 'val'
+                    else 'test' end as split,
+               count(*) as n
+        from b group by 1, 2 order by 1, 2
     """,
     "multimodal_decode": f"""
         select image_id, doc_id, fmt,

@@ -1,0 +1,48 @@
+"""Deterministic sampling / split operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemamap_spark.operators.sampling import assign_splits, deterministic_sample
+from schemamap_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_splits_partition_everything(spark):
+    docs = load_table(spark, SF, "documents")
+    out = assign_splits(docs)
+    assert out.count() == docs.count()
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+
+
+def test_splits_stable_under_repartition(spark):
+    docs = load_table(spark, SF, "documents")
+    a = {(r.doc_id, r.split) for r in assign_splits(docs).select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in assign_splits(docs.repartition(17)).select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_bad_weights_rejected(spark):
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError):
+        assign_splits(docs, weights={"train": 0.5, "test": 0.2})
+
+
+def test_deterministic_sample_fraction(spark):
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    s = deterministic_sample(docs, 0.1)
+    got = s.count()
+    assert abs(got - 0.1 * n) / n < 0.08  # pseudo-uniform, small corpus
+    # idempotent: sampling twice yields the identical id set
+    ids1 = {r.doc_id for r in s.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in deterministic_sample(docs, 0.1).select("doc_id").collect()}
+    assert ids1 == ids2
+    # monotone: 5% sample is a subset of 10%
+    ids05 = {r.doc_id for r in deterministic_sample(docs, 0.05).select("doc_id").collect()}
+    assert ids05 <= ids1
