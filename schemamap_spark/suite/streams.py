@@ -107,8 +107,38 @@ def events_range_join(spark, sf):
     )
 
 
+def events_rollup_cascade(spark, sf):
+    """Hypertable-style continuous-aggregate cascade: daily totals computed
+    FROM the hourly aggregate (never re-scanning raw events). The oracle
+    aggregates raw → daily directly; equality proves the cascade is lossless
+    — the pre-aggregation pattern that turns 100 TB of raw events into MB of
+    reusable rollups. Decimal sums make re-aggregation exact."""
+    ev = load_table(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("w.start")).alias("day"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("total_value"))
+        .select(
+            F.unix_timestamp("day").alias("day_epoch"),
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+        )
+        .orderBy("day_epoch", "event_type")
+    )
+    return daily
+
+
 SPARK_QUERIES = {
     "events_tumbling_window": events_tumbling_window,
+    "events_rollup_cascade": events_rollup_cascade,
     "events_sessionize": events_sessionize,
     "events_top_users_daily": events_top_users_daily,
     "events_asof_join": events_asof_join,
@@ -150,6 +180,14 @@ ORACLE_SQL = {
         from sessions
         group by user_id, session_id
         order by user_id, session_start
+    """,
+    "events_rollup_cascade": """
+        select cast(floor(epoch(date_trunc('day', ts))) as bigint) as day_epoch,
+               event_type,
+               count(*) as n,
+               cast(sum(cast(value as decimal(18,2))) as decimal(18,2)) as total_value
+        from events
+        group by 1, 2 order by 1, 2
     """,
     "events_asof_join": """
         with purchases as (
