@@ -1,3 +1,26 @@
-from schemamap_spark.operators.graph import transitive_closure
+from schemamap_spark.operators.graph import connected_components, transitive_closure
+from schemamap_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_similar_pairs,
+    minhash_lsh_similar_pairs,
+    simhash_near_pairs,
+)
+from schemamap_spark.operators.similarity import (
+    cosine_near_pairs,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
+from schemamap_spark.operators.sampling import assign_splits, deterministic_sample
+from schemamap_spark.operators.skew import bucketed_join, salted_join, write_bucketed
+from schemamap_spark.operators.temporal import asof_join, range_join
 
-__all__ = ["transitive_closure"]
+__all__ = [
+    "transitive_closure", "connected_components",
+    "exact_duplicates", "jaccard_similar_pairs", "minhash_lsh_similar_pairs",
+    "simhash_near_pairs",
+    "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk",
+    "assign_splits", "deterministic_sample",
+    "salted_join", "bucketed_join", "write_bucketed",
+    "asof_join", "range_join",
+]
