@@ -130,3 +130,101 @@ def test_validation_model(spark, rows):
             v.append("name:min_length")
         want[i] = sorted(v)
     assert got == want
+
+
+@SET
+@given(
+    lefts=st.lists(st.tuples(ids, st.integers(0, 50)), min_size=0, max_size=10),
+    rights=st.lists(st.tuples(ids, st.integers(0, 50), st.integers(0, 99)), min_size=0, max_size=10),
+)
+def test_asof_join_model(spark, lefts, rights):
+    """asof vs python model, incl. duplicate timestamps within a key."""
+    import datetime as dt
+
+    from schemamap_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(i, str(k), ts(m)) for i, (k, m) in enumerate(lefts)],
+        "lid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(str(k), ts(m), v) for k, m, v in rights],
+        "k string, ts timestamp, v int",
+    )
+    if not lefts:
+        return
+    got = {r.lid: r.v_right for r in asof_join(left, right, key="k").collect()}
+
+    want = {}
+    for i, (k, m) in enumerate(lefts):
+        cands = [(rm, v) for rk, rm, v in rights if rk == k and rm <= m]
+        if not cands:
+            want[i] = None
+        else:
+            # latest ts wins; among equal ts the LAST right row in window
+            # order wins — both engines break such ties arbitrarily, so only
+            # assert the chosen value belongs to the max-ts candidates
+            mx = max(rm for rm, _ in cands)
+            want[i] = {v for rm, v in cands if rm == mx}
+    for i, g in got.items():
+        w = want[i]
+        if w is None:
+            assert g is None
+        else:
+            assert g in w
+
+
+@SET
+@given(
+    points=st.lists(st.tuples(ids, st.integers(0, 200)), max_size=12),
+    ivs=st.lists(st.tuples(ids, st.integers(0, 200), st.integers(0, 200)), max_size=6),
+)
+def test_range_join_model(spark, points, ivs):
+    import datetime as dt
+
+    from schemamap_spark.operators.temporal import range_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return base + dt.timedelta(minutes=m)
+
+    ivs = [(k, min(a, b), max(a, b) + 1) for k, a, b in ivs]
+    if not points or not ivs:
+        return
+    p = spark.createDataFrame(
+        [(i, str(k), ts(m)) for i, (k, m) in enumerate(points)],
+        "pid long, k string, ts timestamp",
+    )
+    i_df = spark.createDataFrame(
+        [(str(k), ts(a), ts(b)) for k, a, b in ivs],
+        "k string, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r.pid, r.start_ts) for r in range_join(p, i_df, key="k", bucket_seconds=600).collect()
+    )
+    want = sorted(
+        (i, ts(a))
+        for i, (k, m) in enumerate(points)
+        for ik, a, b in ivs
+        if ik == k and a <= m < b
+    )
+    assert got == want
+
+
+@SET
+@given(n=st.integers(1, 400))
+def test_split_weights_model(spark, n):
+    from schemamap_spark.operators.sampling import KNUTH, MOD, assign_splits
+
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.split for r in assign_splits(df).collect()}
+    for i in range(n):
+        b = ((i * KNUTH) % MOD) % 1000
+        want = "train" if b < 960 else ("val" if b < 980 else "test")
+        assert got[i] == want
