@@ -156,9 +156,11 @@ def test_asof_join_model(spark, lefts, rights):
         [(str(k), ts(m), v) for k, m, v in rights],
         "k string, ts timestamp, v int",
     )
-    if not lefts:
-        return
-    got = {r.lid: r.v_right for r in asof_join(left, right, key="k").collect()}
+    collected = asof_join(left, right, key="k").collect()
+    # left rows are preserved exactly once — no drops, no duplication
+    assert len(collected) == len(lefts)
+    got = {r.lid: r.v_right for r in collected}
+    assert set(got) == set(range(len(lefts)))
 
     want = {}
     for i, (k, m) in enumerate(lefts):
@@ -195,8 +197,6 @@ def test_range_join_model(spark, points, ivs):
         return base + dt.timedelta(minutes=m)
 
     ivs = [(k, min(a, b), max(a, b) + 1) for k, a, b in ivs]
-    if not points or not ivs:
-        return
     p = spark.createDataFrame(
         [(i, str(k), ts(m)) for i, (k, m) in enumerate(points)],
         "pid long, k string, ts timestamp",
