@@ -93,7 +93,8 @@ select ns.nspname as schema_name,
             else 'i' end as index_type,
        regexp_replace(pg_get_indexdef(ix.indexrelid), '(^.*USING )', '') as definition,
        ix.indimmediate as immediate,
-       ix.indkey::int[] as keys
+       -- int2vector has no direct cast to int[]; go through its text form
+       string_to_array(ix.indkey::text, ' ')::int[] as keys
 from pg_catalog.pg_index ix
 join pg_catalog.pg_class cls on cls.oid = ix.indrelid
 join pg_catalog.pg_class icls on icls.oid = ix.indexrelid

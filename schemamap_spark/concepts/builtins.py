@@ -28,7 +28,7 @@ PII_REGEX = (
     "|secret|token|api_key|auth)"
 )
 
-# reference SCHEMA:1030-1054 — 13 migration-framework table names.
+# reference SCHEMA:1030-1054 — 12 migration-framework table names.
 MIGRATION_TABLE_NAMES = [
     "schema_migrations", "flyway_schema_history", "databasechangelog",
     "databasechangeloglock", "django_migrations", "alembic_version",

@@ -106,6 +106,9 @@ def jaccard_similar_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -
     >= t MUST share a shingle within the first floor((1-t)*|S|)+1 of each —
     so only that prefix is exploded into the inverted index.
     """
+    # persisted so the 3 lineage branches (index + both verify sides) share
+    # one computation; Spark's ContextCleaner unpersists it once the
+    # returned DataFrame is garbage-collected on the driver
     sh = _shingled(docs, k).persist()
     exploded = sh.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
 

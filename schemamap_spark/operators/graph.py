@@ -48,6 +48,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -62,15 +63,21 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
+        converged = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
+        if converged:
             break
+    if not converged:
+        # silent truncation would split one true component into several
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations (component diameter too large) — raise max_iterations"
+        )
     return labels.select(F.col("node"), F.col("label").alias("group_id"))
 
 
@@ -94,7 +101,10 @@ def transitive_closure(
         )
         new = stepped.join(acc, on=[src, dst], how="left_anti").localCheckpoint()
         if new.isEmpty():
-            break
+            return acc
         acc = acc.unionByName(new).localCheckpoint()
         frontier = new
-    return acc
+    raise RuntimeError(
+        f"transitive_closure did not reach a fixpoint in {max_iterations} "
+        f"iterations (path length exceeds the bound) — raise max_iterations"
+    )

@@ -43,13 +43,14 @@ def decode_images(images: DataFrame, fake: bool = False) -> DataFrame:
     workers never need `schemamap_spark` importable on their own path — a
     hard requirement when the engine is driven from an arbitrary cwd."""
     if not fake:
-        try:
-            import PIL  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "real image decode needs PIL; use fake=True for the "
-                "deterministic plumbing stub"
-            ) from e
+        # Real decoding is NOT implemented (no imaging stack in this
+        # container); raise unconditionally rather than silently returning
+        # the stub's pseudo-metadata as if it were a genuine decode.
+        raise NotImplementedError(
+            "real image decode is not implemented; plug a PIL/ffmpeg batch "
+            "function into the mapInPandas slot below, or pass fake=True "
+            "for the deterministic plumbing stub"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd

@@ -6,8 +6,9 @@ multiplicative (Knuth) hash of the stable id, pure integer arithmetic, so
 the assignment is portable enough that the DuckDB oracle recomputes it
 exactly.
 
-bucket(id) = (id * 2654435761) mod 2^31 mod 1000   (Knuth's golden-ratio
-multiplier; products stay < 2^63, ANSI-safe).
+bucket(id) = ((id mod 2^31) * 2654435761) mod 2^31 mod 1000   (Knuth's
+golden-ratio multiplier; the id is reduced mod 2^31 FIRST so the product
+stays < 2^62 for any 64-bit id — ANSI-safe and overflow-free).
 """
 
 from __future__ import annotations
@@ -21,8 +22,12 @@ BUCKETS = 1000
 
 
 def deterministic_bucket(id_col: str) -> Column:
-    """Stable pseudo-uniform bucket in [0, 1000) from a bigint id column."""
-    return F.pmod(F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(MOD)), F.lit(BUCKETS))
+    """Stable pseudo-uniform bucket in [0, 1000) from a bigint id column.
+    Reduces the id mod 2^31 before multiplying: ids >= ~3.5e9 (snowflake /
+    hash-derived) would otherwise overflow bigint — a runtime error under
+    ANSI mode, silent engine-divergent wraparound without it."""
+    reduced = F.pmod(F.col(id_col), F.lit(MOD))
+    return F.pmod(F.pmod(reduced * F.lit(KNUTH), F.lit(MOD)), F.lit(BUCKETS))
 
 
 def assign_splits(

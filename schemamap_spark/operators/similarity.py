@@ -109,9 +109,11 @@ def cosine_topk(
 
 
 def _plane_weight(plane: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random weight in [-1, 1) from xxhash64(plane,dim)."""
+    """Deterministic pseudo-random weight in [-1, 1) from xxhash64(plane,dim).
+    pmod (not %) keeps the intermediate in [0, 10000) — signed % would span
+    (-10000, 10000) and skew the distribution."""
     h = F.xxhash64(F.lit(plane), F.lit(dim))
-    return (h % 10_000).cast("double") / F.lit(5_000.0)
+    return F.pmod(h, F.lit(10_000)).cast("double") / F.lit(5_000.0) - F.lit(1.0)
 
 
 def _bucket_expr(vec_col: str, num_planes: int, dims: int) -> F.Column:
@@ -188,13 +190,16 @@ def ivf_topk(
             f"centroid_id long, cent_vec array<double>",
         )
     else:
-        cent = (
-            corpus.orderBy(id_col)
-            .limit(num_centroids)
-            .select(
-                F.monotonically_increasing_id().alias("centroid_id"),
-                F.col(vec_col).alias("cent_vec"),
-            )
+        # collect the tiny centroid sample to the driver and rebuild it as a
+        # literal frame: monotonically_increasing_id over a lazily re-evaluated
+        # plan could assign DIFFERENT ids in the two assign() evaluations
+        rows = (
+            corpus.orderBy(id_col).limit(num_centroids).select(F.col(vec_col)).collect()
+        )
+        spark = corpus.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in r[0]]) for i, r in enumerate(rows)],
+            "centroid_id long, cent_vec array<double>",
         )
     centb = F.broadcast(cent)
 

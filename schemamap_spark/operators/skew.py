@@ -33,8 +33,12 @@ def salted_join(
     big gains a random salt in [0, salt_buckets); small is replicated once
     per salt value (an explode of a literal range — cheap for dim-sized
     inputs). The join key becomes (key, salt), spreading each hot key over
-    salt_buckets partitions. Semantically identical to big.join(small, on).
+    salt_buckets partitions. Semantically identical to big.join(small, on)
+    for inner/left/left_semi; right/full would emit one null-padded row PER
+    REPLICA of an unmatched small row, so they are rejected.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(f"salted_join supports inner/left/left_semi, got {how!r}")
     salted_big = big.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

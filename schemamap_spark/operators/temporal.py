@@ -85,7 +85,14 @@ def range_join(
     Both sides gain a coarse time-bucket column (intervals explode into every
     bucket they overlap), the join runs as an equi-join on (key, bucket), and
     the exact range predicate filters residually. Bucket width trades
-    replication (long intervals) against candidate fan-in."""
+    replication (long intervals) against candidate fan-in.
+
+    Supported `how`: inner, left. A residual filter after an outer join would
+    silently drop unmatched rows (the predicate is NULL on null-padded rows),
+    so left is implemented as inner + anti-join add-back; right/full are
+    rejected rather than silently wrong."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports how='inner'|'left', got {how!r}")
     p = points.withColumn(
         "__bucket", (F.unix_timestamp(point_ts) / bucket_seconds).cast("long")
     )
@@ -98,7 +105,26 @@ def range_join(
             )
         ),
     )
-    joined = p.join(i, [key, "__bucket"], how).filter(
-        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    interval_cols = [c for c in intervals.columns if c != key]
+    pp, ii = p.alias("p"), i.alias("i")
+    inner = (
+        pp.join(
+            ii,
+            (F.col(f"p.{key}") == F.col(f"i.{key}"))
+            & (F.col("p.__bucket") == F.col("i.__bucket"))
+            & (F.col(f"p.{point_ts}") >= F.col(f"i.{start_col}"))
+            & (F.col(f"p.{point_ts}") < F.col(f"i.{end_col}")),
+            "inner",
+        )
+        .select(*[F.col(f"p.{c}") for c in points.columns],
+                *[F.col(f"i.{c}") for c in interval_cols])
     )
-    return joined.drop("__bucket")
+    if how == "inner":
+        return inner
+    unmatched = points.join(
+        inner.select(*points.columns).distinct(), points.columns, "left_anti"
+    ).select(
+        "*",
+        *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in interval_cols],
+    )
+    return inner.unionByName(unmatched)

@@ -53,17 +53,23 @@ def merge_upsert(
     cond = [target[k] == u[f"__k_{k}"] for k in keys]
     joined = target.join(u, cond, "full_outer")
 
+    # existence of a target row, independent of any nullable payload column
+    # (join keys are non-null by contract)
+    t_exists = target[keys[0]].isNotNull()
+
     if version_col and strict:
         stale = joined.filter(
             F.col("__matched").isNotNull()
-            & target[version_col].isNotNull()
-            & (F.col("__u_version") != target[version_col])
+            & t_exists
+            & ~F.col("__u_version").eqNullSafe(target[version_col])
         ).count()
         if stale:
             raise OptimisticLockError(f"Optimistic update failed ({stale} stale rows)")
 
+    # INSERTs (no target row) always apply, whatever their version value —
+    # a NULL update-version must not silently discard the inserted payload.
     version_ok = (
-        F.col("__u_version") == F.coalesce(target[version_col], F.col("__u_version"))
+        ~t_exists | F.col("__u_version").eqNullSafe(target[version_col])
         if version_col
         else F.lit(True)
     )
@@ -75,8 +81,8 @@ def merge_upsert(
             out_cols.append(F.coalesce(target[c], F.col(f"__k_{c}")).alias(c))
         elif version_col and c == version_col:
             out_cols.append(
-                F.when(apply_update & target[c].isNotNull(), target[c] + 1)
-                .when(target[c].isNull(), F.coalesce(F.col("__u_version"), F.lit(0)))
+                F.when(apply_update & t_exists, F.coalesce(target[c], F.lit(0)) + 1)
+                .when(~t_exists, F.coalesce(F.col("__u_version"), F.lit(0)))
                 .otherwise(target[c])
                 .alias(c)
             )

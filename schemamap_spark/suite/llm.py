@@ -343,7 +343,7 @@ ORACLE_SQL = {
     """,
     "dataset_splits": """
         with b as (
-          select lang, ((doc_id * 2654435761) % 2147483648) % 1000 as bucket
+          select lang, (((doc_id % 2147483648) * 2654435761) % 2147483648) % 1000 as bucket
           from documents
         )
         select lang,

@@ -225,6 +225,6 @@ def test_split_weights_model(spark, n):
     df = spark.range(n).withColumnRenamed("id", "doc_id")
     got = {r.doc_id: r.split for r in assign_splits(df).collect()}
     for i in range(n):
-        b = ((i * KNUTH) % MOD) % 1000
+        b = (((i % MOD) * KNUTH) % MOD) % 1000
         want = "train" if b < 960 else ("val" if b < 980 else "test")
         assert got[i] == want
