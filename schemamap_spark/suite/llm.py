@@ -85,22 +85,21 @@ def ann_lsh_cosine(spark, sf):  # approximate — rows-only check
     return SIM.lsh_topk(emb, queries, k=5, num_planes=8, dims=64)
 
 
-def text_lang_id(spark, sf):
-    docs = load_table(spark, sf, "documents")
-    return (
-        docs.select("doc_id", TX.lang_id("text").alias("predicted_lang"))
-        .orderBy("doc_id")
-    )
-
-
-def text_quality(spark, sf):
+def text_profile(spark, sf):
+    """Per-document text-analysis battery: language ID, token/quality stats,
+    and min-hash fingerprint in ONE scan (merged former text_lang_id,
+    text_quality, text_fingerprint so the suite fits the driver's 50-query
+    correctness window — and one-pass profiling is the shape a real curation
+    pipeline runs anyway)."""
     docs = load_table(spark, sf, "documents")
     return docs.select(
         "doc_id",
+        TX.lang_id("text").alias("predicted_lang"),
         TX.token_count("text").alias("n_tokens"),
         F.round(TX.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
         F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
         TX.quality_score("text").alias("quality"),
+        TX.doc_fingerprint("text", _SHINGLE_K).alias("fingerprint"),
     ).orderBy("doc_id")
 
 
@@ -119,26 +118,67 @@ def text_token_stats(spark, sf):
     )
 
 
-def text_fingerprint(spark, sf):
-    docs = load_table(spark, sf, "documents")
-    return (
-        docs.select("doc_id", TX.doc_fingerprint("text", _SHINGLE_K).alias("fingerprint"))
-        .orderBy("doc_id")
-    )
-
-
-def embed_cluster_sizes(spark, sf):  # rows-only (k-means assignment is engine-specific)
+def approx_invariants(spark, sf):
+    """Engine-independent invariants over the approximate operators (HLL
+    sketch NDV, seeded k-means), emitted as (metric, ok) booleans so the
+    DuckDB oracle can hash-check them: the oracle asserts `true` for each
+    metric and the row hash matches iff every invariant held in Spark.
+    Replaces the former rows-only embed_cluster_sizes / approx_ndv_events."""
     from schemamap_spark.operators.clustering import cluster_summary
 
-    emb = load_table(spark, sf, "embeddings")
-    return cluster_summary(emb, k=8)
-
-
-def approx_ndv_events(spark, sf):  # rows-only (HLL estimate is engine-specific)
-    from schemamap_spark.operators.clustering import approx_ndv
-
     ev = load_table(spark, sf, "events")
-    return approx_ndv(ev, ["user_id", "event_type"])
+    emb = load_table(spark, sf, "embeddings")
+
+    hll = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("eu"),
+        F.countDistinct("user_id").alias("xu"),
+        F.approx_count_distinct("event_type", rsd=0.01).alias("ee"),
+        F.countDistinct("event_type").alias("xe"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hll_user_id_within_5pct").alias("metric"),
+                    (
+                        F.abs(F.col("eu") - F.col("xu")).cast("double")
+                        / F.col("xu").cast("double")
+                        < 0.05
+                    ).alias("ok"),
+                ),
+                F.struct(
+                    F.lit("hll_event_type_within_5pct").alias("metric"),
+                    (
+                        F.abs(F.col("ee") - F.col("xe")).cast("double")
+                        / F.col("xe").cast("double")
+                        < 0.05
+                    ).alias("ok"),
+                ),
+            )
+        ).alias("kv")
+    ).select("kv.*")
+
+    k = 8
+    sizes = cluster_summary(emb, k=k)
+    km = (
+        sizes.agg(F.sum("n").alias("assigned"), F.count(F.lit(1)).alias("k_found"))
+        .crossJoin(F.broadcast(emb.agg(F.count(F.lit(1)).alias("corpus_n"))))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("kmeans_total_preserved").alias("metric"),
+                        (F.col("assigned") == F.col("corpus_n")).alias("ok"),
+                    ),
+                    F.struct(
+                        F.lit("kmeans_cluster_count_ok").alias("metric"),
+                        ((F.col("k_found") >= 1) & (F.col("k_found") <= k)).alias("ok"),
+                    ),
+                )
+            ).alias("kv")
+        )
+        .select("kv.*")
+    )
+    return hll.unionAll(km).orderBy("metric")
 
 
 def dataset_splits(spark, sf):
@@ -178,14 +218,11 @@ SPARK_QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "ann_topk_cosine": ann_topk_cosine,
     "ann_lsh_cosine": ann_lsh_cosine,
-    "text_lang_id": text_lang_id,
-    "text_quality": text_quality,
+    "text_profile": text_profile,
     "text_token_stats": text_token_stats,
-    "text_fingerprint": text_fingerprint,
     "multimodal_decode": multimodal_decode,
     "dataset_splits": dataset_splits,
-    "embed_cluster_sizes": embed_cluster_sizes,
-    "approx_ndv_events": approx_ndv_events,
+    "approx_invariants": approx_invariants,
 }
 
 # ---- shared oracle snippets -------------------------------------------------
@@ -294,35 +331,46 @@ ORACLE_SQL = {
         select query_id, neighbor_id, cast(rank as int) as rank, round(sim, 6) as cosine_sim
         from ranked where rank <= 5 order by query_id, rank
     """,
-    "text_lang_id": f"""
+    "text_profile": f"""
         with h as (select doc_id, {_HITS} from documents),
         m as (select doc_id, h_de, h_en, h_es, h_fr, h_zh,
-                     greatest(h_de, h_en, h_es, h_fr, h_zh) as mx from h)
-        select doc_id,
-          case when mx = 0 then 'und'
-               when h_de = mx then 'de'
-               when h_en = mx then 'en'
-               when h_es = mx then 'es'
-               when h_fr = mx then 'fr'
-               else 'zh' end as predicted_lang
-        from m order by doc_id
-    """,
-    "text_quality": f"""
-        with t as (select doc_id, string_split(text, ' ') as toks from documents),
+                     greatest(h_de, h_en, h_es, h_fr, h_zh) as mx from h),
+        lang as (
+          select doc_id,
+            case when mx = 0 then 'und'
+                 when h_de = mx then 'de'
+                 when h_en = mx then 'en'
+                 when h_es = mx then 'es'
+                 when h_fr = mx then 'fr'
+                 else 'zh' end as predicted_lang
+          from m
+        ),
+        tk as (select doc_id, string_split(text, ' ') as toks from documents),
         s as (
           select doc_id,
                  len(toks) as n_tokens,
                  len(list_distinct(toks)) * 1.0 / len(toks) as dr,
                  len(list_filter(toks, x -> list_contains({_STOP}, x))) * 1.0 / len(toks) as sr
-          from t
-        )
-        select doc_id,
-               cast(n_tokens as int) as n_tokens,
-               round(dr, 6) as distinct_ratio,
-               round(sr, 6) as stopword_ratio,
-               round(0.5 * least(n_tokens / 100.0, 1.0) + 0.4 * dr
-                     + 0.1 * least(sr * 5.0, 1.0), 6) as quality
-        from s order by doc_id
+          from tk
+        ),
+        shl as (
+          select doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) as sh
+          from tk
+        ),
+        fp as (select doc_id, list_min(list_transform(sh, s -> md5(s))) as fingerprint from shl)
+        select s.doc_id,
+               lang.predicted_lang,
+               cast(s.n_tokens as int) as n_tokens,
+               round(s.dr, 6) as distinct_ratio,
+               round(s.sr, 6) as stopword_ratio,
+               round(0.5 * least(s.n_tokens / 100.0, 1.0) + 0.4 * s.dr
+                     + 0.1 * least(s.sr * 5.0, 1.0), 6) as quality,
+               fp.fingerprint
+        from s
+        join lang on lang.doc_id = s.doc_id
+        join fp on fp.doc_id = s.doc_id
+        order by s.doc_id
     """,
     "text_token_stats": r"""
         select source,
@@ -331,15 +379,13 @@ ORACLE_SQL = {
                round(sum(n_chars) * 1.0 / sum(len(string_split(text, ' '))), 6) as chars_per_token
         from documents group by source order by source
     """,
-    "text_fingerprint": """
-        with t as (select doc_id, string_split(text, ' ') as toks from documents),
-        sh as (
-          select doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) as sh
-          from t
-        )
-        select doc_id, list_min(list_transform(sh, s -> md5(s))) as fingerprint
-        from sh order by doc_id
+    "approx_invariants": """
+        select * from (values
+          ('hll_event_type_within_5pct', true),
+          ('hll_user_id_within_5pct', true),
+          ('kmeans_cluster_count_ok', true),
+          ('kmeans_total_preserved', true)
+        ) t(metric, ok) order by metric
     """,
     "dataset_splits": """
         with b as (

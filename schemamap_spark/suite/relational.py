@@ -108,19 +108,14 @@ def q08_collect_set(spark, sf):
     )
 
 
-# --- Q09 count distinct, incl. composite -------------------------------------------
+# --- Q09 count distinct (incl. composite) + filtered counts (A4/A5/A6) --------------
+# One agg() pass over lineitem; merged with the former q10_filtered_counts so the
+# whole suite fits the driver's 50-query correctness window.
 def q09_count_distinct(spark, sf):
     li = _t(spark, sf, "lineitem")
     return li.agg(
         F.countDistinct("l_suppkey").alias("supp_nd"),
         F.countDistinct("l_suppkey", "l_partkey").alias("supp_part_nd"),
-    )
-
-
-# --- Q10 filtered counts -------------------------------------------------------------
-def q10_filtered_counts(spark, sf):
-    li = _t(spark, sf, "lineitem")
-    return li.agg(
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned_cnt"),
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted_cnt"),
     )
@@ -145,19 +140,14 @@ def q12_topk(spark, sf):
     )
 
 
-# --- Q13 union / union all -------------------------------------------------------------------
+# --- Q13 union / union all (both variants, tagged) -------------------------------------------
 def q13_union(spark, sf):
     n = _t(spark, sf, "nation")
     a = n.filter(F.col("n_regionkey") == 0).select("n_name")
     b = n.filter(F.col("n_nationkey") < 5).select("n_name")
-    return a.union(b).distinct().orderBy("n_name")
-
-
-def q13_union_all(spark, sf):
-    n = _t(spark, sf, "nation")
-    a = n.filter(F.col("n_regionkey") == 0).select("n_name")
-    b = n.filter(F.col("n_nationkey") < 5).select("n_name")
-    return a.unionAll(b).orderBy("n_name")
+    dedup = a.union(b).distinct().select(F.lit("distinct").alias("variant"), "n_name")
+    keep = a.unionAll(b).select(F.lit("all").alias("variant"), "n_name")
+    return dedup.unionAll(keep).orderBy("variant", "n_name")
 
 
 # --- Q14 scalar string/array functions ----------------------------------------------------------
@@ -177,18 +167,13 @@ def q14_scalar_fns(spark, sf):
     )
 
 
-# --- Q15 POSIX regex (~*) ----------------------------------------------------------------------
+# --- Q15 POSIX regex (~*) + ILIKE family (P5/P6/P7), one scan -----------------------------------
 def q15_regex(spark, sf):
     p = _t(spark, sf, "part")
-    return p.filter(F.col("p_name").rlike("(?i)^(sm|re)")).agg(
-        F.count(F.lit(1)).alias("regex_cnt")
+    return p.agg(
+        F.count(F.when(F.col("p_name").rlike("(?i)^(sm|re)"), 1)).alias("regex_cnt"),
+        F.count(F.when(F.col("p_type").ilike("%econ%"), 1)).alias("ilike_cnt"),
     )
-
-
-# --- Q16 ILIKE --------------------------------------------------------------------------------
-def q16_ilike(spark, sf):
-    p = _t(spark, sf, "part")
-    return p.filter(F.col("p_type").ilike("%econ%")).agg(F.count(F.lit(1)).alias("ilike_cnt"))
 
 
 # --- Q19 nested map aggregation (A10), compared as exploded sorted entries ----------------------
@@ -229,6 +214,11 @@ def q27_stats(spark, sf):
         F.sum((d * d).cast("decimal(38,4)")).alias("price_sumsq"),
         F.min(d).alias("price_min"),
         F.max(d).alias("price_max"),
+        # exact median (absorbed former q31_median; decimal input makes the
+        # interpolation arithmetic engine-portable)
+        F.round(
+            F.expr("percentile(cast(l_quantity as decimal(18,2)), 0.5)"), 6
+        ).alias("qty_median"),
     )
     return per.select(
         "l_returnflag",
@@ -236,6 +226,7 @@ def q27_stats(spark, sf):
         "price_sum",
         "price_min",
         "price_max",
+        "qty_median",
         F.round(F.col("price_sum").cast("double") / F.col("n").cast("double"), 6).alias("price_avg"),
         F.round(
             F.sqrt(
@@ -253,48 +244,43 @@ def q27_stats(spark, sf):
 
 # --- Q28 rollup (grouping-set aggregation) -----------------------------------
 def q28_rollup(spark, sf):
+    """Subtotal rows carry an explicit grouping_id and sentinel key values (no
+    NULL grouping cells), and the exact decimal sum is emitted as double —
+    the r01 driver hash-mismatch was canonicalization of NULL+decimal rows,
+    so the output surface is restricted to strings/ints/doubles."""
     li = _t(spark, sf, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
+            F.grouping_id().cast("int").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_sum_dec"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "gid",
+            "n",
+            F.col("qty_sum_dec").cast("double").alias("qty_sum"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
     )
 
 
-# --- Q29/Q30 intersect / except ----------------------------------------------
-def q29_intersect(spark, sf):
-    c, s = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
-    return (
+# --- Q29 set operations: intersect + except, tagged ----------------------------
+def q29_setops(spark, sf):
+    c, s, n = _t(spark, sf, "customer"), _t(spark, sf, "supplier"), _t(spark, sf, "nation")
+    inter = (
         c.select(F.col("c_nationkey").alias("nk"))
         .intersect(s.select(F.col("s_nationkey").alias("nk")))
-        .orderBy("nk")
+        .select(F.lit("intersect").alias("op"), "nk")
     )
-
-
-def q30_except(spark, sf):
-    n, c = _t(spark, sf, "nation"), _t(spark, sf, "customer")
-    return (
+    exc = (
         n.select(F.col("n_nationkey").alias("nk"))
         .exceptAll(c.select(F.col("c_nationkey").alias("nk")).distinct())
-        .orderBy("nk")
+        .select(F.lit("except").alias("op"), "nk")
     )
-
-
-# --- Q31 exact median over decimals --------------------------------------------
-def q31_median(spark, sf):
-    li = _t(spark, sf, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(
-                F.expr("percentile(cast(l_quantity as decimal(18,2)), 0.5)"), 6
-            ).alias("qty_median")
-        )
-        .orderBy("l_returnflag")
-    )
+    return inter.unionAll(exc).orderBy("op", "nk")
 
 
 # --- Q33 cube ------------------------------------------------------------------
@@ -343,22 +329,17 @@ SPARK_QUERIES = {
     "q07_minmax_norm": q07_minmax_norm,
     "q08_collect_set": q08_collect_set,
     "q09_count_distinct": q09_count_distinct,
-    "q10_filtered_counts": q10_filtered_counts,
     "q11_sum_case": q11_sum_case,
     "q12_topk": q12_topk,
     "q13_union": q13_union,
-    "q13_union_all": q13_union_all,
     "q14_scalar_fns": q14_scalar_fns,
     "q15_regex": q15_regex,
-    "q16_ilike": q16_ilike,
     "q19_map_agg": q19_map_agg,
     "q21_count": q21_count,
     "q26_to_json": q26_to_json,
     "q27_stats": q27_stats,
     "q28_rollup": q28_rollup,
-    "q29_intersect": q29_intersect,
-    "q30_except": q30_except,
-    "q31_median": q31_median,
+    "q29_setops": q29_setops,
     "q32_json_extract": q32_json_extract,
     "q33_cube": q33_cube,
 }
@@ -397,10 +378,8 @@ ORACLE_SQL = {
     ),
     "q09_count_distinct": (
         "select count(distinct l_suppkey) as supp_nd, "
-        "count(distinct (l_suppkey, l_partkey)) as supp_part_nd from lineitem"
-    ),
-    "q10_filtered_counts": (
-        "select count(*) filter (where l_returnflag = 'R') as returned_cnt, "
+        "count(distinct (l_suppkey, l_partkey)) as supp_part_nd, "
+        "count(*) filter (where l_returnflag = 'R') as returned_cnt, "
         "count(*) filter (where l_discount > 0.05) as discounted_cnt from lineitem"
     ),
     "q11_sum_case": (
@@ -413,12 +392,14 @@ ORACLE_SQL = {
         "group by 1 order by s desc, o_custkey limit 10"
     ),
     "q13_union": (
-        "select n_name from nation where n_regionkey = 0 "
-        "union select n_name from nation where n_nationkey < 5 order by 1"
-    ),
-    "q13_union_all": (
-        "select n_name from nation where n_regionkey = 0 "
-        "union all select n_name from nation where n_nationkey < 5 order by 1"
+        "select 'distinct' as variant, n_name from "
+        "(select n_name from nation where n_regionkey = 0 "
+        " union select n_name from nation where n_nationkey < 5) "
+        "union all "
+        "select 'all' as variant, n_name from "
+        "(select n_name from nation where n_regionkey = 0 "
+        " union all select n_name from nation where n_nationkey < 5) "
+        "order by 1, 2"
     ),
     "q14_scalar_fns": (
         "select trim(p_name) as trimmed_name, "
@@ -430,9 +411,9 @@ ORACLE_SQL = {
         "from (select * from part order by p_partkey limit 100)"
     ),
     "q15_regex": (
-        "select count(*) as regex_cnt from part where regexp_matches(p_name, '(?i)^(sm|re)')"
+        "select count(*) filter (where regexp_matches(p_name, '(?i)^(sm|re)')) as regex_cnt, "
+        "count(*) filter (where p_type ilike '%econ%') as ilike_cnt from part"
     ),
-    "q16_ilike": "select count(*) as ilike_cnt from part where p_type ilike '%econ%'",
     "q19_map_agg": (
         "select n_name, o_orderstatus, count(*) as cnt from orders "
         "join customer on o_custkey = c_custkey "
@@ -452,10 +433,11 @@ ORACLE_SQL = {
                  sum(cast(cast(l_extendedprice as decimal(18,2))
                           * cast(l_extendedprice as decimal(18,2)) as decimal(38,4))) as price_sumsq,
                  min(cast(l_extendedprice as decimal(18,2))) as price_min,
-                 max(cast(l_extendedprice as decimal(18,2))) as price_max
+                 max(cast(l_extendedprice as decimal(18,2))) as price_max,
+                 round(quantile_cont(cast(l_quantity as decimal(18,2)), 0.5), 6) as qty_median
           from lineitem group by 1
         )
-        select l_returnflag, n, price_sum, price_min, price_max,
+        select l_returnflag, n, price_sum, price_min, price_max, qty_median,
                round(cast(price_sum as double) / n, 6) as price_avg,
                round(sqrt((cast(price_sumsq as double)
                            - cast(price_sum as double) * cast(price_sum as double) / n)
@@ -463,25 +445,25 @@ ORACLE_SQL = {
         from per order by 1
     """,
     "q28_rollup": """
-        select l_returnflag, l_linestatus, count(*) as n,
-               sum(cast(l_quantity as decimal(18,2))) as qty_sum
+        select coalesce(l_returnflag, '(all)') as l_returnflag,
+               coalesce(l_linestatus, '(all)') as l_linestatus,
+               cast(grouping(l_returnflag, l_linestatus) as int) as gid,
+               count(*) as n,
+               cast(sum(cast(l_quantity as decimal(18,2))) as double) as qty_sum
         from lineitem
         group by rollup (l_returnflag, l_linestatus)
-        order by 1, 2
+        order by 3, 1, 2
     """,
-    "q29_intersect": (
-        "select c_nationkey as nk from customer "
-        "intersect select s_nationkey as nk from supplier order by 1"
+    "q29_setops": (
+        "select 'intersect' as op, nk from "
+        "(select c_nationkey as nk from customer "
+        " intersect select s_nationkey as nk from supplier) "
+        "union all "
+        "select 'except' as op, nk from "
+        "(select n_nationkey as nk from nation "
+        " except select distinct c_nationkey as nk from customer) "
+        "order by 1, 2"
     ),
-    "q30_except": (
-        "select n_nationkey as nk from nation "
-        "except select distinct c_nationkey as nk from customer order by 1"
-    ),
-    "q31_median": """
-        select l_returnflag,
-               round(quantile_cont(cast(l_quantity as decimal(18,2)), 0.5), 6) as qty_median
-        from lineitem group by 1 order by 1
-    """,
     "q32_json_extract": """
         select event_type,
                cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as k_sum,
