@@ -39,6 +39,28 @@ def test_bucketed_join_no_shuffle(spark):
     assert joined.count() == o.count()
 
 
+def test_cosine_near_pairs_no_bnlj_and_exact(spark):
+    """The embedding near-dup join must be candidate-pruned equi-joins, never
+    an all-pairs BroadcastNestedLoopJoin, and the metric prune must be
+    lossless: result equals the brute-force all-pairs answer."""
+    from schemamap_spark.operators.similarity import cosine, cosine_near_pairs
+    from schemamap_spark.plans.dryrun import explain_str
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pruned = cosine_near_pairs(emb, threshold=0.45)
+    assert "BroadcastNestedLoopJoin" not in explain_str(pruned)
+
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    brute = (
+        a.join(b, F.col("i") < F.col("j"))
+        .select("i", "j", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= 0.45)
+        .select("i", "j", F.round("sim", 6).alias("cosine_sim"))
+    )
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, brute.collect()))
+
+
 def test_pg_type_mapping_roundtrips():
     cases = {
         "text": "string",
