@@ -65,9 +65,15 @@ def configure_session(spark: SparkSession) -> SparkSession:
 def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     """Spread a narrow (few-file) input across the cluster before CPU-heavy
     work. No-op when the scan is already wide; at scale the input has many
-    splits and this never fires."""
+    splits and this never fires.
+
+    Width is judged from the scan's file list (metadata only) — not
+    df.rdd.getNumPartitions(), which forces an RDD conversion/analysis on
+    every call. Plans with no identifiable input files (already shuffled /
+    in-memory) are left alone: they carry spark.sql.shuffle.partitions."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
+    files = df.inputFiles()
+    if files and len(files) < parallelism:
         return df.repartition(parallelism, key) if key else df.repartition(parallelism)
     return df
 

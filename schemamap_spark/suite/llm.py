@@ -91,7 +91,11 @@ def text_profile(spark, sf):
     text_quality, text_fingerprint so the suite fits the driver's 50-query
     correctness window — and one-pass profiling is the shape a real curation
     pipeline runs anyway)."""
-    docs = load_table(spark, sf, "documents")
+    from schemamap_spark.session import ensure_parallelism
+
+    # documents is a single parquet file at test scale — without a spread the
+    # whole per-doc battery runs on one core
+    docs = ensure_parallelism(load_table(spark, sf, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         TX.lang_id("text").alias("predicted_lang"),
@@ -104,7 +108,9 @@ def text_profile(spark, sf):
 
 
 def text_token_stats(spark, sf):
-    docs = load_table(spark, sf, "documents")
+    from schemamap_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf, "documents"), "doc_id")
     return (
         docs.groupBy("source")
         .agg(
