@@ -66,6 +66,8 @@ class SchemamapEngine:
             tmp = tempfile.mkdtemp(dir=self.warehouse_dir, prefix=".smo_new_")
             smo.write.mode("overwrite").parquet(tmp)
             old = target + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)  # stale leftover from an interrupted swap
             if os.path.exists(target):
                 os.rename(target, old)
             os.rename(tmp, target)

@@ -7,15 +7,16 @@ docker/test_app_migrations/V001__add_organizations.sql:1-15).
 
 Output contract: one pass over the data producing a violations DataFrame
 (row-level, with rule names), so callers can route clean rows onward and
-report the rest — never a driver-side loop. Unique checks are a window count
-over the key; FK checks a broadcast left_anti against the referenced keys.
+report the rest — never a driver-side loop. Unique checks are a skew-safe
+groupBy-count joined back; FK checks a broadcast join against the referenced
+keys.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,13 +58,27 @@ def validate(df: DataFrame, rules: list[ColumnRule], key_cols: list[str] | None 
     out = df
     for rule in rules:
         if rule.unique:
-            w = Window.partitionBy(rule.column)
-            out = out.withColumn(
-                f"__dup_{rule.column}", F.count(F.lit(1)).over(w) > 1
+            # duplicate detection via groupBy + join-back, NOT a window over
+            # the raw value: Window.partitionBy(column) sends every row
+            # sharing a value to one task, and a constant/low-cardinality
+            # staging column (typical of bad import data) hot-spots a single
+            # partition. The aggregate gets map-side partial combine, and
+            # only the (usually tiny) >1-count key set is broadcast back.
+            dup_keys = (
+                df.filter(F.col(rule.column).isNotNull())
+                .groupBy(rule.column)
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .filter(F.col("__cnt") > 1)
+                .select(F.col(rule.column).alias(f"__dup_{rule.column}"))
+            )
+            out = out.join(
+                F.broadcast(dup_keys),
+                out[rule.column] == dup_keys[f"__dup_{rule.column}"],
+                "left",
             )
             flags.append(
                 F.when(
-                    F.col(f"__dup_{rule.column}") & F.col(rule.column).isNotNull(),
+                    F.col(f"__dup_{rule.column}").isNotNull(),
                     F.lit(f"{rule.column}:unique"),
                 )
             )

@@ -235,10 +235,16 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 3) -> Dat
     """Pairs of documents whose 64-bit SimHash differs in <= max_hamming bits.
 
     SimHash: per-shingle xxhash64; each of 64 bits votes +1/-1; sign of the
-    sum forms the fingerprint. Banding: split into 4×16-bit chunks — any pair
-    with Hamming distance <= 3 must agree exactly on >= 1 chunk (pigeonhole),
-    so candidates come from an equi-join on (chunk_id, chunk_value).
+    sum forms the fingerprint. Banding: the fingerprint is split into
+    max_hamming+1 chunks — any pair within the distance budget must agree
+    exactly on >= 1 chunk (pigeonhole), so the guarantee holds for EVERY
+    max_hamming, not just the 4x16 special case. Candidates come from an
+    equi-join on (chunk_id, chunk_value) and are exact-verified by bit_count.
     """
+    if not 0 <= max_hamming <= 31:
+        # need max_hamming+1 chunks of >= 2 bits each from 64 bits; beyond
+        # that the chunk join degenerates to near-all-pairs anyway
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
     sh = _shingled(docs, k)
     hashed = sh.select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
 
@@ -267,17 +273,21 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 3) -> Dat
         ).alias("simhash"),
     )
 
+    nchunks = max_hamming + 1
+    base, rem = divmod(64, nchunks)
+    chunk_exprs = []
+    start = 0
+    for c in range(nchunks):
+        width = base + (1 if c < rem else 0)
+        mask = (1 << width) - 1
+        chunk_exprs.append(
+            F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit(mask)).cast("long")
+        )
+        start += width
     chunked = simhash.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF)).cast("int")
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk_id", "chunk_val"),
+        F.posexplode(F.array(*chunk_exprs)).alias("chunk_id", "chunk_val"),
     )
     cand = (
         chunked.alias("a")

@@ -27,13 +27,24 @@ _IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_.]*$")
 
 
 def write_parquet_atomic(df: DataFrame, target_dir: str, ordered_by: list[str] | None = None) -> None:
-    """Write to a temp dir then rename into place; old data replaced atomically."""
+    """Write to a temp dir then swap into place.
+
+    Crash-safe w.r.t. leftovers: a stale '<target>.old' from a previously
+    interrupted swap is removed first (os.rename onto a non-empty dir fails
+    with ENOTEMPTY on POSIX, which would otherwise wedge every later write).
+    The two renames are each atomic but the window between them is not: a
+    concurrent reader can see a missing target for an instant, and a crash
+    inside the window leaves the previous data in '<target>.old' for manual
+    recovery. Single-writer semantics are assumed (the reference's matview
+    refresh has the same contract)."""
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
     out = df.orderBy(*ordered_by) if ordered_by else df
     out.write.mode("overwrite").parquet(tmp)
     old = target_dir + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(target_dir):
         os.rename(target_dir, old)
     os.rename(tmp, target_dir)

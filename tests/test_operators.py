@@ -29,6 +29,22 @@ def test_simhash_finds_neardups(spark):
         assert len(sim & jac) / len(jac) >= 0.5
 
 
+def test_simhash_banding_generalizes(spark):
+    """The chunk count derives from max_hamming (pigeonhole holds for any
+    budget); a larger budget must be a superset of a smaller one, and
+    out-of-range budgets are rejected instead of silently losing pairs."""
+    import pytest
+
+    docs = load_table(spark, SF, "documents").limit(200)
+    h3 = {(r.i, r.j) for r in DD.simhash_near_pairs(docs, 3).collect()}
+    h7 = {(r.i, r.j) for r in DD.simhash_near_pairs(docs, 7).collect()}
+    assert h3 <= h7
+    with pytest.raises(ValueError):
+        DD.simhash_near_pairs(docs, 32)
+    with pytest.raises(ValueError):
+        DD.simhash_near_pairs(docs, -1)
+
+
 def test_exact_duplicates_on_constructed_dups(spark):
     docs = load_table(spark, SF, "documents").limit(20)
     dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")

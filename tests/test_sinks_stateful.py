@@ -36,6 +36,21 @@ def test_write_parquet_atomic_swap(spark, tmp_path):
     assert spark.read.parquet(target).count() == 3  # replaced, not appended
 
 
+def test_write_parquet_atomic_recovers_from_stale_old(spark, tmp_path):
+    """A '<target>.old' left behind by a crashed swap must not wedge the next
+    write (os.rename onto a non-empty dir raises ENOTEMPTY)."""
+    import os
+
+    target = str(tmp_path / "tbl")
+    write_parquet_atomic(spark.range(5).withColumnRenamed("id", "v"), target)
+    os.makedirs(target + ".old")
+    with open(target + ".old/leftover", "w") as f:
+        f.write("stale")
+    write_parquet_atomic(spark.range(7).withColumnRenamed("id", "v"), target)
+    assert spark.read.parquet(target).count() == 7
+    assert not os.path.exists(target + ".old")
+
+
 def test_running_user_stats_stateful(spark, tmp_path):
     from schemamap_spark.streaming import start_memory_sink, stream_events_from_directory
     from schemamap_spark.streaming.pipeline import running_user_stats
