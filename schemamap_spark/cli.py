@@ -18,12 +18,31 @@ from pyspark.sql import functions as F
 
 def _engine(args):
     from schemamap_spark import SchemamapEngine
-    from schemamap_spark.catalog import FixtureCatalog
+    from schemamap_spark.catalog import FixtureCatalog, JdbcPostgresCatalog
     from schemamap_spark.session import get_spark
 
     spark = get_spark("schemamap-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    catalog = FixtureCatalog(spark, args.fixtures) if args.fixtures else FixtureCatalog(spark)
+    if getattr(args, "postgres", False) or getattr(args, "conn", None):
+        # Postgres mode: connection resolved via the reference's inference
+        # chain (--conn > DATABASE_URL/PG* > docker-compose > supabase >
+        # ~/.pgpass > defaults), with --dbname/--username/--port overrides.
+        from schemamap_spark.sources.pgconfig import resolve_pg_config
+
+        cfg = resolve_pg_config(
+            conn=getattr(args, "conn", None),
+            dbname=getattr(args, "dbname", None),
+            username=getattr(args, "username", None),
+            port=getattr(args, "port", None),
+        )
+        print(
+            f"using postgres config from {cfg.source}: host={cfg.host} "
+            f"port={cfg.port} user={cfg.user} dbname={cfg.dbname}",
+            file=sys.stderr,
+        )
+        catalog = JdbcPostgresCatalog(spark, cfg.jdbc_url(), cfg.properties())
+    else:
+        catalog = FixtureCatalog(spark, args.fixtures) if args.fixtures else FixtureCatalog(spark)
     return SchemamapEngine(spark, catalog, warehouse_dir=args.warehouse)
 
 
@@ -91,6 +110,13 @@ def main(argv: list[str] | None = None) -> int:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("--warehouse", default=None)
     common.add_argument("--fixtures", default=None)
+    common.add_argument("--postgres", action="store_true",
+                        help="introspect a live Postgres (config inferred)")
+    common.add_argument("--conn", default=None,
+                        help="admin PG connection string (also via DATABASE_URL)")
+    common.add_argument("--username", default=None, help="admin PG username")
+    common.add_argument("--dbname", default=None, help="PG database name")
+    common.add_argument("--port", type=int, default=None, help="PG database port")
 
     p = argparse.ArgumentParser(prog="schemamap-spark")
     sub = p.add_subparsers(dest="command", required=True)
