@@ -47,21 +47,30 @@ def _engine(args):
 
 
 def cmd_init(args) -> dict:
-    from schemamap_spark.plans.dryrun import InitPlan
+    """Versioned bootstrap (Flyway parity, reference core.clj:9-16): each
+    step is a migration recorded in <warehouse>/schema_version.json;
+    re-running init applies only what's missing."""
+    from schemamap_spark.plans.versioning import Migration, SchemaVersionStore, apply_migrations
 
     eng = _engine(args)
     wh = args.warehouse or os.path.join(os.getcwd(), "warehouse")
-    plan = (
-        InitPlan()
-        .add(f"create warehouse layout at {wh}", lambda: os.makedirs(wh, exist_ok=True))
-        .add("seed bidi mapping registry (trim_str/identity/split_comma_array)", lambda: None)
-        .add("seed data-migration states + sources", lambda: None)
-        .add("build schema-metadata-overview snapshot", lambda: eng.refresh())
-    )
+    eng.warehouse_dir = eng.warehouse_dir or wh
+    migrations = [
+        Migration(1, f"create warehouse layout at {wh}", lambda: os.makedirs(wh, exist_ok=True)),
+        Migration(2, "seed bidi mapping registry (trim_str/identity/split_comma_array)",
+                  lambda: None),
+        Migration(3, "seed data-migration states + sources", lambda: None),
+        Migration(4, "build schema-metadata-overview snapshot", lambda: eng.refresh()),
+    ]
+    store = SchemaVersionStore(wh)
     if args.dry_run:
-        return {"dry_run": True, "plan": plan.render().split("\n")}
-    done = plan.execute()
-    return {"initialized": True, "steps": done, "warehouse": wh}
+        plan = apply_migrations(store, migrations, dry_run=True)
+        return {"dry_run": True, "plan": plan, "current_version": store.current()}
+    done = apply_migrations(store, migrations)
+    return {
+        "initialized": True, "steps": done, "warehouse": wh,
+        "schema_version": store.current(),
+    }
 
 
 def cmd_status(args) -> dict:

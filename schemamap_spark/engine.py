@@ -146,13 +146,30 @@ class SchemamapEngine:
             "mdes_defined": not self.entities.list_mdes().isEmpty(),
         }
 
+    def _i18n_path(self) -> str | None:
+        return os.path.join(self.warehouse_dir, "i18n.json") if self.warehouse_dir else None
+
     def i18n(self) -> dict:
+        """The reference stores i18n in-database (SCHEMA:258-277); with a
+        warehouse dir the store is a JSON file that survives engine restarts,
+        loaded lazily on first read."""
+        path = self._i18n_path()
+        if not self._i18n and path and os.path.exists(path):
+            with open(path) as f:
+                self._i18n = json.load(f)
         return self._i18n
 
     def update_i18n(self, doc: dict) -> dict:
         """Shallow-merge like the reference's `i18n_stored || $1` jsonb update
-        (SCHEMA:266-277)."""
-        self._i18n = {**self._i18n, **doc}
+        (SCHEMA:266-277); persisted through the warehouse when one exists."""
+        self._i18n = {**self.i18n(), **doc}
+        path = self._i18n_path()
+        if path:
+            os.makedirs(self.warehouse_dir, exist_ok=True)
+            fd, tmp = tempfile.mkstemp(dir=self.warehouse_dir, prefix=".i18n_")
+            with os.fdopen(fd, "w") as f:
+                json.dump(self._i18n, f, indent=2, sort_keys=True)
+            os.replace(tmp, path)
         return self._i18n
 
     def count_estimate(self, df: DataFrame) -> int:

@@ -49,3 +49,45 @@ def test_i18n_roundtrip(engine):
     assert engine.i18n()["en"]["models"]["organizations"] == "Organizations"
     engine.update_i18n({"fr": {"models": {}}})
     assert set(engine.i18n()) == {"en", "de", "fr"}
+
+
+def test_i18n_survives_engine_restart(spark, tmp_path):
+    """With a warehouse the i18n store is persisted (reference keeps it
+    in-database, SCHEMA:258-277) — a fresh engine over the same warehouse
+    must see earlier updates."""
+    from schemamap_spark import SchemamapEngine
+    from schemamap_spark.catalog import FixtureCatalog
+
+    wh = str(tmp_path / "wh")
+    first = SchemamapEngine(spark, FixtureCatalog(spark), warehouse_dir=wh)
+    first.update_i18n({"en": {"models": {"organizations": "Organizations"}}})
+    first.update_i18n({"de": {"models": {}}})
+
+    reborn = SchemamapEngine(spark, FixtureCatalog(spark), warehouse_dir=wh)
+    assert set(reborn.i18n()) == {"en", "de"}
+    assert reborn.i18n()["en"]["models"]["organizations"] == "Organizations"
+
+
+def test_versioned_bootstrap_applies_once(tmp_path):
+    """Flyway parity (reference core.clj:9-16): re-running init applies only
+    missing versions; history records each applied migration."""
+    from schemamap_spark.plans.versioning import Migration, SchemaVersionStore, apply_migrations
+
+    wh = str(tmp_path)
+    ran = []
+    migs = [
+        Migration(1, "layout", lambda: ran.append(1)),
+        Migration(2, "seed", lambda: ran.append(2)),
+    ]
+    store = SchemaVersionStore(wh)
+    assert apply_migrations(store, migs, dry_run=True) == ["V000001: layout", "V000002: seed"]
+    assert ran == [] and store.current() == 0  # dry run: no actions, no records
+
+    assert len(apply_migrations(store, migs)) == 2
+    assert ran == [1, 2] and store.current() == 2
+    assert apply_migrations(store, migs) == []  # idempotent re-run
+    assert ran == [1, 2]
+
+    migs.append(Migration(3, "upgrade", lambda: ran.append(3)))
+    assert apply_migrations(store, migs) == ["V000003: upgrade"]
+    assert store.current() == 3 and len(store.history()) == 3
