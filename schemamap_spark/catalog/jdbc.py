@@ -6,8 +6,13 @@ introspection query (rust/create_schemamap_schema.sql:846-933). Each query is
 pushed down to Postgres via the `query` option, so the JVM only receives the
 already-filtered catalog rows (small), never full tables.
 
-Untested in this container (no live Postgres); exercised structurally via SQL
-assembly unit tests. Connection options follow the standard Spark JDBC source.
+The four pushdown queries are executed against a real embedded Postgres in
+tests/test_pg_live.py (initdb + pg_ctl, reference fixture mini-schema), which
+asserts the introspection facts the SMO builder depends on: PK sequence
+resolution, FK referenced-relation names, generated-column pseudo-constraints,
+index type classification, and the int2vector→int[] key cast. Only the Spark
+JDBC wire transport itself is untested here (no Postgres JDBC driver jar in
+the container). Connection options follow the standard Spark JDBC source.
 """
 
 from __future__ import annotations
