@@ -2,11 +2,12 @@
 (reference rust/create_schemamap_schema.sql:419-426: POSTGRES,
 GOOGLE_SPREADSHEET, XLSX, CSV, SALESFORCE).
 
-CSV and JSON are first-class Spark sources. XLSX / Google Sheets / Salesforce
-need client libraries absent from this container; they are modeled as
-API→Arrow→DataFrame adapters and stubbed behind clear errors, with the
-DataFrame-side contract (all-string staging columns, header row) identical to
-the CSV path so the rest of the pipeline is source-agnostic.
+CSV and JSON are first-class Spark sources. XLSX is read natively (stdlib
+zip + SpreadsheetML parse — no client library). Google Sheets / Salesforce
+need API clients absent from this container; they are modeled as
+API→Arrow→DataFrame adapters and stubbed behind clear errors. All staging
+readers share one contract — all-string columns, first row is the header —
+so the rest of the pipeline is source-agnostic.
 """
 
 from __future__ import annotations
@@ -34,20 +35,89 @@ def read_json_doc(path: str) -> dict:
         return json.load(f)
 
 
-def read_staging_xlsx(spark: SparkSession, path: str) -> DataFrame:
-    """XLSX staging. Requires an excel reader (e.g. openpyxl → Arrow) not
-    present in this container; the contract matches read_staging_csv."""
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "XLSX staging requires openpyxl; declared source kept for parity "
-            "with the reference's XLSX import source"
-        ) from e
-    import pandas as pd
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_REL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 
-    pdf = pd.read_excel(path, dtype=str)
-    return spark.createDataFrame(pdf)
+
+def _xlsx_col_index(cell_ref: str | None, fallback: int) -> int:
+    """'BC12' -> 54 (0-based). Cells may omit r=; use positional fallback."""
+    if not cell_ref:
+        return fallback
+    n = 0
+    for ch in cell_ref:
+        if ch.isalpha():
+            n = n * 26 + (ord(ch.upper()) - ord("A") + 1)
+        else:
+            break
+    return n - 1 if n else fallback
+
+
+def read_staging_xlsx(spark: SparkSession, path: str, sheet: str | None = None) -> DataFrame:
+    """XLSX staging reader — pure stdlib (zipfile + ElementTree), no client
+    library: XLSX is a zip of SpreadsheetML parts. First row is the header;
+    every value arrives as a string (same contract as read_staging_csv, so
+    mapping/validation downstream is source-agnostic). Handles shared-string,
+    inline-string, boolean, and numeric cells, sparse rows, and sheet
+    selection by name.
+
+    Scale note: a spreadsheet is a driver-side small file by nature (the
+    reference treats XLSX as a hand-authored staging source, SCHEMA:419-426);
+    the parsed rows are parallelized into the cluster immediately, and bulk
+    data should arrive as CSV/Parquet/JDBC instead."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    def _text(el) -> str:
+        return "".join(t.text or "" for t in el.iter(f"{_XLSX_NS}t"))
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            for si in ET.fromstring(z.read("xl/sharedStrings.xml")).iter(f"{_XLSX_NS}si"):
+                shared.append(_text(si))
+
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        rid_target = {r.get("Id"): r.get("Target") for r in rels}
+        sheet_target = None
+        for s in wb.iter(f"{_XLSX_NS}sheet"):
+            if sheet is None or s.get("name") == sheet:
+                sheet_target = rid_target[s.get(f"{_XLSX_REL_NS}id")]
+                break
+        if sheet_target is None:
+            raise ValueError(f"sheet {sheet!r} not found in {path}")
+        part = sheet_target.lstrip("/")
+        if not part.startswith("xl/"):
+            part = "xl/" + part
+
+        grid: list[dict[int, str]] = []
+        for row in ET.fromstring(z.read(part)).iter(f"{_XLSX_NS}row"):
+            cells: dict[int, str] = {}
+            pos = 0
+            for c in row.findall(f"{_XLSX_NS}c"):
+                idx = _xlsx_col_index(c.get("r"), pos)
+                pos = idx + 1
+                ctype = c.get("t", "n")
+                v = c.find(f"{_XLSX_NS}v")
+                if ctype == "s" and v is not None and v.text is not None:
+                    cells[idx] = shared[int(v.text)]
+                elif ctype == "inlineStr":
+                    is_el = c.find(f"{_XLSX_NS}is")
+                    cells[idx] = _text(is_el) if is_el is not None else ""
+                elif ctype == "b" and v is not None:
+                    cells[idx] = "true" if v.text == "1" else "false"
+                elif v is not None and v.text is not None:
+                    cells[idx] = v.text
+            grid.append(cells)
+
+    if not grid:
+        raise ValueError(f"empty worksheet in {path}")
+    width = max(max(r, default=-1) for r in grid) + 1
+    header = [grid[0].get(i) or f"col_{i}" for i in range(width)]
+    data = [tuple(r.get(i) for i in range(width)) for r in grid[1:]]
+    schema = ", ".join(f"`{h}` string" for h in header)
+    return spark.createDataFrame(data, schema)
 
 
 def read_google_sheet(spark: SparkSession, spreadsheet_id: str, range_a1: str = "A:Z") -> DataFrame:

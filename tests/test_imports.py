@@ -128,3 +128,113 @@ def test_export_backward_roundtrip(spark):
     )
     # every original has a matching exported value (multiset equality via anti-join both ways)
     assert joined.count() == 0
+
+
+def _write_minimal_xlsx(path, rows, shared_strings=False):
+    """Hand-rolled SpreadsheetML writer so the reader test needs no client
+    library: header + data rows; strings as sharedStrings or inline."""
+    import zipfile
+
+    shared, cells_xml = [], []
+
+    def sref(s):
+        if s not in shared:
+            shared.append(s)
+        return shared.index(s)
+
+    for ri, row in enumerate(rows, start=1):
+        cs = []
+        for ci, val in enumerate(row):
+            if val is None:
+                continue
+            col = chr(ord("A") + ci)
+            if isinstance(val, (int, float)):
+                cs.append(f'<c r="{col}{ri}"><v>{val}</v></c>')
+            elif shared_strings:
+                cs.append(f'<c r="{col}{ri}" t="s"><v>{sref(val)}</v></c>')
+            else:
+                cs.append(f'<c r="{col}{ri}" t="inlineStr"><is><t>{val}</t></is></c>')
+        cells_xml.append(f'<row r="{ri}">{"".join(cs)}</row>')
+
+    m = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pr = "http://schemas.openxmlformats.org/package/2006/relationships"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>')
+        z.writestr("_rels/.rels",
+            f'<Relationships xmlns="{pr}"><Relationship Id="rId1" '
+            f'Type="{r}/officeDocument" Target="xl/workbook.xml"/></Relationships>')
+        z.writestr("xl/workbook.xml",
+            f'<workbook xmlns="{m}" xmlns:r="{r}"><sheets>'
+            f'<sheet name="Staging" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{pr}">'
+            f'<Relationship Id="rId1" Type="{r}/worksheet" Target="worksheets/sheet1.xml"/>'
+            + (f'<Relationship Id="rId2" Type="{r}/sharedStrings" Target="sharedStrings.xml"/>'
+               if shared_strings else "")
+            + "</Relationships>")
+        z.writestr("xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{m}"><sheetData>{"".join(cells_xml)}</sheetData></worksheet>')
+        if shared_strings:
+            sst = "".join(f"<si><t>{s}</t></si>" for s in shared)
+            z.writestr("xl/sharedStrings.xml",
+                f'<sst xmlns="{m}" count="{len(shared)}" uniqueCount="{len(shared)}">{sst}</sst>')
+
+
+def test_read_staging_xlsx_inline_and_shared(spark, tmp_path):
+    from schemamap_spark.sources.readers import read_staging_xlsx
+
+    rows = [
+        ("id", "name", "website"),
+        (1, "Acme Corp", "https://acme.test"),
+        (2, "Globex", None),          # sparse row: missing cell -> null
+        (3, "Initech", "https://initech.test"),
+    ]
+    for shared in (False, True):
+        p = str(tmp_path / f"orgs_{shared}.xlsx")
+        _write_minimal_xlsx(p, rows, shared_strings=shared)
+        df = read_staging_xlsx(spark, p)
+        assert df.columns == ["id", "name", "website"]
+        assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+        got = {tuple(r) for r in df.collect()}
+        assert ("2", "Globex", None) in got
+        assert ("1", "Acme Corp", "https://acme.test") in got
+        assert len(got) == 3
+
+
+def test_read_staging_xlsx_feeds_validation(spark, tmp_path):
+    """The XLSX path must be pipeline-identical to CSV staging: same
+    all-string contract into mapping + validation."""
+    from schemamap_spark.imports import ColumnRule, validate
+    from schemamap_spark.sources.readers import read_staging_xlsx
+
+    p = str(tmp_path / "stage.xlsx")
+    _write_minimal_xlsx(p, [
+        ("id", "name", "website"),
+        (1, "ok name", "https://x.test"),
+        (2, "ab", "ftp://bad"),        # min_length + like violations
+    ])
+    staging = read_staging_xlsx(spark, p)
+    checked = validate(
+        staging.select(F.col("id").cast("bigint").alias("id"), "name", "website"),
+        [ColumnRule("name", min_length=3), ColumnRule("website", like="http%")],
+    )
+    viols = {
+        (r.id, v) for r in checked.collect() for v in r.violations
+    }
+    assert viols == {(2, "name:min_length"), (2, "website:like")}
+
+
+def test_read_staging_xlsx_sheet_selection(spark, tmp_path):
+    import pytest
+
+    from schemamap_spark.sources.readers import read_staging_xlsx
+
+    p = str(tmp_path / "one.xlsx")
+    _write_minimal_xlsx(p, [("a", "b"), ("1", "2")])
+    assert read_staging_xlsx(spark, p, sheet="Staging").count() == 1
+    with pytest.raises(ValueError):
+        read_staging_xlsx(spark, p, sheet="NoSuchSheet")
