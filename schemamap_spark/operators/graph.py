@@ -108,3 +108,35 @@ def transitive_closure(
         f"transitive_closure did not reach a fixpoint in {max_iterations} "
         f"iterations (path length exceeds the bound) — raise max_iterations"
     )
+
+
+def transitive_closure_sql(edges: DataFrame, src: str = "member", dst: str = "roleof") -> DataFrame:
+    """Native recursive-CTE rendering of the same closure (Spark 4 supports
+    WITH RECURSIVE): the engine manages iteration and lineage itself, which
+    removes the driver-side loop and the per-round localCheckpoint.
+
+    Spark 4.1 only allows UNION ALL in the recursive member, so the CTE
+    enumerates PATHS and the outer SELECT DISTINCT collapses them to pairs —
+    correct and terminating on DAGs (role hierarchies are acyclic), but a
+    cyclic graph would recurse to spark.sql.cteRecursionLevelLimit and fail;
+    use the iterative transitive_closure (cycle-safe via anti-join dedup)
+    when cycles are possible."""
+    spark = edges.sparkSession
+    view = "__closure_edges"
+    edges.select(src, dst).distinct().createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            WITH RECURSIVE closure({src}, {dst}) AS (
+              SELECT {src}, {dst} FROM {view}
+              UNION ALL
+              SELECT c.{src}, e.{dst}
+              FROM closure c JOIN {view} e ON c.{dst} = e.{src}
+            )
+            SELECT DISTINCT {src}, {dst} FROM closure
+            """
+        )
+    finally:
+        # the view is resolved into the returned plan at analysis time;
+        # dropping it keeps the catalog clean for the caller's session
+        spark.catalog.dropTempView(view)

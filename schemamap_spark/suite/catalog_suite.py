@@ -21,21 +21,19 @@ def _p(name: str) -> str:
     return f"read_parquet('{FIX}/{name}.parquet')"
 
 
-_ENGINE_CACHE: dict[int, object] = {}
-
-
 def _engine(spark):
     """One engine per SparkSession: the SMO is built once (localCheckpoint
     materializes it), so repeated status/candidate queries replan against a
     materialized frame instead of rebuilding the introspection pipeline —
-    the same behavior a real deployment gets from the persisted matview."""
+    the same behavior a real deployment gets from the persisted matview.
+    Cached as an attribute of the session object itself (an id()-keyed dict
+    could collide after the interpreter reuses a GC'd session's id)."""
     from schemamap_spark import SchemamapEngine
 
-    key = id(spark)
-    eng = _ENGINE_CACHE.get(key)
+    eng = getattr(spark, "_schemamap_suite_engine", None)
     if eng is None:
         eng = SchemamapEngine(spark, FixtureCatalog(spark))
-        _ENGINE_CACHE[key] = eng
+        spark._schemamap_suite_engine = eng
     return eng
 
 

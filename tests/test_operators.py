@@ -93,6 +93,17 @@ def test_transitive_closure_diamond(spark):
     assert len(got) == 5 + 4  # 5 direct + (a,d),(a,e),(b,e),(c,e)
 
 
+def test_transitive_closure_sql_matches_iterative(spark):
+    """Spark 4's native WITH RECURSIVE must agree with the iterative
+    fixpoint on the doctor fixture (incl. its cycles, if any)."""
+    from schemamap_spark.operators.graph import transitive_closure_sql
+
+    edges = spark.read.parquet("/root/repo/fixtures/role_edges.parquet")
+    it = {(r.member, r.roleof) for r in transitive_closure(edges).collect()}
+    rc = {(r.member, r.roleof) for r in transitive_closure_sql(edges).collect()}
+    assert it == rc and len(it) > 0
+
+
 def test_multimodal_decode_plumbing(spark):
     from schemamap_spark.operators.multimodal import decode_images
 
