@@ -311,3 +311,91 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 3) -> Dat
         .select("i", "j", "hamming")
         .orderBy("i", "j")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Winnowing fingerprint SETS (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every positional k-token shingle, slide a
+    window of w consecutive hashes, keep each window's minimum. Guarantee:
+    any shared token run of length >= w + k - 1 contributes at least one
+    shared fingerprint, so fingerprint overlap detects partial containment
+    (quotes, boilerplate, near-copies), which a single global-min
+    fingerprint (functions/text.doc_fingerprint) cannot.
+
+    All built-in Column ops (positional shingles -> xxhash64 -> windowed
+    array_min -> distinct); output (id, fingerprints array<long>). Work is
+    O(tokens * w) per doc and embarrassingly parallel."""
+    from schemamap_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs, id_col)
+    parts = ", ".join(f"toks[i - 1 + {j}]" for j in range(k))
+    grams = (
+        f"transform(sequence(1, greatest(size(toks) - {k - 1}, 0)), "
+        f"i -> xxhash64(concat_ws(' ', {parts})))"
+    )
+    fps = (
+        f"array_distinct(transform(sequence(1, greatest(size(hs) - {w - 1}, 0)), "
+        f"i -> array_min(slice(hs, i, {w}))))"
+    )
+    return (
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select(id_col, F.expr(grams).alias("hs"))
+        .select(id_col, F.expr(fps).alias("fingerprints"))
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    w: int = 4,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric containment detection over winnowing fingerprints:
+    containment(i in j) = |FP_i ∩ FP_j| / |FP_i|. Emits BOTH directions for
+    each pair, so a short document pasted into a long one scores high as
+    (short in long) even when Jaccard is tiny.
+
+    Candidate generation is an inverted-index equi-join on the fingerprint
+    value. At corpus scale, boilerplate fingerprints shared by a large share
+    of documents make that join quadratic in the hot key — pass max_df to
+    drop fingerprints appearing in more than max_df documents (stop-
+    fingerprint removal; standard winnowing practice and harmless for
+    containment, since ubiquitous fingerprints carry no signal)."""
+    fp = winnow_fingerprints(docs, k, w, id_col, text_col).persist()
+    sizes = fp.select(F.col(id_col), F.size("fingerprints").alias("n_fp"))
+    ex = fp.select(F.col(id_col), F.explode("fingerprints").alias("f"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("f").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("f")
+        )
+        ex = ex.join(F.broadcast(hot), "f", "left_anti")
+    shared = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("i"), F.col(f"b.{id_col}").alias("j")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("i"), F.col("n_fp").alias("n_i")), "i")
+        .select(
+            "i", "j",
+            F.round(F.col("shared").cast("double") / F.col("n_i").cast("double"), 6)
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("i", "j")
+    )

@@ -153,3 +153,56 @@ def test_connected_components_chain_diameter(spark):
     got = {r.node: r.group_id for r in connected_components(pairs).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 13
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    """Winnowing invariants: deterministic; identical docs -> identical sets;
+    a document pasted inside another shares fingerprints (any common run of
+    >= w+k-1 tokens must contribute >= 1 shared fingerprint)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical
+            (3, "intro words here " + base + " trailing words after"),  # contains 1
+            (4, "completely different text with other tokens entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fingerprints) for r in DD.winnow_fingerprints(docs).collect()}
+    again = {r.doc_id: set(r.fingerprints) for r in DD.winnow_fingerprints(docs).collect()}
+    assert fps == again                       # deterministic
+    assert fps[1] == fps[2]                   # identical docs, identical sets
+    assert fps[1] & fps[3]                    # containment shares fingerprints
+    assert fps[1] <= fps[3] or len(fps[1] & fps[3]) >= len(fps[1]) // 2
+    assert not (fps[1] & fps[4])              # unrelated docs share nothing
+
+
+def test_containment_pairs_asymmetric(spark):
+    short = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, short),
+            (2, "prefix filler content goes here " + short + " and then much more filler text follows on and on"),
+            (3, "unrelated wholly separate document about nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.i, r.j): r.containment for r in DD.containment_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.8   # short inside long: high
+    assert (2, 1) not in got                      # long in short: below threshold
+    assert all(3 not in pair for pair in got)
+
+
+def test_containment_max_df_drops_boilerplate(spark):
+    """A fingerprint present in every doc is stop-filtered with max_df, so
+    boilerplate alone must not create pairs."""
+    boiler = "standard legal disclaimer text appears here word word"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" unique{i} tail{i} extra{i} more{i} stuff{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    with_boiler = DD.containment_pairs(docs, threshold=0.5)
+    filtered = DD.containment_pairs(docs, threshold=0.5, max_df=3)
+    assert with_boiler.count() > 0       # shared boilerplate links everything
+    assert filtered.count() == 0         # stop-fingerprints removed -> no pairs

@@ -39,6 +39,27 @@ def test_bucketed_join_no_shuffle(spark):
     assert joined.count() == o.count()
 
 
+def test_scan_pushdown_and_broadcast_plan_invariants(spark):
+    """Pin the plan properties the 100 TB story depends on: filters reach the
+    parquet scan, projection prunes the read schema, and dim joins broadcast.
+    A regression here multiplies scan bytes at scale even though results
+    stay correct."""
+    from schemamap_spark.plans.dryrun import explain_str
+    from schemamap_spark.suite.relational import q02_filter_in, q03_join_agg
+
+    sf = "/root/testdata/sf0.001"
+    p2 = explain_str(q02_filter_in(spark, sf))
+    assert "In(o_orderstatus, [F,O])" in p2          # IN-list pushed to scan
+    assert "GreaterThan(o_totalprice,1000.0)" in p2  # range pushed to scan
+    # column pruning: only the 3 referenced columns are read, not all 9
+    read = [l for l in p2.splitlines() if "ReadSchema" in l][0]
+    assert "o_orderkey" in read and "o_comment" not in read and "o_custkey" not in read
+
+    p3 = explain_str(q03_join_agg(spark, sf))
+    assert "BroadcastHashJoin" in p3                 # dim side broadcast
+    assert "SortMergeJoin" not in p3
+
+
 def test_cosine_near_pairs_no_bnlj_and_exact(spark):
     """The embedding near-dup join must be candidate-pruned equi-joins, never
     an all-pairs BroadcastNestedLoopJoin, and the metric prune must be
