@@ -132,14 +132,11 @@ def cosine_near_pairs(
         .select("cell_a", "cell_b")
     )
 
-    left = assigned.select(
-        F.col("vid").alias("lvid"), F.col("v").alias("lv"),
-        F.col("nrm").alias("lnrm"), F.col("cell").alias("cell_a"),
-    )
-    right = assigned.select(
-        F.col("vid").alias("rvid"), F.col("v").alias("rv"),
-        F.col("nrm").alias("rnrm"), F.col("cell").alias("cell_b"),
-    )
+    # candidate enumeration stays SLIM — only (vid, cell) rides the cell-pair
+    # expansion; vectors are re-joined by id afterwards, so high-dimensional
+    # payloads (1536-dim embeddings = ~12 KB/row) never ride the expanded join
+    left = assigned.select(F.col("vid").alias("lvid"), F.col("cell").alias("cell_a"))
+    right = assigned.select(F.col("vid").alias("rvid"), F.col("cell").alias("cell_b"))
     cand = (
         left.join(F.broadcast(cell_pairs), "cell_a")
         .join(right, "cell_b")
@@ -149,12 +146,23 @@ def cosine_near_pairs(
             (F.col("cell_a") < F.col("cell_b"))
             | ((F.col("cell_a") == F.col("cell_b")) & (F.col("lvid") < F.col("rvid")))
         )
-    )
-    return (
-        cand.select(
+        .select(
             F.least("lvid", "rvid").alias("i"),
             F.greatest("lvid", "rvid").alias("j"),
-            (_dot(F.col("lv"), F.col("rv")) / (F.col("lnrm") * F.col("rnrm"))).alias("sim"),
+        )
+    )
+    vi = assigned.select(
+        F.col("vid").alias("i"), F.col("v").alias("v_i"), F.col("nrm").alias("n_i")
+    )
+    vj = assigned.select(
+        F.col("vid").alias("j"), F.col("v").alias("v_j"), F.col("nrm").alias("n_j")
+    )
+    return (
+        cand.join(vi, "i")
+        .join(vj, "j")
+        .select(
+            "i", "j",
+            (_dot(F.col("v_i"), F.col("v_j")) / (F.col("n_i") * F.col("n_j"))).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
         .select("i", "j", F.round("sim", 6).alias("cosine_sim"))
