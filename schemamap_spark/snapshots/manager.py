@@ -81,6 +81,8 @@ class SnapshotManager:
         shutil.copytree(src, staging)
         snapdir_rel = os.path.relpath(self.snapshots_dir, self.warehouse_dir)
         old = self.warehouse_dir + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)  # stale leftover from an interrupted restore
         os.rename(self.warehouse_dir, old)
         os.rename(staging, self.warehouse_dir)
         if snapdir_rel == ".snapshots":  # carry the snapshot store across the swap
