@@ -2,6 +2,8 @@ from schemamap_spark.streaming.pipeline import (
     stream_events_from_directory,
     windowed_counts,
     sessionized,
+    continuous_hourly_rollup,
+    daily_from_hourly,
     start_memory_sink,
 )
 
@@ -9,5 +11,7 @@ __all__ = [
     "stream_events_from_directory",
     "windowed_counts",
     "sessionized",
+    "continuous_hourly_rollup",
+    "daily_from_hourly",
     "start_memory_sink",
 ]

@@ -120,6 +120,52 @@ def running_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+def continuous_hourly_rollup(
+    events: DataFrame,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+):
+    """Continuous aggregate (the hypertable pattern, streaming half): hourly
+    windows stream into a parquet rollup store in APPEND mode, so a window is
+    written exactly once — when the watermark passes its end and it can no
+    longer change. The store is therefore duplicate-free and append-only, and
+    coarser aggregates (daily_from_hourly) read the store, never raw events:
+    at 100 TB/day of events the daily report scans MB of rollups.
+
+    Exactly-once across restarts comes from the checkpoint; windows still
+    open (inside the watermark horizon) are by design NOT yet in the store.
+    Returns the StreamingQuery (availableNow trigger: drains current input
+    then stops — call .awaitTermination())."""
+    hourly = windowed_counts(events, "1 hour", watermark)
+    return (
+        hourly.writeStream.format("parquet")
+        .option("path", rollup_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def daily_from_hourly(spark: SparkSession, rollup_dir: str) -> DataFrame:
+    """Daily totals FROM the persisted hourly rollup store (never re-scanning
+    raw events) — the batch half of the continuous-aggregate cascade; decimal
+    sums make the re-aggregation lossless (proven by the batch oracle query
+    events_rollup_cascade)."""
+    hourly = spark.read.parquet(rollup_dir)
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", "window_start").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     """Run a streaming frame into an in-memory table (tests / smoke).
     Returns the StreamingQuery; callers awaitTermination/processAllAvailable."""

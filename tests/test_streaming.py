@@ -61,3 +61,69 @@ def test_sessionized_stream_runs(spark, stream_dir):
     rows = spark.table("sessions").collect()
     assert len(rows) > 0
     assert all(r.n_events >= 1 for r in rows)
+
+
+def test_continuous_rollup_cascade_matches_batch(spark, tmp_path):
+    """The streaming continuous aggregate (append-only hourly store) feeding
+    the batch daily rollup must equal aggregating raw events directly, for
+    every window the watermark has finalized. A far-future sentinel event
+    advances the watermark past all real windows so the bounded test can
+    compare the complete day set."""
+    from schemamap_spark.streaming import continuous_hourly_rollup, daily_from_hourly
+
+    d = str(tmp_path / "ev_in")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(2).write.mode("overwrite").parquet(d)
+    sentinel = ev.limit(1).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("ts") + F.expr("interval 365 days")).alias("ts"),
+        "user_id",
+        F.lit("__sentinel__").alias("event_type"),
+        "value", "props",
+    )
+    sentinel.write.mode("append").parquet(d)
+
+    rollup = str(tmp_path / "hourly_store")
+    ckpt = str(tmp_path / "ckpt")
+    q = continuous_hourly_rollup(stream_events_from_directory(spark, d), rollup, ckpt)
+    q.awaitTermination()
+
+    got = {
+        (r.day, r.event_type): (r.n, r.total_value)
+        for r in daily_from_hourly(spark, rollup).collect()
+        if r.event_type != "__sentinel__"
+    }
+    want = {
+        (r.day, r.event_type): (r.n, r.total_value)
+        for r in (
+            ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert got == want and len(got) > 0
+
+
+def test_continuous_rollup_is_incremental(spark, tmp_path):
+    """Restarting the stream over the same checkpoint must not duplicate
+    windows in the store (exactly-once append)."""
+    from schemamap_spark.streaming import continuous_hourly_rollup
+
+    d = str(tmp_path / "ev_in")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(2000)
+    ev.write.mode("overwrite").parquet(d)
+    rollup, ckpt = str(tmp_path / "store"), str(tmp_path / "ckpt")
+
+    q = continuous_hourly_rollup(stream_events_from_directory(spark, d), rollup, ckpt)
+    q.awaitTermination()
+    n1 = spark.read.parquet(rollup).count()
+    # re-run with NO new input: checkpoint replays nothing, store unchanged
+    q = continuous_hourly_rollup(stream_events_from_directory(spark, d), rollup, ckpt)
+    q.awaitTermination()
+    n2 = spark.read.parquet(rollup).count()
+    assert n1 == n2
