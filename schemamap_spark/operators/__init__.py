@@ -1,9 +1,12 @@
-from schemamap_spark.operators.graph import connected_components, transitive_closure
+from schemamap_spark.operators.curation import curate_corpus, curation_report
+from schemamap_spark.operators.graph import connected_components, transitive_closure, transitive_closure_sql
 from schemamap_spark.operators.dedup import (
+    containment_pairs,
     exact_duplicates,
     jaccard_similar_pairs,
     minhash_lsh_similar_pairs,
     simhash_near_pairs,
+    winnow_fingerprints,
 )
 from schemamap_spark.operators.similarity import (
     cosine_near_pairs,
@@ -16,9 +19,10 @@ from schemamap_spark.operators.skew import bucketed_join, salted_join, write_buc
 from schemamap_spark.operators.temporal import asof_join, range_join
 
 __all__ = [
-    "transitive_closure", "connected_components",
+    "transitive_closure", "transitive_closure_sql", "connected_components",
     "exact_duplicates", "jaccard_similar_pairs", "minhash_lsh_similar_pairs",
-    "simhash_near_pairs",
+    "simhash_near_pairs", "winnow_fingerprints", "containment_pairs",
+    "curate_corpus", "curation_report",
     "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk",
     "assign_splits", "deterministic_sample",
     "salted_join", "bucketed_join", "write_bucketed",

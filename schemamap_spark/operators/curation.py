@@ -1,0 +1,84 @@
+"""End-to-end corpus curation: the composition a training-data pipeline
+actually runs, built from the engine's own operators.
+
+    quality gate  ->  exact-dup collapse  ->  near-dup group collapse
+                  ->  deterministic split assignment
+
+Each stage is one of the already-oracle-checked primitives (quality_score,
+exact fingerprints, prefix-filtered Jaccard pairs + connected components,
+Knuth-hash splits); this module only composes them, so the pipeline inherits
+their scale properties: every shuffle is on a digest/id key, near-dup
+detection is candidates→verify (never all-pairs), and the group collapse
+keeps the smallest doc_id as the deterministic representative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quality_min: float = 0.3,
+    jaccard_threshold: float = 0.8,
+    k: int = 3,
+    split_weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Returns the curated corpus: rows of `docs` that survive all gates,
+    with added columns quality (double), fingerprint (exact-dup digest),
+    dup_group (near-dup group id, = doc_id for singletons/representatives)
+    and split (train/val/test).
+
+    Survivorship rules (all deterministic):
+    - quality  >= quality_min (quality_score heuristic);
+    - one representative (min id) per byte-identical normalized text;
+    - one representative (min id) per near-duplicate group at
+      jaccard_threshold over k-token shingles.
+    """
+    from schemamap_spark.functions.text import quality_score
+    from schemamap_spark.operators.dedup import jaccard_similar_pairs
+    from schemamap_spark.operators.graph import connected_components
+    from schemamap_spark.operators.sampling import assign_splits
+
+    scored = docs.withColumn("quality", quality_score(text_col)).filter(
+        F.col("quality") >= quality_min
+    )
+
+    with_fp = scored.withColumn(
+        "fingerprint", F.md5(F.lower(F.trim(F.col(text_col))))
+    )
+    exact_reps = with_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    survivors = with_fp.join(exact_reps, ["fingerprint", id_col], "left_semi")
+
+    pairs = jaccard_similar_pairs(survivors, jaccard_threshold, k)
+    groups = connected_components(pairs)  # (node, group_id = min reachable id)
+    non_reps = groups.filter(F.col("node") != F.col("group_id")).select(
+        F.col("node").alias(id_col)
+    )
+    curated = (
+        survivors.join(non_reps, id_col, "left_anti")
+        .join(
+            groups.select(F.col("node").alias(id_col), "group_id"),
+            id_col,
+            "left",
+        )
+        .withColumn("dup_group", F.coalesce("group_id", F.col(id_col)))
+        .drop("group_id")
+    )
+    return assign_splits(curated, id_col, split_weights)
+
+
+def curation_report(original: DataFrame, curated: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One-row accounting of the curation funnel (counts only — cheap)."""
+    n0 = original.select(F.count(F.lit(1)).alias("input_docs"))
+    n1 = curated.agg(
+        F.count(F.lit(1)).alias("curated_docs"),
+        F.countDistinct("dup_group").alias("dup_groups"),
+        F.round(F.avg("quality"), 6).alias("mean_quality"),
+    )
+    return n0.crossJoin(n1).withColumn(
+        "removed_docs", F.col("input_docs") - F.col("curated_docs")
+    )

@@ -206,3 +206,45 @@ def test_containment_max_df_drops_boilerplate(spark):
     filtered = DD.containment_pairs(docs, threshold=0.5, max_df=3)
     assert with_boiler.count() > 0       # shared boilerplate links everything
     assert filtered.count() == 0         # stop-fingerprints removed -> no pairs
+
+
+def test_curate_corpus_funnel(spark):
+    """The composed curation pipeline: quality gate, exact-dup collapse,
+    near-dup group collapse (min-id representative), split assignment."""
+    from schemamap_spark.operators.curation import curate_corpus, curation_report
+
+    base = ("the quick brown fox jumps over a lazy dog while seven wizards "
+            "brew strong potions under ancient oak trees near the river bend "
+            "and distant mountains echo with evening birdsong across valleys")
+    near = base.rsplit(" ", 1)[0] + " meadows"   # one token differs: high jaccard
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),            # exact duplicate of 1
+            (3, near),            # near duplicate of 1
+            (4, "completely different high quality document describing " 
+                "orbital mechanics satellite telemetry ground station handover "
+                "procedures alongside calibration routines and drift analysis"),
+            (5, "a a a a"),       # fails the quality gate
+        ],
+        "doc_id long, text string",
+    )
+    curated = curate_corpus(docs, quality_min=0.3, jaccard_threshold=0.8)
+    rows = {r.doc_id: r for r in curated.collect()}
+    assert set(rows) == {1, 4}            # 2 exact-dropped, 3 near-dropped, 5 low-quality
+    assert rows[1].dup_group == 1         # representative keeps its own group id
+    assert rows[4].dup_group == 4         # singleton
+    assert all(r.split in ("train", "val", "test") for r in rows.values())
+    assert all(r.quality >= 0.3 for r in rows.values())
+
+    rep = curation_report(docs, curated).collect()[0]
+    assert (rep.input_docs, rep.curated_docs, rep.removed_docs) == (5, 2, 3)
+
+
+def test_curate_corpus_is_deterministic(spark):
+    from schemamap_spark.operators.curation import curate_corpus
+
+    docs = load_table(spark, SF, "documents").limit(150)
+    a = sorted((r.doc_id, r.split, r.dup_group) for r in curate_corpus(docs).collect())
+    b = sorted((r.doc_id, r.split, r.dup_group) for r in curate_corpus(docs).collect())
+    assert a == b and len(a) > 0
