@@ -237,9 +237,17 @@ def lsh_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing the query's hyperplane-sign
-    bucket are scored. Same output schema as cosine_topk."""
+    bucket are scored. Same output schema as cosine_topk.
+
+    multi_probe=1 additionally probes every bucket at Hamming distance 1 from
+    the query's signature (flip each of the num_planes sign bits) — the
+    standard multi-probe LSH recall boost: vectors near a hyperplane fall on
+    either side, so the adjacent buckets hold most of the missed neighbors.
+    Cost: the broadcast query list grows ×(num_planes+1); the corpus is
+    still hashed and scanned once."""
     from schemamap_spark.session import ensure_parallelism
 
     c = ensure_parallelism(corpus, id_col).select(
@@ -252,10 +260,21 @@ def lsh_topk(
         F.col(vec_col).alias("q_vec"),
         _bucket_expr(vec_col, num_planes, dims).alias("bucket"),
     )
+    if multi_probe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(num_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "q_vec", F.explode(probes).alias("bucket")
+        )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+        .distinct()  # a neighbor can surface via several probes
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (

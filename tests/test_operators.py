@@ -248,3 +248,18 @@ def test_curate_corpus_is_deterministic(spark):
     a = sorted((r.doc_id, r.split, r.dup_group) for r in curate_corpus(docs).collect())
     b = sorted((r.doc_id, r.split, r.dup_group) for r in curate_corpus(docs).collect())
     assert a == b and len(a) > 0
+
+
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe must return a superset of single-probe candidates per
+    query (same tables, extra buckets) and strictly better-or-equal recall
+    against the exact top-k."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.neighbor_id) for r in SIM.cosine_topk(emb, q, k=5).collect()}
+    single = {(r.query_id, r.neighbor_id) for r in SIM.lsh_topk(emb, q, k=5).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in SIM.lsh_topk(emb, q, k=5, multi_probe=1).collect()}
+    recall_s = len(single & exact) / len(exact)
+    recall_m = len(multi & exact) / len(exact)
+    assert recall_m >= recall_s
+    assert len(multi) >= len(single)
