@@ -89,6 +89,25 @@ join pg_catalog.pg_namespace ns on ns.oid = cls.relnamespace
 where att.attgenerated <> '' and ns.nspname not in ({_in_list(IGNORED_SCHEMAS)})
 """
 
+# Doctor raw scans (reference rust/src/doctor.rs:58-132 computes the whole
+# role closure + nested grant aggregation in one recursive SQL; Spark-first
+# the server only ships the RAW edges/grants — small — and the engine's
+# transitive_closure / doctor aggregation run distributed).
+ROLE_EDGES_SQL = """
+select m.rolname as member, r.rolname as roleof
+from pg_catalog.pg_auth_members am
+join pg_catalog.pg_roles m on m.oid = am.member
+join pg_catalog.pg_roles r on r.oid = am.roleid
+where not m.rolname like 'pg\\_%' and not r.rolname like 'pg\\_%'
+"""
+
+TABLE_GRANTS_SQL = f"""
+select grantee, privilege_type, table_schema, table_name
+from information_schema.role_table_grants
+where table_schema not in ({_in_list(IGNORED_SCHEMAS)})
+  and not grantee like 'pg\\_%'
+"""
+
 INDEXES_SQL = f"""
 select ns.nspname as schema_name,
        cls.relname as table_name,
@@ -139,3 +158,11 @@ class JdbcPostgresCatalog(CatalogAdapter):
         # pg_index.indkey is int2vector; cast happens in SQL. Arrays arrive as
         # JDBC arrays which Spark maps to ArrayType.
         return self._query(INDEXES_SQL)
+
+    def role_edges(self) -> DataFrame:
+        """Raw role-membership edges for engine.doctor's closure (S8)."""
+        return self._query(ROLE_EDGES_SQL)
+
+    def table_grants(self) -> DataFrame:
+        """Raw table grants for engine.doctor's nested aggregation (S8)."""
+        return self._query(TABLE_GRANTS_SQL)

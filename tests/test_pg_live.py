@@ -57,6 +57,13 @@ create table projects (
 create index projects_created_at_idx on projects (created_at);
 insert into organizations (name, website) values ('Acme Corp', 'https://acme.test');
 insert into projects (organization_id, name) values (1, 'Apollo');
+create role schemamap nologin;
+create role app_admin nologin;
+create role app_user nologin;
+grant schemamap to app_admin;   -- app_admin member-of schemamap
+grant app_admin to app_user;    -- app_user member-of app_admin (2-hop chain)
+grant select, insert on organizations to app_admin;
+grant select on projects to app_admin;
 analyze;
 """
 
@@ -176,3 +183,41 @@ def test_indexes_pushdown(pg):
     assert plain["index_type"] == "i"
     assert plain["definition"].startswith("btree (")
     assert plain["keys"] == "{4}"  # created_at is attnum 4
+
+
+def test_role_edges_pushdown_feeds_closure(pg, spark):
+    """Live role-membership edges from the server, transitive closure in
+    Spark — the engine's split of the reference doctor's recursive SQL."""
+    from schemamap_spark.catalog.jdbc import ROLE_EDGES_SQL
+    from schemamap_spark.operators.graph import transitive_closure
+
+    rows = sql(pg, ROLE_EDGES_SQL)
+    edges = {(r["member"], r["roleof"]) for r in rows}
+    assert ("app_admin", "schemamap") in edges
+    assert ("app_user", "app_admin") in edges
+
+    df = spark.createDataFrame(
+        [(r["member"], r["roleof"]) for r in rows], "member string, roleof string"
+    )
+    closure = {(r.member, r.roleof) for r in transitive_closure(df).collect()}
+    assert ("app_user", "schemamap") in closure  # 2-hop membership resolved
+
+
+def test_table_grants_pushdown_feeds_doctor_agg(pg, spark):
+    from pyspark.sql import functions as F
+
+    from schemamap_spark.catalog.jdbc import TABLE_GRANTS_SQL
+
+    rows = sql(pg, TABLE_GRANTS_SQL)
+    df = spark.createDataFrame(
+        [(r["grantee"], r["privilege_type"], r["table_schema"], r["table_name"]) for r in rows],
+        "grantee string, privilege_type string, table_schema string, table_name string",
+    )
+    per = (
+        df.filter(F.col("grantee") == "app_admin")
+        .groupBy("privilege_type")
+        .agg(F.countDistinct("table_schema", "table_name").alias("table_count"))
+    )
+    got = {r.privilege_type: r.table_count for r in per.collect()}
+    assert got["SELECT"] == 2  # organizations + projects
+    assert got["INSERT"] == 1  # organizations only
