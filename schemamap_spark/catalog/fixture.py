@@ -32,3 +32,9 @@ class FixtureCatalog(CatalogAdapter):
 
     def indexes(self) -> DataFrame:
         return self._read("cat_idx")
+
+    def role_edges(self) -> DataFrame:
+        return self._read("role_edges")
+
+    def table_grants(self) -> DataFrame:
+        return self._read("table_grants")

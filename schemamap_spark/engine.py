@@ -104,18 +104,29 @@ class SchemamapEngine:
     # --- misc SDK parity ---------------------------------------------------
     def doctor(self, role_edges: DataFrame | None = None, table_grants: DataFrame | None = None) -> dict:
         """Health report: transitive role closure + nested grant aggregation
-        (reference rust/src/doctor.rs:58-132). Frames default to the repo
-        doctor fixtures; in a Postgres-backed deployment pass JDBC reads of
-        pg_auth_members / information_schema.role_table_grants."""
+        (reference rust/src/doctor.rs:58-132). Input frames come from the
+        engine's catalog adapter when it exposes role/grant scans (the JDBC
+        adapter pushes the raw pg_auth_members / role_table_grants reads down
+        to the server), else from the repo doctor fixtures."""
         import os
 
         from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
         from schemamap_spark.operators.graph import transitive_closure
 
         if role_edges is None:
-            role_edges = self.spark.read.parquet(os.path.join(DEFAULT_FIXTURE_DIR, "role_edges.parquet"))
+            if hasattr(self.catalog, "role_edges"):
+                role_edges = self.catalog.role_edges()
+            else:
+                role_edges = self.spark.read.parquet(
+                    os.path.join(DEFAULT_FIXTURE_DIR, "role_edges.parquet")
+                )
         if table_grants is None:
-            table_grants = self.spark.read.parquet(os.path.join(DEFAULT_FIXTURE_DIR, "table_grants.parquet"))
+            if hasattr(self.catalog, "table_grants"):
+                table_grants = self.catalog.table_grants()
+            else:
+                table_grants = self.spark.read.parquet(
+                    os.path.join(DEFAULT_FIXTURE_DIR, "table_grants.parquet")
+                )
 
         closure = transitive_closure(role_edges)
         reaching = (
