@@ -90,3 +90,125 @@ def doc_fingerprint(col: str = "text", k: int = 3) -> Column:
     Stable under permutation-free edits elsewhere in the doc; portable
     (md5 is identical everywhere)."""
     return F.array_min(F.transform(shingles(col, k), lambda s: F.md5(s)))
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+#
+# Boilerplate-heavy / looping documents are the classic LLM-corpus failure
+# mode; these are the standard within-document repetition filters. All pure
+# Column expressions, linear per document (no per-doc shuffle, no UDF).
+# ---------------------------------------------------------------------------
+
+
+def _nonblank_segments(col: str, sep_regex: str) -> Column:
+    segs = F.split(F.col(col), sep_regex)
+    return F.filter(segs, lambda s: F.length(F.trim(s)) > 0)
+
+
+def dup_line_ratio(col: str = "text") -> Column:
+    """Fraction of non-blank lines that are exact repeats of another line.
+    0.0 for documents with no (non-blank) lines."""
+    lines = _nonblank_segments(col, r"\n")
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_paragraph_ratio(col: str = "text") -> Column:
+    """Same as dup_line_ratio at paragraph granularity (blank-line separated)."""
+    paras = _nonblank_segments(col, r"\n{2,}")
+    n = F.size(paras)
+    return F.when(
+        n > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(paras)).cast("double") / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def top_bigram_ratio(col: str = "text", max_tokens: int = 2000) -> Column:
+    """Fraction of the document's bigrams accounted for by its single most
+    frequent bigram (Gopher's top-2-gram rule). High values = looping text.
+
+    Shape notes for scale: the bigram array is built once with zip_with over
+    two slices (NOT element_at inside a lambda, which re-evaluates the split
+    per element), and the max count is a LINEAR max-run scan over the sorted
+    array via aggregate — no quadratic distinct×filter nesting. Cost is capped
+    by ``max_tokens`` so a pathological 10M-token doc can't stall a task.
+    """
+    toks = F.slice(F.split(F.col(col), " "), 1, max_tokens)
+    n = F.size(toks)
+    bigrams = F.sort_array(
+        F.zip_with(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat_ws("\x1f", a, b),
+        )
+    )
+    # max run length in the sorted array == count of the most frequent bigram
+    run = F.aggregate(
+        bigrams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return F.when(
+        F.size(bigrams) > 0,
+        F.round(run.cast("double") / F.size(bigrams).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+#
+# Regex-based scrubbing of the obvious identifier classes — the pre-training
+# hygiene pass every large corpus runs before anything smarter. Patterns use
+# portable syntax (no lookarounds) so the same strings run under Java regex
+# (Spark) and RE2 (DuckDB oracle). Order matters: more-specific patterns
+# (email, SSN, card) run before the greedier phone pattern.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("card", r"\b[0-9]{4}([ -]?[0-9]{4}){3}\b"),
+    # \b sits after the optional "+" (no word boundary exists between a space
+    # and "+" or "("), and the paren alternative carries its own delimiter
+    ("phone", r"(\+?\b[0-9]{1,2}[ .-]?)?(\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+]
+
+
+def redact_pii(col: str = "text", kinds: list[str] | None = None) -> Column:
+    """Replace each PII match with a typed sentinel (``[EMAIL]`` etc.).
+    Idempotent: sentinels contain no digits/@ so a second pass is a no-op."""
+    out = F.col(col)
+    for kind, pattern in PII_PATTERNS:
+        if kinds is not None and kind not in kinds:
+            continue
+        out = F.regexp_replace(out, pattern, f"[{kind.upper()}]")
+    return out
+
+
+def pii_hit_count(col: str = "text", kinds: list[str] | None = None) -> Column:
+    """Total PII matches across the selected pattern classes. Counted on the
+    progressively-redacted text so overlapping classes (SSN vs phone) are not
+    double-counted — consistent with what redact_pii would replace."""
+    total = F.lit(0)
+    redacted = F.col(col)
+    for kind, pattern in PII_PATTERNS:
+        if kinds is not None and kind not in kinds:
+            continue
+        total = total + F.size(F.regexp_extract_all(redacted, F.lit(pattern), F.lit(0)))
+        redacted = F.regexp_replace(redacted, pattern, f"[{kind.upper()}]")
+    return total

@@ -1,0 +1,107 @@
+"""Repetition-signal and PII-redaction column functions.
+
+These are the Gopher-style within-document quality filters and the regex
+PII hygiene pass — checked against hand-computed values on tiny literal
+frames so every branch (empty doc, no repeats, full repeats, overlapping
+PII classes) is pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schemamap_spark.functions import text as TX
+
+
+def _one(spark, text: str, col):
+    return spark.createDataFrame([(text,)], "text string").select(col.alias("v")).head()["v"]
+
+
+class TestRepetitionSignals:
+    def test_dup_line_ratio(self, spark):
+        assert _one(spark, "a\nb\na", TX.dup_line_ratio()) == round(1 - 2 / 3, 6)
+        assert _one(spark, "a\nb\nc", TX.dup_line_ratio()) == 0.0
+        assert _one(spark, "a\na\na\na", TX.dup_line_ratio()) == 0.75
+
+    def test_dup_line_ratio_ignores_blank_lines(self, spark):
+        # blank/whitespace lines are not counted as repeats of each other
+        assert _one(spark, "a\n\n \nb", TX.dup_line_ratio()) == 0.0
+        assert _one(spark, "", TX.dup_line_ratio()) == 0.0
+
+    def test_dup_paragraph_ratio(self, spark):
+        doc = "para one\n\npara two\n\npara one"
+        assert _one(spark, doc, TX.dup_paragraph_ratio()) == round(1 - 2 / 3, 6)
+        # single-newline lines are one paragraph, not repeats
+        assert _one(spark, "a\nb\na", TX.dup_paragraph_ratio()) == 0.0
+
+    def test_top_bigram_ratio(self, spark):
+        # bigrams: (the,cat) (cat,the) (the,cat) (cat,the) (the,dog)
+        # -> most frequent count 2 of 5
+        assert _one(spark, "the cat the cat the dog", TX.top_bigram_ratio()) == 0.4
+        # all-repeat loop: bigrams all identical
+        assert _one(spark, "go go go go", TX.top_bigram_ratio()) == 1.0
+        # all-distinct bigrams
+        assert _one(spark, "a b c d", TX.top_bigram_ratio()) == round(1 / 3, 6)
+
+    def test_top_bigram_ratio_degenerate(self, spark):
+        assert _one(spark, "single", TX.top_bigram_ratio()) == 0.0
+        assert _one(spark, "", TX.top_bigram_ratio()) == 0.0
+
+    def test_top_bigram_ratio_respects_token_cap(self, spark):
+        # with the cap at 4 tokens only 3 bigrams exist, all distinct
+        doc = "a b c d x x x x x x"
+        assert _one(spark, doc, TX.top_bigram_ratio(max_tokens=4)) == round(1 / 3, 6)
+
+    def test_signals_are_pure_columns(self, spark):
+        # composes in one projection over a frame (no UDF, no shuffle)
+        df = spark.createDataFrame(
+            [(1, "a\na\n\nb b b b")], "doc_id int, text string"
+        ).select(
+            "doc_id",
+            TX.dup_line_ratio().alias("dup_line"),
+            TX.dup_paragraph_ratio().alias("dup_para"),
+            TX.top_bigram_ratio().alias("top_bigram"),
+        )
+        row = df.head()
+        assert row["dup_line"] == round(1 / 3, 6)  # lines a, a, "b b b b"
+        # tokens: "a\na\n\nb", "b", "b", "b" -> bigrams x3, top one twice
+        assert row["top_bigram"] == round(2 / 3, 6)
+        assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPiiRedaction:
+    def test_redact_each_class(self, spark):
+        cases = {
+            "mail bob.smith+x@example.co.uk now": "mail [EMAIL] now",
+            "ssn 123-45-6789 here": "ssn [SSN] here",
+            "card 4111 1111 1111 1111 ok": "card [CARD] ok",
+            "call (555) 123-4567 today": "call [PHONE] today",
+            "tel 555-123-4567 today": "tel [PHONE] today",
+            "host 192.168.0.1 up": "host [IPV4] up",
+        }
+        for raw, want in cases.items():
+            assert _one(spark, raw, TX.redact_pii()) == want, raw
+
+    def test_redaction_is_idempotent_and_preserves_clean_text(self, spark):
+        clean = "no identifiers in this sentence at all"
+        assert _one(spark, clean, TX.redact_pii()) == clean
+        once = "reach me at a@b.io or 555-123-4567"
+        redacted = _one(spark, once, TX.redact_pii())
+        assert redacted == "reach me at [EMAIL] or [PHONE]"
+        assert _one(spark, redacted, TX.redact_pii()) == redacted
+
+    def test_ssn_not_double_counted_as_phone(self, spark):
+        # 123-45-6789 matches the SSN class; the phone pattern must not see it
+        doc = "ssn 123-45-6789 and phone 555-123-4567"
+        assert _one(spark, doc, TX.pii_hit_count()) == 2
+        assert _one(spark, doc, TX.redact_pii()) == "ssn [SSN] and phone [PHONE]"
+
+    def test_kinds_filter(self, spark):
+        doc = "a@b.io and 192.168.0.1"
+        assert _one(spark, doc, TX.redact_pii(kinds=["email"])) == "[EMAIL] and 192.168.0.1"
+        assert _one(spark, doc, TX.pii_hit_count(kinds=["ipv4"])) == 1
+
+    def test_hit_count_multiple(self, spark):
+        doc = "a@b.io c@d.io 10.0.0.1 123-45-6789"
+        assert _one(spark, doc, TX.pii_hit_count()) == 4
+        assert _one(spark, "nothing here", TX.pii_hit_count()) == 0
