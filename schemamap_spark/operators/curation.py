@@ -26,6 +26,9 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_dup_line_ratio: float | None = None,
+    max_top_bigram_ratio: float | None = None,
+    redact: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus: rows of `docs` that survive all gates,
     with added columns quality (double), fingerprint (exact-dup digest),
@@ -34,18 +37,37 @@ def curate_corpus(
 
     Survivorship rules (all deterministic):
     - quality  >= quality_min (quality_score heuristic);
+    - optional Gopher-style repetition gates: dup_line_ratio and
+      top_bigram_ratio must not exceed their thresholds when given;
     - one representative (min id) per byte-identical normalized text;
     - one representative (min id) per near-duplicate group at
       jaccard_threshold over k-token shingles.
+
+    ``redact=True`` rewrites text_col through redact_pii BEFORE any gate, so
+    documents that differ only in their identifiers collapse as exact dups —
+    the order a production hygiene pass wants.
     """
-    from schemamap_spark.functions.text import quality_score
+    from schemamap_spark.functions.text import (
+        dup_line_ratio,
+        quality_score,
+        redact_pii,
+        top_bigram_ratio,
+    )
     from schemamap_spark.operators.dedup import jaccard_similar_pairs
     from schemamap_spark.operators.graph import connected_components
     from schemamap_spark.operators.sampling import assign_splits
 
+    if redact:
+        docs = docs.withColumn(text_col, redact_pii(text_col))
+
     scored = docs.withColumn("quality", quality_score(text_col)).filter(
         F.col("quality") >= quality_min
     )
+    # repetition gates share the quality projection: one scan, no extra shuffle
+    if max_dup_line_ratio is not None:
+        scored = scored.filter(dup_line_ratio(text_col) <= max_dup_line_ratio)
+    if max_top_bigram_ratio is not None:
+        scored = scored.filter(top_bigram_ratio(text_col) <= max_top_bigram_ratio)
 
     with_fp = scored.withColumn(
         "fingerprint", F.md5(F.lower(F.trim(F.col(text_col))))

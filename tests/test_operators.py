@@ -250,6 +250,42 @@ def test_curate_corpus_is_deterministic(spark):
     assert a == b and len(a) > 0
 
 
+def test_curate_corpus_repetition_gates_and_redaction(spark):
+    """Repetition gates drop looping docs; redaction collapses docs that
+    differ only in identifiers into exact duplicates."""
+    from schemamap_spark.operators.curation import curate_corpus
+
+    good = ("genuinely varied prose describing seventeen unrelated topics "
+            "ranging from glacier melt to harpsichord tuning and beyond "
+            "with enough distinct vocabulary to clear every quality gate")
+    loop = " ".join(["buy now click here"] * 40)  # top bigram dominates
+    mail_a = good + " contact alice@example.com for details"
+    mail_b = good + " contact bob@example.org for details"
+    docs = spark.createDataFrame(
+        [(1, good), (2, loop), (3, mail_a), (4, mail_b)],
+        "doc_id long, text string",
+    )
+
+    gated = curate_corpus(docs, quality_min=0.0, max_top_bigram_ratio=0.2)
+    assert 2 not in {r.doc_id for r in gated.select("doc_id").collect()}
+
+    # jaccard 0.95: mail docs extend `good` (J≈0.82 to it) — keep them out of
+    # the near-dup radius so this asserts the exact-collapse path specifically
+    redacted = curate_corpus(
+        docs, quality_min=0.0, max_top_bigram_ratio=0.2, redact=True, jaccard_threshold=0.95
+    )
+    rows = {r.doc_id: r for r in redacted.collect()}
+    # mail_a / mail_b become byte-identical after [EMAIL] substitution:
+    # only the min-id representative (3) survives the exact collapse
+    assert 3 in rows and 4 not in rows
+    assert "[EMAIL]" in rows[3].text and "@" not in rows[3].text
+
+    dup_lines = "\n".join(["same line of text"] * 20) + "\nunique closer"
+    docs2 = spark.createDataFrame([(1, good), (2, dup_lines)], "doc_id long, text string")
+    gated2 = curate_corpus(docs2, quality_min=0.0, max_dup_line_ratio=0.5)
+    assert {r.doc_id for r in gated2.select("doc_id").collect()} == {1}
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     """Multi-probe must return a superset of single-probe candidates per
     query (same tables, extra buckets) and strictly better-or-equal recall
