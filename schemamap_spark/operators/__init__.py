@@ -14,6 +14,7 @@ from schemamap_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from schemamap_spark.operators.agg import bounded_collect_set, two_level_collect_set
 from schemamap_spark.operators.packing import pack_sequences, packing_stats
 from schemamap_spark.operators.sampling import assign_splits, deterministic_sample
 from schemamap_spark.operators.skew import bucketed_join, salted_join, write_bucketed
@@ -27,6 +28,7 @@ __all__ = [
     "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk",
     "assign_splits", "deterministic_sample",
     "pack_sequences", "packing_stats",
+    "two_level_collect_set", "bounded_collect_set",
     "salted_join", "bucketed_join", "write_bucketed",
     "asof_join", "range_join",
 ]
