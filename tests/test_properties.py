@@ -228,3 +228,45 @@ def test_split_weights_model(spark, n):
         b = (((i % MOD) * KNUTH) % MOD) % 1000
         want = "train" if b < 960 else ("val" if b < 980 else "test")
         assert got[i] == want
+
+
+@SET
+@given(
+    sizes=st.lists(st.integers(0, 40), min_size=0, max_size=25),
+    budget=st.integers(5, 30),
+)
+def test_pack_sequences_model(spark, sizes, budget):
+    """Bucket-local FFD vs a pure-Python first-fit-decreasing model: with a
+    single bucket the assignment must match the model exactly (same sort,
+    same bin choice), including oversize handling."""
+    from schemamap_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, int(n)) for i, n in enumerate(sizes)], "doc_id long, toks int"
+    )
+    got = {
+        r.doc_id: (r.seq_local, r.seq_tokens, r.oversize)
+        for r in pack_sequences(df, budget, tokens_col="toks", buckets=1).collect()
+    }
+
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], i))
+    remaining, totals, assign = [], [], {}
+    for i in order:
+        n = sizes[i]
+        if n > budget:
+            assign[i] = len(remaining)
+            remaining.append(0)
+            totals.append(n)
+            continue
+        for b, rem in enumerate(remaining):
+            if rem >= n:
+                assign[i] = b
+                remaining[b] = rem - n
+                totals[b] += n
+                break
+        else:
+            assign[i] = len(remaining)
+            remaining.append(budget - n)
+            totals.append(n)
+    want = {i: (assign[i], totals[assign[i]], sizes[i] > budget) for i in assign}
+    assert got == want
