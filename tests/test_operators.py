@@ -134,6 +134,69 @@ def test_multimodal_real_decode_raises(spark):
         sample_frames(images)
 
 
+def test_frame_sampling_plumbing(spark):
+    """Row-expanding mapInPandas: sampled frame numbers follow 0,n,2n…,
+    counts derive from payload size, frame payloads are the right slices."""
+    from schemamap_spark.operators.multimodal import _FAKE_FRAME_SIZE, sample_frames
+
+    videos = (
+        spark.read.parquet("/root/repo/fixtures/images.parquet")
+        .selectExpr("image_id as video_id", "payload")
+    )
+    sizes = {r.video_id: len(r.payload) for r in videos.collect()}
+    out = sample_frames(videos, every_n=2, fake=True).collect()
+    by_vid: dict[int, list] = {}
+    for r in out:
+        by_vid.setdefault(r.video_id, []).append(r)
+    assert set(by_vid) == set(sizes)
+    for vid, rows in by_vid.items():
+        total = max(1, sizes[vid] // _FAKE_FRAME_SIZE)
+        assert all(r.n_frames_total == total for r in rows)
+        assert sorted(r.frame_no for r in rows) == list(range(0, total, 2))
+        for r in rows:
+            assert len(r.frame_bytes) <= _FAKE_FRAME_SIZE
+
+    # determinism
+    again = sample_frames(videos, every_n=2, fake=True).collect()
+    assert sorted((r.video_id, r.frame_no) for r in again) == sorted(
+        (r.video_id, r.frame_no) for r in out
+    )
+
+
+def test_resize_images_plumbing(spark):
+    from schemamap_spark.operators.multimodal import resize_images
+
+    images = spark.read.parquet("/root/repo/fixtures/images.parquet")
+    out = resize_images(images, 8, 6, fake=True)
+    rows = out.collect()
+    assert len(rows) == images.count()
+    for r in rows:
+        assert (r.width, r.height) == (8, 6)
+        assert r.n_bytes == 8 * 6 * 3 == len(r.payload)
+
+
+def test_audio_features_plumbing(spark):
+    import pytest
+
+    from schemamap_spark.operators.multimodal import extract_audio_features
+
+    audio = spark.createDataFrame(
+        [(1, bytes([128, 130, 126, 130])), (2, bytes()), (3, bytes([100]))],
+        "audio_id long, payload binary",
+    )
+    rows = {r.audio_id: r for r in extract_audio_features(audio, fake=True).collect()}
+    # clip 1: centered samples 0,2,-2,2 -> mean |.| = 1.5; crossings 0->2 no,
+    # 2->-2 yes, -2->2 yes = 2 of 3 transitions
+    assert rows[1].mean_level == 1.5
+    assert rows[1].crossing_rate == round(2 / 3, 6)
+    assert rows[1].duration_s_est == round(4 / 16000, 6)
+    assert rows[2].n_bytes == 0 and rows[2].mean_level == 0.0
+    assert rows[3].crossing_rate == 0.0
+
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(audio, fake=False)
+
+
 def test_connected_components_known_graph(spark):
     from schemamap_spark.operators.graph import connected_components
 
