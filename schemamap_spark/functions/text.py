@@ -212,3 +212,57 @@ def pii_hit_count(col: str = "text", kinds: list[str] | None = None) -> Column:
         total = total + F.size(F.regexp_extract_all(redacted, F.lit(pattern), F.lit(0)))
         redacted = F.regexp_replace(redacted, pattern, f"[{kind.upper()}]")
     return total
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the pass that runs BEFORE dedup/quality/tokenization
+# so byte-level noise (control chars, zero-width marks, whitespace runs,
+# case) doesn't defeat exact-dup collapse or shingle matching.
+# ---------------------------------------------------------------------------
+
+_CONTROL_CHARS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_ZERO_WIDTH = "[​‌‍﻿]"
+
+
+def normalize_text(
+    col: str = "text",
+    lowercase: bool = False,
+    collapse_whitespace: bool = True,
+    strip_control: bool = True,
+) -> Column:
+    """Pure-Column text cleanup: strip control + zero-width characters,
+    collapse space/tab runs to one space and 3+ newlines to a paragraph
+    break, trim, optionally casefold. Preserves line/paragraph structure
+    (the repetition signals depend on it). All JVM regexp_replace — stays
+    inside whole-stage codegen."""
+    out = F.col(col)
+    if strip_control:
+        out = F.regexp_replace(out, _CONTROL_CHARS, "")
+        out = F.regexp_replace(out, _ZERO_WIDTH, "")
+    if collapse_whitespace:
+        out = F.regexp_replace(out, r"[ \t]+", " ")
+        out = F.regexp_replace(out, r" ?\n ?", "\n")
+        out = F.regexp_replace(out, r"\n{3,}", "\n\n")
+        out = F.trim(out)
+    if lowercase:
+        out = F.lower(out)
+    return out
+
+
+def nfc_normalize(col: str = "text") -> Column:
+    """Unicode NFC composition via an Arrow-batched pandas UDF (Spark exposes
+    no JVM normalizer). Use when sources mix composed/decomposed forms —
+    otherwise visually identical texts hash as distinct documents. Kept
+    separate from normalize_text so the pure-Column fast path stays UDF-free."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    # no annotations on purpose: the module's `from __future__ import
+    # annotations` turns them into strings pyspark can't resolve
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
+
+    return _nfc(F.col(col))

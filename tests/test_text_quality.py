@@ -105,3 +105,32 @@ class TestPiiRedaction:
         doc = "a@b.io c@d.io 10.0.0.1 123-45-6789"
         assert _one(spark, doc, TX.pii_hit_count()) == 4
         assert _one(spark, "nothing here", TX.pii_hit_count()) == 0
+
+
+class TestNormalization:
+    def test_control_and_zero_width_stripped(self, spark):
+        raw = "he\x00llo​ wor\x1fld﻿"
+        assert _one(spark, raw, TX.normalize_text()) == "hello world"
+
+    def test_whitespace_collapse_preserves_structure(self, spark):
+        raw = "a  \t b\n\n\n\n\nc   d\ne"
+        assert _one(spark, raw, TX.normalize_text()) == "a b\n\nc d\ne"
+        # line boundaries survive -> repetition signals still see lines
+        assert _one(spark, "x \n x", TX.normalize_text()) == "x\nx"
+
+    def test_lowercase_opt_in(self, spark):
+        assert _one(spark, "MiXeD", TX.normalize_text(lowercase=True)) == "mixed"
+        assert _one(spark, "MiXeD", TX.normalize_text()) == "MiXeD"
+
+    def test_normalization_makes_noisy_dups_exact(self, spark):
+        a = "Same   doc​ here"
+        b = "Same doc here"
+        na = _one(spark, a, TX.normalize_text())
+        nb = _one(spark, b, TX.normalize_text())
+        assert na == nb
+
+    def test_nfc_composes(self, spark):
+        decomposed = "Café"          # e + combining acute
+        composed = "Café"
+        assert _one(spark, decomposed, TX.nfc_normalize()) == composed
+        assert _one(spark, composed, TX.nfc_normalize()) == composed
