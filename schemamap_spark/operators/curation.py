@@ -29,6 +29,7 @@ def curate_corpus(
     max_dup_line_ratio: float | None = None,
     max_top_bigram_ratio: float | None = None,
     redact: bool = False,
+    normalize: bool = False,
 ) -> DataFrame:
     """Returns the curated corpus: rows of `docs` that survive all gates,
     with added columns quality (double), fingerprint (exact-dup digest),
@@ -43,12 +44,15 @@ def curate_corpus(
     - one representative (min id) per near-duplicate group at
       jaccard_threshold over k-token shingles.
 
-    ``redact=True`` rewrites text_col through redact_pii BEFORE any gate, so
-    documents that differ only in their identifiers collapse as exact dups —
+    ``normalize=True`` first rewrites text_col through normalize_text
+    (control/zero-width strip, whitespace collapse), and ``redact=True``
+    then rewrites it through redact_pii — both BEFORE any gate, so documents
+    that differ only in byte noise or identifiers collapse as exact dups —
     the order a production hygiene pass wants.
     """
     from schemamap_spark.functions.text import (
         dup_line_ratio,
+        normalize_text,
         quality_score,
         redact_pii,
         top_bigram_ratio,
@@ -57,6 +61,8 @@ def curate_corpus(
     from schemamap_spark.operators.graph import connected_components
     from schemamap_spark.operators.sampling import assign_splits
 
+    if normalize:
+        docs = docs.withColumn(text_col, normalize_text(text_col))
     if redact:
         docs = docs.withColumn(text_col, redact_pii(text_col))
 

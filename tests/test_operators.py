@@ -348,6 +348,12 @@ def test_curate_corpus_repetition_gates_and_redaction(spark):
     gated2 = curate_corpus(docs2, quality_min=0.0, max_dup_line_ratio=0.5)
     assert {r.doc_id for r in gated2.select("doc_id").collect()} == {1}
 
+    # normalize=True: whitespace-noise variants collapse as exact dups
+    noisy = good.replace(" glacier", "   glacier​")
+    docs3 = spark.createDataFrame([(1, good), (2, noisy)], "doc_id long, text string")
+    normed = curate_corpus(docs3, quality_min=0.0, normalize=True)
+    assert {r.doc_id for r in normed.select("doc_id").collect()} == {1}
+
 
 def test_lsh_multiprobe_improves_recall(spark):
     """Multi-probe must return a superset of single-probe candidates per

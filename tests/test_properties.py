@@ -270,3 +270,27 @@ def test_pack_sequences_model(spark, sizes, budget):
             totals.append(n)
     want = {i: (assign[i], totals[assign[i]], sizes[i] > budget) for i in assign}
     assert got == want
+
+
+values = st.lists(st.tuples(st.sampled_from("pq"), st.integers(0, 30)), max_size=40)
+
+
+@SET
+@given(rows=values, limit=st.integers(1, 8), salt=st.sampled_from([1, 5]))
+def test_agg_guard_models(spark, rows, limit, salt):
+    """two_level_collect_set == sorted distinct; bounded_collect_set ==
+    `limit` smallest distinct — vs direct Python set models, any salt."""
+    from schemamap_spark.operators.agg import bounded_collect_set, two_level_collect_set
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k string, v int")
+    model: dict[str, set] = {}
+    for k, v in rows:
+        model.setdefault(k, set()).add(v)
+
+    two = {r.k: r.values for r in two_level_collect_set(df, ["k"], "v", salt=salt).collect()}
+    assert two == {k: sorted(s) for k, s in model.items()}
+
+    got = {r.k: r[1] for r in bounded_collect_set(df, ["k"], "v", limit, salt=salt).collect()}
+    assert got == {k: sorted(s)[:limit] for k, s in model.items()}
