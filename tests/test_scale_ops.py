@@ -124,3 +124,43 @@ def test_declared_source_stubs(spark):
         read_google_sheet(spark, "sheet-id")
     with pytest.raises(NotImplementedError):
         read_salesforce(spark, "SELECT Id FROM Account")
+
+
+def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    """Sort-on-write layout: each parquet file's (min,max) of the sort key
+    must be disjoint from every other file's (boundary value aside), so
+    min/max footer stats can prune whole files for range predicates —
+    asserted directly on the footers via pyarrow, not on plan text."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from schemamap_spark.sources.sinks import write_range_sorted
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    target = str(tmp_path / "events_sorted")
+    write_range_sorted(events, target, ["user_id"], num_files=8)
+
+    ranges = []
+    for fn in os.listdir(target):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(target, fn))
+        idx = md.schema.names.index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) > 1  # actually split into multiple files
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},…)"
+
+    # content equivalence under a range predicate
+    lo = events.agg(F.expr("percentile(user_id, 0.4)")).head()[0]
+    want = events.filter(F.col("user_id") <= lo).count()
+    got = spark.read.parquet(target).filter(F.col("user_id") <= lo).count()
+    assert got == want
