@@ -72,3 +72,30 @@ def approx_ndv(df: DataFrame, cols: list[str], rsd: float = 0.02) -> DataFrame:
     return df.agg(
         *[F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_ndv") for c in cols]
     )
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: list[float] | None = None,
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """One-row frame of approximate quantiles via Spark's built-in
+    Greenwald-Khanna sketch (`approx_percentile` with accuracy =
+    1/relative_error) — mergeable partial sketches, one pass, no sort: the
+    way to profile a 100 TB numeric column. Rank error is bounded by
+    relative_error * N (asserted against exact percentile in tests)."""
+    probabilities = probabilities or [0.25, 0.5, 0.75, 0.95, 0.99]
+    if not all(0.0 <= p <= 1.0 for p in probabilities):
+        raise ValueError(f"probabilities must be in [0,1]: {probabilities}")
+    if not 0.0 < relative_error <= 0.5:
+        raise ValueError(f"relative_error out of (0, 0.5]: {relative_error}")
+    accuracy = max(1, int(round(1.0 / relative_error)))
+    return df.agg(
+        *[
+            F.expr(f"approx_percentile({col}, {p!r}, {accuracy})").alias(
+                f"p{str(p).replace('0.', '').ljust(2, '0')}"
+            )
+            for p in probabilities
+        ]
+    )

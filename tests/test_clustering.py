@@ -47,3 +47,27 @@ def test_ivf_kmeans_centroids(spark):
     out = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=3, centroids="kmeans")
     assert 0 < out.count() <= 9
     assert all(r.neighbor_id != r.query_id for r in out.collect())
+
+
+def test_approx_quantiles_rank_error_bound(spark):
+    """GK sketch guarantee: the value returned for probability p has true
+    rank within relative_error*N of p*N — checked against the exact sorted
+    ranks, plus parameter validation."""
+    import pytest
+
+    from schemamap_spark.operators.clustering import approx_quantiles
+
+    df = load_table(spark, SF, "events")
+    n = df.count()
+    eps = 0.01
+    row = approx_quantiles(df, "value", [0.5, 0.95], relative_error=eps).head()
+    vals = sorted(r.value for r in df.select("value").collect())
+    for p, got in (({0.5: row.p50, 0.95: row.p95}).items()):
+        lo = sum(1 for v in vals if v < got)       # min rank of got
+        hi = sum(1 for v in vals if v <= got)      # max rank of got
+        assert (p - eps) * n - 1 <= hi and lo <= (p + eps) * n + 1
+
+    with pytest.raises(ValueError):
+        approx_quantiles(df, "value", [1.5])
+    with pytest.raises(ValueError):
+        approx_quantiles(df, "value", relative_error=0.0)
