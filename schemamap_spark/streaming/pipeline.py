@@ -120,6 +120,48 @@ def running_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFra
     )
 
 
+def curated_document_stream(
+    docs: DataFrame,
+    quality_min: float = 0.3,
+    max_dup_line_ratio: float | None = None,
+    max_top_bigram_ratio: float | None = None,
+    redact: bool = False,
+    normalize: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of curate_corpus's STATELESS prefix: normalize →
+    PII-redact → quality + repetition gates, applied to a document stream.
+
+    Pure Column expressions end to end — no state store, no watermark, no
+    shuffle: each micro-batch filters independently, so this runs at ingest
+    and scales with source parallelism. The stateful curation stages (exact/
+    near-dup collapse, split assignment) stay batch — dedup across an
+    unbounded stream needs either a watermark bound (deduplicated_stream) or
+    a periodic batch compaction over the landed corpus.
+    """
+    from schemamap_spark.functions.text import (
+        dup_line_ratio,
+        normalize_text,
+        quality_score,
+        redact_pii,
+        top_bigram_ratio,
+    )
+
+    out = docs
+    if normalize:
+        out = out.withColumn(text_col, normalize_text(text_col))
+    if redact:
+        out = out.withColumn(text_col, redact_pii(text_col))
+    out = out.withColumn("quality", quality_score(text_col)).filter(
+        F.col("quality") >= quality_min
+    )
+    if max_dup_line_ratio is not None:
+        out = out.filter(dup_line_ratio(text_col) <= max_dup_line_ratio)
+    if max_top_bigram_ratio is not None:
+        out = out.filter(top_bigram_ratio(text_col) <= max_top_bigram_ratio)
+    return out
+
+
 def continuous_hourly_rollup(
     events: DataFrame,
     rollup_dir: str,

@@ -127,3 +127,26 @@ def test_continuous_rollup_is_incremental(spark, tmp_path):
     q.awaitTermination()
     n2 = spark.read.parquet(rollup).count()
     assert n1 == n2
+
+
+def test_curated_document_stream_matches_batch(spark, tmp_path):
+    """The stateless curation prefix must pass the same documents in
+    streaming (availableNow over files) as in batch on identical input."""
+    from schemamap_spark.streaming import curated_document_stream, start_memory_sink
+
+    d = str(tmp_path / "docs_stream")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs.repartition(3).write.mode("overwrite").parquet(d)
+
+    kw = dict(quality_min=0.3, max_top_bigram_ratio=0.5, redact=True, normalize=True)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    q = start_memory_sink(curated_document_stream(stream, **kw), "curated_docs")
+    q.processAllAvailable()
+    q.stop()
+
+    got = {(r.doc_id, r.text, r.quality) for r in spark.table("curated_docs").collect()}
+    want = {
+        (r.doc_id, r.text, r.quality)
+        for r in curated_document_stream(spark.read.parquet(d), **kw).collect()
+    }
+    assert got == want and len(got) > 0
