@@ -399,3 +399,82 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .orderBy("i", "j")
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-decontamination scan: hashed k-gram overlap between every
+    benchmark/eval document and the training corpus (the standard 13-gram
+    rule). One row per overlapping (bench_id, corpus_id) pair with the
+    fraction of the benchmark doc's k-grams found in that corpus doc —
+    benchmark docs with no row are clean.
+
+    Scale shape: both sides reduce to (id, xxhash64(k-gram)) — the join key
+    is an 8-byte hash, raw text never shuffles; overlap counting is a
+    pair-key groupBy. ``max_df`` drops k-grams present in more than max_df
+    CORPUS docs before the join (boilerplate phrases — the quadratic hot key
+    of this join; standard practice and conservative, since dropping a
+    k-gram can only lower reported contamination of genuinely common text).
+    """
+    def grams(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(F.transform(shingles(text_col, k), lambda s: F.xxhash64(s)))
+            ).alias("g"),
+        )
+
+    bench = grams(benchmark, "bench_id")
+    bench_sizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_ngrams"))
+    corp = grams(corpus, "corpus_id")
+    if max_df is not None:
+        hot = (
+            corp.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("g")
+        )
+        corp = corp.join(F.broadcast(hot), "g", "left_anti")
+
+    shared = (
+        bench.join(corp, "g")
+        .groupBy("bench_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return (
+        shared.join(bench_sizes, "bench_id")
+        .select(
+            "bench_id", "corpus_id", "shared_ngrams", "bench_ngrams",
+            F.round(
+                F.col("shared_ngrams").cast("double") / F.col("bench_ngrams").cast("double"), 6
+            ).alias("contamination"),
+        )
+        .orderBy("bench_id", "corpus_id")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    k: int = 13,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop from the TRAINING corpus every document that contains at least
+    ``threshold`` of any benchmark doc's k-grams — the action half of
+    contamination_report. Anti-join on the contaminated corpus ids; the
+    benchmark rows are never mutated (eval sets are sacred)."""
+    pairs = contamination_report(corpus, benchmark, k, max_df, id_col, text_col)
+    dirty = (
+        pairs.filter(F.col("contamination") >= threshold)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(dirty, id_col, "left_anti")

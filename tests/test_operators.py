@@ -368,3 +368,41 @@ def test_lsh_multiprobe_improves_recall(spark):
     recall_m = len(multi & exact) / len(exact)
     assert recall_m >= recall_s
     assert len(multi) >= len(single)
+
+
+def test_contamination_report_and_decontaminate(spark):
+    """13-gram-rule decontamination (k=3 at test size): a corpus doc that
+    embeds a benchmark sentence is flagged with the right overlap fraction
+    and dropped; clean docs are untouched either way."""
+    from schemamap_spark.operators.dedup import contamination_report, decontaminate
+
+    bench_sentence = "the quick brown fox jumps over the lazy dog tonight"
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words " + bench_sentence + " closing remark here"),  # contains it
+            (2, "a completely unrelated training document about volcanoes "
+                "and seismic measurement techniques in remote stations"),
+            (3, bench_sentence),                                            # verbatim copy
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_sentence)], "doc_id long, text string")
+
+    rep = {r.corpus_id: r for r in contamination_report(corpus, bench, k=3).collect()}
+    assert set(rep) == {1, 3}
+    assert rep[3].contamination == 1.0           # verbatim: every k-gram shared
+    assert rep[1].contamination == 1.0           # fully embedded benchmark
+    assert rep[1].bench_ngrams == rep[1].shared_ngrams
+
+    clean = decontaminate(corpus, bench, threshold=0.8, k=3)
+    assert {r.doc_id for r in clean.select("doc_id").collect()} == {2}
+
+    # partial overlap scores fractionally, below-threshold survives
+    half = "the quick brown fox sat still under warm evening rain today"
+    corpus2 = spark.createDataFrame([(9, half)], "doc_id long, text string")
+    rep2 = contamination_report(corpus2, bench, k=3).collect()
+    assert len(rep2) == 1 and 0.0 < rep2[0].contamination < 0.5
+    assert decontaminate(corpus2, bench, threshold=0.5, k=3).count() == 1
+
+    # max_df stop-filter: with max_df=0 every corpus k-gram is "hot" -> no rows
+    assert contamination_report(corpus, bench, k=3, max_df=0).count() == 0
