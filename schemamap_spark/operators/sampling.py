@@ -59,3 +59,29 @@ def deterministic_sample(df: DataFrame, fraction: float, id_col: str = "doc_id")
     """Stable fraction-of-corpus sample: rows whose bucket falls under
     fraction*1000. Same rows selected on every run/engine/partitioning."""
     return df.filter(deterministic_bucket(id_col) < int(round(fraction * BUCKETS)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep `fractions[stratum]` of each
+    group (language/source balancing). Same Knuth-bucket arithmetic as
+    assign_splits — same row kept forever, on any engine/partitioning; no
+    shuffle at all (a literal-map lookup + the id hash, pure projection).
+    Strata missing from `fractions` get default_fraction (0 = drop)."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} out of [0,1]: {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction out of [0,1]: {default_fraction}")
+    mapping = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    cutoff = F.coalesce(
+        mapping[F.col(strata_col)], F.lit(float(default_fraction))
+    ) * BUCKETS
+    return df.filter(deterministic_bucket(id_col) < F.round(cutoff).cast("int"))

@@ -46,3 +46,28 @@ def test_deterministic_sample_fraction(spark):
     # monotone: 5% sample is a subset of 10%
     ids05 = {r.doc_id for r in deterministic_sample(docs, 0.05).select("doc_id").collect()}
     assert ids05 <= ids1
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from schemamap_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF, "documents")
+    frac = {"en": 1.0, "de": 0.5, "fr": 0.0}
+    out = stratified_sample(docs, frac, "lang")
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+
+    assert counts.get("en") == base["en"]              # keep-all stratum intact
+    assert "fr" not in counts                          # zero-fraction dropped
+    if "de" in base:
+        assert 0 < counts.get("de", 0) < base["de"]    # strictly sampled
+    # unlisted strata default to drop
+    assert set(counts) <= {"en", "de"}
+
+    # determinism + subset-of-source
+    again = {r.doc_id for r in stratified_sample(docs, frac, "lang").select("doc_id").collect()}
+    assert again == {r.doc_id for r in out.select("doc_id").collect()}
+
+    import pytest
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"en": 1.5}, "lang")
