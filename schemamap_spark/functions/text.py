@@ -183,8 +183,10 @@ PII_PATTERNS: list[tuple[str, str]] = [
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
     ("card", r"\b[0-9]{4}([ -]?[0-9]{4}){3}\b"),
     # \b sits after the optional "+" (no word boundary exists between a space
-    # and "+" or "("), and the paren alternative carries its own delimiter
-    ("phone", r"(\+?\b[0-9]{1,2}[ .-]?)?(\([0-9]{3}\)|\b[0-9]{3})[ .-][0-9]{3}[ .-][0-9]{4}\b"),
+    # and "+" or "("); the ")" itself delimits the paren form, so its
+    # separator is optional — "(555)123-4567" — while the bare form requires
+    # one ("555123-4567" stays unmatched to avoid false positives)
+    ("phone", r"(\+?\b[0-9]{1,2}[ .-]?)?(\([0-9]{3}\)[ .-]?|\b[0-9]{3}[ .-])[0-9]{3}[ .-][0-9]{4}\b"),
     ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
 ]
 

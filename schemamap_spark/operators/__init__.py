@@ -1,4 +1,4 @@
-from schemamap_spark.operators.curation import curate_corpus, curation_report
+from schemamap_spark.operators.curation import curate_corpus, curation_report, hygiene_gate
 from schemamap_spark.operators.graph import connected_components, transitive_closure, transitive_closure_sql
 from schemamap_spark.operators.dedup import (
     containment_pairs,
@@ -27,7 +27,7 @@ __all__ = [
     "exact_duplicates", "jaccard_similar_pairs", "minhash_lsh_similar_pairs",
     "simhash_near_pairs", "winnow_fingerprints", "containment_pairs",
     "contamination_report", "decontaminate",
-    "curate_corpus", "curation_report",
+    "curate_corpus", "curation_report", "hygiene_gate",
     "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk",
     "assign_splits", "deterministic_sample", "stratified_sample",
     "pack_sequences", "packing_stats",

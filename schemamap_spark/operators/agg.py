@@ -81,7 +81,14 @@ def bounded_collect_set(
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
     out = out or f"{value}_first{limit}"
-    distinct = df.groupBy(*keys, value).agg(F.lit(1)).select(*keys, value)
+    # collect_set ignores nulls; drop them BEFORE ranking so a null can't
+    # consume a rank slot and silently shrink the result below `limit`
+    distinct = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(*keys, value)
+        .agg(F.lit(1))
+        .select(*keys, value)
+    )
     sharded = distinct.withColumn(
         "_shard", F.pmod(F.xxhash64(F.col(value)), F.lit(salt))
     )

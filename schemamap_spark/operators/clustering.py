@@ -91,11 +91,15 @@ def approx_quantiles(
     if not 0.0 < relative_error <= 0.5:
         raise ValueError(f"relative_error out of (0, 0.5]: {relative_error}")
     accuracy = max(1, int(round(1.0 / relative_error)))
+
+    def _alias(p: float) -> str:
+        # percent, dots/signs mangled to underscores so every legal p yields
+        # a plain identifier: 0.5 -> p50, 0.999 -> p99_9, 1.0 -> p100
+        return "p" + format(p * 100, "g").replace(".", "_").replace("-", "m")
+
     return df.agg(
         *[
-            F.expr(f"approx_percentile({col}, {p!r}, {accuracy})").alias(
-                f"p{str(p).replace('0.', '').ljust(2, '0')}"
-            )
+            F.expr(f"approx_percentile({col}, {p!r}, {accuracy})").alias(_alias(p))
             for p in probabilities
         ]
     )

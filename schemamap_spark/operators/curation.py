@@ -18,6 +18,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hygiene_gate(
+    docs: DataFrame,
+    quality_min: float = 0.3,
+    max_dup_line_ratio: float | None = None,
+    max_top_bigram_ratio: float | None = None,
+    redact: bool = False,
+    normalize: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """The STATELESS text-hygiene prefix: normalize → PII-redact → quality +
+    repetition gates, adding a `quality` column. Pure Column expressions (no
+    shuffle, no state), so the same function serves the batch pipeline
+    (curate_corpus) and the streaming ingest twin
+    (streaming.curated_document_stream) — one definition, no drift."""
+    from schemamap_spark.functions.text import (
+        dup_line_ratio,
+        normalize_text,
+        quality_score,
+        redact_pii,
+        top_bigram_ratio,
+    )
+
+    out = docs
+    if normalize:
+        out = out.withColumn(text_col, normalize_text(text_col))
+    if redact:
+        out = out.withColumn(text_col, redact_pii(text_col))
+    out = out.withColumn("quality", quality_score(text_col)).filter(
+        F.col("quality") >= quality_min
+    )
+    # repetition gates share the quality projection: one scan, no extra shuffle
+    if max_dup_line_ratio is not None:
+        out = out.filter(dup_line_ratio(text_col) <= max_dup_line_ratio)
+    if max_top_bigram_ratio is not None:
+        out = out.filter(top_bigram_ratio(text_col) <= max_top_bigram_ratio)
+    return out
+
+
 def curate_corpus(
     docs: DataFrame,
     quality_min: float = 0.3,
@@ -50,30 +88,14 @@ def curate_corpus(
     that differ only in byte noise or identifiers collapse as exact dups —
     the order a production hygiene pass wants.
     """
-    from schemamap_spark.functions.text import (
-        dup_line_ratio,
-        normalize_text,
-        quality_score,
-        redact_pii,
-        top_bigram_ratio,
-    )
     from schemamap_spark.operators.dedup import jaccard_similar_pairs
     from schemamap_spark.operators.graph import connected_components
     from schemamap_spark.operators.sampling import assign_splits
 
-    if normalize:
-        docs = docs.withColumn(text_col, normalize_text(text_col))
-    if redact:
-        docs = docs.withColumn(text_col, redact_pii(text_col))
-
-    scored = docs.withColumn("quality", quality_score(text_col)).filter(
-        F.col("quality") >= quality_min
+    scored = hygiene_gate(
+        docs, quality_min, max_dup_line_ratio, max_top_bigram_ratio,
+        redact, normalize, text_col,
     )
-    # repetition gates share the quality projection: one scan, no extra shuffle
-    if max_dup_line_ratio is not None:
-        scored = scored.filter(dup_line_ratio(text_col) <= max_dup_line_ratio)
-    if max_top_bigram_ratio is not None:
-        scored = scored.filter(top_bigram_ratio(text_col) <= max_top_bigram_ratio)
 
     with_fp = scored.withColumn(
         "fingerprint", F.md5(F.lower(F.trim(F.col(text_col))))

@@ -43,10 +43,14 @@ def shingles_from_tokens(toks_col: str, k: int = 3) -> F.Column:
     CollapseProject keeps a separately-projected non-cheap expression
     evaluated once."""
     parts = ", ".join(f"{toks_col}[i - 1 + {j}]" for j in range(k))
+    # the short-doc guard must be a conditional, NOT greatest(..., 0):
+    # sequence(1, 0) yields the DESCENDING array [1, 0], whose transform then
+    # indexes past the token array (an ANSI-mode runtime error)
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size({toks_col}) - {k - 1}, 0)), "
-            f"i -> concat_ws(' ', {parts}))"
+            f"case when size({toks_col}) < {k} then cast(array() as array<string>) "
+            f"else transform(sequence(1, size({toks_col}) - {k - 1}), "
+            f"i -> concat_ws(' ', {parts})) end"
         )
     )
 
@@ -58,8 +62,9 @@ def shingles(col: str = "text", k: int = 3) -> F.Column:
     parts = ", ".join(f"{base}[i - 1 + {j}]" for j in range(k))
     return F.array_distinct(
         F.expr(
-            f"transform(sequence(1, greatest(size({base}) - {k - 1}, 0)), "
-            f"i -> concat_ws(' ', {parts}))"
+            f"case when size({base}) < {k} then cast(array() as array<string>) "
+            f"else transform(sequence(1, size({base}) - {k - 1}), "
+            f"i -> concat_ws(' ', {parts})) end"
         )
     )
 

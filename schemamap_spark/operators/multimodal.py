@@ -149,8 +149,10 @@ def resize_images(images: DataFrame, width: int, height: int, fake: bool = False
 
         n_out = w * h * 3
         for pdf in batches:
+            # null/empty payloads (failed upstream decode) still honor the
+            # fixed-size contract: zero-filled surrogate, never a short array
             resized = pdf["payload"].map(
-                lambda b: bytes((b * (n_out // max(1, len(b)) + 1))[:n_out])
+                lambda b: bytes(((b or b"\x00") * (n_out // max(1, len(b or b"\x00")) + 1))[:n_out])
             )
             yield _pd.DataFrame({
                 "image_id": pdf["image_id"],

@@ -59,6 +59,9 @@ def pack_sequences(
         from schemamap_spark.functions.text import token_count
 
         n_tokens = token_count(text_col).cast("long")
+    # null text / null token counts pack as 0-token docs instead of turning
+    # into NaN inside the pandas closure (int(NaN) kills the whole job)
+    n_tokens = F.coalesce(n_tokens, F.lit(0))
 
     reduced = F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
     bucket = F.pmod(F.pmod(reduced * F.lit(KNUTH), F.lit(MOD)), F.lit(buckets)).cast("int")
@@ -117,12 +120,17 @@ def packing_stats(assignment: DataFrame, max_tokens: int) -> DataFrame:
         F.first("seq_tokens").alias("seq_tokens"),
         F.max(F.col("oversize").cast("int")).alias("oversize"),
     )
+    regular = F.sum(F.lit(1) - F.col("oversize"))
     return per_seq.agg(
         F.count(F.lit(1)).alias("sequences"),
         F.sum("oversize").alias("oversize_sequences"),
-        F.round(
-            F.sum(F.when(F.col("oversize") == 0, F.col("seq_tokens")).otherwise(F.lit(0)))
-            / (F.sum(F.lit(1) - F.col("oversize")) * F.lit(max_tokens)).cast("double"),
-            6,
+        # null (not a 0/0 ANSI error) when every sequence is oversize
+        F.when(
+            regular > 0,
+            F.round(
+                F.sum(F.when(F.col("oversize") == 0, F.col("seq_tokens")).otherwise(F.lit(0)))
+                / (regular * F.lit(max_tokens)).cast("double"),
+                6,
+            ),
         ).alias("utilization"),
     ).crossJoin(assignment.agg(F.count(F.lit(1)).alias("docs")))

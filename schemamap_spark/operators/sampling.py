@@ -78,10 +78,18 @@ def stratified_sample(
             raise ValueError(f"fraction for {s!r} out of [0,1]: {f}")
     if not 0.0 <= default_fraction <= 1.0:
         raise ValueError(f"default_fraction out of [0,1]: {default_fraction}")
+    # cutoffs resolve to per-mille in PYTHON with the same round() as
+    # assign_splits/deterministic_sample — F.round (HALF_UP) would diverge
+    # from Python's banker's rounding on .5-per-mille fractions and break the
+    # "same arithmetic" portability contract
     mapping = F.create_map(
-        *[F.lit(x) for kv in fractions.items() for x in kv]
+        *[
+            F.lit(x)
+            for s, f in fractions.items()
+            for x in (s, int(round(f * BUCKETS)))
+        ]
     )
     cutoff = F.coalesce(
-        mapping[F.col(strata_col)], F.lit(float(default_fraction))
-    ) * BUCKETS
-    return df.filter(deterministic_bucket(id_col) < F.round(cutoff).cast("int"))
+        mapping[F.col(strata_col)], F.lit(int(round(default_fraction * BUCKETS)))
+    )
+    return df.filter(deterministic_bucket(id_col) < cutoff)

@@ -42,6 +42,12 @@ def write_parquet_atomic(df: DataFrame, target_dir: str, ordered_by: list[str] |
     tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
     out = df.orderBy(*ordered_by) if ordered_by else df
     out.write.mode("overwrite").parquet(tmp)
+    _swap_into_place(tmp, target_dir)
+
+
+def _swap_into_place(tmp: str, target_dir: str) -> None:
+    """Directory-swap tail shared by every warehouse writer (see the
+    crash-safety contract in write_parquet_atomic's docstring)."""
     old = target_dir + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -71,7 +77,13 @@ def write_range_sorted(
     spark = df.sparkSession
     n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
-    out.write.mode("overwrite").parquet(target_dir)
+    # same atomic temp-dir swap as write_parquet_atomic: readers never see a
+    # half-written layout
+    parent = os.path.dirname(os.path.abspath(target_dir))
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
+    out.write.mode("overwrite").parquet(tmp)
+    _swap_into_place(tmp, target_dir)
 
 
 def write_jdbc_append(

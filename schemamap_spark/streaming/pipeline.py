@@ -138,28 +138,17 @@ def curated_document_stream(
     near-dup collapse, split assignment) stay batch — dedup across an
     unbounded stream needs either a watermark bound (deduplicated_stream) or
     a periodic batch compaction over the landed corpus.
-    """
-    from schemamap_spark.functions.text import (
-        dup_line_ratio,
-        normalize_text,
-        quality_score,
-        redact_pii,
-        top_bigram_ratio,
-    )
 
-    out = docs
-    if normalize:
-        out = out.withColumn(text_col, normalize_text(text_col))
-    if redact:
-        out = out.withColumn(text_col, redact_pii(text_col))
-    out = out.withColumn("quality", quality_score(text_col)).filter(
-        F.col("quality") >= quality_min
+    Delegates to the SAME hygiene_gate the batch pipeline uses, so batch and
+    streaming can never drift (test_curated_document_stream_matches_batch
+    pins the equality).
+    """
+    from schemamap_spark.operators.curation import hygiene_gate
+
+    return hygiene_gate(
+        docs, quality_min, max_dup_line_ratio, max_top_bigram_ratio,
+        redact, normalize, text_col,
     )
-    if max_dup_line_ratio is not None:
-        out = out.filter(dup_line_ratio(text_col) <= max_dup_line_ratio)
-    if max_top_bigram_ratio is not None:
-        out = out.filter(top_bigram_ratio(text_col) <= max_top_bigram_ratio)
-    return out
 
 
 def continuous_hourly_rollup(

@@ -52,3 +52,12 @@ def test_parameter_validation(spark):
         bounded_collect_set(df, ["k"], "v", 0)
     with pytest.raises(ValueError):
         two_level_collect_set(df, ["k"], "v", salt=0)
+
+
+def test_bounded_ignores_nulls_like_collect_set(spark):
+    df = spark.createDataFrame(
+        [("k", None), ("k", 3), ("k", 1), ("k", 2), ("k", None)],
+        "k string, v int",
+    )
+    got = bounded_collect_set(df, ["k"], "v", limit=3).collect()[0]
+    assert got[1] == [1, 2, 3]  # nulls neither crash nor consume rank slots

@@ -71,3 +71,12 @@ def test_approx_quantiles_rank_error_bound(spark):
         approx_quantiles(df, "value", [1.5])
     with pytest.raises(ValueError):
         approx_quantiles(df, "value", relative_error=0.0)
+
+
+def test_approx_quantiles_aliases_are_plain_identifiers(spark):
+    from schemamap_spark.operators.clustering import approx_quantiles
+
+    df = load_table(spark, SF, "events")
+    cols = approx_quantiles(df, "value", [0.05, 0.5, 0.999, 1.0]).columns
+    assert cols == ["p5", "p50", "p99_9", "p100"]
+    assert all(c.replace("_", "").isalnum() for c in cols)

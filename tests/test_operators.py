@@ -406,3 +406,26 @@ def test_contamination_report_and_decontaminate(spark):
 
     # max_df stop-filter: with max_df=0 every corpus k-gram is "hot" -> no rows
     assert contamination_report(corpus, bench, k=3, max_df=0).count() == 0
+
+
+def test_review_regressions_short_docs_and_null_payloads(spark):
+    """Round-2 review fixes, pinned:
+    - shingles on docs shorter than k -> empty gram set, not an ANSI
+      index-out-of-bounds (sequence(1,0) is DESCENDING in Spark);
+    - contamination_report at the default k=13 survives short docs;
+    - resize_images honors the fixed-size contract for empty payloads."""
+    from schemamap_spark.operators.dedup import contamination_report
+    from schemamap_spark.operators.multimodal import resize_images
+
+    short = spark.createDataFrame(
+        [(1, "only two"), (2, "one"), (3, "")], "doc_id long, text string"
+    )
+    assert contamination_report(short, short, k=13).count() == 0
+
+    imgs = spark.createDataFrame(
+        [(1, 1, "png", b""), (2, 2, "png", b"xy")],
+        "image_id long, doc_id long, fmt string, payload binary",
+    )
+    rows = {r.image_id: r for r in resize_images(imgs, 2, 2, fake=True).collect()}
+    assert len(rows[1].payload) == 12 == rows[1].n_bytes  # empty in, full-size out
+    assert len(rows[2].payload) == 12

@@ -93,3 +93,17 @@ def test_precomputed_token_column(spark):
 def test_empty_corpus(spark):
     docs = spark.createDataFrame([], "doc_id long, text string")
     assert pack_sequences(docs, 128).count() == 0
+
+
+def test_null_text_packs_as_zero_tokens(spark):
+    docs = spark.createDataFrame([(1, "a b c"), (2, None)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in pack_sequences(docs, 10, buckets=1).collect()}
+    assert rows[2].n_tokens == 0 and not rows[2].oversize
+    assert len(rows) == 2
+
+
+def test_all_oversize_stats_degrade_to_null_utilization(spark):
+    docs = _docs(spark, [50, 60])
+    asg = pack_sequences(docs, max_tokens=10, buckets=1)
+    stats = packing_stats(asg, 10).collect()[0]
+    assert stats.oversize_sequences == 2 and stats.utilization is None

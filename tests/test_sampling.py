@@ -71,3 +71,18 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     import pytest
     with pytest.raises(ValueError):
         stratified_sample(docs, {"en": 1.5}, "lang")
+
+
+def test_stratified_matches_deterministic_sample_arithmetic(spark):
+    """A single-stratum stratified sample must select EXACTLY the rows of
+    deterministic_sample at the same fraction — including .5-per-mille
+    fractions where HALF_UP vs banker's rounding would diverge."""
+    from schemamap_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, SF, "documents")
+    for frac in (0.0125, 0.5, 0.1235):
+        a = {r.doc_id for r in stratified_sample(
+            docs, dict.fromkeys({r.lang for r in docs.select("lang").distinct().collect()}, frac),
+            "lang").select("doc_id").collect()}
+        b = {r.doc_id for r in deterministic_sample(docs, frac).select("doc_id").collect()}
+        assert a == b, frac
