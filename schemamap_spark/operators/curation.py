@@ -68,6 +68,9 @@ def curate_corpus(
     max_top_bigram_ratio: float | None = None,
     redact: bool = False,
     normalize: bool = False,
+    benchmark: DataFrame | None = None,
+    contamination_threshold: float = 0.8,
+    contamination_k: int = 13,
 ) -> DataFrame:
     """Returns the curated corpus: rows of `docs` that survive all gates,
     with added columns quality (double), fingerprint (exact-dup digest),
@@ -80,7 +83,10 @@ def curate_corpus(
       top_bigram_ratio must not exceed their thresholds when given;
     - one representative (min id) per byte-identical normalized text;
     - one representative (min id) per near-duplicate group at
-      jaccard_threshold over k-token shingles.
+      jaccard_threshold over k-token shingles;
+    - when ``benchmark`` is given: no doc containing >=
+      contamination_threshold of any benchmark doc's contamination_k-grams
+      (eval-set decontamination, applied before dedup).
 
     ``normalize=True`` first rewrites text_col through normalize_text
     (control/zero-width strip, whitespace collapse), and ``redact=True``
@@ -96,6 +102,17 @@ def curate_corpus(
         docs, quality_min, max_dup_line_ratio, max_top_bigram_ratio,
         redact, normalize, text_col,
     )
+
+    if benchmark is not None:
+        # decontaminate AFTER the hygiene gate (smaller corpus side) and
+        # BEFORE dedup (a contaminated representative must not shadow a
+        # clean near-duplicate)
+        from schemamap_spark.operators.dedup import decontaminate
+
+        scored = decontaminate(
+            scored, benchmark, contamination_threshold, contamination_k,
+            id_col=id_col, text_col=text_col,
+        )
 
     with_fp = scored.withColumn(
         "fingerprint", F.md5(F.lower(F.trim(F.col(text_col))))

@@ -429,3 +429,26 @@ def test_review_regressions_short_docs_and_null_payloads(spark):
     rows = {r.image_id: r for r in resize_images(imgs, 2, 2, fake=True).collect()}
     assert len(rows[1].payload) == 12 == rows[1].n_bytes  # empty in, full-size out
     assert len(rows[2].payload) == 12
+
+
+def test_curate_corpus_decontaminates_against_benchmark(spark):
+    from schemamap_spark.operators.curation import curate_corpus
+
+    bench_sentence = "which planet has the most moons in our solar system"
+    docs = spark.createDataFrame(
+        [
+            (1, "a long and genuinely clean training document discussing "
+                "fermentation chemistry pressure vessels and yeast strains"),
+            (2, "quiz dump begins " + bench_sentence + " answer saturn obviously"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(7, bench_sentence)], "doc_id long, text string")
+
+    kept = curate_corpus(
+        docs, quality_min=0.0, benchmark=bench,
+        contamination_threshold=0.8, contamination_k=3,
+    )
+    assert {r.doc_id for r in kept.select("doc_id").collect()} == {1}
+    # without the benchmark both survive
+    assert curate_corpus(docs, quality_min=0.0).count() == 2
