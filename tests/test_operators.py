@@ -452,3 +452,30 @@ def test_curate_corpus_decontaminates_against_benchmark(spark):
     assert {r.doc_id for r in kept.select("doc_id").collect()} == {1}
     # without the benchmark both survive
     assert curate_corpus(docs, quality_min=0.0).count() == 2
+
+
+def test_full_training_pipeline_composes(spark):
+    """The whole training-data story end to end on real test data:
+    normalize/redact/gate → decontaminate → dedup-collapse → splits → pack.
+    Every curated doc is packed exactly once and splits stay consistent."""
+    from schemamap_spark.operators.curation import curate_corpus
+    from schemamap_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = load_table(spark, SF, "documents")
+    bench = docs.limit(3).select("doc_id", "text")
+    curated = curate_corpus(
+        docs, normalize=True, redact=True, max_top_bigram_ratio=0.9,
+        benchmark=bench, contamination_k=3,
+    ).persist()
+    n = curated.count()
+    assert 0 < n < docs.count()
+
+    asg = pack_sequences(curated, max_tokens=512, buckets=8)
+    assert asg.count() == n
+    assert asg.select("doc_id").distinct().count() == n
+    joined = curated.join(asg.select("doc_id", "seq_id", "oversize"), "doc_id")
+    assert joined.count() == n  # ids line up 1:1 across stages
+
+    stats = packing_stats(asg, 512).collect()[0]
+    assert stats.docs == n and stats.sequences <= n
+    curated.unpersist()
