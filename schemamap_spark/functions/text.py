@@ -268,3 +268,26 @@ def nfc_normalize(col: str = "text") -> Column:
         return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
 
     return _nfc(F.col(col))
+
+
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),  # &amp; LAST: "&amp;lt;" -> "&lt;" stays literal
+]
+
+
+def clean_html(col: str = "text") -> Column:
+    """Strip markup from scraped text: drop <script>/<style> blocks wholesale,
+    remove comments and tags, unescape the common entities, collapse the
+    leftover whitespace. Pure regexp_replace chain (JVM codegen); not a
+    parser — malformed nesting degrades to tag removal, which is the right
+    failure mode for corpus cleanup (never drops visible text)."""
+    out = F.col(col)
+    # (?is): case-insensitive + dotall so blocks span lines
+    out = F.regexp_replace(out, r"(?is)<(script|style)\b[^>]*>.*?</\1>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.regexp_replace(out, ent, rep)
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    return F.trim(out)

@@ -134,3 +134,26 @@ class TestNormalization:
         composed = "Café"
         assert _one(spark, decomposed, TX.nfc_normalize()) == composed
         assert _one(spark, composed, TX.nfc_normalize()) == composed
+
+
+class TestCleanHtml:
+    def test_tags_scripts_entities(self, spark):
+        raw = ('<html><head><style>p{color:red}</style>'
+               '<script type="text/js">var x = "<p>";</script></head>'
+               '<body><!-- note --><p class="a">Tom &amp; Jerry &lt;3</p>'
+               '<br/>next&nbsp;line</body></html>')
+        got = _one(spark, raw, TX.clean_html())
+        assert got == "Tom & Jerry <3 next line"
+
+    def test_plain_text_unchanged(self, spark):
+        s = "no markup here, just text with spaces"
+        assert _one(spark, s, TX.clean_html()) == s
+
+    def test_never_drops_visible_text_on_malformed_markup(self, spark):
+        raw = "<div><p>keep this <b>bold text</div> and this tail"
+        got = _one(spark, raw, TX.clean_html())
+        assert "keep this" in got and "bold text" in got and "tail" in got
+
+    def test_double_escaped_entity_stays_literal(self, spark):
+        # "&amp;lt;" means the LITERAL string "&lt;" — must not become "<"
+        assert _one(spark, "a &amp;lt; b", TX.clean_html()) == "a &lt; b"
