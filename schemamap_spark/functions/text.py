@@ -101,30 +101,27 @@ def doc_fingerprint(col: str = "text", k: int = 3) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _nonblank_segments(col: str, sep_regex: str) -> Column:
-    segs = F.split(F.col(col), sep_regex)
-    return F.filter(segs, lambda s: F.length(F.trim(s)) > 0)
+def _dup_segment_ratio(col: str, sep_regex: str) -> Column:
+    """Fraction of non-blank sep-delimited segments that repeat an earlier
+    segment; 0.0 when there are no non-blank segments."""
+    segs = F.filter(
+        F.split(F.col(col), sep_regex), lambda s: F.length(F.trim(s)) > 0
+    )
+    n = F.size(segs)
+    return F.when(
+        n > 0,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(segs)).cast("double") / n.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
 
 
 def dup_line_ratio(col: str = "text") -> Column:
-    """Fraction of non-blank lines that are exact repeats of another line.
-    0.0 for documents with no (non-blank) lines."""
-    lines = _nonblank_segments(col, r"\n")
-    n = F.size(lines)
-    return F.when(
-        n > 0,
-        F.round(F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / n.cast("double"), 6),
-    ).otherwise(F.lit(0.0))
+    """Fraction of non-blank lines that are exact repeats of another line."""
+    return _dup_segment_ratio(col, r"\n")
 
 
 def dup_paragraph_ratio(col: str = "text") -> Column:
     """Same as dup_line_ratio at paragraph granularity (blank-line separated)."""
-    paras = _nonblank_segments(col, r"\n{2,}")
-    n = F.size(paras)
-    return F.when(
-        n > 0,
-        F.round(F.lit(1.0) - F.size(F.array_distinct(paras)).cast("double") / n.cast("double"), 6),
-    ).otherwise(F.lit(0.0))
+    return _dup_segment_ratio(col, r"\n{2,}")
 
 
 def top_bigram_ratio(col: str = "text", max_tokens: int = 2000) -> Column:

@@ -428,10 +428,11 @@ def contamination_report(
     k-gram can only lower reported contamination of genuinely common text).
     """
     def grams(df: DataFrame, out_id: str) -> DataFrame:
+        # shingles() is already distinct, so the hashed grams are too
         return df.select(
             F.col(id_col).alias(out_id),
             F.explode(
-                F.array_distinct(F.transform(shingles(text_col, k), lambda s: F.xxhash64(s)))
+                F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
             ).alias("g"),
         )
 
@@ -451,15 +452,13 @@ def contamination_report(
         .groupBy("bench_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
-    return (
-        shared.join(bench_sizes, "bench_id")
-        .select(
-            "bench_id", "corpus_id", "shared_ngrams", "bench_ngrams",
-            F.round(
-                F.col("shared_ngrams").cast("double") / F.col("bench_ngrams").cast("double"), 6
-            ).alias("contamination"),
-        )
-        .orderBy("bench_id", "corpus_id")
+    # no orderBy here: decontaminate consumes these pairs and a global sort
+    # feeding an anti-join is pure waste — report callers order at the edge
+    return shared.join(bench_sizes, "bench_id").select(
+        "bench_id", "corpus_id", "shared_ngrams", "bench_ngrams",
+        F.round(
+            F.col("shared_ngrams").cast("double") / F.col("bench_ngrams").cast("double"), 6
+        ).alias("contamination"),
     )
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from schemamap_spark.operators.sampling import KNUTH, MOD
+from schemamap_spark.operators.sampling import deterministic_bucket
 
 _ASSIGN_SCHEMA = (
     "doc_id long, n_tokens long, bucket int, seq_local int, seq_tokens long, oversize boolean"
@@ -63,13 +63,10 @@ def pack_sequences(
     # into NaN inside the pandas closure (int(NaN) kills the whole job)
     n_tokens = F.coalesce(n_tokens, F.lit(0))
 
-    reduced = F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
-    bucket = F.pmod(F.pmod(reduced * F.lit(KNUTH), F.lit(MOD)), F.lit(buckets)).cast("int")
-
     slim = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         n_tokens.alias("n_tokens"),
-        bucket.alias("bucket"),
+        deterministic_bucket(id_col, buckets).cast("int").alias("bucket"),
     )
 
     budget = int(max_tokens)

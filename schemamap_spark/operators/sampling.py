@@ -21,13 +21,13 @@ MOD = 2_147_483_648  # 2^31
 BUCKETS = 1000
 
 
-def deterministic_bucket(id_col: str) -> Column:
-    """Stable pseudo-uniform bucket in [0, 1000) from a bigint id column.
+def deterministic_bucket(id_col: str, buckets: int = BUCKETS) -> Column:
+    """Stable pseudo-uniform bucket in [0, buckets) from a bigint id column.
     Reduces the id mod 2^31 before multiplying: ids >= ~3.5e9 (snowflake /
     hash-derived) would otherwise overflow bigint — a runtime error under
     ANSI mode, silent engine-divergent wraparound without it."""
-    reduced = F.pmod(F.col(id_col), F.lit(MOD))
-    return F.pmod(F.pmod(reduced * F.lit(KNUTH), F.lit(MOD)), F.lit(BUCKETS))
+    reduced = F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
+    return F.pmod(F.pmod(reduced * F.lit(KNUTH), F.lit(MOD)), F.lit(buckets))
 
 
 def assign_splits(

@@ -62,11 +62,13 @@ class TestRepetitionSignals:
             TX.dup_paragraph_ratio().alias("dup_para"),
             TX.top_bigram_ratio().alias("top_bigram"),
         )
+        from schemamap_spark.plans.dryrun import explain_str
+
         row = df.head()
         assert row["dup_line"] == round(1 / 3, 6)  # lines a, a, "b b b b"
         # tokens: "a\na\n\nb", "b", "b", "b" -> bigrams x3, top one twice
         assert row["top_bigram"] == round(2 / 3, 6)
-        assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in explain_str(df)
 
 
 class TestPiiRedaction:
