@@ -17,7 +17,7 @@ from schemamap_spark.operators.similarity import (
     lsh_topk,
 )
 from schemamap_spark.operators.agg import bounded_collect_set, two_level_collect_set
-from schemamap_spark.operators.packing import pack_sequences, packing_stats
+from schemamap_spark.operators.packing import chunk_documents, pack_sequences, packing_stats
 from schemamap_spark.operators.sampling import assign_splits, deterministic_sample, stratified_sample
 from schemamap_spark.operators.skew import bucketed_join, salted_join, write_bucketed
 from schemamap_spark.operators.temporal import asof_join, range_join
@@ -30,7 +30,7 @@ __all__ = [
     "curate_corpus", "curation_report", "hygiene_gate",
     "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk",
     "assign_splits", "deterministic_sample", "stratified_sample",
-    "pack_sequences", "packing_stats",
+    "pack_sequences", "packing_stats", "chunk_documents",
     "two_level_collect_set", "bounded_collect_set",
     "salted_join", "bucketed_join", "write_bucketed",
     "asof_join", "range_join",

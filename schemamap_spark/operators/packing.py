@@ -131,3 +131,54 @@ def packing_stats(assignment: DataFrame, max_tokens: int) -> DataFrame:
             ),
         ).alias("utilization"),
     ).crossJoin(assignment.agg(F.count(F.lit(1)).alias("docs")))
+
+
+CHUNK_COLUMNS = ["doc_id", "chunk_no", "n_chunks", "chunk_text", "chunk_tokens"]
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    pre-embedding step of every retrieval/embedding pipeline. One output row
+    per chunk: (doc_id, chunk_no, n_chunks, chunk_text, chunk_tokens).
+
+    Chunks start every ``chunk_tokens - overlap`` tokens, so consecutive
+    chunks share ``overlap`` tokens and every token is covered. Pure Column
+    ops: tokens are materialized ONCE per doc, chunk indices posexplode from
+    a sequence (a narrow row expansion — no shuffle anywhere), and each
+    chunk is a slice + concat. The last chunk may be shorter; docs at or
+    under the window emit exactly one chunk."""
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap must be in [0, chunk_tokens): {overlap}")
+    stride = chunk_tokens - overlap
+
+    toks = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    with_toks = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    )
+    n_chunks = F.when(F.col("_n") <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((F.col("_n") - F.lit(chunk_tokens)).cast("double") / F.lit(stride)).cast("int") + 1
+    )
+    exploded = with_toks.withColumn("n_chunks", n_chunks).select(
+        "doc_id",
+        "n_chunks",
+        "_toks",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_no", "_i"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_no") * stride + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        "chunk_no",
+        "n_chunks",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )

@@ -107,3 +107,56 @@ def test_all_oversize_stats_degrade_to_null_utilization(spark):
     asg = pack_sequences(docs, max_tokens=10, buckets=1)
     stats = packing_stats(asg, 10).collect()[0]
     assert stats.oversize_sequences == 2 and stats.utilization is None
+
+
+class TestChunking:
+    def test_chunks_cover_all_tokens_with_overlap(self, spark):
+        from schemamap_spark.operators.packing import chunk_documents
+
+        text = " ".join(f"t{i}" for i in range(25))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            chunk_documents(docs, chunk_tokens=10, overlap=2).collect(),
+            key=lambda r: r.chunk_no,
+        )
+        # stride 8: starts 0,8,16 -> 3 chunks; last has tokens 16..24 (9)
+        assert [r.chunk_no for r in rows] == [0, 1, 2]
+        assert all(r.n_chunks == 3 for r in rows)
+        assert [r.chunk_tokens for r in rows] == [10, 10, 9]
+        toks = text.split(" ")
+        for r in rows:
+            start = r.chunk_no * 8
+            assert r.chunk_text == " ".join(toks[start : start + 10])
+        # consecutive chunks share exactly `overlap` tokens
+        assert rows[0].chunk_text.split(" ")[-2:] == rows[1].chunk_text.split(" ")[:2]
+
+    def test_short_doc_single_chunk(self, spark):
+        from schemamap_spark.operators.packing import chunk_documents
+
+        docs = spark.createDataFrame(
+            [(1, "just four tokens here"), (2, None)], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in chunk_documents(docs, 256, 32).collect()}
+        assert rows[1].n_chunks == 1 and rows[1].chunk_text == "just four tokens here"
+        assert rows[2].n_chunks == 1  # null text -> one empty chunk, no crash
+
+    def test_exact_boundary_no_empty_tail_chunk(self, spark):
+        from schemamap_spark.operators.packing import chunk_documents
+
+        # 26 tokens, window 10, stride 8: starts 0,8,16 cover to 25 -> 3 chunks
+        text = " ".join(f"x{i}" for i in range(26))
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = chunk_documents(docs, 10, 2).collect()
+        assert len(rows) == 3
+        assert min(r.chunk_tokens for r in rows) == 10  # no stub tail
+
+    def test_validation(self, spark):
+        import pytest
+
+        from schemamap_spark.operators.packing import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, 10, 10)
+        with pytest.raises(ValueError):
+            chunk_documents(docs, 0)
