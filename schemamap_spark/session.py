@@ -87,7 +87,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division, NOT (ts/1000).cast("long"): modern epoch-ns values
+        # (~1.7e18) exceed double's 2^53 exact range, so double division can be
+        # off by ±1 µs before flooring — a landmine for boundary-sensitive
+        # windows. `div` stays in bigint arithmetic end to end.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

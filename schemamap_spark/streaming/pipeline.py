@@ -47,15 +47,19 @@ def windowed_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Tumbling event-time windows with a watermark bounding state."""
+    """Tumbling event-time windows with a watermark bounding state.
+
+    Money is summed as integer cents (floor(value*100) as bigint) — the same
+    engine-portable arithmetic the batch twin (suite/streams.py) uses, so the
+    streaming store and batch oracle can never disagree on rounding."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("total_cents"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_cents")
     )
 
 
@@ -181,9 +185,9 @@ def continuous_hourly_rollup(
 
 def daily_from_hourly(spark: SparkSession, rollup_dir: str) -> DataFrame:
     """Daily totals FROM the persisted hourly rollup store (never re-scanning
-    raw events) — the batch half of the continuous-aggregate cascade; decimal
-    sums make the re-aggregation lossless (proven by the batch oracle query
-    events_rollup_cascade)."""
+    raw events) — the batch half of the continuous-aggregate cascade;
+    integer-cents sums make the re-aggregation lossless AND engine-portable
+    (proven by the batch oracle query events_rollup_cascade)."""
     hourly = spark.read.parquet(rollup_dir)
     return (
         hourly.groupBy(
@@ -191,7 +195,7 @@ def daily_from_hourly(spark: SparkSession, rollup_dir: str) -> DataFrame:
         )
         .agg(
             F.sum("n").cast("bigint").alias("n"),
-            F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
         )
         .orderBy("day", "event_type")
     )

@@ -15,18 +15,25 @@ from schemamap_spark.session import load_table
 
 
 def events_tumbling_window(spark, sf):
+    """Hourly tumbling windows with engine-portable money arithmetic.
+
+    `value` is a raw double; summing it through per-row decimal(18,2) casts is
+    NOT portable (Spark rounds the shortest decimal repr HALF_UP, DuckDB rounds
+    the binary value — different cents on repr-ends-in-5 inputs). Instead we
+    sum integer cents: floor(value*100) of the same IEEE double is bit-identical
+    in every engine, and bigint addition is exact."""
     ev = load_table(spark, sf, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("total_cents"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
             "n",
-            "total_value",
+            "total_cents",
         )
         .orderBy("window_start", "event_type")
     )
@@ -112,24 +119,25 @@ def events_rollup_cascade(spark, sf):
     FROM the hourly aggregate (never re-scanning raw events). The oracle
     aggregates raw → daily directly; equality proves the cascade is lossless
     — the pre-aggregation pattern that turns 100 TB of raw events into MB of
-    reusable rollups. Decimal sums make re-aggregation exact."""
+    reusable rollups. Integer-cents sums (floor(value*100) as bigint) make
+    re-aggregation exact AND engine-portable; see events_tumbling_window."""
     ev = load_table(spark, sf, "events")
     hourly = ev.groupBy(
         F.window("ts", "1 hour").alias("w"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("v"),
     )
     daily = (
         hourly.groupBy(
             F.date_trunc("day", F.col("w.start")).alias("day"), "event_type"
         )
-        .agg(F.sum("n").alias("n"), F.sum("v").alias("total_value"))
+        .agg(F.sum("n").alias("n"), F.sum("v").alias("total_cents"))
         .select(
             F.unix_timestamp("day").alias("day_epoch"),
             "event_type",
             F.col("n").cast("bigint").alias("n"),
-            F.col("total_value").cast("decimal(18,2)").alias("total_value"),
+            F.col("total_cents").cast("bigint").alias("total_cents"),
         )
         .orderBy("day_epoch", "event_type")
     )
@@ -150,7 +158,9 @@ ORACLE_SQL = {
         select cast(epoch(time_bucket(interval '1 hour', ts)) as bigint) as window_start,
                event_type,
                count(*) as n,
-               sum(cast(value as decimal(18,2))) as total_value
+               -- integer cents: floor() of the same IEEE double is identical in
+               -- every engine, unlike double->decimal(18,2) rounding
+               sum(cast(floor(value * 100) as bigint)) as total_cents
         from events
         group by 1, 2 order by 1, 2
     """,
@@ -185,7 +195,7 @@ ORACLE_SQL = {
         select cast(floor(epoch(date_trunc('day', ts))) as bigint) as day_epoch,
                event_type,
                count(*) as n,
-               cast(sum(cast(value as decimal(18,2))) as decimal(18,2)) as total_value
+               sum(cast(floor(value * 100) as bigint)) as total_cents
         from events
         group by 1, 2 order by 1, 2
     """,

@@ -38,16 +38,16 @@ def test_windowed_counts_matches_batch(spark, stream_dir):
     q.stop()
 
     got = {
-        (r.window_start, r.event_type): (r.n, r.total_value)
+        (r.window_start, r.event_type): (r.n, r.total_cents)
         for r in spark.table("win_counts").collect()
     }
     ev = spark.read.parquet(stream_dir)
     want = {
-        (r.ws, r.event_type): (r.n, r.total_value)
+        (r.ws, r.event_type): (r.n, r.total_cents)
         for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"))
-        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
+             F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("total_cents"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_cents")
         .collect()
     }
     assert got == want
@@ -89,19 +89,19 @@ def test_continuous_rollup_cascade_matches_batch(spark, tmp_path):
     q.awaitTermination()
 
     got = {
-        (r.day, r.event_type): (r.n, r.total_value)
+        (r.day, r.event_type): (r.n, r.total_cents)
         for r in daily_from_hourly(spark, rollup).collect()
         if r.event_type != "__sentinel__"
     }
     want = {
-        (r.day, r.event_type): (r.n, r.total_value)
+        (r.day, r.event_type): (r.n, r.total_cents)
         for r in (
             ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.sum(F.col("value").cast("decimal(18,2)"))
-                .cast("decimal(18,2)")
-                .alias("total_value"),
+                F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("total_cents"),
             )
             .collect()
         )
