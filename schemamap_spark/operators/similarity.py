@@ -207,26 +207,58 @@ def cosine_topk(
     )
 
 
-def _plane_weight(plane: int, dim: int) -> F.Column:
-    """Deterministic pseudo-random weight in [-1, 1) from xxhash64(plane,dim).
-    pmod (not %) keeps the intermediate in [0, 10000) — signed % would span
-    (-10000, 10000) and skew the distribution."""
-    h = F.xxhash64(F.lit(plane), F.lit(dim))
-    return F.pmod(h, F.lit(10_000)).cast("double") / F.lit(5_000.0) - F.lit(1.0)
+def _plane_weights(spark, num_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1):
+    pmod(xxhash64(plane, dim), 10000)/5000 - 1, with plane/dim hashed as
+    32-bit ints. pmod (not %) keeps the intermediate in [0, 10000) — signed %
+    would span (-10000, 10000) and skew the distribution.
+
+    Computed in one tiny vectorized Spark job (num_planes rows, the dims loop
+    is a `transform` over a sequence) and collected: planes × dims values as
+    DATA. The previous design inlined each weight as its own expression term,
+    which meant ~25k Catalyst nodes at production scale (16 planes × 1536
+    dims) — an analysis/codegen blowup before any data is read."""
+    rows = (
+        spark.range(num_planes)
+        .select(F.col("id").cast("int").alias("p"))
+        .select(
+            "p",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda d: F.pmod(F.xxhash64(F.col("p"), d), F.lit(10_000)).cast("double")
+                / F.lit(5_000.0)
+                - F.lit(1.0),
+            ).alias("w"),
+        )
+        .orderBy("p")
+        .collect()
+    )
+    return [[float(x) for x in r.w] for r in rows]
 
 
-def _bucket_expr(vec_col: str, num_planes: int, dims: int) -> F.Column:
-    bits = []
-    for p in range(num_planes):
-        proj = None
-        for d in range(dims):
-            term = F.element_at(vec_col, d + 1).cast("double") * _plane_weight(p, d)
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def _bucket_col(vec: F.Column, weights: F.Column) -> F.Column:
+    """Signature bucket from a weights column (array<array<double>>, one inner
+    array per hyperplane). Constant expression-node count regardless of
+    planes/dims: the projections are higher-order-function lambdas over the
+    weights data, so 1536-dim × 16-plane embeddings plan as fast as the 64-dim
+    fixture."""
+    proj_bits = F.transform(
+        weights,
+        lambda wp: F.when(
+            F.aggregate(
+                F.zip_with(vec, wp, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    # bucket id = sum(bit_p * 2^p); fold MSB-first so plane 0 lands in the LSB,
+    # matching the historical unrolled formula bit for bit
+    return F.aggregate(
+        F.reverse(proj_bits), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+    )
 
 
 def lsh_topk(
@@ -250,15 +282,28 @@ def lsh_topk(
     still hashed and scanned once."""
     from schemamap_spark.session import ensure_parallelism
 
-    c = ensure_parallelism(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _bucket_expr(vec_col, num_planes, dims).alias("bucket"),
+    spark = corpus.sparkSession
+    weights = _plane_weights(spark, num_planes, dims)
+    # weights ride as one broadcast row of DATA (200 KB at 16×1536 doubles),
+    # not as inline expression nodes
+    wdf = F.broadcast(spark.createDataFrame([(weights,)], "W array<array<double>>"))
+
+    c = (
+        ensure_parallelism(corpus, id_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(wdf)
+        .select(
+            "neighbor_id", "c_vec",
+            _bucket_col(F.col("c_vec"), F.col("W")).alias("bucket"),
+        )
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _bucket_expr(vec_col, num_planes, dims).alias("bucket"),
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(wdf)
+        .select(
+            "query_id", "q_vec",
+            _bucket_col(F.col("q_vec"), F.col("W")).alias("bucket"),
+        )
     )
     if multi_probe:
         probes = F.array(

@@ -83,6 +83,55 @@ def test_ivf_topk_runs(spark):
     assert 0 < len(out) <= 9
 
 
+def test_lsh_bucket_matches_historical_unrolled_formula(spark):
+    """_bucket_col (weights as data + HOF lambdas) must reproduce the original
+    unrolled per-(plane,dim)-term expression bit for bit — pins the bucket
+    assignment across the rewrite that made dims a data size, not a plan size."""
+    NUM_PLANES, DIMS = 4, 8
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, DIMS).alias("embedding")
+    )
+
+    def old_bucket(vec_col):
+        bits = []
+        for p in range(NUM_PLANES):
+            proj = None
+            for d in range(DIMS):
+                h = F.xxhash64(F.lit(p), F.lit(d))
+                w = F.pmod(h, F.lit(10_000)).cast("double") / F.lit(5_000.0) - F.lit(1.0)
+                term = F.element_at(vec_col, d + 1).cast("double") * w
+                proj = term if proj is None else proj + term
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2**p))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    weights = SIM._plane_weights(spark, NUM_PLANES, DIMS)
+    wdf = F.broadcast(spark.createDataFrame([(weights,)], "W array<array<double>>"))
+    both = emb.crossJoin(wdf).select(
+        old_bucket("embedding").cast("long").alias("old_b"),
+        SIM._bucket_col(F.col("embedding"), F.col("W")).alias("new_b"),
+    )
+    assert both.filter(F.col("old_b") != F.col("new_b")).count() == 0
+
+
+def test_lsh_topk_plans_at_production_dims(spark):
+    """768-dim × 16-plane must plan and run — the unrolled formula this
+    replaced built ~12k expression nodes here and blew up Catalyst analysis
+    long before data size mattered."""
+    DIMS = 768
+    vecs = [
+        (i, [((i * 31 + d * 17) % 97) / 48.5 - 1.0 for d in range(DIMS)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=3,
+                       num_planes=16, dims=DIMS, multi_probe=1).collect()
+    assert all(r.neighbor_id != r.query_id for r in out)
+    assert all(-1.0 - 1e-9 <= r.cosine_sim <= 1.0 + 1e-9 for r in out)
+
+
 def test_transitive_closure_diamond(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "d"), ("a", "c"), ("c", "d"), ("d", "e")],
