@@ -47,6 +47,7 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_cells: int = 16,
+    stats: dict | None = None,
 ) -> DataFrame:
     """All vector pairs with cosine >= threshold (embedding near-duplicate
     detection), EXACT, via metric-pruned candidate generation — no broadcast
@@ -80,9 +81,17 @@ def cosine_near_pairs(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
     ).withColumn("nrm", _norm(F.col("v")))
 
-    # deterministic, tiny centroid sample (same pattern the judge accepted
-    # for ivf_topk: <= num_cells rows collected as bookkeeping, not data)
-    crows = corpus.orderBy(id_col).limit(num_cells).select(F.col(vec_col)).collect()
+    # deterministic, tiny centroid sample in xxhash64(id) order — NOT first-N
+    # by id: on id-clustered data (all of cluster 0 first, …) first-N puts
+    # every centroid in one cluster, radii of the other cells approach pi, and
+    # the triangle-inequality prune stops firing (correct but near-all-pairs).
+    # Hash order is a uniform draw regardless of how ids were assigned.
+    crows = (
+        corpus.orderBy(F.xxhash64(F.col(id_col)), id_col)
+        .limit(num_cells)
+        .select(F.col(vec_col))
+        .collect()
+    )
     if not crows:
         return base.select(
             F.col("vid").alias("i"), F.col("vid").alias("j"),
@@ -131,6 +140,10 @@ def cosine_near_pairs(
         .filter(F.col("cent_theta") <= F.lit(theta_t) + F.col("r_a") + F.col("r_b") + F.lit(1e-9))
         .select("cell_a", "cell_b")
     )
+    if stats is not None:
+        # bookkeeping for tests/observability: num_cells^2-scale rows, cheap
+        stats["total_cell_pairs"] = len(cents) * (len(cents) + 1) // 2
+        stats["surviving_cell_pairs"] = cell_pairs.count()
 
     # candidate enumeration stays SLIM — only (vid, cell) rides the cell-pair
     # expansion; vectors are re-joined by id afterwards, so high-dimensional
@@ -355,9 +368,15 @@ def ivf_topk(
     else:
         # collect the tiny centroid sample to the driver and rebuild it as a
         # literal frame: monotonically_increasing_id over a lazily re-evaluated
-        # plan could assign DIFFERENT ids in the two assign() evaluations
+        # plan could assign DIFFERENT ids in the two assign() evaluations.
+        # xxhash64(id) order, not first-N by id — id-clustered corpora would
+        # otherwise concentrate every centroid in one cluster and the probe
+        # join degrades toward brute force with worse recall.
         rows = (
-            corpus.orderBy(id_col).limit(num_centroids).select(F.col(vec_col)).collect()
+            corpus.orderBy(F.xxhash64(F.col(id_col)), id_col)
+            .limit(num_centroids)
+            .select(F.col(vec_col))
+            .collect()
         )
         spark = corpus.sparkSession
         cent = spark.createDataFrame(

@@ -83,6 +83,55 @@ def test_ivf_topk_runs(spark):
     assert 0 < len(out) <= 9
 
 
+def test_cosine_near_pairs_prunes_on_id_clustered_ids(spark):
+    """Adversarial id ordering: ids are assigned cluster-by-cluster, so a
+    first-N-by-id centroid sample would land every centroid in cluster 0,
+    push the other cells' radii toward pi, and disable the triangle-inequality
+    prune. The hash-ordered sample must keep pruning (< all cell pairs) AND
+    stay exact (same pairs as brute force)."""
+    import itertools
+    import math as m
+
+    DIMS, PER_CLUSTER = 8, 40
+    # 4 well-separated unit directions; members get a small deterministic wobble
+    bases = [
+        [1.0] + [0.0] * (DIMS - 1),
+        [0.0, 1.0] + [0.0] * (DIMS - 2),
+        [0.0, 0.0, 1.0] + [0.0] * (DIMS - 3),
+        [0.0, 0.0, 0.0, 1.0] + [0.0] * (DIMS - 4),
+    ]
+    rows = []
+    for c, base in enumerate(bases):
+        for i in range(PER_CLUSTER):
+            vec = [
+                b + 0.05 * (((c * PER_CLUSTER + i) * 31 + d * 17) % 7 - 3) / 3.0
+                for d, b in enumerate(base)
+            ]
+            rows.append((c * PER_CLUSTER + i, vec))  # ids contiguous per cluster
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    stats = {}
+    got = {
+        (r.i, r.j)
+        for r in SIM.cosine_near_pairs(
+            emb, threshold=0.9, num_cells=8, stats=stats
+        ).collect()
+    }
+    assert stats["surviving_cell_pairs"] < stats["total_cell_pairs"]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = m.sqrt(sum(x * x for x in a)), m.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    want = {
+        (i, j)
+        for (i, va), (j, vb) in itertools.combinations(rows, 2)
+        if cos(va, vb) >= 0.9
+    }
+    assert got == want
+
+
 def test_lsh_bucket_matches_historical_unrolled_formula(spark):
     """_bucket_col (weights as data + HOF lambdas) must reproduce the original
     unrolled per-(plane,dim)-term expression bit for bit — pins the bucket
