@@ -276,8 +276,11 @@ def q29_setops(spark, sf):
         .select(F.lit("intersect").alias("op"), "nk")
     )
     exc = (
+        # subtract = EXCEPT DISTINCT, matching the oracle's EXCEPT; the
+        # previous exceptAll only agreed because n_nationkey happens to be
+        # unique — a fixture with duplicate left keys would have diverged
         n.select(F.col("n_nationkey").alias("nk"))
-        .exceptAll(c.select(F.col("c_nationkey").alias("nk")).distinct())
+        .subtract(c.select(F.col("c_nationkey").alias("nk")))
         .select(F.lit("except").alias("op"), "nk")
     )
     return inter.unionAll(exc).orderBy("op", "nk")

@@ -52,6 +52,24 @@ def test_query_matches_oracle(spark, duck, name, fn, oracle):
     assert value_hash(scols, srows) == value_hash(dcols, drows), f"{name}: value hash differs"
 
 
+def test_except_semantics_with_duplicate_keys(spark, duck):
+    """q29's except stage uses subtract (EXCEPT DISTINCT semantics) to match
+    the oracle's EXCEPT. Pin that on a frame with DUPLICATE left keys — the
+    shape where exceptAll and EXCEPT diverge (exceptAll would emit leftover
+    duplicates; EXCEPT emits each surviving key once)."""
+    left = spark.createDataFrame([(1,), (1,), (2,), (2,), (3,)], "nk int")
+    right = spark.createDataFrame([(2,), (9,)], "nk int")
+    got = sorted(r.nk for r in left.subtract(right).collect())
+    want = sorted(
+        r[0]
+        for r in duck.sql(
+            "select * from (values (1),(1),(2),(2),(3)) l(nk) "
+            "except select * from (values (2),(9)) r(nk)"
+        ).fetchall()
+    )
+    assert got == want == [1, 3]
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as e
 
