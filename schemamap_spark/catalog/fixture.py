@@ -18,8 +18,14 @@ class FixtureCatalog(CatalogAdapter):
         self.spark = spark
         self.dir = fixture_dir
 
-    def _read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.dir, f"{name}.parquet"))
+    def _read(self, name: str, default_ok: bool = False) -> DataFrame:
+        path = os.path.join(self.dir, f"{name}.parquet")
+        if default_ok and not os.path.exists(path):
+            # role/grant fixtures were added after the catalog fixtures; a
+            # custom --fixtures dir predating them would break doctor(), which
+            # used to fall back to the repo defaults — keep that behavior
+            path = os.path.join(DEFAULT_FIXTURE_DIR, f"{name}.parquet")
+        return self.spark.read.parquet(path)
 
     def relations(self) -> DataFrame:
         return self._read("cat_rel")
@@ -34,7 +40,7 @@ class FixtureCatalog(CatalogAdapter):
         return self._read("cat_idx")
 
     def role_edges(self) -> DataFrame:
-        return self._read("role_edges")
+        return self._read("role_edges", default_ok=True)
 
     def table_grants(self) -> DataFrame:
-        return self._read("table_grants")
+        return self._read("table_grants", default_ok=True)

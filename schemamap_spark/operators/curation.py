@@ -120,7 +120,12 @@ def curate_corpus(
     exact_reps = with_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     survivors = with_fp.join(exact_reps, ["fingerprint", id_col], "left_semi")
 
-    pairs = jaccard_similar_pairs(survivors, jaccard_threshold, k)
+    # id_col/text_col must reach the shingling stage: with non-default names
+    # the old hardcoded call failed on missing doc_id/text — or silently
+    # deduped on the WRONG columns if the frame happened to carry both names
+    pairs = jaccard_similar_pairs(
+        survivors, jaccard_threshold, k, id_col=id_col, text_col=text_col
+    )
     groups = connected_components(pairs)  # (node, group_id = min reachable id)
     non_reps = groups.filter(F.col("node") != F.col("group_id")).select(
         F.col("node").alias(id_col)

@@ -85,25 +85,35 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingled(docs: DataFrame, k: int) -> DataFrame:
+def _shingled(
+    docs: DataFrame, k: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     # Small-file inputs arrive as 1-2 partitions; shingling/hashing is the
     # CPU-heavy fan-out, so spread it across the cluster FIRST. At 100 TB the
     # scan is already wide and AQE will coalesce the extra shuffle away.
     from schemamap_spark.session import ensure_parallelism
 
-    docs = ensure_parallelism(docs, "doc_id")
+    docs = ensure_parallelism(docs, id_col)
     # Filter on token count, not on size(sh): a size(sh)>0 predicate gets
     # pushed below the repartition and re-evaluates the whole shingle
     # expression on the narrow pre-shuffle plan. size(toks) >= k is the
     # equivalent cheap predicate.
     return (
-        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+        )
         .filter(F.size("toks") >= k)
         .select("doc_id", shingles_from_tokens("toks", k).alias("sh"))
     )
 
 
-def jaccard_similar_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFrame:
+def jaccard_similar_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """All doc pairs with shingle-set Jaccard >= threshold.
 
     Exact result. Candidate generation uses prefix filtering: order each
@@ -114,7 +124,7 @@ def jaccard_similar_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -
     # persisted so the 3 lineage branches (index + both verify sides) share
     # one computation; Spark's ContextCleaner unpersists it once the
     # returned DataFrame is garbage-collected on the driver
-    sh = _shingled(docs, k).persist()
+    sh = _shingled(docs, k, id_col, text_col).persist()
     exploded = sh.select("doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
 
     freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -167,6 +177,8 @@ def minhash_lsh_similar_pairs(
     k: int = 3,
     num_hashes: int = 64,
     bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
     """MinHash + banded LSH candidates, exact-Jaccard verified.
 
@@ -177,7 +189,7 @@ def minhash_lsh_similar_pairs(
     """
     rows_per_band = num_hashes // bands
     # persisted: reused by the signature branch and both verify branches
-    sh = _shingled(docs, k).persist()
+    sh = _shingled(docs, k, id_col, text_col).persist()
 
     # Hash every shingle ONCE (the expensive string hash), then derive the
     # num_hashes minhash functions as universal-hash affine transforms
@@ -236,7 +248,13 @@ def minhash_lsh_similar_pairs(
     return _verify_jaccard(cand, sh, threshold)
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
     """Pairs of documents whose 64-bit SimHash differs in <= max_hamming bits.
 
     SimHash: per-shingle xxhash64; each of 64 bits votes +1/-1; sign of the
@@ -250,7 +268,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 3) -> Dat
         # need max_hamming+1 chunks of >= 2 bits each from 64 bits; beyond
         # that the chunk join degenerates to near-all-pairs anyway
         raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
-    sh = _shingled(docs, k)
+    sh = _shingled(docs, k, id_col, text_col)
     hashed = sh.select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
 
     def _bit_vote(bit: int):
@@ -284,10 +302,15 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3, k: int = 3) -> Dat
     start = 0
     for c in range(nchunks):
         width = base + (1 if c < rem else 0)
-        mask = (1 << width) - 1
-        chunk_exprs.append(
-            F.shiftrightunsigned("simhash", start).bitwiseAND(F.lit(mask)).cast("long")
-        )
+        shifted = F.shiftrightunsigned("simhash", start)
+        if width == 64:
+            # max_hamming=0: one full-width chunk. (1<<64)-1 overflows a Java
+            # long literal (F.lit raises at plan build); the shift alone is
+            # already the whole word, no mask needed.
+            chunk_exprs.append(shifted.cast("long"))
+        else:
+            mask = (1 << width) - 1
+            chunk_exprs.append(shifted.bitwiseAND(F.lit(mask)).cast("long"))
         start += width
     chunked = simhash.select(
         "doc_id",
@@ -372,6 +395,10 @@ def containment_pairs(
     drop fingerprints appearing in more than max_df documents (stop-
     fingerprint removal; standard winnowing practice and harmless for
     containment, since ubiquitous fingerprints carry no signal)."""
+    # persisted so the sizes / inverted-index / hot-key branches share one
+    # computation; Spark's ContextCleaner unpersists it once the returned
+    # DataFrame is garbage-collected on the driver (same lifecycle as
+    # jaccard_similar_pairs' shingle cache)
     fp = winnow_fingerprints(docs, k, w, id_col, text_col).persist()
     sizes = fp.select(F.col(id_col), F.size("fingerprints").alias("n_fp"))
     ex = fp.select(F.col(id_col), F.explode("fingerprints").alias("f"))

@@ -49,3 +49,22 @@ def test_engine_doctor_api(spark, engine):
     assert isinstance(rep["installation"]["mdes_defined"], bool)
     some_grantee = sorted(rep["grants"])[0]
     assert all(isinstance(v, int) for v in rep["grants"][some_grantee].values())
+
+
+def test_fixture_catalog_role_fixtures_fall_back(spark, tmp_path):
+    """A custom fixture dir without role_edges/table_grants parquet (they were
+    added later than the catalog fixtures) must fall back to the repo defaults
+    instead of breaking doctor()."""
+    import shutil
+
+    from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR, FixtureCatalog
+
+    custom = tmp_path / "fixtures"
+    custom.mkdir()
+    for f in ("cat_rel", "cat_attr", "cat_constr", "cat_idx"):
+        shutil.copy(f"{DEFAULT_FIXTURE_DIR}/{f}.parquet", custom / f"{f}.parquet")
+    cat = FixtureCatalog(spark, str(custom))
+    assert cat.role_edges().count() > 0
+    assert cat.table_grants().count() > 0
+    # catalog fixtures still come from the custom dir
+    assert cat.relations().count() > 0

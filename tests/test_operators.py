@@ -402,6 +402,47 @@ def test_curate_corpus_funnel(spark):
     assert (rep.input_docs, rep.curated_docs, rep.removed_docs) == (5, 2, 3)
 
 
+def test_curate_corpus_custom_column_names(spark):
+    """id_col/text_col must reach the near-dup stage: previously the jaccard
+    call hardcoded doc_id/text, so frames with other names raised — or, worse,
+    deduped on the wrong columns when BOTH names were present (e.g. a 'text'
+    column that is not the curated one)."""
+    from schemamap_spark.operators.curation import curate_corpus
+
+    base = ("a genuinely varied sentence about glacier melt harpsichord tuning "
+            "and seventeen unrelated topics with distinct vocabulary")
+    docs = spark.createDataFrame(
+        [
+            # decoy doc_id/text columns: all-identical text, distinct ids —
+            # if the dedup stage read them, rows 2 and 3 would collapse
+            (1, base + " variant one", 101, "identical decoy"),
+            (2, base + " variant one", 102, "identical decoy"),  # exact dup by body
+            (3, "completely different prose on submarine cable maintenance "
+                "and deep sea repair logistics workflows", 103, "identical decoy"),
+        ],
+        "row_id long, body string, doc_id long, text string",
+    )
+    out = curate_corpus(docs, quality_min=0.0, id_col="row_id", text_col="body")
+    kept = {r.row_id for r in out.select("row_id").collect()}
+    assert kept == {1, 3}  # 2 collapses into 1 on body; decoys untouched
+
+
+def test_simhash_zero_hamming_budget(spark):
+    """max_hamming=0 = exact-fingerprint matching via one full-width chunk;
+    the (1<<64)-1 mask used to overflow a Java long at plan build."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = DD.simhash_near_pairs(docs, max_hamming=0).collect()
+    assert {(r.i, r.j) for r in out} == {(1, 2)}
+    assert all(r.hamming == 0 for r in out)
+
+
 def test_curate_corpus_is_deterministic(spark):
     from schemamap_spark.operators.curation import curate_corpus
 
