@@ -40,6 +40,21 @@ class ImportResult:
     summary: dict = field(default_factory=dict)
 
 
+def import_counts(checked: DataFrame) -> DataFrame:
+    """One-row funnel accounting over a validated frame: loaded / valid /
+    violation_rows computed in a single aggregation, i.e. one scan of the
+    staging lineage (scan -> mapping -> validation runs once, not per count)."""
+    return checked.agg(
+        F.count(F.lit(1)).alias("loaded"),
+        F.coalesce(
+            F.sum((F.size("violations") == 0).cast("long")), F.lit(0)
+        ).alias("valid"),
+        F.coalesce(
+            F.sum((F.size("violations") > 0).cast("long")), F.lit(0)
+        ).alias("violation_rows"),
+    )
+
+
 class ImportPipeline:
     def __init__(self, spark: SparkSession, mappings: BidiMappingRegistry | None = None):
         self.spark = spark
@@ -131,8 +146,8 @@ class ImportPipeline:
         """column_mappings: staging_col -> (target_col, bidi_mapping_name);
         casts: target_col -> Spark type string applied after mapping."""
         mid = self._record(mde_name, source)
+        loaded = 0
         try:
-            loaded = staging.count()
             mapped = staging.select(
                 *[
                     self.mappings.forward(fn_name)(F.col(src)).alias(dst)
@@ -151,8 +166,12 @@ class ImportPipeline:
             checked = validate(mapped, rules or [])
             violations = checked.filter(F.size("violations") > 0)
             clean = checked.filter(F.size("violations") == 0).drop("violations")
-            n_bad = violations.count()
-            n_ok = clean.count()
+            # ONE action / ONE scan for the whole funnel accounting — the
+            # mapping select preserves row count, so loaded == ok + bad.
+            # Counting loaded/violations/clean as three separate actions
+            # recomputed scan+mapping+validation three times.
+            counts = import_counts(checked).collect()[0]
+            loaded, n_ok, n_bad = counts.loaded, counts.valid, counts.violation_rows
 
             merged = merge_upsert(
                 target,

@@ -47,6 +47,29 @@ def test_full_import_run(spark):
     assert len(dm) == 1 and dm[0].state == "IMPORTED" and dm[0].version == 3
 
 
+def test_import_counts_single_scan(spark):
+    """The funnel accounting (loaded/valid/violations) must be ONE aggregation
+    over ONE scan of the staging lineage — three separate count() actions used
+    to recompute scan+mapping+validation three times."""
+    from schemamap_spark.imports.pipeline import import_counts
+    from schemamap_spark.imports.validation import validate
+    from schemamap_spark.plans.dryrun import explain_str
+
+    staging = read_staging_csv(spark, f"{FIX}/staging_organizations.csv")
+    checked = validate(
+        staging,
+        [ColumnRule("name", not_null=True, min_length=3)],
+    )
+    counts_df = import_counts(checked)
+    # simple mode prints each physical node once ("formatted" repeats nodes
+    # in the detail section, double-counting scans)
+    plan = explain_str(counts_df, mode="simple")
+    assert plan.count("Scan csv") + plan.count("Scan parquet") == 1
+    row = counts_df.collect()[0]
+    assert row.loaded == 200
+    assert row.valid + row.violation_rows == row.loaded
+
+
 def test_fk_validation(spark):
     staging = read_staging_csv(spark, f"{FIX}/staging_projects.csv")
     orgs = spark.read.parquet(f"{FIX}/organizations.parquet")
