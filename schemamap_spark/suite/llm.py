@@ -201,6 +201,49 @@ def dataset_splits(spark, sf):
     )
 
 
+_PACK_BUDGET = 256
+_PACK_BUCKETS = 8
+
+
+def pack_sequences(spark, sf):
+    """Bucket-local first-fit-decreasing sequence packing over documents; the
+    oracle replays FFD exactly with a DuckDB recursive CTE carrying the open
+    bins' remaining capacities as a list column (FFD is deterministic:
+    same (tokens desc, id) order -> same assignment in any engine)."""
+    from schemamap_spark.operators.packing import pack_sequences as pack
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        pack(docs, max_tokens=_PACK_BUDGET, buckets=_PACK_BUCKETS)
+        .select(
+            "doc_id", "n_tokens", "bucket", "seq_local",
+            "seq_tokens", "oversize", "seq_id",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def curate_funnel(spark, sf):
+    """End-to-end corpus-curation funnel accounting: quality gate -> exact-dup
+    collapse -> near-dup group collapse, with survivor quality summed as exact
+    integer micro-units (portable across engines, unlike a double mean)."""
+    from schemamap_spark.operators.curation import curate_corpus
+
+    docs = load_table(spark, sf, "documents")
+    curated = curate_corpus(docs, quality_min=0.3, jaccard_threshold=_JACCARD_T, k=_SHINGLE_K)
+    return (
+        docs.agg(F.count(F.lit(1)).alias("input_docs"))
+        .crossJoin(
+            curated.agg(
+                F.count(F.lit(1)).alias("curated_docs"),
+                F.countDistinct("dup_group").alias("dup_groups"),
+                F.sum(F.round(F.col("quality") * 1e6).cast("bigint")).alias("quality_micros"),
+            )
+        )
+        .withColumn("removed_docs", F.col("input_docs") - F.col("curated_docs"))
+    )
+
+
 def multimodal_decode(spark, sf):
     from schemamap_spark.operators.multimodal import decode_images
 
@@ -229,6 +272,8 @@ SPARK_QUERIES = {
     "multimodal_decode": multimodal_decode,
     "dataset_splits": dataset_splits,
     "approx_invariants": approx_invariants,
+    "pack_sequences": pack_sequences,
+    "curate_funnel": curate_funnel,
 }
 
 # ---- shared oracle snippets -------------------------------------------------
@@ -267,6 +312,116 @@ _HITS = ", ".join(
 )
 
 _STOP = "['the','a','of','and','is','to','in']"
+
+# first-fit position: 1-based index of the first open bin with enough room
+# (DuckDB list_position returns 0, not NULL, when nothing matches)
+_FFD_POS = "list_position(list_transform(p.rems, x -> x >= o.n_tokens), true)"
+
+_PACK_ORACLE = f"""
+    with recursive
+    d as (
+      select doc_id,
+             cast(len(string_split(text, ' ')) as bigint) as n_tokens,
+             cast((((doc_id % 2147483648) * 2654435761) % 2147483648)
+                  % {_PACK_BUCKETS} as int) as bucket
+      from documents
+    ),
+    ordered as (
+      select doc_id, n_tokens, bucket,
+             row_number() over (partition by bucket order by n_tokens desc, doc_id) as rn,
+             count(*) over (partition by bucket) as cnt
+      from d
+    ),
+    -- replay bucket-local FFD: one recursion step per (tokens desc, id) rank,
+    -- carrying each bucket's open-bin remaining capacities as a list column
+    pack as (
+      select bucket, cnt, cast(0 as bigint) as rn,
+             cast([] as bigint[]) as rems, cast([] as int[]) as assigns
+      from (select distinct bucket, cnt from ordered)
+      union all
+      select p.bucket, p.cnt, o.rn,
+        case
+          when o.n_tokens > {_PACK_BUDGET} then list_append(p.rems, cast(0 as bigint))
+          when {_FFD_POS} = 0 then list_append(p.rems, {_PACK_BUDGET} - o.n_tokens)
+          else p.rems[:{_FFD_POS}-1]
+               || [p.rems[{_FFD_POS}] - o.n_tokens]
+               || p.rems[{_FFD_POS}+1:]
+        end as rems,
+        list_append(p.assigns,
+          cast(case when o.n_tokens > {_PACK_BUDGET} or {_FFD_POS} = 0
+                 then len(p.rems)
+                 else {_FFD_POS} - 1
+               end as int)) as assigns
+      from pack p join ordered o on o.bucket = p.bucket and o.rn = p.rn + 1
+    ),
+    final as (select bucket, assigns from pack where rn = cnt),
+    asg as (
+      select f.bucket, t.i as rn, f.assigns[t.i] as seq_local
+      from final f, unnest(range(1, len(f.assigns)+1)) as t(i)
+    ),
+    joined as (
+      select o.doc_id, o.n_tokens, o.bucket, a.seq_local
+      from ordered o join asg a on a.bucket = o.bucket and a.rn = o.rn
+    )
+    select doc_id, n_tokens, bucket, cast(seq_local as int) as seq_local,
+           cast(sum(n_tokens) over (partition by bucket, seq_local) as bigint)
+             as seq_tokens,
+           n_tokens > {_PACK_BUDGET} as oversize,
+           cast(bucket as varchar) || '-' || cast(seq_local as varchar) as seq_id
+    from joined order by doc_id
+"""
+
+_CURATE_ORACLE = f"""
+    with recursive
+    tk as (select doc_id, text, string_split(text, ' ') as toks from documents),
+    q as (
+      select doc_id, text, toks,
+             round(0.5 * least(len(toks) / 100.0, 1.0)
+                   + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                   + 0.1 * least(len(list_filter(toks, x -> list_contains({_STOP}, x)))
+                                 * 1.0 / len(toks) * 5.0, 1.0), 6) as quality
+      from tk
+    ),
+    gated as (select * from q where quality >= 0.3),
+    fp as (select *, md5(lower(trim(text))) as fingerprint from gated),
+    reps as (select fingerprint, min(doc_id) as doc_id from fp group by 1),
+    surv as (select f.* from fp f join reps r
+             on f.fingerprint = r.fingerprint and f.doc_id = r.doc_id),
+    sh as (
+      select doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) as sh
+      from surv where len(toks) >= 3
+    ),
+    ex as (select doc_id, unnest(sh) as s from sh),
+    sz as (select doc_id, len(sh) as s_n from sh),
+    pairs as (
+      select a.doc_id as i, b.doc_id as j, count(*) as shared
+      from ex a join ex b on a.s = b.s and a.doc_id < b.doc_id group by 1, 2
+    ),
+    simpairs as (
+      select i, j from pairs
+      join sz sa on sa.doc_id = i join sz sb on sb.doc_id = j
+      where shared * 1.0 / (sa.s_n + sb.s_n - shared) >= {_JACCARD_T}
+    ),
+    e as (select i as a, j as b from simpairs union select j, i from simpairs),
+    reach(a, b) as (
+      select a, b from e
+      union
+      select r.a, e2.b from reach r join e e2 on r.b = e2.a
+    ),
+    groups as (select a as node, least(a, min(b)) as group_id from reach group by a),
+    nonreps as (select node from groups where node <> group_id),
+    curated as (
+      select s.doc_id, s.quality from surv s
+      left join nonreps nr on s.doc_id = nr.node where nr.node is null
+    )
+    select (select count(*) from documents) as input_docs,
+           count(*) as curated_docs,
+           count(distinct doc_id) as dup_groups,
+           cast(sum(cast(round(quality * 1000000) as bigint)) as bigint) as quality_micros,
+           (select count(*) from documents) - count(*) as removed_docs
+    from curated
+"""
 
 ORACLE_SQL = {
     "dedup_exact": """
@@ -413,4 +568,6 @@ ORACLE_SQL = {
         from read_parquet('{FIX}/images.parquet')
         order by image_id
     """,
+    "pack_sequences": _PACK_ORACLE,
+    "curate_funnel": _CURATE_ORACLE,
 }

@@ -59,24 +59,22 @@ def q04_left_join(spark, sf):
     )
 
 
-# --- Q05 anti join (NOT IN) ----------------------------------------------------
-def q05_anti_join(spark, sf):
+# --- Q05 anti join (NOT IN) + Q06 semi join (EXISTS), tagged -------------------
+# Merged (former q05_anti_join / q06_semi_join) to free a slot in the driver's
+# 50-query correctness window for the packing/curation oracles; both join
+# operators (J4 anti, J5 semi) still execute and value-check.
+def q05_semi_anti(spark, sf):
     c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
-    return (
-        n.join(c.select("c_nationkey").distinct(), n.n_nationkey == c.c_nationkey, "left_anti")
-        .select("n_nationkey")
-        .orderBy("n_nationkey")
-    )
-
-
-# --- Q06 semi join (EXISTS) ----------------------------------------------------
-def q06_semi_join(spark, sf):
     s, li = _t(spark, sf, "supplier"), _t(spark, sf, "lineitem")
-    return (
-        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
-        .select("s_suppkey")
-        .orderBy("s_suppkey")
+    anti = (
+        n.join(c.select("c_nationkey").distinct(), n.n_nationkey == c.c_nationkey, "left_anti")
+        .select(F.lit("anti").alias("op"), F.col("n_nationkey").alias("k"))
     )
+    semi = (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select(F.lit("semi").alias("op"), F.col("s_suppkey").alias("k"))
+    )
+    return anti.unionAll(semi).orderBy("op", "k")
 
 
 # --- Q07 global min/max broadcast + normalization -------------------------------
@@ -108,24 +106,26 @@ def q08_collect_set(spark, sf):
     )
 
 
-# --- Q09 count distinct (incl. composite) + filtered counts (A4/A5/A6) --------------
-# One agg() pass over lineitem; merged with the former q10_filtered_counts so the
-# whole suite fits the driver's 50-query correctness window.
+# --- Q09 agg battery: count distinct (incl. composite) + filtered counts
+# (A4/A5/A6) + sum(case when) (A7) ---------------------------------------------
+# One agg() pass over lineitem crossed with one over orders; carries the former
+# q10_filtered_counts and q11_sum_case so the whole suite fits the driver's
+# 50-query correctness window.
 def q09_count_distinct(spark, sf):
-    li = _t(spark, sf, "lineitem")
+    li, o = _t(spark, sf, "lineitem"), _t(spark, sf, "orders")
     return li.agg(
         F.countDistinct("l_suppkey").alias("supp_nd"),
         F.countDistinct("l_suppkey", "l_partkey").alias("supp_part_nd"),
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("returned_cnt"),
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("discounted_cnt"),
-    )
-
-
-# --- Q11 sum(case when) ----------------------------------------------------------------
-def q11_sum_case(spark, sf):
-    o = _t(spark, sf, "orders")
-    return o.agg(
-        F.sum(F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0)).alias("urgent_cnt")
+    ).crossJoin(
+        F.broadcast(
+            o.agg(
+                F.sum(
+                    F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0)
+                ).alias("urgent_cnt")
+            )
+        )
     )
 
 
@@ -327,12 +327,10 @@ SPARK_QUERIES = {
     "q02_filter_in": q02_filter_in,
     "q03_join_agg": q03_join_agg,
     "q04_left_join": q04_left_join,
-    "q05_anti_join": q05_anti_join,
-    "q06_semi_join": q06_semi_join,
+    "q05_semi_anti": q05_semi_anti,
     "q07_minmax_norm": q07_minmax_norm,
     "q08_collect_set": q08_collect_set,
     "q09_count_distinct": q09_count_distinct,
-    "q11_sum_case": q11_sum_case,
     "q12_topk": q12_topk,
     "q13_union": q13_union,
     "q14_scalar_fns": q14_scalar_fns,
@@ -361,13 +359,13 @@ ORACLE_SQL = {
         "select n_name, count(c_custkey) as customer_count from nation "
         "left join customer on c_nationkey = n_nationkey group by 1 order by 1"
     ),
-    "q05_anti_join": (
-        "select n_nationkey from nation where n_nationkey not in "
-        "(select distinct c_nationkey from customer) order by 1"
-    ),
-    "q06_semi_join": (
-        "select s_suppkey from supplier where exists "
-        "(select 1 from lineitem where l_suppkey = s_suppkey) order by 1"
+    "q05_semi_anti": (
+        "select 'anti' as op, n_nationkey as k from nation where n_nationkey not in "
+        "(select distinct c_nationkey from customer) "
+        "union all "
+        "select 'semi' as op, s_suppkey as k from supplier where exists "
+        "(select 1 from lineitem where l_suppkey = s_suppkey) "
+        "order by 1, 2"
     ),
     "q07_minmax_norm": (
         "with st as (select c_nationkey as k, count(*) as n from customer group by 1), "
@@ -380,15 +378,15 @@ ORACLE_SQL = {
         "as statuses from orders group by 1 order by 1"
     ),
     "q09_count_distinct": (
-        "select count(distinct l_suppkey) as supp_nd, "
+        "select * from "
+        "(select count(distinct l_suppkey) as supp_nd, "
         "count(distinct (l_suppkey, l_partkey)) as supp_part_nd, "
         "count(*) filter (where l_returnflag = 'R') as returned_cnt, "
-        "count(*) filter (where l_discount > 0.05) as discounted_cnt from lineitem"
-    ),
-    "q11_sum_case": (
+        "count(*) filter (where l_discount > 0.05) as discounted_cnt from lineitem) "
+        "cross join "
         # cast: DuckDB sum(int) is HUGEINT; Spark's is bigint
-        "select cast(sum(case when o_orderpriority like '1%' then 1 else 0 end) as bigint) "
-        "as urgent_cnt from orders"
+        "(select cast(sum(case when o_orderpriority like '1%' then 1 else 0 end) as bigint) "
+        "as urgent_cnt from orders)"
     ),
     "q12_topk": (
         "select o_custkey, sum(cast(o_totalprice as decimal(18,2))) as s from orders "
