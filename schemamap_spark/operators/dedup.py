@@ -248,26 +248,17 @@ def minhash_lsh_similar_pairs(
     return _verify_jaccard(cand, sh, threshold)
 
 
-def simhash_near_pairs(
+def simhash_fingerprints(
     docs: DataFrame,
-    max_hamming: int = 3,
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Pairs of documents whose 64-bit SimHash differs in <= max_hamming bits.
-
-    SimHash: per-shingle xxhash64; each of 64 bits votes +1/-1; sign of the
-    sum forms the fingerprint. Banding: the fingerprint is split into
-    max_hamming+1 chunks — any pair within the distance budget must agree
-    exactly on >= 1 chunk (pigeonhole), so the guarantee holds for EVERY
-    max_hamming, not just the 4x16 special case. Candidates come from an
-    equi-join on (chunk_id, chunk_value) and are exact-verified by bit_count.
-    """
-    if not 0 <= max_hamming <= 31:
-        # need max_hamming+1 chunks of >= 2 bits each from 64 bits; beyond
-        # that the chunk join degenerates to near-all-pairs anyway
-        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    """64-bit SimHash fingerprint per document: per-shingle xxhash64; each of
+    64 bits votes +1/-1; sign of the sum forms the fingerprint. Output
+    (doc_id, simhash). Engine-specific (xxhash64 has no portable SQL twin),
+    so correctness is pinned by a committed golden parquet
+    (tools/gen_simhash_golden.py) rather than a recomputing oracle."""
     sh = _shingled(docs, k, id_col, text_col)
     hashed = sh.select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
 
@@ -280,7 +271,7 @@ def simhash_near_pairs(
         ).alias(f"b{bit}")
 
     bit_sums = hashed.select("doc_id", *[_bit_vote(bit) for bit in range(64)])
-    simhash = bit_sums.select(
+    return bit_sums.select(
         "doc_id",
         sum(
             [
@@ -295,6 +286,28 @@ def simhash_near_pairs(
             F.lit(0).cast("long"),
         ).alias("simhash"),
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs of documents whose 64-bit SimHash differs in <= max_hamming bits.
+
+    Banding: the fingerprint is split into max_hamming+1 chunks — any pair
+    within the distance budget must agree exactly on >= 1 chunk (pigeonhole),
+    so the guarantee holds for EVERY max_hamming, not just the 4x16 special
+    case. Candidates come from an equi-join on (chunk_id, chunk_value) and
+    are exact-verified by bit_count.
+    """
+    if not 0 <= max_hamming <= 31:
+        # need max_hamming+1 chunks of >= 2 bits each from 64 bits; beyond
+        # that the chunk join degenerates to near-all-pairs anyway
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    simhash = simhash_fingerprints(docs, k, id_col, text_col)
 
     nchunks = max_hamming + 1
     base, rem = divmod(64, nchunks)

@@ -63,7 +63,12 @@ def dedup_groups(spark, sf):
     )
 
 
-def dedup_simhash(spark, sf):  # rows-only check (engine-specific hashing)
+def dedup_simhash(spark, sf):
+    """SimHash banding + verify, value-checked against a committed golden:
+    the oracle brute-forces Hamming pairs from fixtures/simhash_sf0_01.parquet
+    (Spark-generated fingerprints — xxhash64 has no portable SQL twin), so a
+    hash mismatch means either the fingerprint algorithm drifted from the
+    golden or the pigeonhole banding lost/invented a candidate pair."""
     docs = load_table(spark, sf, "documents")
     return DD.simhash_near_pairs(docs, max_hamming=3, k=_SHINGLE_K)
 
@@ -570,4 +575,13 @@ ORACLE_SQL = {
     """,
     "pack_sequences": _PACK_ORACLE,
     "curate_funnel": _CURATE_ORACLE,
+    "dedup_simhash": f"""
+        with g as (select doc_id, simhash
+                   from read_parquet('{FIX}/simhash_sf0_01.parquet'))
+        select a.doc_id as i, b.doc_id as j,
+               cast(bit_count(xor(a.simhash, b.simhash)) as int) as hamming
+        from g a join g b on a.doc_id < b.doc_id
+        where bit_count(xor(a.simhash, b.simhash)) <= 3
+        order by i, j
+    """,
 }

@@ -45,6 +45,26 @@ def test_simhash_banding_generalizes(spark):
         DD.simhash_near_pairs(docs, -1)
 
 
+def test_simhash_fingerprints_match_committed_golden(spark):
+    """Live fingerprints over sf0.01 must equal the committed golden parquet
+    byte-for-byte — any drift in shingling, xxhash64 use, or bit voting shows
+    up here (and in the driver's dedup_simhash hash check) immediately."""
+    from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    live = {
+        r.doc_id: r.simhash
+        for r in DD.simhash_fingerprints(docs, k=3).collect()
+    }
+    golden = {
+        r.doc_id: r.simhash
+        for r in spark.read.parquet(
+            f"{DEFAULT_FIXTURE_DIR}/simhash_sf0_01.parquet"
+        ).collect()
+    }
+    assert live == golden and len(golden) > 0
+
+
 def test_exact_duplicates_on_constructed_dups(spark):
     docs = load_table(spark, SF, "documents").limit(20)
     dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars")
