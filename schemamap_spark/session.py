@@ -29,7 +29,16 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def get_spark(app_name: str = "schemamap-spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "schemamap-spark",
+    shuffle_partitions: int | None = None,
+    extra_configs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build the engine's SparkSession. `extra_configs` lets deployments
+    inject site config — e.g. `{"spark.jars.packages":
+    "org.postgresql:postgresql:42.7.4"}` to enable the JDBC catalog adapter's
+    wire transport (no driver jar or network in this container; see
+    COVERAGE.md 'Declared out of scope')."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -44,6 +53,8 @@ def get_spark(app_name: str = "schemamap-spark", shuffle_partitions: int | None 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_configs or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 
