@@ -84,7 +84,12 @@ def ann_topk_cosine(spark, sf):
     return SIM.cosine_topk(emb, queries, k=5)
 
 
-def ann_lsh_cosine(spark, sf):  # approximate — rows-only check
+def ann_lsh_cosine(spark, sf):
+    """Hyperplane-LSH approximate top-k, value-checked against a committed
+    golden: the oracle joins fixtures/lsh_buckets_sf0_01.parquet (Spark-
+    generated bucket ids — the hyperplane weights derive from xxhash64, which
+    has no portable SQL twin) and recomputes same-bucket cosine top-k in
+    DuckDB, pinning both the bucketing and the candidate scoring/ranking."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.lsh_topk(emb, queries, k=5, num_planes=8, dims=64)
@@ -583,5 +588,30 @@ ORACLE_SQL = {
         from g a join g b on a.doc_id < b.doc_id
         where bit_count(xor(a.simhash, b.simhash)) <= 3
         order by i, j
+    """,
+    "ann_lsh_cosine": f"""
+        with g as (select vec_id, bucket
+                   from read_parquet('{FIX}/lsh_buckets_sf0_01.parquet')),
+        e as (select vec_id, embedding::DOUBLE[] as v,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) as nrm
+              from embeddings),
+        scored as (
+          select q.vec_id as query_id, c.vec_id as neighbor_id,
+                 list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm) as sim
+          from g q
+          join g c on c.bucket = q.bucket and c.vec_id <> q.vec_id
+          join e qe on qe.vec_id = q.vec_id
+          join e ce on ce.vec_id = c.vec_id
+          where q.vec_id < 10
+        ),
+        ranked as (
+          select query_id, neighbor_id,
+                 row_number() over (partition by query_id order by sim desc, neighbor_id) as rank,
+                 sim
+          from scored
+        )
+        select query_id, neighbor_id, cast(rank as int) as rank,
+               round(sim, 6) as cosine_sim
+        from ranked where rank <= 5 order by query_id, rank
     """,
 }

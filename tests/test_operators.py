@@ -45,6 +45,30 @@ def test_simhash_banding_generalizes(spark):
         DD.simhash_near_pairs(docs, -1)
 
 
+def test_lsh_buckets_match_committed_golden(spark):
+    """Live hyperplane-LSH bucket ids over sf0.01 must equal the committed
+    golden parquet — drift in the weight derivation or projection fold shows
+    up here (and in the driver's ann_lsh_cosine hash check) immediately."""
+    from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    weights = SIM._plane_weights(spark, 8, 64)
+    wdf = F.broadcast(spark.createDataFrame([(weights,)], "W array<array<double>>"))
+    live = {
+        r.vec_id: r.bucket
+        for r in emb.crossJoin(wdf)
+        .select("vec_id", SIM._bucket_col(F.col("embedding"), F.col("W")).alias("bucket"))
+        .collect()
+    }
+    golden = {
+        r.vec_id: r.bucket
+        for r in spark.read.parquet(
+            f"{DEFAULT_FIXTURE_DIR}/lsh_buckets_sf0_01.parquet"
+        ).collect()
+    }
+    assert live == golden and len(golden) > 0
+
+
 def test_simhash_fingerprints_match_committed_golden(spark):
     """Live fingerprints over sf0.01 must equal the committed golden parquet
     byte-for-byte — any drift in shingling, xxhash64 use, or bit voting shows
