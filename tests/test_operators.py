@@ -127,6 +127,52 @@ def test_ivf_topk_runs(spark):
     assert 0 < len(out) <= 9
 
 
+def test_cosine_topk_matmul_matches_expr(spark):
+    """The BLAS path is the same exact operator: identical (query, neighbor,
+    rank) rows, sims equal to well inside round6."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    expr_rows = SIM.cosine_topk(emb, q, k=5).collect()
+    mm_rows = SIM.cosine_topk(emb, q, k=5, method="matmul").collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in expr_rows} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in mm_rows
+    }
+    mm = {(r.query_id, r.neighbor_id): r.cosine_sim for r in mm_rows}
+    for r in expr_rows:
+        assert abs(mm[(r.query_id, r.neighbor_id)] - r.cosine_sim) < 1e-6
+
+
+def test_cosine_topk_matmul_at_production_dims(spark):
+    """768-dim: both methods stay exact; matmul is the intended plan there
+    (one BLAS multiply per Arrow batch vs ~1.5k scalar ops per pair)."""
+    import numpy as np
+
+    DIMS = 768
+    rng = np.random.RandomState(7)
+    # distinct random vectors: duplicate rows would tie sims exactly, and the
+    # matmul path's batched-BLAS summation order may then break the tie
+    # differently than the expr fold (documented ≤1-ulp variance)
+    vecs = [(i, rng.uniform(-1, 1, DIMS).tolist()) for i in range(110)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 3)
+    expr_rows = SIM.cosine_topk(emb, q, k=4).collect()
+    mm_rows = SIM.cosine_topk(emb, q, k=4, method="matmul").collect()
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in expr_rows} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in mm_rows
+    }
+
+
+def test_cosine_topk_zero_vector_never_ranks(spark):
+    """cosine(0, x) is undefined (NaN); Spark sorts NaN greatest, so without
+    the explicit NaN drop a zero vector would be everyone's top neighbor."""
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (99, [0.0, 0.0])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    for method in ("expr", "matmul"):
+        rows = SIM.cosine_topk(emb, q, k=3, method=method).collect()
+        assert [r.neighbor_id for r in rows] == [1, 2]
+
+
 def test_cosine_near_pairs_prunes_on_id_clustered_ids(spark):
     """Adversarial id ordering: ids are assigned cluster-by-cluster, so a
     first-N-by-id centroid sample would land every centroid in cluster 0,
