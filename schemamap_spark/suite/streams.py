@@ -159,8 +159,10 @@ ORACLE_SQL = {
                event_type,
                count(*) as n,
                -- integer cents: floor() of the same IEEE double is identical in
-               -- every engine, unlike double->decimal(18,2) rounding
-               sum(cast(floor(value * 100) as bigint)) as total_cents
+               -- every engine, unlike double->decimal(18,2) rounding. Outer cast
+               -- is required: DuckDB sum(BIGINT) is HUGEINT, which turns into
+               -- float64 through the driver's pandas fetch (hash mismatch).
+               cast(sum(cast(floor(value * 100) as bigint)) as bigint) as total_cents
         from events
         group by 1, 2 order by 1, 2
     """,
@@ -195,7 +197,8 @@ ORACLE_SQL = {
         select cast(floor(epoch(date_trunc('day', ts))) as bigint) as day_epoch,
                event_type,
                count(*) as n,
-               sum(cast(floor(value * 100) as bigint)) as total_cents
+               -- outer cast: DuckDB sum(BIGINT) -> HUGEINT -> float64 via pandas
+               cast(sum(cast(floor(value * 100) as bigint)) as bigint) as total_cents
         from events
         group by 1, 2 order by 1, 2
     """,

@@ -6,6 +6,12 @@ DuckDB at a given sf dir, compares:
   - column names (sorted)
   - order-insensitive value hash (canonicalized cell rendering)
 
+Both sides are fetched THROUGH PANDAS (sdf.toPandas() / con.fetchdf()), not
+fetchall(), to reproduce the driver's canonicalization: DuckDB HUGEINT and
+DECIMAL become float64 through the pandas path, and a hash built from Python
+ints would false-green exactly the dtype divergence the driver flags (the
+round-3 events_* failures). Dtype fidelity is part of the contract.
+
 Usage: python tools/parity.py [sf_dir] [query_name ...]
 """
 
@@ -25,6 +31,37 @@ TESTDATA_TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+def pandas_rows(df) -> list[tuple]:
+    """Rows from a pandas frame with numpy scalars unwrapped to Python types.
+
+    np.float64 -> float (repr shows the dtype coercion we must detect),
+    np.int64 -> int, Timestamp -> datetime, ndarray -> list. NaT -> None.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def norm(v):
+        if v is None or v is pd.NaT:
+            return None
+        if isinstance(v, np.bool_):
+            return bool(v)
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        if isinstance(v, pd.Timestamp):
+            return v.to_pydatetime()
+        if isinstance(v, np.ndarray):
+            return [norm(x) for x in v.tolist()]
+        if isinstance(v, (list, tuple)):
+            return [norm(x) for x in v]
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        return v
+
+    return [tuple(norm(v) for v in t) for t in df.itertuples(index=False, name=None)]
 
 
 def canon_cell(v) -> str:
@@ -89,15 +126,16 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = queries[name](spark, sf_dir)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = list(sdf.columns)
+        spdf = sdf.toPandas()
+        srows = pandas_rows(spdf)
+        scols = list(spdf.columns)
         if name not in oracles:
             skipped.append(name)
             print(f"  {name:28s} rows={len(srows):6d}  (no oracle — rows-only)")
             continue
         ddf = con.sql(oracles[name])
         dcols = [d[0] for d in ddf.description]
-        drows = [tuple(r) for r in ddf.fetchall()]
+        drows = pandas_rows(ddf.fetchdf())
 
         ok_cols = sorted(scols) == sorted(dcols)
         ok_cnt = len(srows) == len(drows)
