@@ -52,10 +52,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
         runs = []
-        # two runs: the first (cold) pays one-time codegen/JIT compilation,
-        # the second reflects steady-state engine throughput. BOTH are
-        # reported — cold for honesty, best-of-2 for round comparisons.
-        for _ in range(2):
+        # 1 cold + 3 warm runs: the cold run pays one-time codegen/JIT
+        # compilation; the warm MEDIAN reflects steady-state throughput.
+        # (Round 3 showed best-of-2 is noisy at the ~1s scale: a single
+        # GC/session hiccup in the one warm run moved text_profile 1.5×
+        # with no code change. Median-of-3 warm is robust to one outlier.)
+        for _ in range(4):
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
             # noop writer forces FULL computation of every column; a count()
@@ -64,12 +66,16 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.monotonic() - t0, 3))
         cold[name] = runs[0]
-        timings[name] = min(runs)
-        print(f"# {name}: cold={cold[name]}s best={timings[name]}s", file=sys.stderr)
+        timings[name] = sorted(runs[1:])[1]
+        print(
+            f"# {name}: cold={cold[name]}s warm_median={timings[name]}s "
+            f"warm={runs[1:]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
-        "metric": "headline suite wall time (noop-materialized, best-of-2)",
+        "metric": "headline suite wall time (noop-materialized, median of 3 warm)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -212,13 +212,24 @@ def cosine_topk(
     """
     from schemamap_spark.session import ensure_parallelism
 
+    # Zero-norm (and NaN-element) vectors are dropped per side BEFORE the
+    # join: cosine is undefined for them, and Spark sorts NaN greatest, so an
+    # unfiltered zero vector would rank as everyone's nearest neighbor. The
+    # predicate costs one per-ROW pass over the vector; a post-join filter on
+    # the computed sim is per-PAIR, and worse, ProjectCollapse inlines the
+    # whole zip_with/aggregate cosine into each predicate reference (~3×
+    # evaluation — measured 2.4× wall on the sf0.1 bench).
+    def _finite_nonzero(col):
+        sq = _dot(col, col)
+        return (sq > 0) & ~F.isnan(sq)
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).filter(_finite_nonzero(F.col("q_vec")))
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "neighbor_id",
-    )
+    ).filter(_finite_nonzero(F.col("c_vec")))
     if method == "matmul":
         scored = _matmul_candidates(c, q, k)
     elif method == "expr":
@@ -235,11 +246,7 @@ def cosine_topk(
         raise ValueError(f"unknown cosine_topk method: {method!r}")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
-        # NULL/NaN sims (zero-norm vectors: cosine undefined) are dropped —
-        # Spark sorts NaN greatest, so an undropped zero vector would rank
-        # as everyone's nearest neighbor
-        scored.filter(F.col("sim").isNotNull() & ~F.isnan("sim"))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
         .orderBy("query_id", "rank")

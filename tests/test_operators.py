@@ -164,13 +164,19 @@ def test_cosine_topk_matmul_at_production_dims(spark):
 
 def test_cosine_topk_zero_vector_never_ranks(spark):
     """cosine(0, x) is undefined (NaN); Spark sorts NaN greatest, so without
-    the explicit NaN drop a zero vector would be everyone's top neighbor."""
+    the zero-norm drop a zero vector would be everyone's top neighbor. The
+    drop happens per side BEFORE the join (per-row norm predicate) — a
+    post-join filter on the computed sim would make ProjectCollapse inline
+    the cosine aggregate into each predicate (~3× evaluation, the round-3
+    2.4× bench regression). Zero-norm QUERY vectors are likewise dropped:
+    they'd produce all-NaN sims, i.e. k arbitrary neighbors."""
     vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (99, [0.0, 0.0])]
     emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
-    q = emb.filter(F.col("vec_id") == 0)
+    q = emb.filter(F.col("vec_id").isin(0, 99))
     for method in ("expr", "matmul"):
         rows = SIM.cosine_topk(emb, q, k=3, method=method).collect()
-        assert [r.neighbor_id for r in rows] == [1, 2]
+        assert [r.neighbor_id for r in rows] == [1, 2], method
+        assert all(r.query_id == 0 for r in rows), method
 
 
 def test_cosine_near_pairs_prunes_on_id_clustered_ids(spark):
