@@ -71,6 +71,7 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     contamination_threshold: float = 0.8,
     contamination_k: int = 13,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: rows of `docs` that survive all gates,
     with added columns quality (double), fingerprint (exact-dup digest),
@@ -93,6 +94,13 @@ def curate_corpus(
     then rewrites it through redact_pii — both BEFORE any gate, so documents
     that differ only in byte noise or identifiers collapse as exact dups —
     the order a production hygiene pass wants.
+
+    ``stats``, when given a dict, receives the intermediate frames for funnel
+    accounting: ``gated`` (post-hygiene/decontamination), ``exact_survivors``
+    (post exact-dup collapse, pre near-dup collapse) and ``groups`` (the
+    multi-member near-dup components as (node, group_id)). These share
+    lineage with the returned frame — persist upstream if aggregating them
+    separately at scale would re-read the scan.
     """
     from schemamap_spark.operators.dedup import jaccard_similar_pairs
     from schemamap_spark.operators.graph import connected_components
@@ -140,15 +148,23 @@ def curate_corpus(
         .withColumn("dup_group", F.coalesce("group_id", F.col(id_col)))
         .drop("group_id")
     )
+    if stats is not None:
+        stats["gated"] = scored
+        stats["exact_survivors"] = survivors
+        stats["groups"] = groups
     return assign_splits(curated, id_col, split_weights)
 
 
 def curation_report(original: DataFrame, curated: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One-row accounting of the curation funnel (counts only — cheap)."""
+    """One-row accounting of the curation funnel (counts only — cheap).
+
+    No dup_group count here: after collapse every curated row IS its group's
+    representative, so countDistinct(dup_group) == count(*) by construction —
+    a column that can never catch a grouping bug. Use curate_corpus's
+    ``stats`` hook for the pre-collapse group count instead."""
     n0 = original.select(F.count(F.lit(1)).alias("input_docs"))
     n1 = curated.agg(
         F.count(F.lit(1)).alias("curated_docs"),
-        F.countDistinct("dup_group").alias("dup_groups"),
         F.round(F.avg("quality"), 6).alias("mean_quality"),
     )
     return n0.crossJoin(n1).withColumn(

@@ -16,6 +16,8 @@ Oracle strategy:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
@@ -28,6 +30,28 @@ FIX = DEFAULT_FIXTURE_DIR
 
 _JACCARD_T = 0.5
 _SHINGLE_K = 3
+
+# The committed goldens (fixtures/simhash_sf0_01.parquet,
+# fixtures/lsh_buckets_sf0_01.parquet) were generated FROM sf0.01, and the
+# static oracle SQL reads them unconditionally; at any other scale the
+# value-check would compare live output against the wrong corpus.
+_GOLDEN_SF = "sf0.01"
+
+
+class GoldenScaleMismatch(ValueError):
+    """A golden-checked query was asked to run at a scale the committed
+    golden wasn't generated from (parity harnesses skip-with-reason)."""
+
+
+def _require_golden_sf(sf, query: str) -> None:
+    leaf = os.path.basename(str(sf).rstrip("/"))
+    if leaf != _GOLDEN_SF:
+        raise GoldenScaleMismatch(
+            f"{query} is value-checked against a committed {_GOLDEN_SF} golden "
+            f"(fixtures/*_sf0_01.parquet) but was asked to run at {sf!r}; "
+            "regenerate the golden for this scale with tools/gen_simhash_golden.py / "
+            "tools/gen_lsh_golden.py and update the oracle path"
+        )
 
 
 def dedup_exact(spark, sf):
@@ -69,6 +93,7 @@ def dedup_simhash(spark, sf):
     (Spark-generated fingerprints — xxhash64 has no portable SQL twin), so a
     hash mismatch means either the fingerprint algorithm drifted from the
     golden or the pigeonhole banding lost/invented a candidate pair."""
+    _require_golden_sf(sf, "dedup_simhash")
     docs = load_table(spark, sf, "documents")
     return DD.simhash_near_pairs(docs, max_hamming=3, k=_SHINGLE_K)
 
@@ -90,6 +115,7 @@ def ann_lsh_cosine(spark, sf):
     generated bucket ids — the hyperplane weights derive from xxhash64, which
     has no portable SQL twin) and recomputes same-bucket cosine top-k in
     DuckDB, pinning both the bucketing and the candidate scoring/ranking."""
+    _require_golden_sf(sf, "ann_lsh_cosine")
     emb = load_table(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.lsh_topk(emb, queries, k=5, num_planes=8, dims=64)
@@ -234,19 +260,32 @@ def pack_sequences(spark, sf):
 
 
 def curate_funnel(spark, sf):
-    """End-to-end corpus-curation funnel accounting: quality gate -> exact-dup
-    collapse -> near-dup group collapse, with survivor quality summed as exact
-    integer micro-units (portable across engines, unlike a double mean)."""
+    """End-to-end corpus-curation funnel accounting, stage by stage: quality
+    gate -> exact-dup collapse -> near-dup group collapse, with survivor
+    quality summed as exact integer micro-units (portable across engines,
+    unlike a double mean). neardup_groups counts the MULTI-MEMBER components
+    among exact-dedup survivors (pre-collapse) — a post-collapse
+    countDistinct(dup_group) equals curated_docs by construction and can
+    never catch a grouping bug."""
     from schemamap_spark.operators.curation import curate_corpus
 
     docs = load_table(spark, sf, "documents")
-    curated = curate_corpus(docs, quality_min=0.3, jaccard_threshold=_JACCARD_T, k=_SHINGLE_K)
+    stats: dict = {}
+    curated = curate_corpus(
+        docs, quality_min=0.3, jaccard_threshold=_JACCARD_T, k=_SHINGLE_K, stats=stats
+    )
     return (
         docs.agg(F.count(F.lit(1)).alias("input_docs"))
+        .crossJoin(stats["gated"].agg(F.count(F.lit(1)).alias("gated_docs")))
+        .crossJoin(
+            stats["exact_survivors"].agg(F.count(F.lit(1)).alias("exact_survivors"))
+        )
+        .crossJoin(
+            stats["groups"].agg(F.countDistinct("group_id").alias("neardup_groups"))
+        )
         .crossJoin(
             curated.agg(
                 F.count(F.lit(1)).alias("curated_docs"),
-                F.countDistinct("dup_group").alias("dup_groups"),
                 F.sum(F.round(F.col("quality") * 1e6).cast("bigint")).alias("quality_micros"),
             )
         )
@@ -426,8 +465,11 @@ _CURATE_ORACLE = f"""
       left join nonreps nr on s.doc_id = nr.node where nr.node is null
     )
     select (select count(*) from documents) as input_docs,
+           (select count(*) from gated) as gated_docs,
+           (select count(*) from surv) as exact_survivors,
+           -- multi-member near-dup components among exact-dedup survivors
+           (select count(distinct group_id) from groups) as neardup_groups,
            count(*) as curated_docs,
-           count(distinct doc_id) as dup_groups,
            cast(sum(cast(round(quality * 1000000) as bigint)) as bigint) as quality_micros,
            (select count(*) from documents) - count(*) as removed_docs
     from curated

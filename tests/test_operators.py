@@ -486,7 +486,8 @@ def test_curate_corpus_funnel(spark):
         ],
         "doc_id long, text string",
     )
-    curated = curate_corpus(docs, quality_min=0.3, jaccard_threshold=0.8)
+    stats = {}
+    curated = curate_corpus(docs, quality_min=0.3, jaccard_threshold=0.8, stats=stats)
     rows = {r.doc_id: r for r in curated.collect()}
     assert set(rows) == {1, 4}            # 2 exact-dropped, 3 near-dropped, 5 low-quality
     assert rows[1].dup_group == 1         # representative keeps its own group id
@@ -494,8 +495,20 @@ def test_curate_corpus_funnel(spark):
     assert all(r.split in ("train", "val", "test") for r in rows.values())
     assert all(r.quality >= 0.3 for r in rows.values())
 
+    # pre-collapse funnel stats: two exact-dedup SURVIVORS (1 and 3) share a
+    # near-dup group, so the multi-member group count is strictly below both
+    # the survivor count and input_docs — unlike a post-collapse
+    # countDistinct(dup_group), which always equals curated_docs
+    assert stats["gated"].count() == 4                 # doc 5 failed quality
+    assert stats["exact_survivors"].count() == 3       # doc 2 exact-collapsed
+    group_rows = stats["groups"].collect()
+    assert {r.node for r in group_rows} == {1, 3}
+    assert len({r.group_id for r in group_rows}) == 1  # one multi-member group
+    assert len({r.group_id for r in group_rows}) < len(rows) + 3
+
     rep = curation_report(docs, curated).collect()[0]
     assert (rep.input_docs, rep.curated_docs, rep.removed_docs) == (5, 2, 3)
+    assert "dup_groups" not in rep.asDict()
 
 
 def test_curate_corpus_custom_column_names(spark):

@@ -125,7 +125,16 @@ def main() -> int:
     for name in sorted(queries):
         if only and name not in only:
             continue
-        sdf = queries[name](spark, sf_dir)
+        try:
+            sdf = queries[name](spark, sf_dir)
+        except Exception as e:
+            # golden-checked queries refuse scales their committed golden
+            # wasn't generated from — a skip here, a red row anywhere else
+            if type(e).__name__ == "GoldenScaleMismatch":
+                skipped.append(name)
+                print(f"  {name:28s} SKIP ({e})")
+                continue
+            raise
         spdf = sdf.toPandas()
         srows = pandas_rows(spdf)
         scols = list(spdf.columns)
