@@ -1,4 +1,10 @@
-from schemamap_spark.operators.curation import curate_corpus, curation_report, hygiene_gate
+from schemamap_spark.operators.curation import (
+    curate_corpus,
+    curation_report,
+    hygiene_gate,
+    quantile_quality_filter,
+)
+from schemamap_spark.operators.ngrams import corpus_ngram_stats, stop_grams
 from schemamap_spark.operators.graph import connected_components, transitive_closure, transitive_closure_sql
 from schemamap_spark.operators.dedup import (
     containment_pairs,
@@ -28,6 +34,7 @@ __all__ = [
     "simhash_near_pairs", "winnow_fingerprints", "containment_pairs",
     "contamination_report", "decontaminate",
     "curate_corpus", "curation_report", "hygiene_gate",
+    "quantile_quality_filter", "corpus_ngram_stats", "stop_grams",
     "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk",
     "assign_splits", "deterministic_sample", "stratified_sample",
     "pack_sequences", "packing_stats", "chunk_documents",

@@ -155,6 +155,54 @@ def curate_corpus(
     return assign_splits(curated, id_col, split_weights)
 
 
+def quantile_quality_filter(
+    docs: DataFrame,
+    drop_fraction: float = 0.1,
+    quality_col: str | None = None,
+    text_col: str = "text",
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Drop the lowest `drop_fraction` of documents by quality score — the
+    data-relative alternative to hygiene_gate's absolute quality_min, for
+    corpora where the score distribution shifts by source or language.
+
+    The cutoff is the corpus drop_fraction-quantile of quality, kept rows
+    satisfy quality >= cutoff (so slightly MORE than 1-drop_fraction survive
+    when ties sit on the boundary — deterministic, never arbitrary tie
+    dropping). quality_col names a precomputed score column; otherwise
+    quality_score(text_col) is added as `quality`.
+
+    exact=False (default) uses approx_percentile — a mergeable constant-
+    memory sketch, the only sane choice at 100 TB where exact percentile
+    would buffer every value in one aggregation state. exact=True is for
+    small-corpus parity checks against engines' quantile_cont.
+    """
+    if not 0.0 <= drop_fraction < 1.0:
+        raise ValueError(f"drop_fraction must be in [0, 1), got {drop_fraction}")
+    from schemamap_spark.functions.text import quality_score
+
+    if quality_col is None:
+        scored = docs.withColumn("quality", quality_score(text_col))
+        qcol = "quality"
+    else:
+        scored = docs
+        qcol = quality_col
+    if drop_fraction == 0.0:
+        return scored
+    fn = (
+        f"percentile({qcol}, {drop_fraction})"
+        if exact
+        else f"approx_percentile({qcol}, {drop_fraction}, {accuracy})"
+    )
+    cutoff = scored.agg(F.expr(fn).alias("_q_cutoff"))
+    return (
+        scored.crossJoin(F.broadcast(cutoff))
+        .filter(F.col(qcol) >= F.col("_q_cutoff"))
+        .drop("_q_cutoff")
+    )
+
+
 def curation_report(original: DataFrame, curated: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """One-row accounting of the curation funnel (counts only — cheap).
 

@@ -1,0 +1,109 @@
+"""Corpus n-gram frequency statistics.
+
+The primitive behind every "hot token" guard in the dedup family: winnowing's
+stop-fingerprint max_df, decontamination's hot-gram cap, and prefix
+filtering's global rarity order all need "how many documents contain this
+gram" at corpus scale. This module computes it directly and exposes the two
+consumers a curation pipeline wants: top-k frequent n-grams (corpus
+vocabulary / boilerplate report) and the stop-gram set above a document-
+frequency ratio (to exclude from fingerprinting).
+
+Scale shape (100 TB):
+- tokenize once per document, explode n-grams, then aggregate in TWO stages:
+  (gram, doc_id) -> per-doc count, then gram -> (df, tf). A single
+  agg(countDistinct(doc_id), count(*)) would plan an Expand (row doubling);
+  the two-stage form is plain partial-aggregated hash aggregation both times.
+- the final top-k is orderBy+limit = TakeOrderedAndProject: per-partition
+  heaps, only k rows to the driver-side merge, never a full sort.
+- the shuffle key is the gram STRING here because the output wants the gram
+  back. If only guard-set membership is needed at extreme scale, aggregate on
+  xxhash64(gram) instead (8-byte shuffle key) and join the winners back to
+  recover text — the pattern decontamination/winnowing already use for their
+  max_df guards (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ngrams_from_tokens(toks_col: str, n: int) -> F.Column:
+    """ALL n-token grams (with repeats — tf needs multiplicity) from a
+    pre-split token-array column. Same tokenization and windowing as the
+    dedup shingles (operators/dedup.shingles_from_tokens) minus the distinct:
+    a conditional short-doc guard (sequence(1, 0) would DESCEND and index out
+    of bounds under ANSI mode) and concat_ws over materialized tokens."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    parts = ", ".join(f"{toks_col}[i - 1 + {j}]" for j in range(n))
+    return F.expr(
+        f"case when size({toks_col}) < {n} then cast(array() as array<string>) "
+        f"else transform(sequence(1, size({toks_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) end"
+    )
+
+
+def corpus_ngram_stats(
+    docs: DataFrame,
+    n: int = 2,
+    top: int | None = 20,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-gram corpus statistics: (gram, df, tf, df_ratio).
+
+    df = number of distinct documents containing the gram, tf = total
+    occurrences corpus-wide, df_ratio = df / total documents (round 6).
+    `top` keeps the (df desc, gram) head — a deterministic total order, so
+    the limit boundary is engine-stable; None returns every gram with
+    df >= min_df.
+    """
+    from schemamap_spark.session import ensure_parallelism
+
+    spread = ensure_parallelism(docs, id_col)
+    grams = (
+        spread.select(
+            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+        )
+        .filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(ngrams_from_tokens("toks", n)).alias("gram"))
+    )
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("c").cast("bigint").alias("tf")
+    )
+    if min_df > 1:
+        agg = agg.filter(F.col("df") >= min_df)
+    total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    out = (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "gram",
+            "df",
+            "tf",
+            F.round(F.col("df").cast("double") / F.col("_n_docs").cast("double"), 6).alias(
+                "df_ratio"
+            ),
+        )
+        .orderBy(F.desc("df"), "gram")
+    )
+    return out.limit(top) if top is not None else out
+
+
+def stop_grams(
+    docs: DataFrame,
+    n: int = 3,
+    max_df_ratio: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Grams whose document-frequency ratio EXCEEDS max_df_ratio — the
+    boilerplate/template set a fingerprinting pass should ignore. One column
+    (gram), distinct, unordered: this is a guard SET, typically broadcast
+    back into the pipeline as an anti-join side."""
+    stats = corpus_ngram_stats(
+        docs, n=n, top=None, min_df=1, id_col=id_col, text_col=text_col
+    )
+    return stats.filter(F.col("df_ratio") > max_df_ratio).select("gram")

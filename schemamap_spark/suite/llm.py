@@ -143,6 +143,18 @@ def text_profile(spark, sf):
     ).orderBy("doc_id")
 
 
+def text_ngram_stats(spark, sf):
+    """Corpus bigram document-frequency stats (top 20 by df): the hot-gram /
+    boilerplate report behind the dedup family's max_df guards. Two-stage
+    aggregation (per-doc counts, then df/tf) — no Expand, both stages
+    partial-aggregated; top-k is TakeOrderedAndProject. Deterministic limit
+    boundary: (df desc, gram) is a total order."""
+    from schemamap_spark.operators.ngrams import corpus_ngram_stats
+
+    docs = load_table(spark, sf, "documents")
+    return corpus_ngram_stats(docs, n=2, top=20)
+
+
 def text_token_stats(spark, sf):
     from schemamap_spark.session import ensure_parallelism
 
@@ -318,6 +330,7 @@ SPARK_QUERIES = {
     "ann_lsh_cosine": ann_lsh_cosine,
     "text_profile": text_profile,
     "text_token_stats": text_token_stats,
+    "text_ngram_stats": text_ngram_stats,
     "multimodal_decode": multimodal_decode,
     "dataset_splits": dataset_splits,
     "approx_invariants": approx_invariants,
@@ -622,6 +635,21 @@ ORACLE_SQL = {
     """,
     "pack_sequences": _PACK_ORACLE,
     "curate_funnel": _CURATE_ORACLE,
+    "text_ngram_stats": """
+        with t as (select doc_id, string_split(text, ' ') as toks from documents),
+        g as (
+          select doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                 i -> toks[i] || ' ' || toks[i + 1])) as gram
+          from t where len(toks) >= 2
+        ),
+        perdoc as (select gram, doc_id, count(*) as c from g group by 1, 2),
+        agg as (select gram, count(*) as df, cast(sum(c) as bigint) as tf
+                from perdoc group by 1)
+        select gram, df, tf,
+               round(df * 1.0 / (select count(*) from documents), 6) as df_ratio
+        from agg
+        order by df desc, gram limit 20
+    """,
     "dedup_simhash": f"""
         with g as (select doc_id, simhash
                    from read_parquet('{FIX}/simhash_sf0_01.parquet'))

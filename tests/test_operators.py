@@ -727,3 +727,70 @@ def test_full_training_pipeline_composes(spark):
     stats = packing_stats(asg, 512).collect()[0]
     assert stats.docs == n and stats.sequences <= n
     curated.unpersist()
+
+
+def test_corpus_ngram_stats_hand_computed(spark):
+    """df counts distinct docs, tf counts every occurrence, and the
+    (df desc, gram) order makes the top-k boundary deterministic."""
+    from schemamap_spark.operators.ngrams import corpus_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),          # bigrams: "a b" x2, "b a" x1
+            (2, "a b c"),            # "a b", "b c"
+            (3, "c"),                # too short for bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.gram: r for r in corpus_ngram_stats(docs, n=2, top=None).collect()}
+    assert rows["a b"].df == 2 and rows["a b"].tf == 3
+    assert rows["b a"].df == 1 and rows["b a"].tf == 1
+    assert rows["b c"].df == 1 and rows["b c"].tf == 1
+    assert abs(rows["a b"].df_ratio - round(2 / 3, 6)) < 1e-9
+
+    top = corpus_ngram_stats(docs, n=2, top=2).collect()
+    assert [(r.gram, r.df) for r in top] == [("a b", 2), ("b a", 1)]
+
+    uni = {r.gram: r.tf for r in corpus_ngram_stats(docs, n=1, top=None).collect()}
+    assert uni == {"a": 3, "b": 3, "c": 2}
+
+
+def test_stop_grams_threshold(spark):
+    from schemamap_spark.operators.ngrams import stop_grams
+
+    docs = spark.createDataFrame(
+        [(i, "common prefix here doc %d unique tail %d" % (i, i)) for i in range(10)],
+        "doc_id long, text string",
+    )
+    stops = {r.gram for r in stop_grams(docs, n=3, max_df_ratio=0.5).collect()}
+    # the shared 3-gram appears in all 10 docs; per-doc unique tails never do
+    assert "common prefix here" in stops
+    assert all("unique tail" not in g or "doc" in g for g in stops)
+    assert not any(f"doc {i}" in g and "tail" in g for i in range(10) for g in stops)
+
+
+def test_quantile_quality_filter(spark):
+    """Bottom-decile drop by corpus-relative quantile; boundary ties kept."""
+    from schemamap_spark.functions.text import quality_score
+    from schemamap_spark.operators.curation import quantile_quality_filter
+
+    docs = load_table(spark, SF, "documents")
+    scored = docs.withColumn("q", quality_score("text"))
+    total = scored.count()
+
+    kept = quantile_quality_filter(docs, drop_fraction=0.2, exact=True)
+    n_kept = kept.count()
+    assert 0 < n_kept < total
+    # every kept doc's quality >= every dropped doc's quality (cutoff is a
+    # single global threshold)
+    kept_min = kept.agg(F.min("quality")).collect()[0][0]
+    dropped = scored.join(kept.select("doc_id"), "doc_id", "left_anti")
+    if dropped.count():
+        dropped_max = dropped.agg(F.max("q")).collect()[0][0]
+        assert dropped_max <= kept_min
+    # approx path keeps a similar fraction (sketch, not exact)
+    n_approx = quantile_quality_filter(docs, drop_fraction=0.2).count()
+    assert abs(n_approx - n_kept) <= max(5, int(0.02 * total))
+
+    # drop_fraction=0 is the identity (plus the score column)
+    assert quantile_quality_filter(docs, drop_fraction=0.0).count() == total
