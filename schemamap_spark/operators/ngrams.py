@@ -13,6 +13,10 @@ Scale shape (100 TB):
   (gram, doc_id) -> per-doc count, then gram -> (df, tf). A single
   agg(countDistinct(doc_id), count(*)) would plan an Expand (row doubling);
   the two-stage form is plain partial-aggregated hash aggregation both times.
+  Better: stage 1 is SHUFFLE-FREE — the input is already hash-partitioned by
+  doc_id (ensure_parallelism), which satisfies the (gram, doc_id) clustering
+  requirement, so Catalyst elides that Exchange and the plan's only real
+  shuffle is the gram-keyed one (verified with explain("formatted")).
 - the final top-k is orderBy+limit = TakeOrderedAndProject: per-partition
   heaps, only k rows to the driver-side merge, never a full sort.
 - the shuffle key is the gram STRING here because the output wants the gram

@@ -4,10 +4,12 @@ GOOGLE_SPREADSHEET, XLSX, CSV, SALESFORCE).
 
 CSV and JSON are first-class Spark sources. XLSX is read natively (stdlib
 zip + SpreadsheetML parse — no client library). Google Sheets / Salesforce
-need API clients absent from this container; they are modeled as
-API→Arrow→DataFrame adapters and stubbed behind clear errors. All staging
-readers share one contract — all-string columns, first row is the header —
-so the rest of the pipeline is source-agnostic.
+split transport from adaptation: the payload→DataFrame adapters
+(sheet_values_to_df, soql_csv_batches_to_df) are real, tested code; only
+the API fetch itself is an injectable callable that raises without a client
+(none ships in this container). All staging readers share one contract —
+all-string columns, first row is the header — so the rest of the pipeline
+is source-agnostic.
 """
 
 from __future__ import annotations
@@ -120,26 +122,107 @@ def read_staging_xlsx(spark: SparkSession, path: str, sheet: str | None = None) 
     return spark.createDataFrame(data, schema)
 
 
-def read_google_sheet(spark: SparkSession, spreadsheet_id: str, range_a1: str = "A:Z") -> DataFrame:
-    """GOOGLE_SPREADSHEET source (declared by the reference,
-    SCHEMA:421). Contract: Sheets API values → all-string DataFrame with the
-    first row as header — identical downstream shape to read_staging_csv.
-    The API client is not available in this container."""
-    raise NotImplementedError(
-        "Google Sheets staging requires the Sheets API client; contract: "
-        "values[0] = header, remaining rows all-string, then the standard "
-        "mapping/validation pipeline applies"
-    )
+def sheet_values_to_df(spark: SparkSession, values: list[list]) -> DataFrame:
+    """Sheets-API `values` payload → all-string staging DataFrame (first row
+    is the header). This is the REAL adapter half of the GOOGLE_SPREADSHEET
+    source: the API omits trailing empty cells, so rows arrive RAGGED and are
+    padded to header width with NULLs; non-string cells (the API can return
+    numbers/booleans under some valueRenderOptions) are stringified to keep
+    the all-string staging contract."""
+    if not values or not values[0]:
+        raise ValueError("sheet payload has no header row")
+    header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(values[0])]
+    width = len(header)
+
+    def norm(cell):
+        if cell is None:
+            return None
+        if isinstance(cell, bool):
+            return "true" if cell else "false"
+        return str(cell)
+
+    data = [
+        tuple(norm(row[i]) if i < len(row) else None for i in range(width))
+        for row in values[1:]
+    ]
+    schema = ", ".join(f"`{h}` string" for h in header)
+    return spark.createDataFrame(data, schema)
 
 
-def read_salesforce(spark: SparkSession, soql: str) -> DataFrame:
-    """SALESFORCE source (declared by the reference, SCHEMA:425). Contract:
-    Bulk API 2.0 query → CSV batches → all-string DataFrame. Client not
-    available in this container."""
-    raise NotImplementedError(
-        "Salesforce staging requires simple-salesforce / Bulk API; contract: "
-        "SOQL → CSV batches → read_staging_csv-shaped DataFrame"
-    )
+def read_google_sheet(
+    spark: SparkSession,
+    spreadsheet_id: str,
+    range_a1: str = "A:Z",
+    fetch_values=None,
+) -> DataFrame:
+    """GOOGLE_SPREADSHEET source (declared by the reference, SCHEMA:421).
+
+    Transport and adaptation are split: `fetch_values(spreadsheet_id,
+    range_a1) -> list[list]` is the ONLY part that needs the Sheets API
+    client (inject it on a real deployment); everything after the fetch —
+    ragged-row padding, header contract, stringification — is real code
+    (sheet_values_to_df) shared with tests. Without a fetcher this raises:
+    no API client ships in this container."""
+    if fetch_values is None:
+        raise NotImplementedError(
+            "Google Sheets staging requires a Sheets API client; pass "
+            "fetch_values=lambda sid, rng: service.spreadsheets().values()"
+            ".get(spreadsheetId=sid, range=rng).execute()['values']"
+        )
+    return sheet_values_to_df(spark, fetch_values(spreadsheet_id, range_a1))
+
+
+def soql_csv_batches_to_df(spark: SparkSession, batches: list[str]) -> DataFrame:
+    """Bulk-API CSV result batches → all-string staging DataFrame. The REAL
+    adapter half of the SALESFORCE source: each batch is a complete CSV
+    document WITH its own header row (that's the Bulk API 2.0 result shape);
+    headers after the first batch are validated and dropped. Driver-side
+    stdlib csv parse (batches are bounded API pages), then parallelized."""
+    import csv
+    import io
+
+    header: list[str] | None = None
+    rows: list[tuple] = []
+    for batch in batches:
+        if not batch.strip():
+            continue
+        parsed = list(csv.reader(io.StringIO(batch)))
+        if not parsed:
+            continue
+        if header is None:
+            header = parsed[0]
+        elif parsed[0] != header:
+            raise ValueError(
+                f"inconsistent batch header: {parsed[0]!r} != {header!r}"
+            )
+        width = len(header)
+        rows.extend(
+            tuple((r[i] if i < len(r) else None) for i in range(width))
+            for r in parsed[1:]
+        )
+    if header is None:
+        raise ValueError("no CSV batches with content")
+    schema = ", ".join(f"`{h}` string" for h in header)
+    return spark.createDataFrame(rows, schema)
+
+
+def read_salesforce(
+    spark: SparkSession, soql: str, fetch_batches=None
+) -> DataFrame:
+    """SALESFORCE source (declared by the reference, SCHEMA:425).
+
+    Same transport/adapter split as read_google_sheet: `fetch_batches(soql)
+    -> list[str]` wraps the Bulk API 2.0 job (inject simple-salesforce or
+    raw REST on a deployment); CSV-batch assembly is real, tested code
+    (soql_csv_batches_to_df). Without a fetcher this raises: no client ships
+    in this container."""
+    if fetch_batches is None:
+        raise NotImplementedError(
+            "Salesforce staging requires a Bulk API client; pass "
+            "fetch_batches=lambda soql: [locator CSV pages from "
+            "/jobs/query/{id}/results]"
+        )
+    return soql_csv_batches_to_df(spark, fetch_batches(soql))
 
 
 def read_jdbc_table(

@@ -261,3 +261,54 @@ def test_read_staging_xlsx_sheet_selection(spark, tmp_path):
     assert read_staging_xlsx(spark, p, sheet="Staging").count() == 1
     with pytest.raises(ValueError):
         read_staging_xlsx(spark, p, sheet="NoSuchSheet")
+
+
+def test_sheet_values_adapter_ragged_rows(spark):
+    """Sheets API payloads omit trailing empty cells and may return typed
+    values; the adapter pads to header width and stringifies."""
+    from schemamap_spark.sources.readers import read_google_sheet, sheet_values_to_df
+
+    values = [
+        ["name", "email", "active"],
+        ["Ada", "ada@example.com", True],
+        ["Grace"],                      # ragged: API dropped trailing cells
+        ["Edsger", "ed@example.com"],
+        [42, None, False],              # typed cells
+    ]
+    df = sheet_values_to_df(spark, values)
+    assert df.columns == ["name", "email", "active"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string"] * 3
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["Grace"]["email"] is None and rows["Grace"]["active"] is None
+    assert rows["42"]["active"] == "false"
+
+    # transport is injectable; without a client the reader raises
+    out = read_google_sheet(spark, "sheet-id", "A:C", fetch_values=lambda s, r: values)
+    assert out.count() == 4
+    with pytest.raises(NotImplementedError):
+        read_google_sheet(spark, "sheet-id")
+
+
+def test_soql_csv_batches_adapter(spark):
+    """Bulk API 2.0 returns per-page CSV documents, each with a header; the
+    adapter drops repeated headers, validates consistency, handles quoting."""
+    from schemamap_spark.sources.readers import read_salesforce, soql_csv_batches_to_df
+
+    b1 = 'Id,Name,AnnualRevenue\n001,"Acme, Inc.",100\n002,Globex,200\n'
+    b2 = 'Id,Name,AnnualRevenue\n003,"Quote ""Q"" Co",\n'
+    df = soql_csv_batches_to_df(spark, [b1, "", b2])
+    assert df.columns == ["Id", "Name", "AnnualRevenue"]
+    rows = {r.Id: r for r in df.collect()}
+    assert rows["001"].Name == "Acme, Inc."
+    assert rows["003"].Name == 'Quote "Q" Co'
+    assert rows["003"].AnnualRevenue == ""
+
+    with pytest.raises(ValueError):
+        soql_csv_batches_to_df(spark, [b1, "Other,Header\nx,y\n"])
+    with pytest.raises(ValueError):
+        soql_csv_batches_to_df(spark, ["", "   "])
+
+    out = read_salesforce(spark, "select Id from Account", fetch_batches=lambda q: [b1])
+    assert out.count() == 2
+    with pytest.raises(NotImplementedError):
+        read_salesforce(spark, "select Id from Account")
