@@ -29,6 +29,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk_cosine",
     "text_profile",
+    "text_ngram_stats",
     "events_tumbling_window",
     "events_sessionize",
 ]
