@@ -16,11 +16,13 @@ from schemamap_spark.operators.dedup import (
     simhash_near_pairs,
     winnow_fingerprints,
 )
+from schemamap_spark.operators.embeddings import dequantize_embeddings, quantize_embeddings
 from schemamap_spark.operators.similarity import (
     cosine_near_pairs,
     cosine_topk,
     ivf_topk,
     lsh_topk,
+    topk_recall,
 )
 from schemamap_spark.operators.agg import bounded_collect_set, two_level_collect_set
 from schemamap_spark.operators.packing import chunk_documents, pack_sequences, packing_stats
@@ -35,7 +37,8 @@ __all__ = [
     "contamination_report", "decontaminate",
     "curate_corpus", "curation_report", "hygiene_gate",
     "quantile_quality_filter", "corpus_ngram_stats", "stop_grams",
-    "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk",
+    "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk", "topk_recall",
+    "quantize_embeddings", "dequantize_embeddings",
     "assign_splits", "deterministic_sample", "stratified_sample",
     "pack_sequences", "packing_stats", "chunk_documents",
     "two_level_collect_set", "bounded_collect_set",

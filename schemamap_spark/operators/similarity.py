@@ -510,3 +510,33 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the exact one:
+    (query_id, n_exact, n_hit, recall round6). Both inputs are cosine_topk-
+    shaped (query_id, neighbor_id, ...). The evaluation loop for tuning
+    num_planes / multi_probe / nprobe: run cosine_topk (or its matmul path)
+    on a sample of queries, the approximate variant on the same sample, and
+    read macro recall off this frame.
+
+    Queries the approximate index returned NOTHING for still appear (n_hit
+    0) via the left join from the exact side — silently dropping them would
+    overstate recall exactly where the index is worst."""
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = e.join(a, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

@@ -155,6 +155,49 @@ def curated_document_stream(
     )
 
 
+def trending_ngrams_stream(
+    docs: DataFrame,
+    n: int = 2,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed n-gram DOCUMENT counts over a document stream — the streaming
+    twin of corpus_ngram_stats' df metric, per event-time window: the
+    "trending terms" feed an ingest pipeline watches for template/boilerplate
+    bursts before they poison dedup.
+
+    Per-doc distinct grams (df semantics: one count per (window, gram, doc)),
+    then a watermarked windowed count. Ranking/top-k is the READER's job
+    after a window closes — an in-stream rank would need the full window
+    state re-sorted every trigger; the append-mode count store is the
+    scalable half. State is bounded by the watermark horizon; gram
+    cardinality within a window is the working-set knob (pre-filter with
+    stop_grams for unbounded vocabularies)."""
+    from schemamap_spark.operators.ngrams import ngrams_from_tokens
+
+    grams = (
+        docs.select(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .filter(F.size("toks") >= n)
+        .select(
+            "ts", "doc_id",
+            F.explode(F.array_distinct(ngrams_from_tokens("toks", n))).alias("gram"),
+        )
+    )
+    return (
+        grams.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.col("w.start").alias("window_start"), "gram", "n_docs")
+    )
+
+
 def continuous_hourly_rollup(
     events: DataFrame,
     rollup_dir: str,

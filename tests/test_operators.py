@@ -794,3 +794,103 @@ def test_quantile_quality_filter(spark):
 
     # drop_fraction=0 is the identity (plus the score column)
     assert quantile_quality_filter(docs, drop_fraction=0.0).count() == total
+
+
+def test_topk_recall_exact_and_lsh(spark):
+    """Recall of exact-vs-exact is 1.0 everywhere; LSH recall is in (0, 1]
+    and queries the index returned nothing for still show up as 0-hit."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, q, k=3)
+    self_recall = SIM.topk_recall(exact, exact).collect()
+    assert all(r.recall == 1.0 and r.n_hit == r.n_exact for r in self_recall)
+
+    approx = SIM.lsh_topk(emb, q, k=3)
+    rec = SIM.topk_recall(exact, approx).collect()
+    assert {r.query_id for r in rec} == {r.query_id for r in self_recall}
+    assert all(0.0 <= r.recall <= 1.0 for r in rec)
+    # multi-probe can only add candidates -> recall never decreases
+    rec_mp = {
+        r.query_id: r.recall
+        for r in SIM.topk_recall(exact, SIM.lsh_topk(emb, q, k=3, multi_probe=1)).collect()
+    }
+    assert all(rec_mp[r.query_id] >= r.recall for r in rec)
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    """int8 roundtrip: per-element error <= scale/2, qvec is tinyint, zero
+    vectors reconstruct exactly, and cosine ranking survives quantization."""
+    from schemamap_spark.operators.embeddings import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * 64, 0)], "vec_id long, embedding array<float>, label int"
+    )
+    both = emb.unionByName(zero)
+    qd = dequantize_embeddings(quantize_embeddings(both))
+    assert dict(qd.dtypes)["qvec"] == "array<tinyint>"
+
+    rows = qd.select("vec_id", "embedding", "qscale", "embedding_deq").collect()
+    import math
+
+    for r in rows:
+        assert len(r.embedding) == len(r.embedding_deq)
+        for x, xd in zip(r.embedding, r.embedding_deq):
+            assert abs(float(x) - xd) <= r.qscale / 2 + 1e-12
+        if r.vec_id == 99999:
+            assert r.qscale == 0.0 and all(x == 0.0 for x in r.embedding_deq)
+        else:
+            orig = [float(x) for x in r.embedding]
+            dot = sum(a * b for a, b in zip(orig, r.embedding_deq))
+            na = math.sqrt(sum(a * a for a in orig))
+            nb = math.sqrt(sum(b * b for b in r.embedding_deq))
+            assert dot / (na * nb) > 0.995
+
+
+def test_trending_ngrams_stream_matches_batch(spark, tmp_path):
+    """availableNow streaming run over a doc directory equals the batch
+    windowed df computation — the promotion-is-a-source-swap guarantee."""
+    import datetime as dt
+
+    from schemamap_spark.operators.ngrams import ngrams_from_tokens
+    from schemamap_spark.streaming.pipeline import start_memory_sink, trending_ngrams_stream
+
+    t0 = dt.datetime(2024, 1, 1, 10, 15)
+    rows = [
+        (1, t0, "alpha beta alpha beta"),
+        (2, t0 + dt.timedelta(minutes=10), "alpha beta gamma"),
+        (3, t0 + dt.timedelta(hours=2), "alpha beta"),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    batch = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "docs_stream")
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    # complete mode: append would emit a window only once the watermark
+    # passes it, and a bounded availableNow run ends with every window still
+    # open — the production sink is append (exactly-once per closed window),
+    # the test sink is complete (full table, trigger-count independent)
+    q = start_memory_sink(
+        trending_ngrams_stream(stream, n=2, window="1 hour"),
+        "trending",
+        output_mode="complete",
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.gram): r.n_docs
+        for r in spark.sql("select * from trending").collect()
+    }
+    expect = {
+        batch_r: n
+        for batch_r, n in (
+            ((dt.datetime(2024, 1, 1, 10), "alpha beta"), 2),
+            ((dt.datetime(2024, 1, 1, 10), "beta alpha"), 1),
+            ((dt.datetime(2024, 1, 1, 10), "beta gamma"), 1),
+            ((dt.datetime(2024, 1, 1, 12), "alpha beta"), 1),
+        )
+    }
+    assert got == expect
