@@ -111,3 +111,66 @@ def stop_grams(
         docs, n=n, top=None, min_df=1, id_col=id_col, text_col=text_col
     )
     return stats.filter(F.col("df_ratio") > max_df_ratio).select("gram")
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    n: int = 1,
+    top_per_doc: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top terms by smoothed TF-IDF:
+    score = tf_in_doc * (ln((N+1)/(df+1)) + 1), output (doc_id, gram, tf,
+    df, score round6, rank) with rank <= top_per_doc under the deterministic
+    (score desc, gram) order.
+
+    Shuffle shape: the per-(gram, doc) counts reuse corpus_ngram_stats'
+    shuffle-free stage 1, the gram->df map is one gram-keyed aggregation,
+    joined back on gram (both sides partial-aggregated slim rows — never
+    text), and the final per-doc ranking windows on doc_id. Three shuffles
+    total, each on a short key, independent of document length."""
+    from pyspark.sql import Window
+
+    from schemamap_spark.session import ensure_parallelism
+
+    spread = ensure_parallelism(docs, id_col)
+    grams = (
+        spread.select(
+            F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("toks")
+        )
+        .filter(F.size("toks") >= n)
+        .select("doc_id", F.explode(ngrams_from_tokens("toks", n)).alias("gram"))
+    )
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df_map = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("_n_docs"))
+    scored = (
+        per_doc.join(df_map, "gram")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "gram",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (
+                    F.log(
+                        (F.col("_n_docs") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("_score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), "gram")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_per_doc)
+        .select(
+            "doc_id", "gram", "tf", "df", F.round("_score", 6).alias("score"), "rank"
+        )
+        .orderBy("doc_id", "rank")
+    )

@@ -894,3 +894,39 @@ def test_trending_ngrams_stream_matches_batch(spark, tmp_path):
         )
     }
     assert got == expect
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    """Rare terms outscore common ones; rank order is (score desc, gram)."""
+    import math
+
+    from schemamap_spark.operators.ngrams import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared rare"),
+            (2, "shared other"),
+            (3, "shared other"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.gram): r for r in tfidf_top_terms(docs, n=1, top_per_doc=3).collect()}
+    # doc 1: "rare" df=1 -> idf = ln(4/2)+1; "shared" tf=2 df=3 -> idf = ln(4/4)+1 = 1
+    rare = rows[(1, "rare")]
+    shared = rows[(1, "shared")]
+    assert rare.df == 1 and shared.df == 3 and shared.tf == 2
+    assert abs(rare.score - round(1 * (math.log(4 / 2) + 1), 6)) < 1e-9
+    assert abs(shared.score - 2.0) < 1e-9
+    assert shared.rank < rare.rank  # tf=2 * 1.0 > 1 * 1.693... is false: 2.0 > 1.693
+    assert all(r.rank <= 3 for r in rows.values())
+
+
+def test_ivf_with_full_probe_is_exact(spark):
+    """Probing every centroid makes IVF's candidate set the whole corpus, so
+    the result must equal exact brute-force top-k — recall 1.0 everywhere."""
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, q, k=3)
+    full = SIM.ivf_topk(emb, q, k=3, num_centroids=8, nprobe=8)
+    rec = SIM.topk_recall(exact, full).collect()
+    assert all(r.recall == 1.0 for r in rec), rec
