@@ -294,3 +294,41 @@ def test_agg_guard_models(spark, rows, limit, salt):
 
     got = {r.k: r[1] for r in bounded_collect_set(df, ["k"], "v", limit, salt=salt).collect()}
     assert got == {k: sorted(s)[:limit] for k, s in model.items()}
+
+
+@SET
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=12), min_size=1, max_size=6
+    ),
+    n=st.integers(1, 3),
+)
+def test_corpus_ngram_stats_model(spark, texts, n):
+    """df/tf/df_ratio against a pure-Python model, including the adversarial
+    shapes: empty texts, runs of spaces (empty tokens are REAL tokens under
+    the single-space split — same contract as the dedup shingles), docs
+    shorter than n."""
+    from collections import Counter
+
+    from schemamap_spark.operators.ngrams import corpus_ngram_stats
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.gram: (r.df, r.tf, r.df_ratio)
+        for r in corpus_ngram_stats(docs, n=n, top=None).collect()
+    }
+
+    df_c, tf_c = Counter(), Counter()
+    for text in texts:
+        toks = text.split(" ")
+        if len(toks) < n:
+            continue
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        tf_c.update(grams)
+        df_c.update(set(grams))
+    want = {
+        g: (df_c[g], tf_c[g], round(df_c[g] / len(texts), 6)) for g in df_c
+    }
+    assert got == want
