@@ -16,7 +16,13 @@ from schemamap_spark.operators.dedup import (
     simhash_near_pairs,
     winnow_fingerprints,
 )
-from schemamap_spark.operators.embeddings import dequantize_embeddings, quantize_embeddings
+from schemamap_spark.operators.embeddings import (
+    dequantize_embeddings,
+    pq_encode,
+    pq_topk,
+    pq_train,
+    quantize_embeddings,
+)
 from schemamap_spark.operators.similarity import (
     cosine_near_pairs,
     cosine_topk,
@@ -39,6 +45,7 @@ __all__ = [
     "quantile_quality_filter", "corpus_ngram_stats", "stop_grams",
     "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk", "topk_recall",
     "quantize_embeddings", "dequantize_embeddings",
+    "pq_train", "pq_encode", "pq_topk",
     "assign_splits", "deterministic_sample", "stratified_sample",
     "pack_sequences", "packing_stats", "chunk_documents",
     "two_level_collect_set", "bounded_collect_set",

@@ -52,3 +52,209 @@ def dequantize_embeddings(
             F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col)
         ),
     )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k_per_sub: int = 64,
+    sample: int = 4096,
+    iters: int = 10,
+) -> list:
+    """Trains product-quantization codebooks: the vector is split into `m`
+    subspaces and each gets `k_per_sub` k-means centroids (Lloyd, seeded and
+    deterministic: init = first k distinct sample vectors in xxhash64(id)
+    order — hash order, NOT first-N by id, for the same reason as IVF
+    centroid sampling). Vectors are L2-normalized BEFORE training/encoding so
+    ADC inner products approximate cosine directly.
+
+    Returns codebooks as a nested list [m][k_per_sub][dims/m] — plain data,
+    broadcast via task closures like the matmul path's query matrix. The
+    driver-side collect is the bounded `sample`, never the corpus."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64("_id"))
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    X = np.array([r._v for r in rows], dtype=np.float64)
+    dims = X.shape[1]
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    nrm = np.linalg.norm(X, axis=1, keepdims=True)
+    X = X[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+    dsub = dims // m
+    books = []
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        uniq = np.unique(sub, axis=0)
+        k = min(k_per_sub, len(uniq))
+        cent = uniq[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books.append([[float(x) for x in c] for c in cent])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encodes each (L2-normalized) vector as `m` small codes — (id, codes
+    array<smallint>). ~dims·4/m bytes → m bytes per vector at k<=256. A
+    narrow mapInPandas (no shuffle); zero-norm vectors are dropped (they have
+    no direction to encode — same contract as cosine_topk)."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    m = len(books)
+    out_schema = f"{id_col} long, codes array<smallint>"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(X, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            X = X[keep] / nrm[keep, None]
+            codes = np.empty((X.shape[0], m), dtype=np.int16)
+            for s, cent in enumerate(books):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy()[keep], "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    rerank: int = 0,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): each query
+    builds an m×k lookup table of subspace inner products against the
+    codebooks once, then every corpus vector scores as m table gathers —
+    never touching the original floats. Candidate traffic mirrors the BLAS
+    matmul path: per-batch tie-inclusive top-(k+1) rows only.
+
+    rerank=R (with `corpus`) re-scores the top R·k ADC candidates with exact
+    cosine — the production two-stage shape: PQ narrows 10⁹ vectors to R·k
+    ids, the exact pass reads only those vectors. Output matches cosine_topk:
+    (query_id, neighbor_id, rank, cosine_sim round6) with cosine_sim the ADC
+    approximation when rerank=0."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from schemamap_spark.operators.similarity import cosine
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    m = len(books)
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    spark = codes.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], f"query_id long, neighbor_id long, rank int, cosine_sim double"
+        )
+    q_ids, luts = [], []
+    for r in q_rows:
+        qv = np.asarray(r.q_vec, dtype=np.float64)
+        n = np.linalg.norm(qv)
+        if n == 0 or not np.isfinite(n):
+            continue
+        qv = qv / n
+        # list (not a stacked matrix): subspace codebooks may have fewer
+        # centroids than k_per_sub when the sample's distinct values cap k
+        luts.append([books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)])
+        q_ids.append(r.query_id)
+    nq = len(q_ids)
+    take = (rerank * k if rerank else k) + 1
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf[id_col]
+            n = C.shape[0]
+            kk = min(take, n)
+            for qi in range(nq):
+                lut = luts[qi]
+                sims = np.zeros(n)
+                for s in range(m):
+                    sims += lut[s][C[:, s]]
+                cutoff = np.partition(sims, n - kk)[n - kk] if n > kk else -np.inf
+                mask = sims >= cutoff
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi],
+                        "neighbor_id": ids[mask].reset_index(drop=True),
+                        "sim": sims[mask],
+                    }
+                )
+
+    scored = codes.mapInPandas(
+        gen, schema=f"query_id long, neighbor_id long, sim double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+            .orderBy("query_id", "rank")
+        )
+    if corpus is None:
+        raise ValueError("rerank > 0 requires the original corpus frame")
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cdf = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    exact = (
+        cands.join(F.broadcast(qdf), "query_id")
+        .join(cdf, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+        .orderBy("query_id", "rank")
+    )

@@ -930,3 +930,89 @@ def test_ivf_with_full_probe_is_exact(spark):
     full = SIM.ivf_topk(emb, q, k=3, num_centroids=8, nprobe=8)
     rec = SIM.topk_recall(exact, full).collect()
     assert all(r.recall == 1.0 for r in rec), rec
+
+
+def test_pq_pipeline_recall_and_rerank(spark):
+    """PQ train → encode → ADC top-k: codes are tiny, ADC recall is real,
+    and exact re-rank (the production two-stage) strictly dominates ADC-only
+    recall. Deterministic end to end (hash-ordered sample, Lloyd from fixed
+    init), so the recall floor is a stable pin, not a flaky bound."""
+    from schemamap_spark.operators.embeddings import pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, m=8, k_per_sub=16, sample=1024)
+    assert len(books) == 8
+    assert all(len(b) <= 16 for b in books)
+
+    codes = pq_encode(emb, books)
+    crows = codes.collect()
+    assert len(crows) == emb.count()
+    assert all(len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in crows)
+
+    exact = SIM.cosine_topk(emb, q, k=5)
+    adc = pq_topk(codes, q, books, k=5)
+    assert {r.query_id for r in adc.select("query_id").distinct().collect()} == {0, 1, 2, 3, 4}
+    rec_adc = SIM.topk_recall(exact, adc).agg(F.avg("recall")).collect()[0][0]
+
+    rr = pq_topk(codes, q, books, k=5, rerank=4, corpus=emb)
+    rec_rr = SIM.topk_recall(exact, rr).agg(F.avg("recall")).collect()[0][0]
+    assert rec_rr >= rec_adc
+    # near-random synthetic embeddings are the ADVERSARIAL case for a coarse
+    # quantizer (all cosines ≈ 0, exact top-5 margins are noise-level); the
+    # deterministic pipeline lands ADC 0.2 / rerank 0.44 here — pin a floor
+    # under that. The planted-neighbor test below is where recall must be
+    # high; this one pins the machinery + the rerank >= adc dominance.
+    assert rec_rr >= 0.35, (rec_adc, rec_rr)
+    # re-ranked sims are EXACT cosines: every returned (q, n) sim matches the
+    # exact operator's value for that pair
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    for r in rr.collect():
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert abs(r.cosine_sim - exact_sims[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+def test_pq_validation_errors(spark):
+    from schemamap_spark.operators.embeddings import pq_topk, pq_train
+
+    emb = load_table(spark, SF, "embeddings")
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_train(emb, m=7)  # 64 % 7 != 0
+    books = pq_train(emb, m=4, k_per_sub=8, sample=256)
+    codes_df = spark.createDataFrame([(1, [0] * 4)], "vec_id long, codes array<smallint>")
+    with pytest.raises(ValueError):
+        pq_topk(codes_df, emb.filter(F.col("vec_id") < 2), books, k=3, rerank=2)
+
+
+def test_pq_recall_on_planted_neighbors(spark):
+    """Clustered corpus (each base vector + small-noise copies): the true
+    neighbors have large cosine margins — the workload PQ exists for — and
+    ADC must recover them with high recall, rerank≈1."""
+    import numpy as np
+
+    from schemamap_spark.operators.embeddings import pq_encode, pq_topk, pq_train
+
+    rng = np.random.RandomState(11)
+    rows = []
+    vid = 0
+    for b in range(40):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        for _ in range(5):
+            v = base + rng.normal(scale=0.05, size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 5 == 0).limit(8)
+
+    books = pq_train(emb, m=8, k_per_sub=32, sample=200)
+    codes = pq_encode(emb, books)
+    exact = SIM.cosine_topk(emb, q, k=4)
+    adc = pq_topk(codes, q, books, k=4)
+    rec_adc = SIM.topk_recall(exact, adc).agg(F.avg("recall")).collect()[0][0]
+    rr = pq_topk(codes, q, books, k=4, rerank=3, corpus=emb)
+    rec_rr = SIM.topk_recall(exact, rr).agg(F.avg("recall")).collect()[0][0]
+    assert rec_adc >= 0.7, rec_adc
+    assert rec_rr >= 0.9, rec_rr
