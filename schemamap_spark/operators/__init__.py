@@ -11,8 +11,11 @@ from schemamap_spark.operators.dedup import (
     contamination_report,
     decontaminate,
     exact_duplicates,
+    incremental_exact_dedup,
+    incremental_minhash_dedup,
     jaccard_similar_pairs,
     minhash_lsh_similar_pairs,
+    shingles_for,
     simhash_near_pairs,
     winnow_fingerprints,
 )
@@ -41,6 +44,7 @@ __all__ = [
     "exact_duplicates", "jaccard_similar_pairs", "minhash_lsh_similar_pairs",
     "simhash_near_pairs", "winnow_fingerprints", "containment_pairs",
     "contamination_report", "decontaminate",
+    "incremental_exact_dedup", "incremental_minhash_dedup", "shingles_for",
     "curate_corpus", "curation_report", "hygiene_gate",
     "quantile_quality_filter", "corpus_ngram_stats", "stop_grams",
     "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk", "topk_recall",

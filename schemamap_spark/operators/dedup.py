@@ -171,31 +171,21 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFra
     return scored.select("i", "j", F.round("jac", 6).alias("jaccard")).orderBy("i", "j")
 
 
-def minhash_lsh_similar_pairs(
-    docs: DataFrame,
-    threshold: float = 0.5,
-    k: int = 3,
-    num_hashes: int = 64,
-    bands: int = 32,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """MinHash + banded LSH candidates, exact-Jaccard verified.
+def _band_rows(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows from a shingled frame — the ONE
+    banding definition, shared by batch pair-finding and the incremental
+    band store (stored buckets must be comparable across runs, so this
+    derivation is fully deterministic: xxhash64 shingle hash + fixed-seed
+    affine universal minhashes).
 
-    num_hashes/bands = rows per band (r=2 by default): P(candidate) =
-    1-(1-j^r)^b — at j=0.8 with b=32, miss probability ~3e-15; candidates are
-    exact-verified so false positives only cost join work. Band keys
-    (band_id, hash(sig_slice)) are the only join key.
-    """
+    Hash every shingle ONCE (the expensive string hash), then derive the
+    num_hashes minhash functions as universal-hash affine transforms
+    (a*h + b) mod p over the Mersenne prime p = 2^31-1. Signature cost is
+    O(|sh|) string hashes instead of O(|sh| * num_hashes), and all products
+    stay below 2^62 (ANSI-safe — Spark 4 raises on long overflow). Band rows
+    carry ONLY (doc_id, band, bucket) — never the shingle arrays; replicating
+    payload through a 64-way posexplode would dominate the shuffle."""
     rows_per_band = num_hashes // bands
-    # persisted: reused by the signature branch and both verify branches
-    sh = _shingled(docs, k, id_col, text_col).persist()
-
-    # Hash every shingle ONCE (the expensive string hash), then derive the
-    # num_hashes minhash functions as universal-hash affine transforms
-    # (a*h + b) mod p over the Mersenne prime p = 2^31-1. Signature cost is
-    # O(|sh|) string hashes instead of O(|sh| * num_hashes), and all products
-    # stay below 2^62 (ANSI-safe — Spark 4 raises on long overflow).
     P = 2_147_483_647  # 2^31 - 1
     base = sh.withColumn(
         "hs", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(P)))
@@ -208,14 +198,11 @@ def minhash_lsh_similar_pairs(
             F.transform("hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(P)))
         )
 
-    # Band rows carry ONLY (doc_id, band, bucket) — never the shingle arrays;
-    # replicating payload through a 64-way posexplode would dominate the
-    # shuffle. Verification re-joins the shingle sets by doc_id afterwards.
     sig = base.select(
         "doc_id",
         F.array(*[_minhash(i) for i in range(num_hashes)]).alias("sig"),
     )
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -234,6 +221,27 @@ def minhash_lsh_similar_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_lsh_similar_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + banded LSH candidates, exact-Jaccard verified.
+
+    num_hashes/bands = rows per band (r=2 by default): P(candidate) =
+    1-(1-j^r)^b — at j=0.8 with b=32, miss probability ~3e-15; candidates are
+    exact-verified so false positives only cost join work. Band keys
+    (band_id, hash(sig_slice)) are the only join key.
+    """
+    # persisted: reused by the signature branch and both verify branches
+    sh = _shingled(docs, k, id_col, text_col).persist()
+    banded = _band_rows(sh, num_hashes, bands)
     cand = (
         banded.alias("a")
         .join(
@@ -522,3 +530,118 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact dedup of a NEW batch against a persisted fingerprint store — the
+    daily-ingest shape: the historical corpus never re-scans, only its
+    digests (32 chars/doc) participate.
+
+    seen_fingerprints: a frame with a `fingerprint` column (the union of
+    previous batches' returned stores), or None for the first batch.
+    Returns (fresh, fingerprints): `fresh` = the batch collapsed to one
+    min-id representative per digest, minus anything already in the store;
+    `fingerprints` = exactly the fresh digests — append them to the store
+    (e.g. a parquet dir partitioned by digest prefix) for the next batch.
+
+    At 100 TB: the anti-join keys are digests on both sides; with the store
+    bucketed by fingerprint the join is shuffle-free on the store side."""
+    with_fp = new_docs.withColumn(
+        "fingerprint", F.md5(F.lower(F.trim(F.col(text_col))))
+    )
+    reps = with_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    batch_unique = with_fp.join(reps, ["fingerprint", id_col], "left_semi")
+    if seen_fingerprints is not None:
+        fresh = batch_unique.join(
+            seen_fingerprints.select("fingerprint"), "fingerprint", "left_anti"
+        )
+    else:
+        fresh = batch_unique
+    return fresh, fresh.select("fingerprint")
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    band_store: DataFrame | None = None,
+    old_shingles: DataFrame | None = None,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup detection of a NEW batch against a persisted LSH band store
+    (plus within the batch itself) — historical raw text never re-shingles;
+    only (doc_id, band, bucket) rows ride the candidate join.
+
+    band_store: (doc_id, band, bucket) rows from previous batches (the
+    second element of earlier returns, unioned), or None for the first
+    batch. old_shingles: (doc_id, sh) for store docs, needed to exact-verify
+    cross-batch candidates; derive it ONLY for the candidate ids via
+    `shingles_for(corpus.join(candidate_ids))` — passing the full historical
+    shingle set would defeat the point. When omitted, cross-batch pairs are
+    returned UNVERIFIED (sentinel jaccard = -1.0) for the caller to verify
+    against its corpus store.
+
+    Returns (pairs, new_band_rows):
+    - pairs: (i, j, jaccard) with i < j; in-batch pairs always exact-verified,
+      cross-batch pairs exact-verified iff old_shingles was given;
+    - new_band_rows: this batch's (doc_id, band, bucket) — append to the
+      store for the next batch. Banding derives from _band_rows, the same
+      deterministic definition batch mode uses, so buckets are comparable
+      across runs by construction."""
+    sh_new = _shingled(new_docs, k, id_col, text_col).persist()
+    banded_new = _band_rows(sh_new, num_hashes, bands).persist()
+
+    cand_in = (
+        banded_new.alias("a")
+        .join(
+            banded_new.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    pairs = _verify_jaccard(cand_in, sh_new, threshold)
+
+    if band_store is not None:
+        cand_cross = (
+            banded_new.alias("n")
+            .join(
+                band_store.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.bucket") == F.col("o.bucket"))
+                & (F.col("n.doc_id") != F.col("o.doc_id")),
+            )
+            .select(
+                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("i"),
+                F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("j"),
+            )
+            .distinct()
+        )
+        if old_shingles is not None:
+            sh_all = sh_new.unionByName(old_shingles)
+            cross = _verify_jaccard(cand_cross, sh_all, threshold)
+        else:
+            cross = cand_cross.select(
+                "i", "j", F.lit(-1.0).alias("jaccard")
+            )
+        pairs = pairs.unionByName(cross)
+
+    return pairs.orderBy("i", "j"), banded_new
+
+
+def shingles_for(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sh) shingle sets — the old_shingles input for
+    incremental_minhash_dedup, computed over (only) the docs you pass."""
+    return _shingled(docs, k, id_col, text_col)

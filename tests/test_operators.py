@@ -1016,3 +1016,84 @@ def test_pq_recall_on_planted_neighbors(spark):
     rec_rr = SIM.topk_recall(exact, rr).agg(F.avg("recall")).collect()[0][0]
     assert rec_adc >= 0.7, rec_adc
     assert rec_rr >= 0.9, rec_rr
+
+
+def test_incremental_exact_dedup_across_batches(spark):
+    """Batch 2 dedups against batch 1's fingerprint store without batch 1's
+    text: cross-batch dups drop, in-batch dups collapse, fresh docs pass."""
+    from schemamap_spark.operators.dedup import incremental_exact_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    fresh1, store1 = incremental_exact_dedup(b1)
+    assert {r.doc_id for r in fresh1.collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, "ALPHA BETA GAMMA  "),   # exact dup of doc 1 (normalized)
+            (11, "eta theta iota"),
+            (12, "eta theta iota"),       # in-batch dup of 11
+            (13, "kappa lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    fresh2, store2 = incremental_exact_dedup(b2, store1)
+    assert {r.doc_id for r in fresh2.collect()} == {11, 13}
+    # next-batch store = union; a batch-3 dup of any earlier doc drops
+    store = store1.unionByName(store2)
+    b3 = spark.createDataFrame([(20, "kappa lambda mu")], "doc_id long, text string")
+    fresh3, _ = incremental_exact_dedup(b3, store)
+    assert fresh3.count() == 0
+
+
+def test_incremental_minhash_matches_batch_mode(spark):
+    """Splitting a corpus into two batches and running incremental minhash
+    (batch 2 vs batch 1's band store) finds exactly the pairs batch mode
+    finds on the union — banding is the same deterministic definition."""
+    from schemamap_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_similar_pairs,
+        shingles_for,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    want = {
+        (r.i, r.j): r.jaccard
+        for r in minhash_lsh_similar_pairs(docs, 0.5).collect()
+    }
+
+    _, store1 = incremental_minhash_dedup(b1, threshold=0.5)
+    pairs1, _ = incremental_minhash_dedup(b1, threshold=0.5)
+    pairs2, _ = incremental_minhash_dedup(
+        b2, band_store=store1, old_shingles=shingles_for(b1), threshold=0.5
+    )
+    got = {}
+    for r in pairs1.collect():
+        got[(r.i, r.j)] = r.jaccard
+    for r in pairs2.collect():
+        got[(r.i, r.j)] = r.jaccard
+    assert got == want
+
+
+def test_incremental_minhash_unverified_sentinel(spark):
+    """Without old_shingles, cross-batch candidates surface with the -1
+    sentinel instead of silently verifying against nothing."""
+    from schemamap_spark.operators.dedup import incremental_minhash_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog near the river")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "the quick brown fox jumps over the lazy dog near the shore")],
+        "doc_id long, text string",
+    )
+    _, store1 = incremental_minhash_dedup(b1)
+    pairs, _ = incremental_minhash_dedup(b2, band_store=store1)
+    rows = pairs.collect()
+    assert [(r.i, r.j, r.jaccard) for r in rows] == [(1, 2, -1.0)]
