@@ -22,6 +22,7 @@ from schemamap_spark.operators.dedup import (
 )
 from schemamap_spark.operators.embeddings import (
     dequantize_embeddings,
+    ivf_pq_topk,
     pq_encode,
     pq_topk,
     pq_train,
@@ -51,7 +52,7 @@ __all__ = [
     "corpus_report",
     "cosine_topk", "cosine_near_pairs", "lsh_topk", "ivf_topk", "topk_recall",
     "quantize_embeddings", "dequantize_embeddings",
-    "pq_train", "pq_encode", "pq_topk",
+    "pq_train", "pq_encode", "pq_topk", "ivf_pq_topk",
     "assign_splits", "deterministic_sample", "stratified_sample",
     "pack_sequences", "packing_stats", "chunk_documents",
     "two_level_collect_set", "bounded_collect_set",

@@ -258,3 +258,162 @@ def pq_topk(
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-vector shape — coarse centroid routing
+    (IVF) over PQ-compressed codes (ADC). Each corpus vector is assigned to
+    its nearest coarse centroid at encode time; a query ADC-scores ONLY the
+    rows in its `nprobe` nearest cells, so scored work drops ~nprobe/C on
+    top of PQ's per-row byte cut. Two approximations stack (cell routing may
+    miss a boundary neighbor, ADC quantizes the scores); rerank=R re-scores
+    the top R·k survivors with exact cosine like pq_topk.
+
+    Coarse centroids derive from the same deterministic hash-ordered sample
+    rule as pq_train/ivf_topk; corpus encoding happens here (one pass: cell
+    assignment + PQ codes in a single mapInPandas) — callers that precompute
+    can persist the returned plan's source instead, the operator is a pure
+    function of (corpus, codebooks)."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from schemamap_spark.operators.similarity import cosine
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    m = len(books)
+
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64("_id"))
+        .limit(num_centroids)
+        .collect()
+    )
+    C = np.array([r._v for r in cent_rows], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    ncells = C.shape[0]
+    nprobe = min(nprobe, ncells)
+
+    def enc(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(X, axis=1)
+            keep = nrm > 0
+            if not keep.any():
+                continue
+            X = X[keep] / nrm[keep, None]
+            cells = (X @ C.T).argmax(axis=1).astype(np.int32)
+            codes = np.empty((X.shape[0], m), dtype=np.int16)
+            for s, cent in enumerate(books):
+                sub = X[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "cell": cells,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = corpus.select(id_col, vec_col).mapInPandas(
+        enc, schema=f"{id_col} long, cell int, codes array<smallint>"
+    )
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()
+    spark = corpus.sparkSession
+    if not q_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine_sim double"
+        )
+    q_ids, luts, probes = [], [], []
+    for r in q_rows:
+        qv = np.asarray(r.q_vec, dtype=np.float64)
+        n = np.linalg.norm(qv)
+        if n == 0 or not np.isfinite(n):
+            continue
+        qv = qv / n
+        q_ids.append(r.query_id)
+        luts.append([books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)])
+        probes.append(set(np.argsort(-(C @ qv))[:nprobe].tolist()))
+    nq = len(q_ids)
+    take = (rerank * k if rerank else k) + 1
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf[id_col]
+            for qi in range(nq):
+                mask_cell = np.isin(cells, list(probes[qi]))
+                if not mask_cell.any():
+                    continue
+                lut = luts[qi]
+                sub = Cd[mask_cell]
+                sims = np.zeros(sub.shape[0])
+                for s in range(m):
+                    sims += lut[s][sub[:, s]]
+                n = sims.shape[0]
+                kk = min(take, n)
+                cutoff = np.partition(sims, n - kk)[n - kk] if n > kk else -np.inf
+                sel = sims >= cutoff
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids[qi],
+                        "neighbor_id": ids[mask_cell].reset_index(drop=True)[sel],
+                        "sim": sims[sel],
+                    }
+                )
+
+    scored = encoded.mapInPandas(
+        gen, schema="query_id long, neighbor_id long, sim double"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+            .orderBy("query_id", "rank")
+        )
+    cands = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank * k)
+        .select("query_id", "neighbor_id")
+    )
+    qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cdf = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    exact = (
+        cands.join(F.broadcast(qdf), "query_id")
+        .join(cdf, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
+        .orderBy("query_id", "rank")
+    )

@@ -1122,3 +1122,42 @@ def test_corpus_report_per_source_and_total(spark):
     )
     rep2 = corpus_report(docs.unionByName(dup), group_col=None).collect()[0]
     assert rep2.approx_dup_ratio > total[0].approx_dup_ratio
+
+
+def test_ivf_pq_recall_and_full_probe(spark):
+    """IVF-PQ on planted clusters: nprobe=all reduces to plain PQ (same
+    candidates, no routing loss); modest nprobe keeps recall high because
+    true neighbors share the query's cell by construction."""
+    import numpy as np
+
+    from schemamap_spark.operators.embeddings import ivf_pq_topk, pq_encode, pq_topk, pq_train
+
+    rng = np.random.RandomState(23)
+    rows = []
+    vid = 0
+    for b in range(30):
+        base = rng.normal(size=32)
+        base /= np.linalg.norm(base)
+        for _ in range(5):
+            v = base + rng.normal(scale=0.05, size=32)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 5 == 0).limit(6)
+    books = pq_train(emb, m=8, k_per_sub=32, sample=200)
+
+    # full probe == plain PQ: routing cannot lose anything
+    codes = pq_encode(emb, books)
+    plain = pq_topk(codes, q, books, k=4)
+    fullp = ivf_pq_topk(emb, q, books, k=4, num_centroids=8, nprobe=8)
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in plain.collect()} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in fullp.collect()
+    }
+
+    exact = SIM.cosine_topk(emb, q, k=4)
+    routed = ivf_pq_topk(emb, q, books, k=4, num_centroids=8, nprobe=3)
+    rec = SIM.topk_recall(exact, routed).agg(F.avg("recall")).collect()[0][0]
+    assert rec >= 0.6, rec
+    rr = ivf_pq_topk(emb, q, books, k=4, num_centroids=8, nprobe=3, rerank=3)
+    rec_rr = SIM.topk_recall(exact, rr).agg(F.avg("recall")).collect()[0][0]
+    assert rec_rr >= rec - 1e-9
