@@ -30,12 +30,21 @@ def quantize_embeddings(
     construction, so the ANSI tinyint cast can never overflow."""
     v = F.col(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = (maxabs / F.lit(127.0)).alias(scale_col)
+    # The scale is materialized as its OWN column first and only the column
+    # reference enters the transform lambda: Spark does not hoist
+    # loop-invariant subtrees out of HOF lambdas, so inlining `maxabs` in the
+    # body would re-run the full array_max for every element — O(d²) per row
+    # (~1536× redundant work at production dims). CollapseProject keeps the
+    # projections separate because the alias is non-cheap and referenced
+    # twice (condition + lambda); test_scale_ops pins one array_max in the
+    # optimized plan. Same pattern as dedup.shingles_from_tokens.
+    out = df.withColumn(scale_col, maxabs / F.lit(127.0))
+    scale = F.col(scale_col)
     q = F.when(
-        maxabs > 0,
-        F.transform(v, lambda x: F.round(x.cast("double") / (maxabs / F.lit(127.0))).cast("tinyint")),
+        scale > 0,
+        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint")),
     ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
-    return df.withColumn(scale_col, scale).withColumn(qvec_col, q)
+    return out.withColumn(qvec_col, q)
 
 
 def dequantize_embeddings(

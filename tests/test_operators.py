@@ -830,7 +830,17 @@ def test_quantize_embeddings_roundtrip(spark):
         [(99999, [0.0] * 64, 0)], "vec_id long, embedding array<float>, label int"
     )
     both = emb.unionByName(zero)
-    qd = dequantize_embeddings(quantize_embeddings(both))
+    qq = quantize_embeddings(both)
+    # the per-row scale must be hoisted OUT of the transform lambda: an
+    # inlined array_max re-runs per element (O(d²)/row, ~170× wall at 1536
+    # dims — measured in SCALE.md). Correct shape: array_max lives only in
+    # the qscale-producing Project; the qvec projection references the
+    # qscale COLUMN (CollapseProject must not have re-inlined the alias).
+    opt_plan = qq._jdf.queryExecution().optimizedPlan().toString()
+    for line in opt_plan.splitlines():
+        if "qvec" in line:
+            assert "array_max" not in line, line
+    qd = dequantize_embeddings(qq)
     assert dict(qd.dtypes)["qvec"] == "array<tinyint>"
 
     rows = qd.select("vec_id", "embedding", "qscale", "embedding_deq").collect()
