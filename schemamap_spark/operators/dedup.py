@@ -595,7 +595,13 @@ def incremental_minhash_dedup(
     - new_band_rows: this batch's (doc_id, band, bucket) — append to the
       store for the next batch. Banding derives from _band_rows, the same
       deterministic definition batch mode uses, so buckets are comparable
-      across runs by construction."""
+      across runs by construction.
+
+    Re-ingested doc_ids (present in both the batch and the store) resolve
+    new-batch-wins: the store's band rows AND old shingles for those ids are
+    ignored, so pairs are emitted once with jaccard computed from the new
+    text. (Callers refreshing a store should also replace the id's old band
+    rows with the returned ones.)"""
     sh_new = _shingled(new_docs, k, id_col, text_col).persist()
     banded_new = _band_rows(sh_new, num_hashes, bands).persist()
 
@@ -613,10 +619,16 @@ def incremental_minhash_dedup(
     pairs = _verify_jaccard(cand_in, sh_new, threshold)
 
     if band_store is not None:
+        # Re-ingested doc_ids (present in both the batch and the store) make
+        # the new batch authoritative: the store's stale band rows for those
+        # ids are excluded, otherwise a (new, old-self) band match would
+        # surface every in-batch pair a second time through the cross branch.
+        batch_ids = new_docs.select(F.col(id_col).alias("doc_id")).distinct()
+        store_live = band_store.join(batch_ids, "doc_id", "left_anti")
         cand_cross = (
             banded_new.alias("n")
             .join(
-                band_store.alias("o"),
+                store_live.alias("o"),
                 (F.col("n.band") == F.col("o.band"))
                 & (F.col("n.bucket") == F.col("o.bucket"))
                 & (F.col("n.doc_id") != F.col("o.doc_id")),
@@ -628,7 +640,12 @@ def incremental_minhash_dedup(
             .distinct()
         )
         if old_shingles is not None:
-            sh_all = sh_new.unionByName(old_shingles)
+            # Same new-batch-wins rule for shingles: a re-ingested doc_id
+            # with rows on BOTH sides of the union would fan out
+            # _verify_jaccard's per-id joins into duplicated pair rows with
+            # conflicting jaccard values.
+            old_only = old_shingles.join(batch_ids, "doc_id", "left_anti")
+            sh_all = sh_new.unionByName(old_only)
             cross = _verify_jaccard(cand_cross, sh_all, threshold)
         else:
             cross = cand_cross.select(

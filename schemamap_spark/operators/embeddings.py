@@ -98,6 +98,12 @@ def pq_train(
         raise ValueError(f"dims {dims} not divisible by m={m}")
     nrm = np.linalg.norm(X, axis=1, keepdims=True)
     X = X[nrm[:, 0] > 0] / nrm[nrm[:, 0] > 0]
+    if X.shape[0] == 0:
+        # fail the contract loudly, not with an opaque numpy argmin error
+        raise ValueError(
+            "pq_train: no nonzero-norm vectors in sample — zero vectors have "
+            "no direction to encode (same contract as cosine_topk)"
+        )
     dsub = dims // m
     books = []
     for s in range(m):

@@ -219,9 +219,13 @@ def cosine_topk(
     # the computed sim is per-PAIR, and worse, ProjectCollapse inlines the
     # whole zip_with/aggregate cosine into each predicate reference (~3×
     # evaluation — measured 2.4× wall on the sf0.1 bench).
+    # The squared norm must also be FINITE: a vector containing ±Inf passes
+    # (sq > 0) & ~isnan(sq) but yields NaN sims (inf/inf) that Spark's desc
+    # sort ranks greatest — an Inf-element vector would become every query's
+    # top neighbor.
     def _finite_nonzero(col):
         sq = _dot(col, col)
-        return (sq > 0) & ~F.isnan(sq)
+        return (sq > 0) & ~F.isnan(sq) & (sq < F.lit(float("inf")))
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

@@ -131,7 +131,17 @@ def sheet_values_to_df(spark: SparkSession, values: list[list]) -> DataFrame:
     the all-string staging contract."""
     if not values or not values[0]:
         raise ValueError("sheet payload has no header row")
-    header = [str(h) if h is not None else f"col_{i}" for i, h in enumerate(values[0])]
+    # None/empty/whitespace headers fall back to positional names (same
+    # contract as the XLSX reader), and repeated names get a positional
+    # suffix — duplicate columns would make every downstream select ambiguous.
+    header: list[str] = []
+    seen: set[str] = set()
+    for i, h in enumerate(values[0]):
+        name = str(h).strip() if h is not None and str(h).strip() else f"col_{i}"
+        if name in seen:
+            name = f"{name}_{i}"
+        seen.add(name)
+        header.append(name)
     width = len(header)
 
     def norm(cell):

@@ -312,3 +312,21 @@ def test_soql_csv_batches_adapter(spark):
     assert out.count() == 2
     with pytest.raises(NotImplementedError):
         read_salesforce(spark, "select Id from Account")
+
+
+def test_sheet_values_header_hygiene(spark):
+    """Empty/whitespace header cells fall back to positional names and
+    duplicate headers get a positional suffix — no invalid schema fragments,
+    no ambiguous duplicate columns."""
+    from schemamap_spark.sources.readers import sheet_values_to_df
+
+    values = [
+        ["name", "", "   ", None, "name", "id"],
+        ["Ada", "x", "y", "z", "dup", "1"],
+    ]
+    df = sheet_values_to_df(spark, values)
+    assert df.columns == ["name", "col_1", "col_2", "col_3", "name_4", "id"]
+    r = df.collect()[0]
+    assert r["name"] == "Ada" and r["name_4"] == "dup" and r["col_2"] == "y"
+    # selecting a formerly-duplicate column is unambiguous
+    assert df.select("name_4").collect()[0][0] == "dup"

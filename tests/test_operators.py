@@ -1171,3 +1171,73 @@ def test_ivf_pq_recall_and_full_probe(spark):
     rr = ivf_pq_topk(emb, q, books, k=4, num_centroids=8, nprobe=3, rerank=3)
     rec_rr = SIM.topk_recall(exact, rr).agg(F.avg("recall")).collect()[0][0]
     assert rec_rr >= rec - 1e-9
+
+
+def test_cosine_topk_drops_infinite_vectors(spark):
+    """A vector containing ±Inf has an infinite squared norm; its sims are
+    NaN (inf/inf), which Spark's desc sort ranks greatest — it must be
+    dropped per side before the join, like zero-norm vectors, on BOTH
+    scoring paths."""
+    import math
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [math.inf, 1.0, 0.0, 0.0]),   # Inf corpus vector
+        (4, [-math.inf, 0.0, 1.0, 0.0]),  # -Inf query vector
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id").isin(0, 4))
+    for method in ("expr", "matmul"):
+        out = SIM.cosine_topk(emb, queries, k=3, method=method).collect()
+        # the Inf query is dropped entirely; the Inf corpus row never ranks
+        assert {r.query_id for r in out} == {0}, (method, out)
+        assert all(r.neighbor_id not in (3, 4) for r in out), (method, out)
+        assert all(not math.isnan(r.cosine_sim) for r in out), (method, out)
+        assert [r.neighbor_id for r in out] == [1, 2], (method, out)
+
+
+def test_incremental_minhash_reingested_doc(spark):
+    """A doc_id present in both the store and the new batch (re-ingest)
+    resolves new-batch-wins: each pair is emitted exactly once, with jaccard
+    computed from the NEW text — no fanout through duplicated shingle rows,
+    no stale self-pairs through the old band rows."""
+    from schemamap_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        jaccard_similar_pairs,
+        shingles_for,
+    )
+
+    t_old = "the quick brown fox jumps over the lazy dog near the river"
+    t_new = "the quick brown fox jumps over the lazy dog near the shore"
+    b1 = spark.createDataFrame([(1, t_old)], "doc_id long, text string")
+    _, store1 = incremental_minhash_dedup(b1, threshold=0.5)
+    store1 = store1.localCheckpoint()
+
+    # batch 2 re-ingests doc 1 with NEW text plus a near-dup doc 2
+    b2 = spark.createDataFrame(
+        [(1, t_new), (2, t_new + " bank")], "doc_id long, text string"
+    )
+    pairs, _ = incremental_minhash_dedup(
+        b2, band_store=store1, old_shingles=shingles_for(b1), threshold=0.5
+    )
+    rows = pairs.collect()
+    assert [(r.i, r.j) for r in rows] == [(1, 2)], rows
+    # jaccard must come from the new text: batch-mode value over b2 alone
+    want = {(r.i, r.j): r.jaccard for r in jaccard_similar_pairs(b2, 0.5).collect()}
+    assert abs(rows[0].jaccard - want[(1, 2)]) < 1e-9
+
+
+def test_pq_train_rejects_all_zero_sample(spark):
+    """An all-zero-norm sample must fail the contract loudly, not with an
+    opaque numpy argmin error."""
+    import pytest
+
+    from schemamap_spark.operators.embeddings import pq_train
+
+    zeros = spark.createDataFrame(
+        [(i, [0.0] * 16) for i in range(8)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="nonzero-norm"):
+        pq_train(zeros, m=4, k_per_sub=4, sample=8)
