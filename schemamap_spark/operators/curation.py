@@ -215,7 +215,7 @@ def curation_report(original: DataFrame, curated: DataFrame, id_col: str = "doc_
         F.count(F.lit(1)).alias("curated_docs"),
         F.round(F.avg("quality"), 6).alias("mean_quality"),
     )
-    return n0.crossJoin(n1).withColumn(
+    return n0.crossJoin(F.broadcast(n1)).withColumn(
         "removed_docs", F.col("input_docs") - F.col("curated_docs")
     )
 

@@ -188,14 +188,15 @@ def pq_topk(
 
     from pyspark.sql import Window
 
-    from schemamap_spark.operators.similarity import cosine
+    from schemamap_spark.operators.similarity import collect_bounded_queries, cosine
 
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     dsub = books[0].shape[1]
     m = len(books)
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
+    q_rows = collect_bounded_queries(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "pq_topk",
+    )
     spark = codes.sparkSession
     if not q_rows:
         return spark.createDataFrame(
@@ -303,7 +304,7 @@ def ivf_pq_topk(
 
     from pyspark.sql import Window
 
-    from schemamap_spark.operators.similarity import cosine
+    from schemamap_spark.operators.similarity import collect_bounded_queries, cosine
 
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     dsub = books[0].shape[1]
@@ -350,9 +351,10 @@ def ivf_pq_topk(
         enc, schema=f"{id_col} long, cell int, codes array<smallint>"
     )
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).collect()
+    q_rows = collect_bounded_queries(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "ivf_pq_topk",
+    )
     spark = corpus.sparkSession
     if not q_rows:
         return spark.createDataFrame(

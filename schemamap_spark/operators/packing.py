@@ -130,7 +130,7 @@ def packing_stats(assignment: DataFrame, max_tokens: int) -> DataFrame:
                 6,
             ),
         ).alias("utilization"),
-    ).crossJoin(assignment.agg(F.count(F.lit(1)).alias("docs")))
+    ).crossJoin(F.broadcast(assignment.agg(F.count(F.lit(1)).alias("docs"))))
 
 
 CHUNK_COLUMNS = ["doc_id", "chunk_no", "n_chunks", "chunk_text", "chunk_tokens"]

@@ -25,6 +25,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Hard cap on how many QUERY rows the matmul/PQ scoring paths will pull to
+# the driver (the query matrix / ADC LUTs ride to executors as task-closure
+# broadcasts, so the query side must be bounded — ~65k × 1536 dims × 8 B ≈
+# 0.8 GB is the sane ceiling). Past the cap the operator raises instead of
+# OOMing the driver; batch the query side or use an id-partitioned self-join
+# formulation for query sets that large.
+MAX_DRIVER_QUERIES = 65_536
+
+
+def collect_bounded_queries(q: DataFrame, what: str) -> list:
+    """Collect the (small) query side, failing LOUDLY past MAX_DRIVER_QUERIES
+    — collects at most cap+1 rows, so the guard itself never OOMs and costs
+    no extra count job."""
+    rows = q.limit(MAX_DRIVER_QUERIES + 1).collect()
+    if len(rows) > MAX_DRIVER_QUERIES:
+        raise ValueError(
+            f"{what}: query side exceeds MAX_DRIVER_QUERIES={MAX_DRIVER_QUERIES}; "
+            "the driver-side collect would risk an OOM. Split the query set "
+            "into batches (results union cleanly) or flip corpus/query roles."
+        )
+    return rows
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -268,7 +291,7 @@ def _matmul_candidates(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     dropped after scoring."""
     import numpy as np
 
-    q_rows = q.collect()
+    q_rows = collect_bounded_queries(q, "cosine_topk(method='matmul')")
     out_schema = (
         f"query_id {q.schema['query_id'].dataType.simpleString()}, "
         f"neighbor_id {c.schema['neighbor_id'].dataType.simpleString()}, "

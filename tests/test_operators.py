@@ -506,7 +506,11 @@ def test_curate_corpus_funnel(spark):
     assert len({r.group_id for r in group_rows}) == 1  # one multi-member group
     assert len({r.group_id for r in group_rows}) < len(rows) + 3
 
-    rep = curation_report(docs, curated).collect()[0]
+    rep_df = curation_report(docs, curated)
+    # the two 1-row aggregates join as a broadcast, never CartesianProduct
+    rep_plan = rep_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rep_plan, rep_plan
+    rep = rep_df.collect()[0]
     assert (rep.input_docs, rep.curated_docs, rep.removed_docs) == (5, 2, 3)
     assert "dup_groups" not in rep.asDict()
 
@@ -1241,3 +1245,31 @@ def test_pq_train_rejects_all_zero_sample(spark):
     )
     with pytest.raises(ValueError, match="nonzero-norm"):
         pq_train(zeros, m=4, k_per_sub=4, sample=8)
+
+
+def test_driver_query_collect_cap(spark, monkeypatch):
+    """The matmul/PQ scoring paths collect the query side to the driver under
+    a documented cap; past it they must raise a clear error, not OOM. The
+    guard collects at most cap+1 rows (no extra count job)."""
+    import pytest
+
+    import schemamap_spark.operators.similarity as sim_mod
+    from schemamap_spark.operators.embeddings import ivf_pq_topk, pq_encode, pq_topk, pq_train
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(sim_mod, "MAX_DRIVER_QUERIES", 8)
+
+    big_q = emb.limit(9)  # cap + 1
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERIES"):
+        SIM.cosine_topk(emb, big_q, k=3, method="matmul").collect()
+
+    books = pq_train(emb, m=4, k_per_sub=8, sample=64)
+    codes = pq_encode(emb, books)
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERIES"):
+        pq_topk(codes, big_q, books, k=3)
+    with pytest.raises(ValueError, match="MAX_DRIVER_QUERIES"):
+        ivf_pq_topk(emb, big_q, books, k=3, num_centroids=4, nprobe=2)
+
+    # at the cap (not past it) everything still works
+    ok = SIM.cosine_topk(emb, emb.limit(8), k=3, method="matmul")
+    assert ok.count() > 0

@@ -61,7 +61,12 @@ def test_ffd_packs_crafted_instance_optimally(spark):
     assert len(set(seqs)) == 2
     assert sorted(seqs.values()) == [10, 10]
 
-    stats = packing_stats(asg, 10).collect()[0]
+    stats_df = packing_stats(asg, 10)
+    # the 1-row docs aggregate must join as a broadcast, never a
+    # CartesianProduct of big × 1 (plan hygiene at scale)
+    plan = stats_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    stats = stats_df.collect()[0]
     assert (stats.sequences, stats.docs, stats.oversize_sequences) == (2, 5, 0)
     assert stats.utilization == 1.0
 
