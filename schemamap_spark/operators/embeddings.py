@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# PQ/IVF-PQ ADC scoring processes queries in blocks sized so the per-block
+# (queries × batch_rows) sims matrix stays ~32 MB of float64 per worker —
+# vectorized across queries without unbounded memory at the query cap.
+_SCORE_BLOCK_CELLS = 4_000_000
+
 
 def quantize_embeddings(
     df: DataFrame,
@@ -215,6 +220,14 @@ def pq_topk(
         q_ids.append(r.query_id)
     nq = len(q_ids)
     take = (rerank * k if rerank else k) + 1
+    # The LUTs are batch-INVARIANT: stack them per subspace once on the
+    # driver — (nq, k_s) each — so every batch scores ALL queries with one
+    # fancy-index gather per subspace instead of a Python loop over queries
+    # (the per-query loop re-scanned the batch nq times; measured headroom
+    # at >=1k queries in SCALE.md). Queries score in blocks to bound the
+    # (block, n) sims matrix regardless of nq.
+    luts_stacked = [np.stack([luts[qi][s] for qi in range(nq)]) for s in range(m)]
+    qid_arr = np.asarray(q_ids, dtype=np.int64)
 
     def gen(batches):
         import pandas as pd
@@ -223,21 +236,25 @@ def pq_topk(
             if pdf.empty:
                 continue
             C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
-            ids = pdf[id_col]
+            ids = pdf[id_col].to_numpy()
             n = C.shape[0]
             kk = min(take, n)
-            for qi in range(nq):
-                lut = luts[qi]
-                sims = np.zeros(n)
+            blk = max(1, _SCORE_BLOCK_CELLS // max(n, 1))
+            for q0 in range(0, nq, blk):
+                q1 = min(q0 + blk, nq)
+                sims = np.zeros((q1 - q0, n))
                 for s in range(m):
-                    sims += lut[s][C[:, s]]
-                cutoff = np.partition(sims, n - kk)[n - kk] if n > kk else -np.inf
-                mask = sims >= cutoff
+                    sims += luts_stacked[s][q0:q1][:, C[:, s]]
+                if n > kk:
+                    cutoff = np.partition(sims, n - kk, axis=1)[:, n - kk]
+                else:
+                    cutoff = np.full(q1 - q0, -np.inf)
+                qi_idx, row_idx = np.nonzero(sims >= cutoff[:, None])
                 yield pd.DataFrame(
                     {
-                        "query_id": q_ids[qi],
-                        "neighbor_id": ids[mask].reset_index(drop=True),
-                        "sim": sims[mask],
+                        "query_id": qid_arr[q0:q1][qi_idx],
+                        "neighbor_id": ids[row_idx],
+                        "sim": sims[qi_idx, row_idx],
                     }
                 )
 
@@ -372,6 +389,19 @@ def ivf_pq_topk(
         probes.append(set(np.argsort(-(C @ qv))[:nprobe].tolist()))
     nq = len(q_ids)
     take = (rerank * k if rerank else k) + 1
+    # Batch-invariant driver-side precompute (same shape as pq_topk): stacked
+    # per-subspace LUTs, plus the cell→probing-queries inversion so each
+    # batch sorts by cell ONCE and scores every probed (cell, query-block)
+    # with stacked gathers — no per-query np.isin scan over the batch. The
+    # per-(query, cell) tie-inclusive top-take is a superset of the old
+    # per-(query, batch) cut, so the global window sees every true winner
+    # and the final ranking is unchanged (full-probe == pq_topk test pins it).
+    luts_stacked = [np.stack([luts[qi][s] for qi in range(nq)]) for s in range(m)]
+    qid_arr = np.asarray(q_ids, dtype=np.int64)
+    cell_queries = [
+        np.array([qi for qi in range(nq) if c in probes[qi]], dtype=np.int64)
+        for c in range(ncells)
+    ]
 
     def gen(batches):
         import pandas as pd
@@ -379,29 +409,39 @@ def ivf_pq_topk(
         for pdf in batches:
             if pdf.empty:
                 continue
-            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             cells = pdf["cell"].to_numpy()
-            ids = pdf[id_col]
-            for qi in range(nq):
-                mask_cell = np.isin(cells, list(probes[qi]))
-                if not mask_cell.any():
+            order = np.argsort(cells, kind="stable")
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)[order]
+            ids = pdf[id_col].to_numpy()[order]
+            cells = cells[order]
+            present = np.unique(cells)
+            starts = np.searchsorted(cells, present, side="left")
+            ends = np.searchsorted(cells, present, side="right")
+            for c, lo, hi in zip(present, starts, ends):
+                qsel = cell_queries[c] if 0 <= c < ncells else None
+                if qsel is None or qsel.size == 0:
                     continue
-                lut = luts[qi]
-                sub = Cd[mask_cell]
-                sims = np.zeros(sub.shape[0])
-                for s in range(m):
-                    sims += lut[s][sub[:, s]]
-                n = sims.shape[0]
+                sub = Cd[lo:hi]
+                n = hi - lo
                 kk = min(take, n)
-                cutoff = np.partition(sims, n - kk)[n - kk] if n > kk else -np.inf
-                sel = sims >= cutoff
-                yield pd.DataFrame(
-                    {
-                        "query_id": q_ids[qi],
-                        "neighbor_id": ids[mask_cell].reset_index(drop=True)[sel],
-                        "sim": sims[sel],
-                    }
-                )
+                blk = max(1, _SCORE_BLOCK_CELLS // max(n, 1))
+                for b0 in range(0, qsel.size, blk):
+                    qb = qsel[b0 : b0 + blk]
+                    sims = np.zeros((qb.size, n))
+                    for s in range(m):
+                        sims += luts_stacked[s][qb][:, sub[:, s]]
+                    if n > kk:
+                        cutoff = np.partition(sims, n - kk, axis=1)[:, n - kk]
+                    else:
+                        cutoff = np.full(qb.size, -np.inf)
+                    qi_idx, row_idx = np.nonzero(sims >= cutoff[:, None])
+                    yield pd.DataFrame(
+                        {
+                            "query_id": qid_arr[qb][qi_idx],
+                            "neighbor_id": ids[lo:hi][row_idx],
+                            "sim": sims[qi_idx, row_idx],
+                        }
+                    )
 
     scored = encoded.mapInPandas(
         gen, schema="query_id long, neighbor_id long, sim double"
