@@ -1,0 +1,98 @@
+"""ANN ladder recall floors on REALISTIC (clustered) embedding geometry.
+
+The driver's synthetic embeddings are near-random — no locality for an index
+to exploit — so recall evidence there says nothing about real workloads.
+fixtures/clustered_embeddings.parquet (tools/gen_fixtures.py, own pinned
+seed 7) is a 50-cluster mixture-of-Gaussians on the 64-dim sphere with
+Dirichlet-skewed sizes and per-cluster noise in [0.05, 0.25]; ~80% of every
+exact top-10 neighborhood is intra-cluster. Floors are set ~0.05-0.1 below
+3-run-stable measured values (SCALE.md records the full recall-vs-cost
+table); everything upstream is deterministic (pinned fixture, hash-ordered
+samples, hash-derived planes), so a floor breach means an algorithm change,
+not noise.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
+from schemamap_spark.operators import similarity as SIM
+from schemamap_spark.operators.embeddings import (
+    ivf_pq_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
+)
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    emb = spark.read.parquet(
+        f"{DEFAULT_FIXTURE_DIR}/clustered_embeddings.parquet"
+    ).persist()
+    q = emb.filter(F.col("vec_id") % 61 == 0).persist()  # 33 queries, many clusters
+    exact = SIM.cosine_topk(emb, q, k=K).persist()
+    exact.count()
+    return emb, q, exact
+
+
+def _recall(exact, approx):
+    return SIM.topk_recall(exact, approx).agg(F.avg("recall")).collect()[0][0]
+
+
+def test_fixture_geometry_is_clustered(spark, clustered):
+    """The fixture must actually BE clustered: most exact neighbors share the
+    query's cluster (this is what makes the recall floors meaningful)."""
+    emb, q, exact = clustered
+    j = (
+        exact.join(
+            emb.select(F.col("vec_id").alias("query_id"), F.col("cluster").alias("qc")),
+            "query_id",
+        ).join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("cluster").alias("nc")),
+            "neighbor_id",
+        )
+    )
+    frac = j.agg(F.avg((F.col("qc") == F.col("nc")).cast("double"))).collect()[0][0]
+    assert frac >= 0.75, frac
+
+
+def test_lsh_recall_floor_on_clustered(spark, clustered):
+    emb, q, exact = clustered
+    r = _recall(exact, SIM.lsh_topk(emb, q, k=K, num_planes=4, dims=64, multi_probe=1))
+    assert r >= 0.50, r  # measured 0.609
+
+
+def test_ivf_recall_floor_on_clustered(spark, clustered):
+    emb, q, exact = clustered
+    r = _recall(exact, SIM.ivf_topk(emb, q, k=K, num_centroids=32, nprobe=8))
+    assert r >= 0.75, r  # measured 0.821
+
+
+def test_pq_recall_floors_on_clustered(spark, clustered):
+    emb, q, exact = clustered
+    books = pq_train(emb, m=16, k_per_sub=64, sample=2000)
+    codes = pq_encode(emb, books).persist()
+    adc = _recall(exact, pq_topk(codes, q, books, k=K))
+    rr = _recall(exact, pq_topk(codes, q, books, k=K, rerank=3, corpus=emb))
+    assert adc >= 0.50, adc          # measured 0.567
+    assert rr >= 0.78, rr            # measured 0.842
+    assert rr >= adc - 1e-9          # exact re-rank can only help
+
+
+def test_ivf_pq_recall_floors_on_clustered(spark, clustered):
+    emb, q, exact = clustered
+    books = pq_train(emb, m=16, k_per_sub=64, sample=2000)
+    adc = _recall(
+        exact, ivf_pq_topk(emb, q, books, k=K, num_centroids=16, nprobe=8)
+    )
+    rr = _recall(
+        exact, ivf_pq_topk(emb, q, books, k=K, num_centroids=16, nprobe=8, rerank=3)
+    )
+    assert adc >= 0.45, adc          # measured 0.518 (routing loss stacks on ADC)
+    assert rr >= 0.70, rr            # measured 0.761
+    assert rr >= adc - 1e-9

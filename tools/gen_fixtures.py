@@ -303,6 +303,42 @@ def gen_images(rng: np.random.RandomState):
     ))
 
 
+def gen_clustered_embeddings():
+    """Mixture-of-Gaussians ON THE SPHERE — a realistic embedding-geometry
+    fixture for ANN recall evidence (the driver's synthetic embeddings are
+    near-random, which no locality-exploiting index can do well on; real
+    text/image embeddings cluster).
+
+    50 spherical clusters in 64 dims with Dirichlet-skewed sizes (min 12, so
+    every top-10 neighborhood is intra-cluster) and per-cluster noise scales
+    in [0.05, 0.25] — tight to moderately diffuse clusters, cross-cluster
+    cosine ≈ 0. Own pinned RNG (seed 7): regenerating must keep every other
+    fixture byte-identical."""
+    rng = np.random.RandomState(7)
+    n, dims, n_clusters, min_size = 2000, 64, 50, 12
+    centers = rng.normal(size=(n_clusters, dims))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    sizes = np.maximum(
+        (rng.dirichlet(np.full(n_clusters, 0.8)) * n).astype(int), min_size
+    )
+    while sizes.sum() > n:
+        sizes[sizes.argmax()] -= 1
+    while sizes.sum() < n:
+        sizes[sizes.argmin()] += 1
+    noise = rng.uniform(0.05, 0.25, size=n_clusters)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(int(sizes[c])):
+            v = centers[c] + rng.normal(scale=noise[c], size=dims)
+            v /= np.linalg.norm(v)
+            rows.append((vid, c, [float(x) for x in v]))
+            vid += 1
+    return pd.DataFrame(rows, columns=["vec_id", "cluster", "embedding"]).astype(
+        {"vec_id": np.int64, "cluster": np.int32}
+    )
+
+
 def gen_registries():
     bidi = pd.DataFrame([
         dict(name="trim_str", i18n='{"name":{"en":"Trim"}}', forward_fn_name="trim_str",
@@ -340,6 +376,7 @@ def main() -> None:
         organizations=orgs, projects=projects,
         staging_organizations_csv=so, staging_projects_csv=sp,
         tenants=tenants, bidi_mapping_fns=bidi,
+        clustered_embeddings=gen_clustered_embeddings(),
     )
     for name, df in frames.items():
         # Spark cannot read parquet TIMESTAMP(NANOS); write microseconds.
