@@ -305,6 +305,26 @@ def curate_funnel(spark, sf):
     )
 
 
+def quality_quantile_filter(spark, sf):
+    """Corpus-relative quality gate: drop the lowest 10% of documents by
+    quality score, cutoff = the 0.1-quantile of the corpus's quality
+    distribution. Registered with exact=True so DuckDB's quantile_cont is a
+    value twin (both engines linearly interpolate at position p·(n-1) over
+    the same round-6 quality values); the production path is the
+    approx_percentile sketch (exact=False), pinned against this exact
+    variant in test_text_quality. Boundary ties: kept rows satisfy
+    quality >= cutoff in BOTH engines, so rows exactly at the interpolated
+    cutoff survive deterministically rather than dropping arbitrarily."""
+    from schemamap_spark.operators.curation import quantile_quality_filter
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        quantile_quality_filter(docs, drop_fraction=0.1, exact=True)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_decode(spark, sf):
     from schemamap_spark.operators.multimodal import decode_images
 
@@ -336,6 +356,9 @@ SPARK_QUERIES = {
     "approx_invariants": approx_invariants,
     "pack_sequences": pack_sequences,
     "curate_funnel": curate_funnel,
+    # round 5: promoted in place of q33_cube (CUBE machinery stays proven by
+    # q28_rollup's grouping sets; q33 keeps a value-check in suite/extra.py)
+    "quality_quantile_filter": quality_quantile_filter,
 }
 
 # ---- shared oracle snippets -------------------------------------------------
@@ -649,6 +672,23 @@ ORACLE_SQL = {
                round(df * 1.0 / (select count(*) from documents), 6) as df_ratio
         from agg
         order by df desc, gram limit 20
+    """,
+    "quality_quantile_filter": f"""
+        with tk as (select doc_id, string_split(text, ' ') as toks from documents),
+        q as (
+          select doc_id,
+                 round(0.5 * least(len(toks) / 100.0, 1.0)
+                       + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                       + 0.1 * least(len(list_filter(toks, x -> list_contains({_STOP}, x)))
+                                     * 1.0 / len(toks) * 5.0, 1.0), 6) as quality
+          from tk
+        ),
+        -- quantile_cont == Spark's exact percentile(): linear interpolation at
+        -- position 0.1*(n-1) over the same round-6 values. Boundary ties keep
+        -- (quality >= cutoff) in both engines - deterministic, never arbitrary.
+        c as (select quantile_cont(quality, 0.1) as cut from q)
+        select q.doc_id, q.quality from q, c
+        where q.quality >= c.cut order by q.doc_id
     """,
     "dedup_simhash": f"""
         with g as (select doc_id, simhash

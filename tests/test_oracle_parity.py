@@ -29,7 +29,12 @@ def duck():
 def _pairs():
     import __spark_entry__ as e
 
+    from schemamap_spark.suite.extra import EXTRA_ORACLE_SQL, EXTRA_SPARK_QUERIES
+
     qs, oracles = e.queries(), e.oracle_sql()
+    assert len(qs) == 50, "driver registry must stay exactly 50 entries"
+    qs = {**qs, **EXTRA_SPARK_QUERIES}
+    oracles = {**oracles, **EXTRA_ORACLE_SQL}
     return [(name, qs[name], oracles.get(name)) for name in sorted(qs)]
 
 

@@ -119,8 +119,13 @@ def main() -> int:
             f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from schemamap_spark.suite.extra import EXTRA_ORACLE_SQL, EXTRA_SPARK_QUERIES
+
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # parity-only coverage beyond the driver's 50-slot cap (suite/extra.py)
+    queries.update(EXTRA_SPARK_QUERIES)
+    oracles.update(EXTRA_ORACLE_SQL)
     failures, skipped = [], []
     for name in sorted(queries):
         if only and name not in only:
