@@ -93,3 +93,90 @@ def stratified_sample(
         mapping[F.col(strata_col)], F.lit(int(round(default_fraction * BUCKETS)))
     )
     return df.filter(deterministic_bucket(id_col) < cutoff)
+
+
+def mixture_weights(
+    docs: DataFrame,
+    target_mix: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> dict[str, dict]:
+    """Per-source sampling plan to hit a token budget at a target mixture —
+    the domain-mixing step of a training-data pipeline (e.g. 60% web /
+    30% code / 10% books).
+
+    Returns {source: {available, target, fraction, cutoff}} where `fraction`
+    = min(1, target_tokens / available_tokens) and `cutoff` = floor(fraction
+    * 1000) is the per-mille Knuth-bucket threshold mixture_sample applies.
+    floor (not round) BY CONTRACT: it is portable to any engine (DuckDB
+    floor == Python math.floor for non-negatives), where Python's banker's
+    rounding is not. An under-supplied source (available < target) caps at
+    fraction 1 and the shortfall is visible in the returned plan rather than
+    silently rebalanced — rebalancing policy belongs to the caller.
+
+    Driver-side state is one row per source (bounded by the source-domain
+    cardinality, dozens not millions)."""
+    import math as _math
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    total_w = sum(target_mix.values())
+    if total_w <= 0:
+        raise ValueError("target_mix weights must sum to a positive value")
+    if any(w < 0 for w in target_mix.values()):
+        raise ValueError("target_mix weights must be non-negative")
+    from schemamap_spark.functions.text import token_count
+
+    toks = F.col(tokens_col) if tokens_col else token_count(text_col)
+    avail = {
+        r["src"]: int(r["toks"])
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(toks).cast("bigint").alias("toks"))
+        .collect()
+    }
+    plan: dict[str, dict] = {}
+    for src, w in target_mix.items():
+        target = token_budget * (w / total_w)
+        a = avail.get(src, 0)
+        frac = 1.0 if a == 0 else min(1.0, target / a)
+        plan[src] = {
+            "available": a,
+            "target": int(target),
+            "fraction": frac,
+            "cutoff": int(_math.floor(frac * BUCKETS)),
+        }
+    return plan
+
+
+def mixture_sample(
+    docs: DataFrame,
+    target_mix: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic token-budgeted mixture sample: keep each source's rows
+    whose Knuth bucket falls under that source's per-mille cutoff from
+    mixture_weights. Sources absent from target_mix are DROPPED (explicit
+    mixtures only). Same-row-kept-forever semantics as assign_splits /
+    stratified_sample — reruns, repartitions, and other engines agree; the
+    extra-registry oracle replays the full plan in DuckDB.
+
+    Sampling is per-ROW on a per-source RATE, so the achieved token count
+    concentrates around the target (docs ~ i.i.d. within a source) but is
+    not exact-to-the-token; exactness would need a sequential knapsack scan,
+    which does not distribute."""
+    plan = mixture_weights(
+        docs, target_mix, token_budget, source_col, tokens_col, text_col
+    )
+    cutoffs = F.create_map(
+        *[F.lit(x) for s, p in plan.items() for x in (s, p["cutoff"])]
+    )
+    cutoff = cutoffs[F.col(source_col)]
+    return docs.filter(
+        cutoff.isNotNull() & (deterministic_bucket(id_col) < cutoff)
+    )

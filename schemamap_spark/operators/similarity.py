@@ -567,3 +567,42 @@ def topk_recall(exact: DataFrame, approx: DataFrame) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_cells: int = 16,
+    stats: dict | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop every document whose
+    embedding is within `threshold` cosine of another, keeping ONE
+    representative (the min-id node) per near-duplicate component.
+
+    Composition of two already-scale-proven pieces — cosine_near_pairs
+    (EXACT metric-pruned pair generation: centroid cells + spherical
+    triangle-inequality pruning, no corpus broadcast) and
+    connected_components (min-label propagation) — so the whole operator
+    inherits their 100 TB posture: candidate traffic rides (cell, id) keys,
+    raw vectors never shuffle wider than an id join, components converge in
+    ~diameter rounds. Transitivity note: components CHAIN (a~b, b~c groups
+    {a,b,c} even if cos(a,c) < threshold) — that is the standard SemDeDup
+    semantics; pass stats={} to inspect `pairs`/`groups` when auditing.
+
+    Returns the corpus rows that survive, original schema unchanged."""
+    pairs = cosine_near_pairs(
+        corpus, threshold, id_col=id_col, vec_col=vec_col, num_cells=num_cells
+    )
+    if stats is not None:
+        stats["pairs"] = pairs
+    from schemamap_spark.operators.graph import connected_components
+
+    groups = connected_components(pairs)
+    if stats is not None:
+        stats["groups"] = groups
+    non_reps = groups.filter(F.col("node") != F.col("group_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return corpus.join(non_reps, id_col, "left_anti")

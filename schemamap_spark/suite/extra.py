@@ -13,6 +13,12 @@ schema + order-insensitive value hash vs DuckDB). Current entries:
   its digests against batch 1's persisted fingerprint store). DuckDB replays
   the digest anti-join exactly, value-checking the incremental path outside
   the repo's own two-batch == full-batch pytest.
+- semantic_dedup: SemDeDup composition (exact metric-pruned cosine pairs →
+  connected components → min-id representative). DuckDB brute-forces the
+  pairs and replays the closure with a recursive CTE.
+- mixture_sample: token-budgeted source-mixture sampling. Fully
+  deterministic (Knuth buckets + floor'd per-mille cutoffs BY CONTRACT), so
+  DuckDB replays the entire plan — totals, fractions, cutoffs, row picks.
 """
 
 from __future__ import annotations
@@ -38,9 +44,39 @@ def incremental_dedup(spark, sf):
     return fresh2.select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+def semantic_dedup_q(spark, sf):
+    """Semantic dedup over the embeddings table at the same 0.45 threshold
+    dedup_embedding_cosine uses: survivors = everything minus the non-min
+    members of each near-duplicate component."""
+    from schemamap_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf, "embeddings")
+    return semantic_dedup(emb, threshold=0.45).select("vec_id").orderBy("vec_id")
+
+
+_MIX = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 1500
+
+
+def mixture_sample_q(spark, sf):
+    """Token-budgeted mixture over three sources (others dropped). The plan
+    (per-source totals → fractions → floor'd per-mille cutoffs → Knuth-bucket
+    row picks) is deterministic and engine-portable end to end."""
+    from schemamap_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        mixture_sample(docs, dict(_MIX), _MIX_BUDGET)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
+    "semantic_dedup": semantic_dedup_q,
+    "mixture_sample": mixture_sample_q,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -56,5 +92,52 @@ EXTRA_ORACLE_SQL = {
         from reps r
         where not exists (select 1 from b1 where b1.fingerprint = r.fingerprint)
         order by r.doc_id
+    """,
+    "semantic_dedup": """
+        with recursive
+        e as (select vec_id, embedding::DOUBLE[] as v,
+                     sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) as nrm
+              from embeddings),
+        simpairs as (
+          select a.vec_id as i, b.vec_id as j
+          from e a join e b on a.vec_id < b.vec_id
+          where list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+        ),
+        ed as (select i as a, j as b from simpairs union select j, i from simpairs),
+        reach(a, b) as (
+          select a, b from ed
+          union
+          select r.a, e2.b from reach r join ed e2 on r.b = e2.a
+        ),
+        groups as (select a as node, least(a, min(b)) as group_id from reach group by a),
+        nonreps as (select node from groups where node <> group_id)
+        select vec_id from e
+        where vec_id not in (select node from nonreps)
+        order by vec_id
+    """,
+    # replays mixture_sample's full plan: per-source token totals ->
+    # fraction = least(1, (budget * (w / total_w)) / avail)  [same operation
+    # order as the Python side] -> cutoff = floor(fraction * 1000) ->
+    # Knuth-bucket row picks. Sources outside the mix drop.
+    "mixture_sample": """
+        with t as (
+          select doc_id, source,
+                 cast(len(string_split(text, ' ')) as bigint) as toks
+          from documents
+        ),
+        avail as (select source, cast(sum(toks) as bigint) as a from t group by 1),
+        plan as (
+          select avail.source,
+                 cast(floor(least(1.0, (1500 * (m.w / 1.0)) / avail.a) * 1000) as bigint)
+                   as cutoff
+          from avail
+          join (values ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)) m(source, w)
+            on m.source = avail.source
+        )
+        select d.doc_id, d.source
+        from documents d
+        join plan p on p.source = d.source
+        where (((d.doc_id % 2147483648) * 2654435761) % 2147483648) % 1000 < p.cutoff
+        order by d.doc_id
     """,
 }

@@ -1273,3 +1273,31 @@ def test_driver_query_collect_cap(spark, monkeypatch):
     # at the cap (not past it) everything still works
     ok = SIM.cosine_topk(emb, emb.limit(8), k=3, method="matmul")
     assert ok.count() > 0
+
+
+def test_semantic_dedup_collapses_chains(spark):
+    """SemDeDup semantics: components CHAIN through pairwise-similar links
+    (1~2, 2~3 collapses {1,2,3} even though cos(1,3) < threshold), the
+    min-id member represents each component, singletons survive untouched."""
+    import math
+
+    from schemamap_spark.operators.similarity import semantic_dedup
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    rows = [
+        (1, at(0)),    # chain: cos(0,15)=.966, cos(15,30)=.966 >= .95
+        (2, at(15)),   #        but cos(0,30)=.866 < .95
+        (3, at(30)),
+        (10, [0.0, 0.0, 1.0]),  # singleton, orthogonal to the chain
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats: dict = {}
+    kept = semantic_dedup(emb, threshold=0.95, num_cells=2, stats=stats)
+    assert sorted(r.vec_id for r in kept.collect()) == [1, 10]
+    assert kept.columns == emb.columns  # schema unchanged
+    pairs = {(r.i, r.j) for r in stats["pairs"].collect()}
+    assert pairs == {(1, 2), (2, 3)}  # the chain links, NOT (1, 3)
+    assert {r.node for r in stats["groups"].collect()} == {1, 2, 3}

@@ -86,3 +86,77 @@ def test_stratified_matches_deterministic_sample_arithmetic(spark):
             "lang").select("doc_id").collect()}
         b = {r.doc_id for r in deterministic_sample(docs, frac).select("doc_id").collect()}
         assert a == b, frac
+
+
+def test_mixture_weights_plan(spark):
+    """Hand-computed plan: fractions = min(1, target/available), cutoffs
+    floor'd per-mille; under-supplied sources cap at 1.0 and keep the
+    shortfall visible instead of silently rebalancing."""
+    import pytest
+
+    from schemamap_spark.operators.sampling import mixture_weights
+
+    rows = [(i, "A", 10) for i in range(10)] + [(100 + i, "B", 25) for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, toks int")
+
+    plan = mixture_weights(docs, {"A": 0.5, "B": 0.5}, 50, tokens_col="toks")
+    assert plan["A"] == {"available": 100, "target": 25, "fraction": 0.25, "cutoff": 250}
+    assert plan["B"] == {"available": 50, "target": 25, "fraction": 0.5, "cutoff": 500}
+
+    # under-supply: B's 50 tokens < 200 target -> fraction caps at 1.0
+    plan = mixture_weights(docs, {"A": 0.5, "B": 0.5}, 400, tokens_col="toks")
+    assert plan["B"]["fraction"] == 1.0 and plan["B"]["cutoff"] == 1000
+    assert plan["B"]["target"] == 200  # the shortfall stays visible
+
+    # weights normalize: {1, 3} == {0.25, 0.75}
+    p1 = mixture_weights(docs, {"A": 1.0, "B": 3.0}, 80, tokens_col="toks")
+    p2 = mixture_weights(docs, {"A": 0.25, "B": 0.75}, 80, tokens_col="toks")
+    assert p1 == p2
+
+    with pytest.raises(ValueError):
+        mixture_weights(docs, {"A": 1.0}, 0, tokens_col="toks")
+    with pytest.raises(ValueError):
+        mixture_weights(docs, {"A": -1.0, "B": 2.0}, 10, tokens_col="toks")
+    with pytest.raises(ValueError):
+        mixture_weights(docs, {}, 10, tokens_col="toks")
+
+
+def test_mixture_sample_deterministic_replay(spark):
+    """The kept row set is exactly reproducible from the plan with pure
+    Python arithmetic (the same contract the DuckDB extra-oracle replays),
+    sources outside the mix drop, and repartitioning changes nothing."""
+    from schemamap_spark.operators.sampling import (
+        BUCKETS,
+        KNUTH,
+        MOD,
+        mixture_sample,
+        mixture_weights,
+    )
+
+    rows = (
+        [(i, "A", 10) for i in range(40)]
+        + [(200 + i, "B", 20) for i in range(20)]
+        + [(400 + i, "C", 30) for i in range(10)]  # not in the mix
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, toks int")
+    mix, budget = {"A": 0.6, "B": 0.4}, 300
+
+    plan = mixture_weights(docs, mix, budget, tokens_col="toks")
+    got = sorted(
+        r.doc_id for r in mixture_sample(docs, mix, budget, tokens_col="toks").collect()
+    )
+    want = sorted(
+        did
+        for did, src, _ in rows
+        if src in plan and ((did % MOD) * KNUTH) % MOD % BUCKETS < plan[src]["cutoff"]
+    )
+    assert got == want and got  # non-empty and exactly the replay
+    assert not any(400 <= d < 500 for d in got)  # C dropped entirely
+
+    got_rep = sorted(
+        r.doc_id
+        for r in mixture_sample(
+            docs.repartition(13), mix, budget, tokens_col="toks"
+        ).collect()
+    )
+    assert got_rep == got
