@@ -219,6 +219,11 @@ def pq_topk(
         luts.append([books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)])
         q_ids.append(r.query_id)
     nq = len(q_ids)
+    if nq == 0:
+        # every query was zero-norm/non-finite — np.stack below would raise
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine_sim double"
+        )
     take = (rerank * k if rerank else k) + 1
     # The LUTs are batch-INVARIANT: stack them per subspace once on the
     # driver — (nq, k_s) each — so every batch scores ALL queries with one
@@ -388,6 +393,11 @@ def ivf_pq_topk(
         luts.append([books[s] @ qv[s * dsub : (s + 1) * dsub] for s in range(m)])
         probes.append(set(np.argsort(-(C @ qv))[:nprobe].tolist()))
     nq = len(q_ids)
+    if nq == 0:
+        # every query was zero-norm/non-finite — np.stack below would raise
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine_sim double"
+        )
     take = (rerank * k if rerank else k) + 1
     # Batch-invariant driver-side precompute (same shape as pq_topk): stacked
     # per-subspace LUTs, plus the cell→probing-queries inversion so each

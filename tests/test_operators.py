@@ -1301,3 +1301,35 @@ def test_semantic_dedup_collapses_chains(spark):
     pairs = {(r.i, r.j) for r in stats["pairs"].collect()}
     assert pairs == {(1, 2), (2, 3)}  # the chain links, NOT (1, 3)
     assert {r.node for r in stats["groups"].collect()} == {1, 2, 3}
+
+
+def test_pq_topk_all_zero_queries_returns_empty(spark):
+    """A non-empty query frame whose vectors are ALL zero-norm must return
+    an empty result, not crash the driver-side LUT stacking."""
+    from schemamap_spark.operators.embeddings import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    books = pq_train(emb, m=4, k_per_sub=8, sample=64)
+    codes = pq_encode(emb, books)
+    zq = spark.createDataFrame(
+        [(1000, [0.0] * 64), (1001, [0.0] * 64)],
+        "vec_id long, embedding array<double>",
+    )
+    assert pq_topk(codes, zq, books, k=3).count() == 0
+    assert ivf_pq_topk(emb, zq, books, k=3, num_centroids=4, nprobe=2).count() == 0
+
+
+def test_semantic_dedup_no_pairs_is_identity(spark):
+    """With no pair above threshold, semantic_dedup returns the corpus
+    unchanged (empty component set must not drop or error)."""
+    from schemamap_spark.operators.similarity import semantic_dedup
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [-1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = semantic_dedup(emb, threshold=0.99, num_cells=2)
+    assert sorted(r.vec_id for r in kept.collect()) == [1, 2, 3]
