@@ -1,0 +1,145 @@
+"""Fuzzy entity matching: staging rows ↔ master-data rows by name similarity.
+
+The reference's import pipeline stages external rows (CSV/XLSX/Sheets/SFDC)
+and merges them into master-data tables (SCHEMA:404-450, data_migrations
+state machine); real-world staging data spells entity names inconsistently
+("  ACME Corp " vs "Acme Corp"), so the match step needs similarity, not
+equality. This module is the scale-shaped version of that step:
+normalized character-n-gram Jaccard with EXACT results via prefix filtering
+— the same lossless candidate-pruning machinery as
+dedup.jaccard_similar_pairs, extended to TWO frames.
+
+Cross-frame prefix filter: under one GLOBAL rarity order over both sides'
+grams, two sets with Jaccard >= t must share a gram inside each side's
+floor((1-t)·|S|)+1 rarest-first prefix, so only the prefixes enter the
+inverted-index join — the quadratic all-pairs never materializes, and the
+join keys are single grams (shuffle-partitionable). At 100 TB the master
+side is the small one (master data is small by definition — the reference's
+own candidate-scoring premise, SCHEMA:239-254); the staging side streams
+through the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_char_ngrams(col, n: int = 3) -> F.Column:
+    """Distinct character n-grams of a whitespace-collapsed, lower-cased,
+    trimmed string — the standard name-matching token set (robust to case,
+    padding, and double spaces; order-sensitive unlike word sets, so
+    'Corp Acme' != 'Acme Corp' at high thresholds). Strings shorter than n
+    contribute themselves as a single gram (never an empty set, so a short
+    staged name still matches its exact master twin)."""
+    s = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.array_distinct(
+        F.when(
+            F.length(s) < n, F.array(s)
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - (n - 1)),
+                lambda i: s.substr(i, F.lit(n)),
+            )
+        )
+    )
+
+
+def fuzzy_match(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.6,
+    left_id: str = "id",
+    left_text: str = "name",
+    right_id: str = "id",
+    right_text: str = "name",
+    n: int = 3,
+    top: int = 1,
+) -> DataFrame:
+    """For each LEFT (staging) row, the `top` RIGHT (master) rows whose
+    normalized char-n-gram Jaccard >= threshold, ranked by
+    (jaccard desc, right id) — EXACT, prefix-filtered.
+
+    Output: (left_id, right_id, jaccard round6, rank). Left rows with no
+    match above threshold simply don't appear (the caller's unmatched set is
+    a left_anti join away). Gram document frequencies are computed over the
+    UNION of both sides so the rarity order is global — per-side orders
+    would break the prefix-filter guarantee."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    from schemamap_spark.session import ensure_parallelism
+
+    lsh = (
+        ensure_parallelism(left, left_id)
+        .select(
+            F.col(left_id).alias("lid"),
+            normalized_char_ngrams(F.col(left_text), n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    rsh = (
+        ensure_parallelism(right, right_id)
+        .select(
+            F.col(right_id).alias("rid"),
+            normalized_char_ngrams(F.col(right_text), n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .persist()
+    )
+    ex_l = lsh.select("lid", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+    ex_r = rsh.select("rid", F.size("sh").alias("sz"), F.explode("sh").alias("s"))
+
+    freq = (
+        ex_l.select("s").unionAll(ex_r.select("s")).groupBy("s").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+    )
+
+    def _prefix(ex, idc):
+        return (
+            ex.join(freq, "s")
+            .withColumn(
+                "rnk",
+                F.row_number().over(Window.partitionBy(idc).orderBy("df", "s")),
+            )
+            .withColumn(
+                "plen", F.floor((1.0 - threshold) * F.col("sz")).cast("int") + 1
+            )
+            .filter(F.col("rnk") <= F.col("plen"))
+            .select(idc, "s")
+        )
+
+    cand = (
+        _prefix(ex_l, "lid")
+        .join(_prefix(ex_r, "rid"), "s")
+        .select("lid", "rid")
+        .distinct()
+    )
+    scored = (
+        cand.join(lsh.select("lid", F.col("sh").alias("sh_l")), "lid")
+        .join(rsh.select("rid", F.col("sh").alias("sh_r")), "rid")
+        .select(
+            "lid",
+            "rid",
+            (
+                F.size(F.array_intersect("sh_l", "sh_r")).cast("double")
+                / F.size(F.array_union("sh_l", "sh_r")).cast("double")
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= threshold)
+    )
+    w = Window.partitionBy("lid").orderBy(F.desc("jac"), "rid")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .select(
+            F.col("lid").alias(left_id + "_left"),
+            F.col("rid").alias(right_id + "_right"),
+            F.round("jac", 6).alias("jaccard"),
+            "rank",
+        )
+        .orderBy(left_id + "_left", "rank")
+    )

@@ -25,8 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
 from schemamap_spark.session import load_table
 from schemamap_spark.suite.relational import Q33_CUBE_ORACLE, q33_cube
+
+FIX = DEFAULT_FIXTURE_DIR
 
 
 def incremental_dedup(spark, sf):
@@ -72,11 +75,26 @@ def mixture_sample_q(spark, sf):
     )
 
 
+def fuzzy_match_q(spark, sf):
+    """Import-time MDM matching over the fixture app: staged organization
+    rows (whitespace-padded names, a few corrupted) fuzzy-match the master
+    organizations table at 0.9 char-3-gram Jaccard, best match per staged
+    row. sf-independent (fixture tables), like the catalog suite's rows."""
+    from schemamap_spark.operators.matching import fuzzy_match
+
+    staging = spark.read.parquet(f"{FIX}/staging_organizations_csv.parquet")
+    master = spark.read.parquet(f"{FIX}/organizations.parquet")
+    return fuzzy_match(
+        staging, master, threshold=0.9, left_text="name", right_text="name", top=1
+    )
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
     "semantic_dedup": semantic_dedup_q,
     "mixture_sample": mixture_sample_q,
+    "fuzzy_match": fuzzy_match_q,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -114,6 +132,41 @@ EXTRA_ORACLE_SQL = {
         select vec_id from e
         where vec_id not in (select node from nonreps)
         order by vec_id
+    """,
+    # brute-force twin of the prefix-filtered matcher: normalized char-3-gram
+    # jaccard over the full staging x master cross join, best match per
+    # staged row by (jaccard desc, master id)
+    "fuzzy_match": f"""
+        with norm_l as (
+          select id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g') as s
+          from read_parquet('{FIX}/staging_organizations_csv.parquet')
+        ),
+        norm_r as (
+          select id, regexp_replace(lower(trim(name)), '\\s+', ' ', 'g') as s
+          from read_parquet('{FIX}/organizations.parquet')
+        ),
+        gl as (select id, case when len(s) < 3 then [s]
+                    else list_distinct(list_transform(range(1, len(s) - 1),
+                                                      i -> substr(s, i, 3))) end as g
+               from norm_l),
+        gr as (select id, case when len(s) < 3 then [s]
+                    else list_distinct(list_transform(range(1, len(s) - 1),
+                                                      i -> substr(s, i, 3))) end as g
+               from norm_r),
+        scored as (
+          select l.id as id_left, r.id as id_right,
+                 len(list_intersect(l.g, r.g)) * 1.0
+                   / (len(l.g) + len(r.g) - len(list_intersect(l.g, r.g))) as jac
+          from gl l cross join gr r
+        ),
+        ranked as (
+          select id_left, id_right, jac,
+                 row_number() over (partition by id_left
+                                    order by jac desc, id_right) as rank
+          from scored where jac >= 0.9
+        )
+        select id_left, id_right, round(jac, 6) as jaccard, cast(rank as int) as rank
+        from ranked where rank <= 1 order by id_left, rank
     """,
     # replays mixture_sample's full plan: per-source token totals ->
     # fraction = least(1, (budget * (w / total_w)) / avail)  [same operation

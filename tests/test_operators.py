@@ -1333,3 +1333,83 @@ def test_semantic_dedup_no_pairs_is_identity(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     kept = semantic_dedup(emb, threshold=0.99, num_cells=2)
     assert sorted(r.vec_id for r in kept.collect()) == [1, 2, 3]
+
+
+def test_fuzzy_match_staging_to_master(spark):
+    """Name-normalized char-3-gram matching: case/whitespace variants hit
+    their master row at jaccard 1.0, near-miss spellings rank below exact
+    hits, unmatched staging rows are absent, and top=k bounds the fanout."""
+    import pytest
+
+    from schemamap_spark.operators.matching import fuzzy_match, normalized_char_ngrams
+
+    master = spark.createDataFrame(
+        [(1, "Acme Corp"), (2, "Acme Inc"), (3, "Globex Corporation")],
+        "id long, name string",
+    )
+    staging = spark.createDataFrame(
+        [
+            ("s1", "  ACME   corp "),   # normalization -> exact master 1
+            ("s2", "Acme Corp."),       # near miss (trailing dot)
+            ("s3", "Initech"),          # no match
+        ],
+        "id string, name string",
+    )
+    out = fuzzy_match(staging, master, threshold=0.5, top=2)
+    rows = {(r.id_left, r.rank): (r.id_right, r.jaccard) for r in out.collect()}
+    assert rows[("s1", 1)] == (1, 1.0)
+    assert rows[("s2", 1)][0] == 1 and rows[("s2", 1)][1] < 1.0
+    assert not any(k[0] == "s3" for k in rows)
+    # top=2: s1 may also match "Acme Inc" at rank 2, never more than 2 rows
+    assert all(r.rank <= 2 for r in out.collect())
+
+    # short-string guard: a sub-n name still matches its exact twin
+    short = fuzzy_match(
+        spark.createDataFrame([("x", "ab")], "id string, name string"),
+        spark.createDataFrame([(9, " AB ")], "id long, name string"),
+        threshold=0.9,
+    ).collect()
+    assert [(r.id_left, r.id_right, r.jaccard) for r in short] == [("x", 9, 1.0)]
+
+    with pytest.raises(ValueError):
+        fuzzy_match(staging, master, threshold=0.0)
+    with pytest.raises(ValueError):
+        fuzzy_match(staging, master, top=0)
+
+
+def test_fuzzy_match_equals_bruteforce(spark):
+    """Prefix filtering is lossless: the candidate-pruned result equals the
+    brute-force cross-join jaccard on a frame with shared hot grams."""
+    from schemamap_spark.operators.matching import fuzzy_match, normalized_char_ngrams
+    from pyspark.sql import Window, functions as F
+
+    left = spark.createDataFrame(
+        [(i, f"Organization Number {i:03d}") for i in range(30)],
+        "id long, name string",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"organization  number {i:03d}") for i in range(0, 60, 2)],
+        "id long, name string",
+    )
+    got = {
+        (r.id_left, r.id_right, r.jaccard, r.rank)
+        for r in fuzzy_match(left, right, threshold=0.8, top=3).collect()
+    }
+    l = left.select(F.col("id").alias("lid"), normalized_char_ngrams(F.col("name")).alias("a"))
+    r_ = right.select(F.col("id").alias("rid"), normalized_char_ngrams(F.col("name")).alias("b"))
+    brute = (
+        l.crossJoin(r_)
+        .select(
+            "lid", "rid",
+            (F.size(F.array_intersect("a", "b")).cast("double")
+             / F.size(F.array_union("a", "b")).cast("double")).alias("jac"),
+        )
+        .filter(F.col("jac") >= 0.8)
+    )
+    w = Window.partitionBy("lid").orderBy(F.desc("jac"), "rid")
+    want = {
+        (r.lid, r.rid, round(r.jac, 6), r.rank)
+        for r in brute.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3).collect()
+    }
+    assert got == want and got
