@@ -130,6 +130,46 @@ class ImportPipeline:
             ]
         )
 
+    # --- identity reconciliation (pre-merge MDM step) ---------------------
+    def reconcile(
+        self,
+        staging: DataFrame,
+        master: DataFrame,
+        match_col: str,
+        threshold: float = 0.9,
+        staging_id_col: str = "id",
+        master_id_col: str = "id",
+    ) -> DataFrame:
+        """Attach each staged row's best-matching master id by fuzzy name
+        (normalized char-3-gram Jaccard >= threshold): adds `matched_id`
+        (null when nothing clears the threshold — the create-new-entity
+        path) and `match_jaccard`. Runs BEFORE merge for sources whose
+        natural keys are absent or dirty — the reference stages exactly such
+        data (all-string CSV/Sheets payloads) and its master-data premise is
+        name-identified entities. Exact prefix-filtered matching; see
+        operators/matching.fuzzy_match for the scale posture."""
+        from schemamap_spark.operators.matching import fuzzy_match
+
+        matches = fuzzy_match(
+            staging,
+            master,
+            threshold=threshold,
+            left_id=staging_id_col,
+            left_text=match_col,
+            right_id=master_id_col,
+            right_text=match_col,
+            top=1,
+        )
+        return staging.join(
+            matches.select(
+                F.col(staging_id_col + "_left").alias(staging_id_col),
+                F.col(master_id_col + "_right").alias("matched_id"),
+                F.col("jaccard").alias("match_jaccard"),
+            ),
+            staging_id_col,
+            "left",
+        )
+
     # --- the pipeline ---------------------------------------------------
     def run(
         self,

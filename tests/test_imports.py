@@ -330,3 +330,28 @@ def test_sheet_values_header_hygiene(spark):
     assert r["name"] == "Ada" and r["name_4"] == "dup" and r["col_2"] == "y"
     # selecting a formerly-duplicate column is unambiguous
     assert df.select("name_4").collect()[0][0] == "dup"
+
+
+def test_reconcile_attaches_master_ids(spark):
+    """Pre-merge MDM reconciliation over the fixture app: padded staged
+    names resolve to their master organization id; corrupted names get a
+    null matched_id (the create-new-entity path); row count is preserved."""
+    from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
+    from schemamap_spark.imports.pipeline import ImportPipeline
+
+    staging = spark.read.parquet(f"{DEFAULT_FIXTURE_DIR}/staging_organizations_csv.parquet")
+    master = spark.read.parquet(f"{DEFAULT_FIXTURE_DIR}/organizations.parquet")
+    pipe = ImportPipeline(spark)
+    out = pipe.reconcile(staging, master, match_col="name", threshold=0.9)
+
+    assert out.count() == staging.count()
+    rows = list(out.collect())
+    # every UNCORRUPTED staged row ("  Org NNN " for its own id) resolves to
+    # its master org at jaccard 1.0 (fixture corruption: a few names are
+    # " ab " or another org's name — data-driven, not a fixed id set)
+    clean = [r for r in rows if r.name == f"  Org {int(r.id):03d} "]
+    assert len(clean) > 180
+    assert all(r.matched_id == int(r.id) and r.match_jaccard == 1.0 for r in clean)
+    # the corrupted " ab " names clear nothing at 0.9 -> create-new path
+    unmatched = [r for r in rows if r.matched_id is None]
+    assert unmatched and all(r.name == " ab " for r in unmatched)
