@@ -1356,6 +1356,10 @@ def test_fuzzy_match_staging_to_master(spark):
         "id string, name string",
     )
     out = fuzzy_match(staging, master, threshold=0.5, top=2)
+    # candidate generation is an inverted-index equi-join — never a
+    # CartesianProduct / BroadcastNestedLoopJoin of staging x master
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     rows = {(r.id_left, r.rank): (r.id_right, r.jaccard) for r in out.collect()}
     assert rows[("s1", 1)] == (1, 1.0)
     assert rows[("s2", 1)][0] == 1 and rows[("s2", 1)][1] < 1.0
