@@ -98,25 +98,41 @@ def fuzzy_match(
         )
     )
 
-    def _prefix(ex, idc):
+    def _prefix(ex, idc, pos, size):
         return (
             ex.join(freq, "s")
             .withColumn(
-                "rnk",
+                pos,
                 F.row_number().over(Window.partitionBy(idc).orderBy("df", "s")),
             )
             .withColumn(
                 "plen", F.floor((1.0 - threshold) * F.col("sz")).cast("int") + 1
             )
-            .filter(F.col("rnk") <= F.col("plen"))
-            .select(idc, "s")
+            .filter(F.col(pos) <= F.col("plen"))
+            .select(idc, "s", pos, F.col("sz").alias(size))
         )
 
+    # Positional (ppjoin-style) suffix bound on top of the prefix filter:
+    # both sides rank grams by the SAME global rarity order, so the first
+    # shared gram attains min position on both sides simultaneously, and
+    # overlap(A,B) <= 1 + min(|A| - p_a, |B| - p_b) at that gram. Jaccard
+    # >= t  ⇔  overlap >= t/(1+t)·(|A|+|B|), so candidates whose bound
+    # can't reach that are pruned LOSSLESSLY before the expensive
+    # full-array verify join (the equals-brute-force test pins this). On a
+    # hot-gram vocabulary this cuts the candidate set far below what the
+    # prefix filter alone leaves (numbers in SCALE.md).
     cand = (
-        _prefix(ex_l, "lid")
-        .join(_prefix(ex_r, "rid"), "s")
+        _prefix(ex_l, "lid", "pl", "szl")
+        .join(_prefix(ex_r, "rid", "pr", "szr"), "s")
+        .groupBy("lid", "rid", "szl", "szr")
+        .agg(F.min("pl").alias("pl"), F.min("pr").alias("pr"))
+        .filter(
+            F.lit(1.0) + F.least(F.col("szl") - F.col("pl"), F.col("szr") - F.col("pr"))
+            >= F.ceil(
+                F.lit(threshold / (1.0 + threshold)) * (F.col("szl") + F.col("szr"))
+            )
+        )
         .select("lid", "rid")
-        .distinct()
     )
     scored = (
         cand.join(lsh.select("lid", F.col("sh").alias("sh_l")), "lid")
