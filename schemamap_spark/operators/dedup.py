@@ -139,14 +139,34 @@ def jaccard_similar_pairs(
         )
         .withColumn("prefix_len", F.floor((1.0 - threshold) * F.col("sz")).cast("int") + 1)
         .filter(F.col("rnk") <= F.col("prefix_len"))
-        .select("doc_id", "s")
+        .select("doc_id", "s", "rnk", "sz")
     )
 
+    # Positional (ppjoin-style) suffix bound before the expensive verify:
+    # all docs rank shingles by ONE global rarity order, so the first shared
+    # shingle of a pair attains min rank on both sides simultaneously and
+    # overlap(A,B) <= 1 + min(|A| - p_a, |B| - p_b); Jaccard >= t ⇔
+    # overlap >= t/(1+t)·(|A|+|B|). Pairs whose bound can't reach that are
+    # pruned LOSSLESSLY (pinned by the brute-force-oracle parity row and
+    # the jaccard==minhash equality test). Measured sf0.1: candidates
+    # 409k → 125k, wall 4.6s → 2.5s median (SCALE.md).
     cand = (
         ranked.alias("a")
         .join(ranked.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"),
+            F.col("a.rnk").alias("pi"), F.col("b.rnk").alias("pj"),
+            F.col("a.sz").alias("szi"), F.col("b.sz").alias("szj"),
+        )
+        .groupBy("i", "j", "szi", "szj")
+        .agg(F.min("pi").alias("pi"), F.min("pj").alias("pj"))
+        .filter(
+            F.lit(1.0) + F.least(F.col("szi") - F.col("pi"), F.col("szj") - F.col("pj"))
+            >= F.ceil(
+                F.lit(threshold / (1.0 + threshold)) * (F.col("szi") + F.col("szj"))
+            )
+        )
+        .select("i", "j")
     )
     return _verify_jaccard(cand, sh, threshold)
 
