@@ -35,8 +35,14 @@ def normalized_char_ngrams(col, n: int = 3) -> F.Column:
     s = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.array_distinct(
         F.when(
-            F.length(s) < n, F.array(s)
-        ).otherwise(
+            # empty/whitespace-only names have NO identity to match on — an
+            # empty gram set (callers drop the row), never a {""} singleton
+            # that would "match" every other empty name at jaccard 1.0
+            F.length(s) == 0,
+            F.array().cast("array<string>"),
+        )
+        .when(F.length(s) < n, F.array(s))
+        .otherwise(
             F.transform(
                 F.sequence(F.lit(1), F.length(s) - (n - 1)),
                 lambda i: s.substr(i, F.lit(n)),

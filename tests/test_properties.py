@@ -332,3 +332,46 @@ def test_corpus_ngram_stats_model(spark, texts, n):
         g: (df_c[g], tf_c[g], round(df_c[g] / len(texts), 6)) for g in df_c
     }
     assert got == want
+
+
+@SET
+@given(
+    left=st.lists(names, min_size=0, max_size=6),
+    right=st.lists(names, min_size=0, max_size=6),
+    threshold=st.sampled_from([0.4, 0.7, 0.95]),
+)
+def test_fuzzy_match_model(spark, left, right, threshold):
+    """fuzzy_match (prefix + positional-bound pruning) vs a pure-Python
+    brute-force model over adversarial shapes: empty/short/duplicate names,
+    whitespace runs, threshold boundaries."""
+    import re
+
+    from schemamap_spark.operators.matching import fuzzy_match
+
+    ldf = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(left)], "id long, name string"
+    )
+    rdf = spark.createDataFrame(
+        [(100 + i, n) for i, n in enumerate(right)], "id long, name string"
+    )
+    got = {
+        (r.id_left, r.id_right)
+        for r in fuzzy_match(ldf, rdf, threshold=threshold, top=len(right) or 1).collect()
+    }
+
+    def grams(s):
+        s = re.sub(r"\s+", " ", s.strip().lower())
+        if not s:
+            return set()
+        return {s} if len(s) < 3 else {s[i : i + 3] for i in range(len(s) - 2)}
+
+    want = set()
+    for i, ln in enumerate(left):
+        g_l = grams(ln)
+        if not g_l:
+            continue
+        for j, rn in enumerate(right):
+            g_r = grams(rn)
+            if g_r and len(g_l & g_r) / len(g_l | g_r) >= threshold:
+                want.add((i, 100 + j))
+    assert got == want
