@@ -96,3 +96,20 @@ def test_ivf_pq_recall_floors_on_clustered(spark, clustered):
     assert adc >= 0.45, adc          # measured 0.518 (routing loss stacks on ADC)
     assert rr >= 0.70, rr            # measured 0.761
     assert rr >= adc - 1e-9
+
+
+def test_semantic_dedup_on_clustered_geometry(spark, clustered):
+    """Realistic-workload check: on the clustered fixture a high threshold
+    collapses tight-cluster members into representatives (kept < corpus,
+    >= one per cluster), and the operator is IDEMPOTENT — two survivors
+    above threshold would have shared a component, so a second pass finds
+    nothing to drop."""
+    from schemamap_spark.operators.similarity import semantic_dedup
+
+    emb, _, _ = clustered
+    kept = semantic_dedup(emb, threshold=0.9, num_cells=16).persist()
+    n_kept, n_all = kept.count(), emb.count()
+    n_clusters = emb.select("cluster").distinct().count()
+    assert n_clusters <= n_kept < n_all, (n_clusters, n_kept, n_all)
+    again = semantic_dedup(kept, threshold=0.9, num_cells=16)
+    assert again.count() == n_kept
