@@ -254,3 +254,55 @@ def start_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    fresh_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming ingest dedup against a PERSISTED fingerprint store — the
+    third dedup-at-ingest shape next to the watermark-bounded
+    deduplicated_stream and periodic batch compaction: unbounded horizon
+    with state bounded to 32-char digests, never raw text.
+
+    Each micro-batch runs incremental_exact_dedup against the parquet store:
+    fresh (first-seen) rows append to `fresh_dir`, their digests append to
+    `store_dir` for every later batch — so a document that ever landed is
+    never emitted again, across batches AND restarts (replayed batches find
+    their own digests already in the store and emit nothing). The batch and
+    streaming paths share the SAME operator, so they cannot drift.
+
+    Delivery note: the two appends are not atomic — a crash exactly between
+    them makes the replay re-emit that batch's fresh rows into `fresh_dir`
+    (at-least-once for the fresh output; the store itself only ever gains
+    digests, so dedup correctness is unaffected). Compact `fresh_dir` by
+    digest downstream if exactly-once materialization matters.
+
+    Returns the StreamingQuery (availableNow trigger — call
+    .awaitTermination())."""
+    from schemamap_spark.operators.dedup import incremental_exact_dedup
+
+    def _batch(batch_df, _batch_id):
+        spark = batch_df.sparkSession
+        try:
+            store = spark.read.parquet(store_dir)
+        except Exception:
+            store = None  # first batch: no store yet
+        fresh, fingerprints = incremental_exact_dedup(
+            batch_df, store, id_col, text_col
+        )
+        fresh = fresh.persist()  # one computation for the two writes
+        fresh.drop("fingerprint").write.mode("append").parquet(fresh_dir)
+        fingerprints.write.mode("append").parquet(store_dir)
+        fresh.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -150,3 +150,54 @@ def test_curated_document_stream_matches_batch(spark, tmp_path):
         for r in curated_document_stream(spark.read.parquet(d), **kw).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_dedup_stream(spark, tmp_path):
+    """Micro-batches dedup against the persisted digest store: one
+    representative per digest ever reaches fresh_dir (cross-batch dups
+    drop), and a rerun over the same input with a fresh checkpoint emits
+    NOTHING — the store, not the checkpoint, carries dedup state."""
+    from schemamap_spark.streaming.pipeline import incremental_dedup_stream
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    # file 1 and file 2 share a normalized dup ('alpha beta' vs ' ALPHA beta ')
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, " ALPHA beta "), (11, "epsilon zeta"), (12, "epsilon zeta")], schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = incremental_dedup_stream(
+        stream,
+        fresh_dir=str(tmp_path / "fresh"),
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    fresh = spark.read.parquet(str(tmp_path / "fresh"))
+    texts = sorted(r.text.strip().lower() for r in fresh.collect())
+    # one representative per distinct normalized text, across ALL batches
+    assert texts == ["alpha beta", "epsilon zeta", "gamma delta"]
+    store = spark.read.parquet(str(tmp_path / "store"))
+    assert store.count() == store.select("fingerprint").distinct().count() == 3
+
+    # rerun with a NEW checkpoint (simulated redeploy): store blocks everything
+    q2 = incremental_dedup_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*")),
+        fresh_dir=str(tmp_path / "fresh"),
+        store_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(str(tmp_path / "fresh")).count() == 3
