@@ -29,9 +29,10 @@ def normalized_char_ngrams(col, n: int = 3) -> F.Column:
     """Distinct character n-grams of a whitespace-collapsed, lower-cased,
     trimmed string — the standard name-matching token set (robust to case,
     padding, and double spaces; order-sensitive unlike word sets, so
-    'Corp Acme' != 'Acme Corp' at high thresholds). Strings shorter than n
-    contribute themselves as a single gram (never an empty set, so a short
-    staged name still matches its exact master twin)."""
+    'Corp Acme' != 'Acme Corp' at high thresholds). Non-empty strings
+    shorter than n contribute themselves as a single gram, so a short
+    staged name still matches its exact master twin; empty/whitespace-only
+    strings yield an EMPTY set (no identity to match on)."""
     s = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.array_distinct(
         F.when(
@@ -164,4 +165,32 @@ def fuzzy_match(
             "rank",
         )
         .orderBy(left_id + "_left", "rank")
+    )
+
+
+def fuzzy_duplicates(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "id",
+    text_col: str = "name",
+    n: int = 3,
+) -> DataFrame:
+    """Potential duplicate entities WITHIN one master table by name
+    similarity — the doctor-style data-quality check behind every MDM
+    import: find the "Acme Corp" / " ACME corp " rows that key-based
+    uniqueness can't see. Self-match through the same prefix + positional
+    machinery as fuzzy_match; output (i, j, jaccard) with i < j, each pair
+    once. Feed the pairs to graph.connected_components to collapse
+    duplicate groups, exactly like the document near-dup family."""
+    out = fuzzy_match(
+        df, df, threshold,
+        left_id=id_col, left_text=text_col,
+        right_id=id_col, right_text=text_col,
+        n=n, top=2_147_483_647,
+    )
+    left, right = id_col + "_left", id_col + "_right"
+    return (
+        out.filter(F.col(left) < F.col(right))
+        .select(F.col(left).alias("i"), F.col(right).alias("j"), "jaccard")
+        .orderBy("i", "j")
     )

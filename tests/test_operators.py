@@ -1417,3 +1417,21 @@ def test_fuzzy_match_equals_bruteforce(spark):
         .filter(F.col("rank") <= 3).collect()
     }
     assert got == want and got
+
+
+def test_fuzzy_duplicates_within_master(spark):
+    """Self-match mode: near-identical master names surface once as (i<j)
+    pairs, exact self-pairs never appear, distinct names stay silent."""
+    from schemamap_spark.operators.matching import fuzzy_duplicates
+
+    master = spark.createDataFrame(
+        [
+            (1, "Acme Corp"),
+            (2, " ACME   corp "),   # normalized duplicate of 1
+            (3, "Globex Corporation"),
+            (4, "Initech"),
+        ],
+        "id long, name string",
+    )
+    pairs = fuzzy_duplicates(master, threshold=0.9).collect()
+    assert [(r.i, r.j, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
