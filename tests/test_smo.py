@@ -67,3 +67,58 @@ def test_what_if_refresh(spark, engine):
     # restore = fresh engine over the unmodified catalog
     eng3 = SchemamapEngine(spark, FixtureCatalog(spark))
     assert eng3.smo().count() == base_count
+
+
+def test_smo_diff_detects_drift(spark):
+    """Column-granular drift: dropped table -> removed rows; new column ->
+    added; type/nullability flips -> changed with attr details; identical
+    snapshots (including array reordering) -> empty diff."""
+    from schemamap_spark.catalog.fixture import FixtureCatalog
+    from schemamap_spark.smo.builder import build_smo, smo_diff
+    from pyspark.sql import functions as F
+
+    old = build_smo(FixtureCatalog(spark)).persist()
+
+    # identical snapshots: zero drift even if array order perturbs
+    same = old.withColumn("constraints", F.reverse("constraints"))
+    assert smo_diff(old, same).count() == 0
+
+    # drop one table, retype one column, add one column
+    victim = old.select("schema_name", "table_name").first()
+    new = old.filter(
+        ~((F.col("schema_name") == victim.schema_name)
+          & (F.col("table_name") == victim.table_name))
+    )
+    # retype one surviving column and add one new column (data-driven: the
+    # fixture's column names are generated, so pick from what exists)
+    target = new.select("schema_name", "table_name", "column_name").first()
+    is_target = (
+        (F.col("schema_name") == target.schema_name)
+        & (F.col("table_name") == target.table_name)
+        & (F.col("column_name") == target.column_name)
+    )
+    new = new.withColumn(
+        "data_type",
+        F.when(is_target, F.lit("character varying(99)")).otherwise(F.col("data_type")),
+    )
+    extra = old.filter(
+        (F.col("schema_name") == target.schema_name)
+        & (F.col("table_name") == target.table_name)
+        & (F.col("column_name") == target.column_name)
+    ).withColumn("column_name", F.lit("brand_new_col"))
+    new = new.unionByName(extra)
+
+    d = smo_diff(old, new).persist()
+    by_change = {r["change"] for r in d.select("change").distinct().collect()}
+    assert by_change == {"added", "removed", "changed"}
+    removed = d.filter(F.col("change") == "removed")
+    assert removed.filter(
+        (F.col("schema_name") == victim.schema_name)
+        & (F.col("table_name") == victim.table_name)
+    ).count() == removed.count() > 0
+    changed = d.filter(F.col("change") == "changed").collect()
+    assert len(changed) == 1
+    assert changed[0].column_name == target.column_name
+    assert any("character varying(99)" in s for s in changed[0].details)
+    added = d.filter(F.col("change") == "added").collect()
+    assert [r.column_name for r in added] == ["brand_new_col"]
