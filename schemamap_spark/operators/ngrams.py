@@ -28,6 +28,8 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -173,4 +175,114 @@ def tfidf_top_terms(
             "doc_id", "gram", "tf", "df", F.round("_score", 6).alias("score"), "rank"
         )
         .orderBy("doc_id", "rank")
+    )
+
+
+def bigram_lm_train(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train an add-k-smoothed bigram language model from a corpus — the
+    statistics behind CCNet-style perplexity filtering, without external
+    models: P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·(V+1)), V = vocab size
+    (+1 reserves mass for unseen successors).
+
+    Returns (bigram_lp, context_denom, vocab_size):
+      bigram_lp:     (w1, w2, lp)   — log P(w2|w1) for SEEN bigrams
+      context_denom: (w1, denom)    — C(w1) + k·(V+1) per seen context
+    Both are gram-keyed frames meant for JOINS (never broadcast a
+    vocabulary); train and score are two scans + short-key shuffles."""
+    if k <= 0:
+        raise ValueError(f"smoothing k must be positive, got {k}")
+    from schemamap_spark.session import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(docs, id_col)
+        .select(F.split(F.col(text_col), " ").alias("toks"))
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.count()
+    bi = (
+        toks.select(F.explode(ngrams_from_tokens("toks", 2)).alias("g"))
+        .groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+            "c2",
+        )
+    )
+    denom = uni.select(
+        "w1", (F.col("c1") + F.lit(k) * F.lit(float(vocab + 1))).alias("denom")
+    )
+    bigram_lp = (
+        bi.join(denom, "w1")
+        .select("w1", "w2", F.log((F.col("c2") + F.lit(k)) / F.col("denom")).alias("lp"))
+    )
+    return bigram_lp, denom, vocab
+
+
+def perplexity_score(
+    docs: DataFrame,
+    bigram_lp: DataFrame,
+    context_denom: DataFrame,
+    vocab_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.1,
+) -> DataFrame:
+    """Per-document bigram perplexity under a bigram_lm_train model:
+    exp(−mean log P(w2|w1)) over the doc's bigrams. Low = in-distribution,
+    high = noise/garbage — threshold or quantile-filter downstream
+    (quantile_quality_filter composes via quality_col='ppl' on −ppl).
+
+    Unseen bigram with SEEN context w1 → log(k / denom(w1)); unseen context
+    → log(1/(V+1)) (uniform over the reserved mass). Docs with <2 tokens
+    carry NULL ppl (no bigrams to score — callers decide their fate).
+    Scale shape: explode bigrams once, LEFT JOIN the two gram-keyed model
+    frames, one groupBy(doc) — model never broadcasts, text never shuffles
+    (only (doc_id, w1, w2) rows)."""
+    from schemamap_spark.session import ensure_parallelism
+
+    grams = (
+        ensure_parallelism(docs, id_col)
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        .select(F.col(id_col), F.explode(ngrams_from_tokens("toks", 2)).alias("g"))
+        .select(
+            id_col,
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    scored = (
+        grams.join(bigram_lp, ["w1", "w2"], "left")
+        .join(context_denom, "w1", "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("lp"),                                  # seen bigram
+                F.log(F.lit(k) / F.col("denom")),             # seen context only
+                F.lit(-math.log(vocab_size + 1)),            # unseen context
+            ).alias("lp"),
+        )
+    )
+    return (
+        docs.select(id_col).join(
+            scored.groupBy(id_col).agg(
+                F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+                F.count(F.lit(1)).alias("n_bigrams"),
+                # order-independent twin of ppl for cross-engine value
+                # checks: per-bigram lp rounded to integer micro-nats, then
+                # exact integer summation (float avg->exp summation order is
+                # partition-dependent in the last ulps; integer sums are not
+                # - the curate_funnel quality_micros pattern)
+                F.sum(F.round(F.col("lp") * 1e6).cast("bigint")).alias("lp_micros"),
+            ),
+            id_col,
+            "left",
+        )
     )

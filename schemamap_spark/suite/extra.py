@@ -89,12 +89,31 @@ def fuzzy_match_q(spark, sf):
     )
 
 
+def perplexity_q(spark, sf):
+    """CCNet-style bigram-LM perplexity over documents, self-trained on the
+    same corpus. Value-checked via the ORDER-INDEPENDENT integer-micros sum
+    (per-bigram log-probs rounded to micro-nats then integer-summed — float
+    avg→exp is partition-order-dependent in the last ulps, integer sums are
+    not); the DuckDB twin replays counts, add-k smoothing, and both unseen
+    fallbacks exactly."""
+    from schemamap_spark.operators.ngrams import bigram_lm_train, perplexity_score
+
+    docs = load_table(spark, sf, "documents")
+    lm, denom, vocab = bigram_lm_train(docs, k=0.1)
+    return (
+        perplexity_score(docs, lm, denom, vocab, k=0.1)
+        .select("doc_id", "n_bigrams", "lp_micros")
+        .orderBy("doc_id")
+    )
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
     "semantic_dedup": semantic_dedup_q,
     "mixture_sample": mixture_sample_q,
     "fuzzy_match": fuzzy_match_q,
+    "perplexity": perplexity_q,
 }
 
 EXTRA_ORACLE_SQL = {
@@ -167,6 +186,54 @@ EXTRA_ORACLE_SQL = {
         )
         select id_left, id_right, round(jac, 6) as jaccard, cast(rank as int) as rank
         from ranked where rank <= 1 order by id_left, rank
+    """,
+    # replays bigram_lm_train + perplexity_score exactly: unigram/bigram
+    # counts, add-k smoothing with V+1 reserved mass, seen-context and
+    # unseen-context fallbacks, per-bigram lp -> integer micro-nats -> sum
+    "perplexity": """
+        with tk as (select doc_id, string_split(text, ' ') as toks from documents),
+        uni as (
+          select w1, count(*) as c1 from (
+            select unnest(toks) as w1 from tk
+          ) group by 1
+        ),
+        v as (select count(*) as vocab from uni),
+        bi as (
+          select toks[i] as w1, toks[i + 1] as w2, count(*) as c2
+          from tk, unnest(range(1, len(toks))) as t(i)
+          where len(toks) >= 2
+          group by 1, 2
+        ),
+        denom as (
+          select w1, c1 + 0.1 * (vocab + 1) as denom from uni, v
+        ),
+        doc_bi as (
+          select doc_id, toks[i] as w1, toks[i + 1] as w2
+          from tk, unnest(range(1, len(toks))) as t(i)
+          where len(toks) >= 2
+        ),
+        lp as (
+          select d.doc_id,
+                 coalesce(
+                   ln((b.c2 + 0.1) / dn.denom),
+                   ln(0.1 / dn.denom),
+                   ln(1.0 / (v.vocab + 1))
+                 ) as lp
+          from doc_bi d
+          left join bi b on b.w1 = d.w1 and b.w2 = d.w2
+          left join denom dn on dn.w1 = d.w1
+          cross join v
+        ),
+        agg as (
+          select doc_id,
+                 cast(count(*) as bigint) as n_bigrams,
+                 cast(sum(cast(round(lp * 1000000) as bigint)) as bigint) as lp_micros
+          from lp group by 1
+        )
+        select d.doc_id, a.n_bigrams, a.lp_micros
+        from (select distinct doc_id from documents) d
+        left join agg a on a.doc_id = d.doc_id
+        order by d.doc_id
     """,
     # replays mixture_sample's full plan: per-source token totals ->
     # fraction = least(1, (budget * (w / total_w)) / avail)  [same operation

@@ -159,3 +159,68 @@ class TestCleanHtml:
     def test_double_escaped_entity_stays_literal(self, spark):
         # "&amp;lt;" means the LITERAL string "&lt;" — must not become "<"
         assert _one(spark, "a &amp;lt; b", TX.clean_html()) == "a &lt; b"
+
+
+def test_bigram_lm_perplexity_hand_computed(spark):
+    """Exact check on a 2-doc corpus: every smoothed probability is
+    hand-derivable, and scoring the training doc reproduces it."""
+    import math
+
+    from schemamap_spark.operators.ngrams import bigram_lm_train, perplexity_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    lm, denom, V = bigram_lm_train(docs, k=0.5)
+    assert V == 3  # vocab {a, b, c}
+    lp = {(r.w1, r.w2): r.lp for r in lm.collect()}
+    # C(a)=3, C(b)=3, C(c)=1; denom(w1) = C(w1) + 0.5*(V+1) = C(w1) + 2
+    # C(a,b)=3 -> P(b|a) = 3.5/5; C(b,a)=1 -> P(a|b) = 1.5/5; C(b,c)=1 -> 1.5/5
+    assert abs(lp[("a", "b")] - math.log(3.5 / 5)) < 1e-9
+    assert abs(lp[("b", "a")] - math.log(1.5 / 5)) < 1e-9
+    assert abs(lp[("b", "c")] - math.log(1.5 / 5)) < 1e-9
+
+    out = {r.doc_id: r for r in perplexity_score(docs, lm, denom, V, k=0.5).collect()}
+    # doc 1 bigrams: (a,b),(b,a),(a,b) -> mean lp, ppl = exp(-mean)
+    want1 = math.exp(-(2 * math.log(3.5 / 5) + math.log(1.5 / 5)) / 3)
+    assert abs(out[1].ppl - want1) < 1e-6 and out[1].n_bigrams == 3
+
+    # unseen bigram with seen context: "b b" -> k/denom(b) = 0.5/5
+    probe = spark.createDataFrame([(9, "b b")], "doc_id long, text string")
+    got = perplexity_score(probe, lm, denom, V, k=0.5).collect()[0]
+    assert abs(got.ppl - math.exp(-math.log(0.5 / 5))) < 1e-6
+    # unseen context: "z z" -> 1/(V+1)
+    probe2 = spark.createDataFrame([(9, "z z")], "doc_id long, text string")
+    got2 = perplexity_score(probe2, lm, denom, V, k=0.5).collect()[0]
+    assert abs(got2.ppl - (V + 1)) < 1e-6
+    # sub-bigram doc: NULL ppl, not an error
+    probe3 = spark.createDataFrame([(9, "a")], "doc_id long, text string")
+    assert perplexity_score(probe3, lm, denom, V, k=0.5).collect()[0].ppl is None
+
+
+def test_perplexity_separates_garbage_from_corpus(spark):
+    """The CCNet property on real documents: in-distribution text scores
+    lower perplexity than token-salad under a corpus-trained model."""
+    from pyspark.sql import functions as F
+
+    from schemamap_spark.operators.ngrams import bigram_lm_train, perplexity_score
+    from schemamap_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lm, denom, V = bigram_lm_train(docs)
+    lm, denom = lm.persist(), denom.persist()
+
+    held_out = docs.limit(20)
+    garbage = held_out.withColumn(
+        "text",
+        F.concat_ws(" ", F.reverse(F.split(F.col("text"), " "))),
+    )
+    ppl_in = (
+        perplexity_score(held_out, lm, denom, V)
+        .agg(F.avg("ppl")).collect()[0][0]
+    )
+    ppl_rev = (
+        perplexity_score(garbage, lm, denom, V)
+        .agg(F.avg("ppl")).collect()[0][0]
+    )
+    assert ppl_in < ppl_rev, (ppl_in, ppl_rev)
