@@ -107,6 +107,29 @@ def perplexity_q(spark, sf):
     )
 
 
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_BUCKETS = 8192
+_DSIR_ALPHA = 0.01
+_DSIR_N = 100
+
+
+def dsir_select_q(spark, sf):
+    """DSIR data selection (Xie et al. 2023): the 100 candidate documents
+    (sources outside src0/src1) whose hashed unigram+bigram distribution is
+    most target-like, target = the src0/src1 documents. Portable md5-bucket
+    features + integer-micros weights make the whole plan engine-replayable;
+    the DuckDB twin recomputes features, both smoothed models, the weights,
+    and the deterministic (lw desc, doc_id) top-k."""
+    from schemamap_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf, "documents")
+    targ = docs.filter(F.col("source").isin(*_DSIR_TARGET))
+    cand = docs.filter(~F.col("source").isin(*_DSIR_TARGET))
+    return dsir_select(
+        cand, targ, _DSIR_N, buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA
+    )
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -114,7 +137,68 @@ EXTRA_SPARK_QUERIES = {
     "mixture_sample": mixture_sample_q,
     "fuzzy_match": fuzzy_match_q,
     "perplexity": perplexity_q,
+    "dsir_select": dsir_select_q,
 }
+
+# mirrors operators/dsir.py term for term: same hash, same smoothing
+# arithmetic (coalesce(count,0)+alpha over total+alpha*B), same
+# (c * (lnA - lnB)) * 1e6 -> round -> bigint contribution order, same
+# (lw desc, doc_id) top-k tie order
+_DSIR_AB = repr(_DSIR_ALPHA * _DSIR_BUCKETS)
+_DSIR_ORACLE = f"""
+    with cand as (select doc_id, text from documents
+                  where source not in ('src0', 'src1')),
+    targ as (select doc_id, text from documents
+             where source in ('src0', 'src1')),
+    ctk as (select doc_id, string_split(text, ' ') as toks from cand),
+    ttk as (select doc_id, string_split(text, ' ') as toks from targ),
+    cgr as (
+      select doc_id, g from (
+        select doc_id, unnest(toks) as g from ctk
+        union all
+        select doc_id, toks[i] || ' ' || toks[i + 1] as g
+        from ctk, unnest(range(1, len(toks))) as t(i) where len(toks) >= 2
+      )
+    ),
+    tgr as (
+      select doc_id, g from (
+        select doc_id, unnest(toks) as g from ttk
+        union all
+        select doc_id, toks[i] || ' ' || toks[i + 1] as g
+        from ttk, unnest(range(1, len(toks))) as t(i) where len(toks) >= 2
+      )
+    ),
+    cb as (select doc_id,
+                  ('0x' || substr(md5(g), 1, 8))::bigint % {_DSIR_BUCKETS} as b
+           from cgr),
+    tb as (select ('0x' || substr(md5(g), 1, 8))::bigint % {_DSIR_BUCKETS} as b
+           from tgr),
+    cdb as (select doc_id, b, count(*) as c from cb group by 1, 2),
+    tct as (select b, count(*) as ct from tb group by 1),
+    rcr as (select b, count(*) as cr from cb group by 1),
+    tot as (select (select cast(count(*) as double) from tb) as tt,
+                   (select cast(count(*) as double) from cb) as tr),
+    lw as (
+      select d.doc_id,
+             cast(sum(cast(round(
+               d.c * (ln((coalesce(t.ct, 0) + {_DSIR_ALPHA})
+                           / (tot.tt + {_DSIR_AB}))
+                      - ln((coalesce(r.cr, 0) + {_DSIR_ALPHA})
+                           / (tot.tr + {_DSIR_AB})))
+               * 1000000) as bigint)) as bigint) as lw_micros
+      from cdb d
+      left join tct t on t.b = d.b
+      left join rcr r on r.b = d.b
+      cross join tot
+      group by 1
+    )
+    select doc_id, lw_micros,
+           cast(row_number() over (order by lw_micros desc, doc_id) as int)
+             as rank
+    from lw
+    order by lw_micros desc, doc_id
+    limit {_DSIR_N}
+"""
 
 EXTRA_ORACLE_SQL = {
     "q33_cube": Q33_CUBE_ORACLE,
@@ -190,6 +274,7 @@ EXTRA_ORACLE_SQL = {
     # replays bigram_lm_train + perplexity_score exactly: unigram/bigram
     # counts, add-k smoothing with V+1 reserved mass, seen-context and
     # unseen-context fallbacks, per-bigram lp -> integer micro-nats -> sum
+    "dsir_select": _DSIR_ORACLE,
     "perplexity": """
         with tk as (select doc_id, string_split(text, ' ') as toks from documents),
         uni as (
