@@ -22,6 +22,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_.]*$")
 
@@ -79,6 +80,88 @@ def write_range_sorted(
     out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
     # same atomic temp-dir swap as write_parquet_atomic: readers never see a
     # half-written layout
+    parent = os.path.dirname(os.path.abspath(target_dir))
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
+    out.write.mode("overwrite").parquet(tmp)
+    _swap_into_place(tmp, target_dir)
+
+
+def zorder_column(
+    df: DataFrame, cols: list[str], bits: int = 16
+) -> tuple[DataFrame, str]:
+    """Attach a Morton (Z-order) key interleaving `cols` — the multi-column
+    generalization of range sorting: clustering by the Z-value keeps rows
+    close in EVERY interleaved dimension close on disk, so parquet min/max
+    footer stats prune files for predicates on ANY of the columns, not just
+    the leading sort key (the Delta/Iceberg OPTIMIZE ZORDER layout, built
+    from public Morton-code math).
+
+    Each column is scaled to [0, 2^bits) by its global min/max (a 1-row
+    broadcast aggregate — one extra pass, no shuffle), then the scaled
+    values' bits interleave: bit i of column j lands at position
+    i*len(cols) + j. Pure Column bit arithmetic — whole-stage codegen, no
+    UDF. Nulls sort first (scaled to 0). Min/max scaling is the simple
+    estimator; heavily skewed columns cluster less evenly than a
+    quantile-binned variant would, but pruning stays correct either way
+    (footer stats are exact regardless of layout quality).
+
+    Returns (df_with_key, key_col_name); columns must be numeric/castable
+    to double. bits * len(cols) must fit a signed long (<= 62).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if bits * len(cols) > 62:
+        raise ValueError(
+            f"bits*len(cols) must be <= 62 to fit a long, got {bits * len(cols)}"
+        )
+    key = "__zorder"
+    mm = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
+    )
+    out = df.crossJoin(F.broadcast(mm))
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = F.col(f"__mn_{j}"), F.col(f"__mx_{j}")
+        span = mx - mn
+        scaled = F.when(
+            span <= F.lit(0.0), F.lit(0).cast("long")
+        ).otherwise(
+            F.least(
+                F.lit(top).cast("long"),
+                F.floor((F.col(c).cast("double") - mn) / span * F.lit(float(1 << bits))),
+            )
+        )
+        v = F.coalesce(scaled, F.lit(0).cast("long"))
+        for i in range(bits):
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    out = out.withColumn(key, z).drop(
+        *[f"__mn_{i}" for i in range(len(cols))],
+        *[f"__mx_{i}" for i in range(len(cols))],
+    )
+    return out, key
+
+
+def write_zordered(
+    df: DataFrame,
+    target_dir: str,
+    zorder_cols: list[str],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Z-order-clustered parquet write: Morton key -> repartitionByRange
+    (sampled balanced boundaries, no hot file) -> sortWithinPartitions ->
+    atomic dir swap. The write-side complement to write_range_sorted when
+    queries filter on MORE THAN ONE column: a 2-D range predicate prunes
+    files in both dimensions instead of only the leading sort key's
+    (asserted against the real footers in test_scale_ops)."""
+    spark = df.sparkSession
+    n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keyed, key = zorder_column(df, zorder_cols, bits)
+    out = keyed.repartitionByRange(n, key).sortWithinPartitions(key).drop(key)
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")

@@ -164,3 +164,91 @@ def test_range_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
     want = events.filter(F.col("user_id") <= lo).count()
     got = spark.read.parquet(target).filter(F.col("user_id") <= lo).count()
     assert got == want
+
+
+def test_zorder_column_is_morton_interleaving(spark):
+    """bits=2 over two 0..3 columns: min/max scaling is the identity, so the
+    key must equal the hand-computed Morton code (x bits at even positions,
+    y bits at odd)."""
+    from schemamap_spark.sources.sinks import zorder_column
+
+    rows = [(x, y) for x in range(4) for y in range(4)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    keyed, key = zorder_column(df, ["x", "y"], bits=2)
+    got = {(r.x, r.y): r[key] for r in keyed.collect()}
+    for x, y in rows:
+        want = 0
+        for i in range(2):
+            want |= ((x >> i) & 1) << (2 * i)
+            want |= ((y >> i) & 1) << (2 * i + 1)
+        assert got[(x, y)] == want, (x, y)
+
+
+def _overlapping_files(target, preds):
+    """Count parquet files whose footer min/max CANNOT exclude a conjunction
+    of column range predicates {col: (lo, hi)} — what a scan planner reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total, overlapping = 0, 0
+    for fn in sorted(os.listdir(target)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(target, fn))
+        total += 1
+        hit = True
+        for col, (lo, hi) in preds.items():
+            idx = md.schema.names.index(col)
+            mins = [md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups)]
+            if min(mins) > hi or max(maxs) < lo:
+                hit = False  # footer excludes the whole file on this column
+                break
+        overlapping += hit
+    return total, overlapping
+
+
+def test_zordered_write_prunes_on_both_dimensions(spark, tmp_path):
+    """Against the real footers: the user_id-range-sorted layout cannot prune
+    a value-only band at all (every file spans ~the full value range), the
+    z-ordered layout prunes it — and still prunes user_id-only bands too.
+    That's the trade: a little leading-dim locality buys pruning on EVERY
+    interleaved dimension. Content round-trips exactly."""
+    from schemamap_spark.sources.sinks import write_range_sorted, write_zordered
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    z_dir, r_dir = str(tmp_path / "events_z"), str(tmp_path / "events_r")
+    write_zordered(events, z_dir, ["user_id", "value"], num_files=16)
+    write_range_sorted(events, r_dir, ["user_id"], num_files=16)
+
+    u_lo, u_hi, v_lo, v_hi = events.agg(
+        F.expr("percentile(user_id, 0.45)"),
+        F.expr("percentile(user_id, 0.55)"),
+        F.expr("percentile(value, 0.45)"),
+        F.expr("percentile(value, 0.55)"),
+    ).head()
+
+    # non-leading dimension: range sort reads everything, z-order prunes
+    vband = {"value": (v_lo, v_hi)}
+    z_total, z_hit_v = _overlapping_files(z_dir, vband)
+    r_total, r_hit_v = _overlapping_files(r_dir, vband)
+    assert z_total > 1 and r_total > 1
+    assert r_hit_v == r_total  # the 1-D layout is blind to the value band
+    assert z_hit_v < r_hit_v, f"z-order must prune the value band ({z_hit_v} vs {r_hit_v})"
+
+    # leading dimension: z-order still prunes (coarser than a pure sort, by design)
+    z_hit_u = _overlapping_files(z_dir, {"user_id": (u_lo, u_hi)})[1]
+    assert z_hit_u < z_total
+
+    # content equivalence: same multiset of rows, and the same box answer
+    want = events.filter(
+        F.col("user_id").between(u_lo, u_hi) & F.col("value").between(v_lo, v_hi)
+    ).count()
+    got = (
+        spark.read.parquet(z_dir)
+        .filter(F.col("user_id").between(u_lo, u_hi) & F.col("value").between(v_lo, v_hi))
+        .count()
+    )
+    assert got == want
+    assert spark.read.parquet(z_dir).count() == events.count()
