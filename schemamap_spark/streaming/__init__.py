@@ -3,6 +3,7 @@ from schemamap_spark.streaming.pipeline import (
     windowed_counts,
     sessionized,
     continuous_hourly_rollup,
+    interval_join_streams,
     curated_document_stream,
     daily_from_hourly,
     start_memory_sink,
@@ -13,6 +14,7 @@ __all__ = [
     "windowed_counts",
     "sessionized",
     "continuous_hourly_rollup",
+    "interval_join_streams",
     "curated_document_stream",
     "daily_from_hourly",
     "start_memory_sink",

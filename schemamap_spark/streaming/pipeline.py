@@ -198,6 +198,49 @@ def trending_ngrams_stream(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    horizon_seconds: int = 3600,
+    watermark: str = "2 hours",
+    suffix: str = "_right",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the right
+    events of the same key whose timestamp lands in
+    [left.ts, left.ts + horizon_seconds] — the click→conversion /
+    impression→attribution shape, as a real two-sided streaming join.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, which is exactly what lets Spark expire state: a
+    buffered left row can stop waiting once the right watermark passes
+    left.ts + horizon, and vice versa — state is O(watermark + horizon) per
+    side, never the whole stream. Works identically on batch frames (same
+    condition, watermarks become no-ops... batch twin equality is pinned in
+    test_streaming), so a pipeline can promote batch attribution to
+    streaming without touching the join.
+
+    Right columns come back suffixed (key column dropped after the equality
+    join). `how` supports inner and leftOuter (Spark emits the null-padded
+    left rows only when the watermark proves no match can arrive)."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"interval_join_streams supports inner/leftOuter, got {how!r}")
+    r = right.select([F.col(c).alias(f"{c}{suffix}") for c in right.columns])
+    lw = left.withWatermark(ts, watermark) if left.isStreaming else left
+    rw = r.withWatermark(f"{ts}{suffix}", watermark) if r.isStreaming else r
+    cond = (
+        (F.col(key) == F.col(f"{key}{suffix}"))
+        & (F.col(f"{ts}{suffix}") >= F.col(ts))
+        & (
+            F.col(f"{ts}{suffix}")
+            <= F.col(ts) + F.expr(f"INTERVAL {int(horizon_seconds)} SECONDS")
+        )
+    )
+    return lw.join(rw, cond, how).drop(f"{key}{suffix}")
+
+
 def continuous_hourly_rollup(
     events: DataFrame,
     rollup_dir: str,

@@ -201,3 +201,41 @@ def test_incremental_dedup_stream(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(str(tmp_path / "fresh")).count() == 3
+
+
+def test_interval_join_streams_matches_batch(spark, stream_dir):
+    """Stream-stream interval join (click -> purchase within 1h per user)
+    drained with availableNow must equal the identical batch join."""
+    from schemamap_spark.streaming import interval_join_streams
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    lstream, rstream = split(stream_events_from_directory(spark, stream_dir))
+    joined = interval_join_streams(lstream, rstream, horizon_seconds=3600)
+    assert joined.isStreaming
+    q = start_memory_sink(joined, "ij", output_mode="append")
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.event_id, r.event_id_right) for r in spark.table("ij").collect()}
+
+    lb, rb = split(spark.read.parquet(stream_dir))
+    batch = interval_join_streams(lb, rb, horizon_seconds=3600)
+    want = {(r.event_id, r.event_id_right) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0  # the fixture actually produces matches
+
+    # schema contract: all left cols + suffixed right cols minus the join key
+    assert "user_id_right" not in joined.columns
+    assert "ts_right" in joined.columns and "event_id_right" in joined.columns
+
+
+def test_interval_join_streams_rejects_bad_how(spark, stream_dir):
+    from schemamap_spark.streaming import interval_join_streams
+
+    ev = spark.read.parquet(stream_dir)
+    with pytest.raises(ValueError, match="inner/leftOuter"):
+        interval_join_streams(ev, ev, how="full")
