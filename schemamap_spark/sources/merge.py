@@ -26,6 +26,10 @@ class OptimisticLockError(RuntimeError):
     pass
 
 
+class DuplicateKeyError(ValueError):
+    pass
+
+
 def merge_upsert(
     target: DataFrame,
     updates: DataFrame,
@@ -99,3 +103,122 @@ def merge_upsert(
         else:
             out_cols.append(target[c].alias(c))
     return joined.select(*out_cols)
+
+
+def scd2_merge(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    effective_ts: str,
+    tracked_cols: list[str] | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+    strict: bool = True,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: apply a snapshot of `updates`
+    to a versioned dimension, KEEPING history (the warehouse twin of the
+    reference's in-place ON CONFLICT upsert — same key semantics, but every
+    change closes the old row instead of overwriting it).
+
+    `target` rows carry (valid_from, valid_to NULL=open, is_current);
+    `updates` carries the business columns only. Per key:
+      - new key                  -> open row inserted (valid_from = effective_ts)
+      - tracked columns changed  -> current row closed (valid_to = effective_ts,
+                                    is_current = false) + new open row
+      - unchanged                -> untouched (no churn rows)
+    History rows pass through untouched. Pure function; callers persist.
+
+    Change detection is null-safe equality over `tracked_cols` (default:
+    every update column except the keys). `strict` raises DuplicateKeyError
+    when the snapshot has several rows per key — silently merging them
+    would make "the" new value order-dependent.
+
+    Scale: one shuffled join of the CURRENT slice against the snapshot on
+    the key (history never joins), plus a union — the same plan family as
+    merge_upsert; bucket both sides on the key to elide the shuffle.
+    """
+    tracked_cols = tracked_cols or [c for c in updates.columns if c not in keys]
+    meta = [valid_from, valid_to, current_flag]
+    biz_cols = [c for c in target.columns if c not in meta]
+    eff = F.lit(effective_ts).cast("timestamp")
+
+    if strict:
+        dup = (
+            updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1).count()
+        )
+        if dup:
+            raise DuplicateKeyError(f"updates carry {dup} duplicated key(s)")
+
+    history = target.filter(~F.col(current_flag))
+    current = target.filter(F.col(current_flag))
+
+    u = updates.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in tracked_cols],
+        F.lit(True).alias("__has_update"),
+    )
+    cond = [current[k] == u[f"__k_{k}"] for k in keys]
+    joined = current.join(u, cond, "full_outer")
+    t_exists = current[keys[0]].isNotNull()
+    # null-safe "all tracked columns equal" predicate
+    same = None
+    for c in tracked_cols:
+        eq = current[c].eqNullSafe(F.col(f"__u_{c}"))
+        same = eq if same is None else (same & eq)
+    same = same if same is not None else F.lit(True)
+
+    # unchanged current rows (matched & same) or current rows with no update
+    keep = joined.filter(
+        t_exists & (F.col("__has_update").isNull() | same)
+    ).select(*[current[c].alias(c) for c in target.columns])
+
+    # changed current rows close at the effective timestamp
+    closed = joined.filter(
+        t_exists & F.col("__has_update").isNotNull() & ~same
+    ).select(
+        *[
+            current[c].alias(c) if c not in (valid_to, current_flag)
+            else (eff.alias(valid_to) if c == valid_to else F.lit(False).alias(current_flag))
+            for c in target.columns
+        ]
+    )
+
+    # fresh open rows: brand-new keys and new versions of changed keys
+    fresh = joined.filter(
+        F.col("__has_update").isNotNull() & (~t_exists | ~same)
+    ).select(
+        *[
+            (
+                F.coalesce(current[c], F.col(f"__k_{c}")).alias(c)
+                if c in keys
+                else F.col(f"__u_{c}").alias(c)
+                if c in tracked_cols
+                else F.coalesce(current[c], F.lit(None).cast(target.schema[c].dataType)).alias(c)
+            )
+            for c in biz_cols
+        ],
+        eff.alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(current_flag),
+    ).select(*target.columns)
+
+    return history.unionByName(keep).unionByName(closed).unionByName(fresh)
+
+
+def scd2_init(
+    df: DataFrame,
+    effective_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Bootstrap an SCD2 dimension from a plain snapshot: every row open as
+    of effective_ts."""
+    return df.select(
+        "*",
+        F.lit(effective_ts).cast("timestamp").alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(current_flag),
+    )

@@ -130,6 +130,41 @@ def dsir_select_q(spark, sf):
     )
 
 
+_SCD2_T0 = "2024-01-01 00:00:00"
+_SCD2_T1 = "2024-02-01 00:00:00"
+
+
+def scd2_merge_q(spark, sf):
+    """SCD2 dimension maintenance over customer: bootstrap at T0, then apply
+    a deterministic snapshot (every custkey % 3 == 0 gains 10 to acctbal;
+    every custkey % 100 == 0 also appears as a brand-new key+1000000 row) at
+    T1. Output: the full versioned dimension — closed rows, new versions,
+    inserts, untouched keys. The DuckDB twin replays the merge as unions."""
+    from schemamap_spark.sources.merge import scd2_init, scd2_merge
+
+    cust = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    dim = scd2_init(cust, _SCD2_T0)
+    changed = cust.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 10).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    new_rows = (
+        cust.filter(F.col("c_custkey") % 100 == 0)
+        .select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+            "c_acctbal",
+            "c_mktsegment",
+        )
+    )
+    out = scd2_merge(dim, changed.unionByName(new_rows), ["c_custkey"], _SCD2_T1)
+    return out.orderBy("c_custkey", "valid_from")
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -138,7 +173,32 @@ EXTRA_SPARK_QUERIES = {
     "fuzzy_match": fuzzy_match_q,
     "perplexity": perplexity_q,
     "dsir_select": dsir_select_q,
+    "scd2_merge": scd2_merge_q,
 }
+
+# replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
+# (custkey % 3 = 0 — the +10 always differs) close at T1 and reopen with the
+# new balance; % 100 = 0 keys also insert as key+1000000 opens at T1
+_SCD2_ORACLE = f"""
+    with cust as (select c_custkey, c_name, c_acctbal, c_mktsegment from customer)
+    select c_custkey, c_name, c_acctbal, c_mktsegment,
+           timestamp '{_SCD2_T0}' as valid_from,
+           cast(null as timestamp) as valid_to, true as is_current
+    from cust where c_custkey % 3 <> 0
+    union all
+    select c_custkey, c_name, c_acctbal, c_mktsegment,
+           timestamp '{_SCD2_T0}', timestamp '{_SCD2_T1}', false
+    from cust where c_custkey % 3 = 0
+    union all
+    select c_custkey, c_name, c_acctbal + 10, c_mktsegment,
+           timestamp '{_SCD2_T1}', cast(null as timestamp), true
+    from cust where c_custkey % 3 = 0
+    union all
+    select c_custkey + 1000000, 'NEW ' || c_name, c_acctbal, c_mktsegment,
+           timestamp '{_SCD2_T1}', cast(null as timestamp), true
+    from cust where c_custkey % 100 = 0
+    order by c_custkey, valid_from
+"""
 
 # mirrors operators/dsir.py term for term: same hash, same smoothing
 # arithmetic (coalesce(count,0)+alpha over total+alpha*B), same
@@ -275,6 +335,7 @@ EXTRA_ORACLE_SQL = {
     # counts, add-k smoothing with V+1 reserved mass, seen-context and
     # unseen-context fallbacks, per-bigram lp -> integer micro-nats -> sum
     "dsir_select": _DSIR_ORACLE,
+    "scd2_merge": _SCD2_ORACLE,
     "perplexity": """
         with tk as (select doc_id, string_split(text, ' ') as toks from documents),
         uni as (

@@ -1,0 +1,87 @@
+"""SCD2 merge: history preservation, change detection, chained batches."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemamap_spark.sources.merge import DuplicateKeyError, scd2_init, scd2_merge
+
+T0, T1, T2 = "2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"
+
+
+def _dim(spark):
+    snap = spark.createDataFrame(
+        [(1, "alice", 100.0), (2, "bob", 200.0), (3, "carol", 300.0)],
+        "id long, name string, balance double",
+    )
+    return scd2_init(snap, T0)
+
+
+def test_scd2_merge_new_changed_unchanged(spark):
+    dim = _dim(spark)
+    updates = spark.createDataFrame(
+        [(1, "alice", 150.0),   # changed balance
+         (2, "bob", 200.0),     # unchanged
+         (4, "dan", 400.0)],    # brand-new key
+        "id long, name string, balance double",
+    )
+    out = scd2_merge(dim, updates, ["id"], T1)
+    rows = {(r.id, r.balance, str(r.valid_from)[:10], str(r.valid_to)[:10] if r.valid_to else None, r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, 100.0, "2024-01-01", "2024-02-01", False),  # closed old version
+        (1, 150.0, "2024-02-01", None, True),           # new version
+        (2, 200.0, "2024-01-01", None, True),           # untouched (no churn)
+        (3, 300.0, "2024-01-01", None, True),           # absent from snapshot: stays open
+        (4, 400.0, "2024-02-01", None, True),           # insert
+    }
+
+
+def test_scd2_chained_batches_keep_contiguous_history(spark):
+    dim = _dim(spark)
+    b1 = spark.createDataFrame([(1, "alice", 150.0)], "id long, name string, balance double")
+    b2 = spark.createDataFrame([(1, "alice", 175.0)], "id long, name string, balance double")
+    out = scd2_merge(scd2_merge(dim, b1, ["id"], T1), b2, ["id"], T2)
+    hist = sorted(
+        [(str(r.valid_from)[:10], str(r.valid_to)[:10] if r.valid_to else None, r.balance, r.is_current)
+         for r in out.filter(F.col("id") == 1).collect()]
+    )
+    assert hist == [
+        ("2024-01-01", "2024-02-01", 100.0, False),
+        ("2024-02-01", "2024-03-01", 150.0, False),
+        ("2024-03-01", None, 175.0, True),
+    ]
+    # invariant: exactly one current row per key
+    cur = out.filter("is_current").groupBy("id").count().filter("count > 1").count()
+    assert cur == 0
+
+
+def test_scd2_untracked_column_carries_over(spark):
+    snap = spark.createDataFrame(
+        [(1, "alice", 100.0, "seg-a")], "id long, name string, balance double, segment string"
+    )
+    dim = scd2_init(snap, T0)
+    updates = spark.createDataFrame([(1, 150.0)], "id long, balance double")
+    out = scd2_merge(dim, updates, ["id"], T1)
+    new = out.filter("is_current").collect()[0]
+    assert new.balance == 150.0
+    assert new.segment == "seg-a"  # untracked col survives the version bump
+    assert new.name == "alice"
+
+
+def test_scd2_null_safe_change_detection(spark):
+    snap = spark.createDataFrame([(1, None)], "id long, name string")
+    dim = scd2_init(snap, T0)
+    same = spark.createDataFrame([(1, None)], "id long, name string")
+    out = scd2_merge(dim, same, ["id"], T1)
+    assert out.count() == 1  # NULL == NULL under eqNullSafe: no new version
+
+
+def test_scd2_duplicate_snapshot_keys_raise(spark):
+    dim = _dim(spark)
+    dup = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "id long, name string, balance double"
+    )
+    with pytest.raises(DuplicateKeyError):
+        scd2_merge(dim, dup, ["id"], T1)
