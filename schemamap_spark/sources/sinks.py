@@ -216,3 +216,39 @@ def staged_merge_sql(
         f"select {col_list} from {staging_table}\n"
         f"on conflict ({key_list}) do update set {sets}"
     )
+
+
+def write_point_lookup_optimized(
+    df: DataFrame,
+    target_dir: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Parquet layout for needle-in-haystack point lookups: split bloom
+    filters on `bloom_cols` (parquet-mr writes one per row group; Spark's
+    pushdown consults them for `col = x` predicates, skipping row groups
+    min/max stats can't — the high-cardinality, unsorted-column case where
+    range stats are useless). Optionally range-sort on `sort_cols` first so
+    min/max handles the sorted dimensions and bloom the rest.
+
+    expected_ndv sizes the filter (~1.1 bytes/value at 1% FPP); oversizing
+    wastes footer bytes, undersizing inflates the false-positive rate —
+    both degrade gracefully, never incorrectly (blooms have no false
+    negatives, so results are exact either way)."""
+    if not bloom_cols:
+        raise ValueError("bloom_cols must be non-empty")
+    out = df
+    if sort_cols:
+        spark = df.sparkSession
+        n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+        writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+    parent = os.path.dirname(os.path.abspath(target_dir))
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
+    writer.parquet(tmp)
+    _swap_into_place(tmp, target_dir)
