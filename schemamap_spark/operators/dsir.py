@@ -124,8 +124,32 @@ def dsir_weights_from_features(
     if alpha <= 0:
         raise ValueError(f"smoothing alpha must be positive, got {alpha}")
     raw = raw_features if raw_features is not None else candidate_features
-    t_counts = target_features.groupBy("bucket").agg(F.sum("c").alias("ct"))
-    r_counts = raw.groupBy("bucket").agg(F.sum("c").alias("cr"))
+    t_counts = bucket_counts(target_features, "ct")
+    r_counts = bucket_counts(raw, "cr")
+    return score_against_models(
+        candidate_ids, candidate_features, t_counts, r_counts, buckets, alpha
+    )
+
+
+def bucket_counts(features: DataFrame, name: str) -> DataFrame:
+    """Corpus bucket-count model from (doc_id, bucket, c) feature rows —
+    <= B rows of (bucket, name). Persist these to parquet to train once and
+    score forever (the streaming gate's input)."""
+    return features.groupBy("bucket").agg(F.sum("c").alias(name))
+
+
+def score_against_models(
+    candidate_ids: DataFrame,
+    candidate_features: DataFrame,
+    t_counts: DataFrame,
+    r_counts: DataFrame,
+    buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Score pre-hashed features against PRE-TRAINED (bucket, ct) /
+    (bucket, cr) model frames — the reusable tail of dsir_weights, and what
+    the streaming ingest gate calls per micro-batch (models static, totals a
+    tiny <=B-row re-aggregation)."""
     totals = (
         t_counts.agg(F.sum("ct").alias("tot_t"))
         .crossJoin(r_counts.agg(F.sum("cr").alias("tot_r")))

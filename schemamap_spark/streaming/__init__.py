@@ -4,6 +4,7 @@ from schemamap_spark.streaming.pipeline import (
     sessionized,
     continuous_hourly_rollup,
     interval_join_streams,
+    dsir_gate_stream,
     curated_document_stream,
     daily_from_hourly,
     start_memory_sink,
@@ -15,6 +16,7 @@ __all__ = [
     "sessionized",
     "continuous_hourly_rollup",
     "interval_join_streams",
+    "dsir_gate_stream",
     "curated_document_stream",
     "daily_from_hourly",
     "start_memory_sink",

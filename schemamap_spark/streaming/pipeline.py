@@ -241,6 +241,56 @@ def interval_join_streams(
     return lw.join(rw, cond, how).drop(f"{key}{suffix}")
 
 
+def dsir_gate_stream(
+    docs: DataFrame,
+    t_counts: DataFrame,
+    r_counts: DataFrame,
+    fresh_dir: str,
+    checkpoint_dir: str,
+    min_lw_micros: int,
+    buckets: int = 8192,
+    alpha: float = 0.01,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Train-once / gate-at-ingest DSIR: score each micro-batch of documents
+    against PRE-TRAINED target/raw bucket models (operators/dsir.py
+    bucket_counts, persisted to parquet) and land only the target-like rows
+    (lw_micros >= min_lw_micros) in `fresh_dir`, with their weight attached.
+
+    Stateless per batch — the models are static small frames, so ingest
+    scales with source parallelism like curated_document_stream; batch and
+    streaming share score_against_models, so they cannot drift (equality
+    pinned in test_streaming). Compose after the hygiene gate and before
+    the dedup store for the full ingest funnel.
+
+    Returns the StreamingQuery (availableNow — call .awaitTermination())."""
+    from pyspark.sql import functions as _F
+
+    from schemamap_spark.operators.dsir import (
+        hashed_gram_features,
+        score_against_models,
+    )
+
+    def _batch(batch_df, _batch_id):
+        feats = hashed_gram_features(batch_df, buckets, id_col, text_col)
+        ids = batch_df.select(_F.col(id_col).alias("doc_id"))
+        w = score_against_models(ids, feats, t_counts, r_counts, buckets, alpha)
+        passed = batch_df.join(
+            w.filter(_F.col("lw_micros") >= min_lw_micros)
+            .select(_F.col("doc_id").alias(id_col), "lw_micros"),
+            id_col,
+        )
+        passed.write.mode("append").parquet(fresh_dir)
+
+    return (
+        docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def continuous_hourly_rollup(
     events: DataFrame,
     rollup_dir: str,

@@ -239,3 +239,47 @@ def test_interval_join_streams_rejects_bad_how(spark, stream_dir):
     ev = spark.read.parquet(stream_dir)
     with pytest.raises(ValueError, match="inner/leftOuter"):
         interval_join_streams(ev, ev, how="full")
+
+
+def test_dsir_gate_stream_matches_batch(spark, tmp_path):
+    """Streaming DSIR gate vs the batch scorer over the same documents and
+    the same persisted models: identical surviving (doc_id, lw_micros)."""
+    from schemamap_spark.operators.dsir import (
+        bucket_counts,
+        dsir_weights,
+        hashed_gram_features,
+    )
+    from schemamap_spark.streaming import dsir_gate_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    targ = docs.filter(F.col("source").isin("src0", "src1"))
+    t_counts = bucket_counts(hashed_gram_features(targ), "ct")
+    r_counts = bucket_counts(hashed_gram_features(docs), "cr")
+
+    # batch truth: weights of ALL docs vs those models; gate at the median
+    w = dsir_weights(docs, targ)  # raw model == candidates == full docs
+    cut = int(w.agg(F.expr("percentile(lw_micros, 0.5)")).head()[0])
+    want = {
+        (r.doc_id, r.lw_micros)
+        for r in w.filter(F.col("lw_micros") >= cut).collect()
+    }
+
+    src_dir = str(tmp_path / "docs_in")
+    docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    fresh = str(tmp_path / "docs_fresh")
+    ckpt = str(tmp_path / "ckpt")
+    q = dsir_gate_stream(stream, t_counts, r_counts, fresh, ckpt, cut)
+    q.awaitTermination()
+    got = {
+        (r.doc_id, r.lw_micros)
+        for r in spark.read.parquet(fresh).select("doc_id", "lw_micros").collect()
+    }
+    assert got == want
+    assert len(want) > 0
+    # gated rows keep their full document payload
+    assert set(spark.read.parquet(fresh).columns) == set(docs.columns) | {"lw_micros"}
