@@ -272,3 +272,126 @@ def corpus_report(
     if group_col:
         return out.orderBy(group_col)
     return out.select(F.lit("TOTAL").alias("scope"), "*")
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus stats — the mergeable twin of corpus_report
+#
+# corpus_report re-scans the corpus; at 100 TB/day the dashboard instead
+# merges per-batch PARTIALS: additive scalars (docs/tokens/chars/quality
+# micro-sum), a fixed-bin quality histogram (additive), and an HLL sketch of
+# the text digests (union-mergeable, operators/sketches.py rationale). Every
+# component merges exactly or with known resolution, so "stats so far this
+# month" costs KBs of store rows, never a history re-scan.
+# ---------------------------------------------------------------------------
+
+
+def corpus_stats_partials(
+    docs: DataFrame,
+    batch_id: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    bins: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """One scan -> two small partial frames for a batch:
+    scalars: (batch_id, group, docs, tokens, chars, q_micros, fp_sketch)
+    hist:    (batch_id, group, bin, n)   quality histogram, bin = floor(q*bins)
+    q_micros is the integer micro-sum of quality (order/merge-independent);
+    fp_sketch is an HLL sketch of md5(normalized text)."""
+    from schemamap_spark.functions.text import quality_score, token_count
+
+    g = (
+        docs.withColumn("_q", quality_score(text_col))
+        .withColumn("_tok", token_count(text_col))
+        .withColumn("_fp", F.md5(F.lower(F.trim(F.col(text_col)))))
+    )
+    scalars = g.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("_tok").cast("bigint").alias("tokens"),
+        F.sum(F.length(text_col)).cast("bigint").alias("chars"),
+        F.sum(F.round(F.col("_q") * 1e6).cast("bigint")).alias("q_micros"),
+        F.hll_sketch_agg("_fp").alias("fp_sketch"),
+    ).select(F.lit(batch_id).alias("batch_id"), "*")
+    hist = (
+        g.withColumn(
+            "bin",
+            F.least(F.floor(F.col("_q") * bins).cast("int"), F.lit(bins - 1)),
+        )
+        .groupBy(F.col(group_col).alias("group"), "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(batch_id).alias("batch_id"), "*")
+    )
+    return scalars, hist
+
+
+def append_corpus_stats(
+    docs: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    bins: int = 1000,
+) -> None:
+    """Sketch a batch into the two-part parquet store (store_dir/scalars,
+    store_dir/hist)."""
+    scalars, hist = corpus_stats_partials(docs, batch_id, text_col, group_col, bins)
+    scalars.write.mode("append").parquet(f"{store_dir}/scalars")
+    hist.write.mode("append").parquet(f"{store_dir}/hist")
+
+
+def corpus_stats_report(spark, store_dir: str, bins: int = 1000) -> DataFrame:
+    """Dashboard merge over the partial store: per group — exact docs/
+    tokens/chars sums, exact-to-the-micro quality mean, histogram quantiles
+    (resolution 1/bins), HLL unique-text estimate and clamped dup ratio.
+    Cost scales with store rows (batches x groups x occupied bins)."""
+    from pyspark.sql import Window
+
+    scalars = (
+        spark.read.parquet(f"{store_dir}/scalars")
+        .groupBy("group")
+        .agg(
+            F.sum("docs").cast("bigint").alias("docs"),
+            F.sum("tokens").cast("bigint").alias("tokens"),
+            F.sum("chars").cast("bigint").alias("chars"),
+            F.sum("q_micros").alias("q_micros"),
+            F.hll_sketch_estimate(F.hll_union_agg("fp_sketch", True)).alias(
+                "approx_unique_texts"
+            ),
+        )
+        .select(
+            "group", "docs", "tokens", "chars",
+            F.round(F.col("q_micros") / 1e6 / F.col("docs"), 6).alias("quality_mean"),
+            "approx_unique_texts",
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    (F.col("docs") - F.col("approx_unique_texts")).cast("double")
+                    / F.col("docs"),
+                ),
+                6,
+            ).alias("approx_dup_ratio"),
+        )
+    )
+    hist = (
+        spark.read.parquet(f"{store_dir}/hist")
+        .groupBy("group", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    w_cum = Window.partitionBy("group").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("group")
+    cum = hist.select(
+        "group", "bin", F.sum("n").over(w_cum).alias("cum"), F.sum("n").over(w_tot).alias("tot")
+    )
+
+    def q_at(p):
+        b = F.min(F.when(F.col("cum") >= p * F.col("tot"), F.col("bin")))
+        return F.round((b + 0.5) / bins, 6)
+
+    quants = cum.groupBy("group").agg(
+        q_at(0.1).alias("quality_p10"),
+        q_at(0.5).alias("quality_p50"),
+        q_at(0.9).alias("quality_p90"),
+    )
+    return scalars.join(quants, "group").orderBy("group")
