@@ -165,6 +165,27 @@ def scd2_merge_q(spark, sf):
     return out.orderBy("c_custkey", "valid_from")
 
 
+def interval_join_q(spark, sf):
+    """Batch face of the stream-stream interval join (click -> purchase per
+    user within 1 hour) — the SAME operator the streaming pipeline runs
+    (streaming/pipeline.interval_join_streams), value-checked here against a
+    DuckDB theta-join replay. Timestamps go out as epoch bigints (the
+    events-suite convention for hash-stable cross-engine timestamps)."""
+    from schemamap_spark.streaming.pipeline import interval_join_streams
+
+    ev = load_table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    j = interval_join_streams(clicks, purchases, horizon_seconds=3600)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("click_epoch"),
+        F.col("event_id_right").alias("purchase_event_id"),
+        F.unix_timestamp("ts_right").alias("purchase_epoch"),
+    ).orderBy("event_id", "purchase_event_id")
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -174,6 +195,7 @@ EXTRA_SPARK_QUERIES = {
     "perplexity": perplexity_q,
     "dsir_select": dsir_select_q,
     "scd2_merge": scd2_merge_q,
+    "interval_join": interval_join_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -336,6 +358,19 @@ EXTRA_ORACLE_SQL = {
     # unseen-context fallbacks, per-bigram lp -> integer micro-nats -> sum
     "dsir_select": _DSIR_ORACLE,
     "scd2_merge": _SCD2_ORACLE,
+    "interval_join": """
+        with c as (select event_id, user_id, ts from events
+                   where event_type = 'click'),
+        p as (select event_id, user_id, ts from events
+              where event_type = 'purchase')
+        select c.event_id as event_id, c.user_id,
+               cast(floor(epoch(c.ts)) as bigint) as click_epoch,
+               p.event_id as purchase_event_id,
+               cast(floor(epoch(p.ts)) as bigint) as purchase_epoch
+        from c join p on c.user_id = p.user_id
+           and p.ts >= c.ts and p.ts <= c.ts + interval '1 hour'
+        order by 1, 4
+    """,
     "perplexity": """
         with tk as (select doc_id, string_split(text, ' ') as toks from documents),
         uni as (
