@@ -30,6 +30,7 @@ HEADLINE = [
     "ann_topk_cosine",
     "text_profile",
     "text_ngram_stats",
+    "dsir_select",
     "events_tumbling_window",
     "events_sessionize",
 ]
@@ -44,9 +45,17 @@ def main() -> None:
     # q12_topk left the 50-slot driver registry (round 4, swapped for
     # text_ngram_stats) but stays in the bench for round-over-round
     # comparability of the top-k timing
+    from schemamap_spark.suite.extra import EXTRA_SPARK_QUERIES
     from schemamap_spark.suite.relational import q12_topk
 
-    SPARK_QUERIES = {**_REGISTRY, "q12_topk": q12_topk}
+    # dsir_select (round 5): data-selection is a headline training-data
+    # workload; it lives in the parity-only registry (50-slot driver cap)
+    # but benches alongside the driver queries
+    SPARK_QUERIES = {
+        **_REGISTRY,
+        "q12_topk": q12_topk,
+        "dsir_select": EXTRA_SPARK_QUERIES["dsir_select"],
+    }
 
     spark = get_spark("schemamap-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -682,3 +682,63 @@ def shingles_for(
     """(doc_id, sh) shingle sets — the old_shingles input for
     incremental_minhash_dedup, computed over (only) the docs you pass."""
     return _shingled(docs, k, id_col, text_col)
+
+
+def drop_repeated_lines(
+    docs: DataFrame,
+    max_doc_freq: int = 2,
+    min_line_chars: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document LINE dedup (the CCNet/RefinedWeb boilerplate stage):
+    drop every line that appears, normalized (trim + lower), in MORE THAN
+    max_doc_freq distinct documents — navbars, cookie banners, license
+    footers — while keeping each document's remaining lines in order.
+
+    Output: (id_col, text) with the surviving lines re-joined by newline;
+    documents whose every line was boilerplate come back with empty text
+    (callers drop or count them — the funnel does, via quality gates).
+    Lines shorter than min_line_chars after trimming are always kept (blank
+    separators are structure, not boilerplate).
+
+    Scale shape: lines reduce to (doc_id, pos, xxhash64(norm)) — the df
+    count shuffles 8-byte hashes, never line text; the only text shuffle is
+    the per-document reassembly groupBy, bounded by document size. The df
+    guard is exact (no sampling): boilerplate detection must not miss the
+    one banner that is in half the corpus."""
+    from schemamap_spark.session import ensure_parallelism
+
+    lines = (
+        ensure_parallelism(docs, id_col)
+        .select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("norm", F.lower(F.trim(F.col("line"))))
+        .withColumn(
+            "h",
+            F.when(
+                F.length("norm") >= min_line_chars, F.xxhash64("norm")
+            ),  # NULL hash = exempt from df counting (always kept)
+        )
+    )
+    df_counts = (
+        lines.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("line_df"))
+        .filter(F.col("line_df") > max_doc_freq)
+        .select("h")
+    )
+    kept = lines.join(df_counts, "h", "left_anti")
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n", F.transform(F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"])
+            ).alias("text")
+        )
+        # docs whose every line was dropped must still appear (empty text)
+        .join(docs.select(id_col), id_col, "right")
+        .select(id_col, F.coalesce("text", F.lit("")).alias("text"))
+    )

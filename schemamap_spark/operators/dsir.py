@@ -102,7 +102,12 @@ def dsir_weights(
     itself, the paper's setting; pass any other raw corpus by pre-computing
     its features and using `dsir_weights_from_features`.
     """
-    cand_fb = hashed_gram_features(candidates, buckets, id_col, text_col)
+    # persisted: the candidate features feed BOTH the per-doc scoring branch
+    # and the raw-model aggregation — without this the tokenize+hash pass
+    # over the (100 TB) candidate corpus runs twice (no ReusedExchange: the
+    # two consumers aggregate by different keys). ContextCleaner unpersists
+    # once the returned plan is garbage-collected, the dedup-module pattern.
+    cand_fb = hashed_gram_features(candidates, buckets, id_col, text_col).persist()
     targ_fb = hashed_gram_features(target, buckets, id_col, text_col)
     return dsir_weights_from_features(
         candidates.select(F.col(id_col).alias("doc_id")),

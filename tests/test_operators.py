@@ -1435,3 +1435,39 @@ def test_fuzzy_duplicates_within_master(spark):
     )
     pairs = fuzzy_duplicates(master, threshold=0.9).collect()
     assert [(r.i, r.j, r.jaccard) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_drop_repeated_lines_removes_cross_doc_boilerplate(spark):
+    from schemamap_spark.operators.dedup import drop_repeated_lines
+
+    banner = "Accept cookies to continue"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner}\nunique alpha\n\nunique beta"),
+            (2, f"{banner}\nsecond doc body"),
+            (3, f"{banner}\nthird doc body"),
+            (4, banner),                      # all-boilerplate doc
+            (5, "standalone text\nno banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.text for r in drop_repeated_lines(docs, max_doc_freq=2).collect()}
+    assert out[1] == "unique alpha\n\nunique beta"  # order + blank separator kept
+    assert out[2] == "second doc body"
+    assert out[3] == "third doc body"
+    assert out[4] == ""                              # survives as an empty doc
+    assert out[5] == "standalone text\nno banner"
+    assert set(out) == {1, 2, 3, 4, 5}
+
+    # df == max_doc_freq is NOT boilerplate (strictly-greater rule): the
+    # banner appears in exactly 4 documents
+    out2 = {r.doc_id: r.text for r in drop_repeated_lines(docs, max_doc_freq=4).collect()}
+    assert out2[2] == f"{banner}\nsecond doc body"
+
+    # normalization: case/whitespace variants of the banner count together
+    docs_norm = spark.createDataFrame(
+        [(1, "  THE BANNER  \nkeep one"), (2, "the banner\nkeep two"), (3, "The Banner")],
+        "doc_id long, text string",
+    )
+    out3 = {r.doc_id: r.text for r in drop_repeated_lines(docs_norm, max_doc_freq=2).collect()}
+    assert out3 == {1: "keep one", 2: "keep two", 3: ""}
