@@ -484,3 +484,108 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_trunc",
+    renormalize: bool = True,
+) -> DataFrame:
+    """Matryoshka truncation (MRL, Kusupati et al. 2022, public paper): keep
+    the first `dims` coordinates of an MRL-trained embedding — the cheapest
+    rung of the compression ladder (a pure slice, before int8/PQ), cutting
+    both store bytes and every downstream distance computation by d/dims.
+
+    With renormalize=True the slice is L2-renormalized so cosine/dot
+    rankings stay directly comparable. The prefix norm is materialized as
+    its own column before the division lambda (the quantize_embeddings
+    hoisting rule — inlining it would re-run the O(dims) norm per element).
+    Zero-norm prefixes pass through unnormalized (renormalizing would
+    divide by zero; callers filter like cosine_topk already does)."""
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    sliced = F.slice(F.col(vec_col), 1, dims)
+    if not renormalize:
+        return df.withColumn(out_col, sliced)
+    norm_col = f"__{out_col}_norm"
+    out = df.withColumn(out_col, sliced).withColumn(
+        norm_col,
+        F.sqrt(
+            F.aggregate(
+                F.col(out_col),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+    )
+    nrm = F.col(norm_col)
+    return out.withColumn(
+        out_col,
+        F.when(
+            nrm > 0,
+            F.transform(F.col(out_col), lambda x: x.cast("double") / nrm),
+        ).otherwise(F.col(out_col).cast("array<double>")),
+    ).drop(norm_col)
+
+
+def embedding_outliers(
+    df: DataFrame,
+    k: int = 16,
+    z_threshold: float = 3.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Distributional outlier flagging for embedding curation: assign every
+    vector to a k-means cluster, measure its distance to the centroid, and
+    z-score that distance WITHIN its cluster. Output: (id, cluster_id,
+    dist, z, is_outlier) — mislabeled/garbage/off-distribution vectors land
+    in the tail of their own cluster, which a global distance threshold
+    would miss (clusters have different radii).
+
+    Scale shape: centroids are a tiny broadcast map (k × d literals via the
+    fitted model); distance is a per-row Column reduction; the z-score
+    needs one (cluster_id)-keyed aggregation of 3 doubles — no vector ever
+    shuffles. Degenerate clusters (stddev 0: singletons or exact
+    duplicates) produce z = 0, never a division error."""
+    from schemamap_spark.operators.clustering import kmeans_clusters, kmeans_fit
+
+    model = kmeans_fit(df, k, vec_col, seed)
+    centers = model.clusterCenters()
+    # centroid lookup as a literal map column: array<array<double>> indexed
+    # by cluster_id — k*d literals, fine for dashboard-scale k
+    centers_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+    assigned = kmeans_clusters(df, k, id_col, vec_col, seed)
+    with_vec = assigned.join(df.select(id_col, vec_col), id_col)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.element_at(centers_lit, F.col("cluster_id") + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = with_vec.select(id_col, "cluster_id", dist.alias("dist"))
+    stats = scored.groupBy("cluster_id").agg(
+        F.avg("dist").alias("__mu"), F.stddev_pop("dist").alias("__sd")
+    )
+    z = F.when(
+        F.col("__sd") > 0, (F.col("dist") - F.col("__mu")) / F.col("__sd")
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.join(F.broadcast(stats), "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            F.round("dist", 6).alias("dist"),
+            F.round(z, 6).alias("z"),
+            (z > z_threshold).alias("is_outlier"),
+        )
+    )

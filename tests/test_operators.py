@@ -1471,3 +1471,73 @@ def test_drop_repeated_lines_removes_cross_doc_boilerplate(spark):
     )
     out3 = {r.doc_id: r.text for r in drop_repeated_lines(docs_norm, max_doc_freq=2).collect()}
     assert out3 == {1: "keep one", 2: "keep two", 3: ""}
+
+
+def test_truncate_embeddings_matryoshka(spark):
+    import math
+
+    from schemamap_spark.operators.embeddings import truncate_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 0.0, 0.0]), (2, [0.0, 0.0, 5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r.embedding_trunc for r in truncate_embeddings(df, 2).collect()}
+    # row 1: prefix (3,4) renormalized to unit length
+    assert [round(x, 6) for x in out[1]] == [0.6, 0.8]
+    # row 2: zero-norm prefix passes through unnormalized
+    assert out[2] == [0.0, 0.0]
+    raw = {r.vec_id: r.embedding_trunc
+           for r in truncate_embeddings(df, 2, renormalize=False).collect()}
+    assert raw[1] == [3.0, 4.0]
+    # renormalized output is unit-length whenever the prefix is nonzero
+    n = math.sqrt(sum(x * x for x in out[1]))
+    assert abs(n - 1.0) < 1e-12
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="dims"):
+        truncate_embeddings(df, 0)
+
+
+def test_truncate_embeddings_plan_hoists_norm(spark):
+    """The prefix norm must appear ONCE in the optimized plan (materialized
+    column), not inlined per element inside the division lambda."""
+    from schemamap_spark.operators.embeddings import truncate_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    plan = truncate_embeddings(df, 2)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        assert line.count("aggregate(") <= 1, f"norm inlined per element:\n{line}"
+
+
+def test_embedding_outliers_flags_planted_point(spark):
+    from schemamap_spark.operators.embeddings import embedding_outliers
+
+    rows = []
+    # two tight clusters around (0,0) and (10,10)
+    for i in range(40):
+        rows.append((i, [0.0 + (i % 5) * 0.01, 0.0 + (i % 7) * 0.01]))
+    for i in range(40, 80):
+        rows.append((i, [10.0 + (i % 5) * 0.01, 10.0 + (i % 7) * 0.01]))
+    rows.append((999, [0.0, 3.0]))  # far tail of the origin cluster
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_outliers(df, k=2, z_threshold=3.0)
+    flagged = {r.vec_id for r in out.filter("is_outlier").collect()}
+    assert flagged == {999}
+    got = {r.vec_id: r for r in out.collect()}
+    assert len(got) == 81
+    # planted point's z is far out; cluster-mates stay small
+    assert got[999].z > 3.0
+    assert all(abs(got[i].z) < 3.0 for i in range(80))
+
+
+def test_embedding_outliers_degenerate_cluster(spark):
+    from schemamap_spark.operators.embeddings import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(10)] + [(99, [5.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_outliers(df, k=2).collect()
+    assert all(r.z == 0.0 and not r.is_outlier for r in out)  # sd=0 -> z=0
