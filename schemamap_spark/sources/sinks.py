@@ -88,7 +88,7 @@ def write_range_sorted(
 
 
 def zorder_column(
-    df: DataFrame, cols: list[str], bits: int = 16
+    df: DataFrame, cols: list[str], bits: int = 16, binning: str = "minmax"
 ) -> tuple[DataFrame, str]:
     """Attach a Morton (Z-order) key interleaving `cols` — the multi-column
     generalization of range sorting: clustering by the Z-value keeps rows
@@ -106,6 +106,15 @@ def zorder_column(
     quantile-binned variant would, but pruning stays correct either way
     (footer stats are exact regardless of layout quality).
 
+    binning:
+    - "minmax" (default): linear scale by global min/max — one extra
+      aggregate pass, no driver data. Skewed columns crowd into few cells
+      (pruning stays correct, clustering degrades in the dense region).
+    - "quantile": scale by the column's approxQuantile CDF (2^bits
+      boundaries, driver-bounded collect like PQ codebooks) — every cell
+      holds ~equal mass regardless of skew, at the cost of one sketch pass
+      and an O(2^bits) HOF rank per row; pair with a small `bits` (8-10).
+
     Returns (df_with_key, key_col_name); columns must be numeric/castable
     to double. bits * len(cols) must fit a signed long (<= 62).
     """
@@ -115,32 +124,60 @@ def zorder_column(
         raise ValueError(
             f"bits*len(cols) must be <= 62 to fit a long, got {bits * len(cols)}"
         )
+    if binning not in ("minmax", "quantile"):
+        raise ValueError(f"binning must be minmax|quantile, got {binning!r}")
     key = "__zorder"
-    mm = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
-        *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
-    )
-    out = df.crossJoin(F.broadcast(mm))
     top = (1 << bits) - 1
-    z = F.lit(0).cast("long")
-    for j, c in enumerate(cols):
-        mn, mx = F.col(f"__mn_{j}"), F.col(f"__mx_{j}")
-        span = mx - mn
-        scaled = F.when(
-            span <= F.lit(0.0), F.lit(0).cast("long")
-        ).otherwise(
-            F.least(
-                F.lit(top).cast("long"),
-                F.floor((F.col(c).cast("double") - mn) / span * F.lit(float(1 << bits))),
+
+    if binning == "quantile":
+        nb = 1 << bits
+        if nb > 4096:
+            raise ValueError("quantile binning: use bits <= 12 (boundary count)")
+        probs = [i / nb for i in range(1, nb)]
+        scaled_cols = []
+        casted = df.select(*df.columns, *[
+            F.col(c).cast("double").alias(f"__cast_{j}") for j, c in enumerate(cols)
+        ])
+        for j, c in enumerate(cols):
+            bounds = casted.approxQuantile(f"__cast_{j}", probs, 0.001)
+            blit = F.array(*[F.lit(float(b)) for b in bounds])
+            # rank = number of boundaries <= value: equal-mass bin in [0, 2^bits)
+            scaled_cols.append(
+                F.coalesce(
+                    F.size(F.filter(blit, lambda b: b <= F.col(f"__cast_{j}"))),
+                    F.lit(0),
+                ).cast("long")
             )
+        out = casted
+    else:
+        mm = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"__mn_{i}") for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"__mx_{i}") for i, c in enumerate(cols)],
         )
-        v = F.coalesce(scaled, F.lit(0).cast("long"))
+        out = df.crossJoin(F.broadcast(mm))
+        scaled_cols = []
+        for j, c in enumerate(cols):
+            mn, mx = F.col(f"__mn_{j}"), F.col(f"__mx_{j}")
+            span = mx - mn
+            scaled = F.when(
+                span <= F.lit(0.0), F.lit(0).cast("long")
+            ).otherwise(
+                F.least(
+                    F.lit(top).cast("long"),
+                    F.floor((F.col(c).cast("double") - mn) / span * F.lit(float(1 << bits))),
+                )
+            )
+            scaled_cols.append(F.coalesce(scaled, F.lit(0).cast("long")))
+
+    z = F.lit(0).cast("long")
+    for j, v in enumerate(scaled_cols):
         for i in range(bits):
             bit = F.shiftright(v, i).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
     out = out.withColumn(key, z).drop(
         *[f"__mn_{i}" for i in range(len(cols))],
         *[f"__mx_{i}" for i in range(len(cols))],
+        *[f"__cast_{i}" for i in range(len(cols))],
     )
     return out, key
 
@@ -151,6 +188,7 @@ def write_zordered(
     zorder_cols: list[str],
     bits: int = 16,
     num_files: int | None = None,
+    binning: str = "minmax",
 ) -> None:
     """Z-order-clustered parquet write: Morton key -> repartitionByRange
     (sampled balanced boundaries, no hot file) -> sortWithinPartitions ->
@@ -160,7 +198,7 @@ def write_zordered(
     (asserted against the real footers in test_scale_ops)."""
     spark = df.sparkSession
     n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    keyed, key = zorder_column(df, zorder_cols, bits)
+    keyed, key = zorder_column(df, zorder_cols, bits, binning)
     out = keyed.repartitionByRange(n, key).sortWithinPartitions(key).drop(key)
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)

@@ -283,3 +283,39 @@ def test_point_lookup_bloom_filters_written(spark, tmp_path):
     assert [r.id for r in got.collect()] == [12345]
     with pytest.raises(ValueError, match="non-empty"):
         write_point_lookup_optimized(df, b_dir, [])
+
+
+def test_zorder_quantile_binning_beats_minmax_under_skew(spark, tmp_path):
+    """Log-uniform x (99% of rows in <1% of the value range): min/max
+    binning collapses the dense region into one cell, so a dense-region
+    band overlaps nearly every file; quantile binning gives every cell
+    equal mass and prunes. Deterministic arithmetic, no RNG."""
+    from schemamap_spark.sources.sinks import write_zordered
+
+    u = (F.col("id") * 2654435761 % 1000000) / 1000000.0
+    df = spark.range(200_000).select(
+        F.pow(F.lit(10.0), u * 6).alias("x"),
+        (F.col("id") * 40503 % 1000).cast("double").alias("y"),
+    )
+    mm_dir, qq_dir = str(tmp_path / "mm"), str(tmp_path / "qq")
+    write_zordered(df, mm_dir, ["x", "y"], bits=8, num_files=32)
+    write_zordered(df, qq_dir, ["x", "y"], bits=8, num_files=32, binning="quantile")
+
+    lo, hi = df.approxQuantile("x", [0.45, 0.55], 0.001)
+    band = {"x": (lo, hi)}
+    mm_total, mm_hit = _overlapping_files(mm_dir, band)
+    qq_total, qq_hit = _overlapping_files(qq_dir, band)
+    assert mm_total == qq_total > 1
+    assert mm_hit >= mm_total - 2        # minmax is ~blind in the dense region
+    assert qq_hit < mm_hit - 5           # quantile binning actually prunes it
+    # both layouts hold the same rows
+    assert spark.read.parquet(qq_dir).count() == df.count()
+
+    import pytest as _pytest
+
+    from schemamap_spark.sources.sinks import zorder_column
+
+    with _pytest.raises(ValueError, match="binning"):
+        zorder_column(df, ["x"], binning="nope")
+    with _pytest.raises(ValueError, match="bits <= 12"):
+        zorder_column(df, ["x"], bits=14, binning="quantile")
