@@ -40,6 +40,26 @@ from schemamap_spark.operators.packing import chunk_documents, pack_sequences, p
 from schemamap_spark.operators.sampling import assign_splits, deterministic_sample, stratified_sample
 from schemamap_spark.operators.skew import bucketed_join, salted_join, write_bucketed
 from schemamap_spark.operators.temporal import asof_join, range_join
+from schemamap_spark.operators.bpe import bpe_tokenize, bpe_train
+from schemamap_spark.operators.dedup import drop_repeated_lines
+from schemamap_spark.operators.dsir import (
+    dsir_resample,
+    dsir_select,
+    dsir_weights,
+    hashed_gram_features,
+)
+from schemamap_spark.operators.embeddings import embedding_outliers, truncate_embeddings
+from schemamap_spark.operators.sketches import (
+    append_sketches,
+    column_sketches,
+    incremental_ndv,
+    ndv_estimates,
+)
+from schemamap_spark.operators.curation import (
+    append_corpus_stats,
+    corpus_stats_partials,
+    corpus_stats_report,
+)
 
 __all__ = [
     "transitive_closure", "transitive_closure_sql", "connected_components",
@@ -58,4 +78,9 @@ __all__ = [
     "two_level_collect_set", "bounded_collect_set",
     "salted_join", "bucketed_join", "write_bucketed",
     "asof_join", "range_join",
+    "dsir_select", "dsir_resample", "dsir_weights", "hashed_gram_features",
+    "bpe_train", "bpe_tokenize", "drop_repeated_lines",
+    "truncate_embeddings", "embedding_outliers",
+    "column_sketches", "append_sketches", "ndv_estimates", "incremental_ndv",
+    "corpus_stats_partials", "append_corpus_stats", "corpus_stats_report",
 ]
