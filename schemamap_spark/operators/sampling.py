@@ -180,3 +180,33 @@ def mixture_sample(
     return docs.filter(
         cutoff.isNotNull() & (deterministic_bucket(id_col) < cutoff)
     )
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size sample per group: the n rows whose Knuth
+    hash ranks lowest within each group (ties broken by id) — eval-set
+    construction ("500 docs per language") without engine RNG. The same
+    rows win on every run, engine, and partitioning, so the DuckDB oracle
+    replays the pick exactly (sample_per_source extra).
+
+    Scale shape: one window rank per group over (hash, id) — a single
+    shuffle on group_col; groups larger than a task's memory sort spill,
+    they never collect. For a FRACTION per group use stratified_sample
+    (shuffle-free); fixed-N inherently needs the per-group rank."""
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(group_col).orderBy(
+        deterministic_bucket(id_col, MOD), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )

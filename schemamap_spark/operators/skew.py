@@ -76,3 +76,37 @@ def bucketed_join(
     """Join two same-bucketed tables on their bucket key — verify with
     .explain(): no Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def key_skew_report(
+    df: DataFrame,
+    key: str,
+    top: int = 10,
+) -> DataFrame:
+    """Pre-join diagnostic: the top-k hottest join keys with their share of
+    the table and the skew factor (hot-key count / mean per-key count).
+    Read it BEFORE a big join: skew_factor >> 10 on a shuffled join means
+    AQE's runtime splitting may not be enough — reach for salted_join, and
+    size salt_buckets ~ skew_factor of the hottest key.
+
+    One aggregation on the key + a 1-row broadcast of the global stats;
+    top-k via TakeOrderedAndProject. NULL keys count too (they hash to one
+    partition like any other value — the classic accidental hot key)."""
+    per_key = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("n"))
+    totals = per_key.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("__nkeys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "n",
+            F.round(F.col("n") / F.col("__total"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("__nkeys") / F.col("__total"), 2
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), key)
+        .limit(top)
+    )

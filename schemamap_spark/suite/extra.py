@@ -186,6 +186,30 @@ def interval_join_q(spark, sf):
     ).orderBy("event_id", "purchase_event_id")
 
 
+def sample_per_source_q(spark, sf):
+    """Deterministic fixed-N-per-group sampling: 5 documents per source by
+    lowest Knuth hash (ties by id) — the eval-set construction shape. The
+    DuckDB twin replays hash, rank, and pick exactly."""
+    from schemamap_spark.operators.sampling import sample_n_per_group
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        sample_n_per_group(docs, "source", 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+def key_skew_q(spark, sf):
+    """Join-key skew diagnostic over orders.o_custkey: top-10 hottest keys
+    with share and skew factor — the pre-join report that decides between a
+    plain shuffled join and salted_join."""
+    from schemamap_spark.operators.skew import key_skew_report
+
+    orders = load_table(spark, sf, "orders")
+    return key_skew_report(orders, "o_custkey", top=10)
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -196,6 +220,8 @@ EXTRA_SPARK_QUERIES = {
     "dsir_select": dsir_select_q,
     "scd2_merge": scd2_merge_q,
     "interval_join": interval_join_q,
+    "sample_per_source": sample_per_source_q,
+    "key_skew": key_skew_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -358,6 +384,31 @@ EXTRA_ORACLE_SQL = {
     # unseen-context fallbacks, per-bigram lp -> integer micro-nats -> sum
     "dsir_select": _DSIR_ORACLE,
     "scd2_merge": _SCD2_ORACLE,
+    # same Knuth-hash + rank arithmetic as operators/sampling.py
+    "sample_per_source": """
+        with b as (
+          select doc_id, source,
+                 ((doc_id % 2147483648) * 2654435761) % 2147483648 as h
+          from documents
+        ),
+        r as (
+          select doc_id, source,
+                 row_number() over (partition by source order by h, doc_id) as rk
+          from b
+        )
+        select doc_id, source from r where rk <= 5 order by doc_id
+    """,
+    "key_skew": """
+        with pk as (select o_custkey, count(*) as n from orders group by 1),
+        t as (select cast(sum(n) as bigint) as total,
+                     cast(count(*) as bigint) as nkeys from pk)
+        select o_custkey, cast(n as bigint) as n,
+               round(n / t.total, 6) as share,
+               round((n * t.nkeys) / t.total, 2) as skew_factor
+        from pk cross join t
+        order by n desc, o_custkey
+        limit 10
+    """,
     "interval_join": """
         with c as (select event_id, user_id, ts from events
                    where event_type = 'click'),

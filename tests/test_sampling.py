@@ -160,3 +160,25 @@ def test_mixture_sample_deterministic_replay(spark):
         ).collect()
     )
     assert got_rep == got
+
+
+def test_sample_n_per_group_deterministic_and_sized(spark):
+    from schemamap_spark.operators.sampling import sample_n_per_group
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(r.doc_id for r in sample_n_per_group(docs, "source", 3).collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_n_per_group(docs.repartition(13), "source", 3).collect()
+    )
+    assert a == b  # partitioning-invariant pick
+    sizes = (
+        sample_n_per_group(docs, "source", 3)
+        .groupBy("source").count().collect()
+    )
+    full = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    for r in sizes:
+        assert r["count"] == min(3, full[r.source])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must"):
+        sample_n_per_group(docs, "source", 0)

@@ -319,3 +319,16 @@ def test_zorder_quantile_binning_beats_minmax_under_skew(spark, tmp_path):
         zorder_column(df, ["x"], binning="nope")
     with _pytest.raises(ValueError, match="bits <= 12"):
         zorder_column(df, ["x"], bits=14, binning="quantile")
+
+
+def test_key_skew_report_math(spark):
+    from schemamap_spark.operators.skew import key_skew_report
+
+    df = spark.createDataFrame(
+        [(1,)] * 80 + [(2,)] * 10 + [(3,)] * 10, "k long"
+    )
+    rows = {r.k: r for r in key_skew_report(df, "k", top=3).collect()}
+    assert rows[1].n == 80 and rows[1].share == 0.8
+    # 3 keys, 100 rows -> mean per key 33.33; hot key 80 -> factor 2.4
+    assert rows[1].skew_factor == 2.4
+    assert rows[2].skew_factor == 0.3
