@@ -5,6 +5,7 @@ from schemamap_spark.streaming.pipeline import (
     continuous_hourly_rollup,
     interval_join_streams,
     dsir_gate_stream,
+    mixture_fill_stream,
     curated_document_stream,
     daily_from_hourly,
     start_memory_sink,
@@ -17,6 +18,7 @@ __all__ = [
     "continuous_hourly_rollup",
     "interval_join_streams",
     "dsir_gate_stream",
+    "mixture_fill_stream",
     "curated_document_stream",
     "daily_from_hourly",
     "start_memory_sink",

@@ -291,6 +291,103 @@ def dsir_gate_stream(
     )
 
 
+def mixture_fill_stream(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    accepted_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+):
+    """Streaming token-budget enforcement per source — the ingest twin of
+    mixture_sample's batch planning: each source accepts documents until its
+    token budget fills, then stops, across micro-batches and restarts.
+
+    Per batch: rows rank within their source by Knuth hash (ties by id —
+    the sampling-module order, so WHICH rows win is deterministic, not
+    arrival luck), a running token cumsum admits rows while the source's
+    remaining budget lasts, admitted rows append to `accepted_dir`, and the
+    per-source token counter store at `state_dir` is atomically rewritten
+    (write_parquet_atomic dir swap — a reader never sees a half-updated
+    counter). Sources absent from `budgets` are dropped.
+
+    Same delivery note as incremental_dedup_stream: the data append and the
+    counter swap are not atomic together — a crash between them can
+    re-admit one batch's rows on replay (at-least-once on accepted_dir; the
+    counter itself never double-counts because the swap is last). State is
+    one tiny parquet of (source, tokens_used) rows, never the stream.
+
+    Returns the StreamingQuery (availableNow — call .awaitTermination())."""
+    from pyspark.sql import Window
+
+    from schemamap_spark.operators.sampling import KNUTH, MOD
+    from schemamap_spark.sources.sinks import write_parquet_atomic
+
+    def _batch(batch_df, _batch_id):
+        spark = batch_df.sparkSession
+        try:
+            used = spark.read.parquet(state_dir)
+        except Exception:
+            used = spark.createDataFrame([], "source string, tokens_used long")
+        budget_map = F.create_map(
+            *[F.lit(x) for s, b in budgets.items() for x in (s, int(b))]
+        )
+        reduced = F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
+        h = F.pmod(reduced * F.lit(KNUTH), F.lit(MOD))
+        w = (
+            Window.partitionBy(source_col)
+            .orderBy(h, F.col(id_col))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        toks = F.size(F.split(F.col(text_col), " ")).cast("long")
+        used_r = used.withColumnRenamed("source", "__src").withColumnRenamed(
+            "tokens_used", "__used"
+        )
+        scored = (
+            batch_df.withColumn("__tok", toks)
+            .withColumn("__cum", F.sum("__tok").over(w))
+            .join(F.broadcast(used_r), F.col(source_col) == F.col("__src"), "left")
+            .withColumn(
+                "__remaining",
+                F.coalesce(budget_map[F.col(source_col)], F.lit(0))
+                - F.coalesce(F.col("__used"), F.lit(0)),
+            )
+        )
+        accepted = scored.filter(F.col("__cum") <= F.col("__remaining")).persist()
+        accepted.drop("__tok", "__cum", "__src", "__used", "__remaining").write.mode(
+            "append"
+        ).parquet(accepted_dir)
+        new_used = (
+            accepted.groupBy(F.col(source_col).alias("__nsrc"))
+            .agg(F.sum("__tok").alias("__new"))
+            .join(used_r, F.col("__nsrc") == F.col("__src"), "full_outer")
+            .select(
+                F.coalesce(F.col("__nsrc"), F.col("__src")).alias("source"),
+                (
+                    F.coalesce(F.col("__used"), F.lit(0))
+                    + F.coalesce(F.col("__new"), F.lit(0))
+                ).cast("long").alias("tokens_used"),
+            )
+        )
+        # collect before the swap: new_used reads state_dir, which the swap
+        # replaces — writing a plan over the dir being rewritten would race
+        rows = new_used.collect()
+        write_parquet_atomic(
+            spark.createDataFrame(rows or [], "source string, tokens_used long"),
+            state_dir,
+        )
+        accepted.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def continuous_hourly_rollup(
     events: DataFrame,
     rollup_dir: str,

@@ -283,3 +283,50 @@ def test_dsir_gate_stream_matches_batch(spark, tmp_path):
     assert len(want) > 0
     # gated rows keep their full document payload
     assert set(spark.read.parquet(fresh).columns) == set(docs.columns) | {"lw_micros"}
+
+
+def test_mixture_fill_stream_respects_budgets(spark, tmp_path):
+    """Per-source token budgets hold across micro-batches; unbudgeted
+    sources drop; the admitted set is deterministic for a given file
+    layout (Knuth-hash priority, not arrival luck)."""
+    from schemamap_spark.streaming import mixture_fill_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    tok = F.size(F.split("text", " ")).cast("long")
+    totals = {
+        r.source: r.t
+        for r in docs.groupBy("source").agg(F.sum(tok).alias("t")).collect()
+    }
+    src_dir = str(tmp_path / "in")
+    docs.repartition(3).write.mode("overwrite").parquet(src_dir)
+    budgets = {"src0": 60, "src1": 10**9}
+
+    def run(tag):
+        acc = str(tmp_path / f"acc_{tag}")
+        q = mixture_fill_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src_dir),
+            budgets, acc, str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination()
+        return spark.read.parquet(acc)
+
+    got = run("a")
+    per_src = {
+        r.source: (r.t, r.n)
+        for r in got.groupBy("source").agg(
+            F.sum(tok).alias("t"), F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert set(per_src) <= {"src0", "src1"}      # unbudgeted sources dropped
+    assert per_src["src0"][0] <= 60              # budget is a hard cap
+    assert per_src["src0"][1] >= 1               # but it did admit something
+    assert per_src["src1"][0] == totals["src1"]  # huge budget: all admitted
+    assert set(got.columns) == set(docs.columns)
+
+    # deterministic: a fresh identical run admits the identical row set
+    again = run("b")
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
