@@ -131,6 +131,13 @@ def dsir_weights_from_features(
     raw = raw_features if raw_features is not None else candidate_features
     t_counts = bucket_counts(target_features, "ct")
     r_counts = bucket_counts(raw, "cr")
+    # an empty target would make every model total NULL and every weight a
+    # silent 0 — fail the contract loudly instead (pq_train convention);
+    # the probe costs one small scan of the (tiny) target side only
+    if not t_counts.head(1):
+        raise ValueError(
+            "dsir: empty target corpus — no features to fit p_target"
+        )
     return score_against_models(
         candidate_ids, candidate_features, t_counts, r_counts, buckets, alpha
     )

@@ -137,3 +137,10 @@ def test_dsir_input_validation(spark):
         dsir_select(df, df, 0)
     with pytest.raises(ValueError, match="temperature"):
         dsir_resample(df, df, 1, temperature=0.0)
+
+
+def test_dsir_empty_target_raises(spark):
+    cand = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+    empty = cand.filter("doc_id < 0")
+    with pytest.raises(ValueError, match="empty target"):
+        dsir_weights(cand, empty)
