@@ -210,6 +210,17 @@ def key_skew_q(spark, sf):
     return key_skew_report(orders, "o_custkey", top=10)
 
 
+def line_dedup_q(spark, sf):
+    """Cross-document line dedup over documents (single-line fixture docs:
+    the df guard fires on full-text duplicates, all-boilerplate docs come
+    back empty). The DuckDB twin replays normalization, the strict-greater
+    df rule, and the empty-line exemption."""
+    from schemamap_spark.operators.dedup import drop_repeated_lines
+
+    docs = load_table(spark, sf, "documents")
+    return drop_repeated_lines(docs, max_doc_freq=2).orderBy("doc_id")
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -222,6 +233,7 @@ EXTRA_SPARK_QUERIES = {
     "interval_join": interval_join_q,
     "sample_per_source": sample_per_source_q,
     "key_skew": key_skew_q,
+    "line_dedup": line_dedup_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -384,6 +396,24 @@ EXTRA_ORACLE_SQL = {
     # unseen-context fallbacks, per-bigram lp -> integer micro-nats -> sum
     "dsir_select": _DSIR_ORACLE,
     "scd2_merge": _SCD2_ORACLE,
+    # single-line docs: a doc keeps its text unless its normalized form is
+    # shared by MORE THAN 2 distinct docs (and non-empty after trim)
+    "line_dedup": """
+        with l as (
+          select doc_id, text, lower(trim(text)) as norm from documents
+        ),
+        hot as (
+          select norm from l
+          where len(norm) >= 1
+          group by norm
+          having count(distinct doc_id) > 2
+        )
+        select doc_id,
+               case when norm in (select norm from hot) then '' else text end
+                 as text
+        from l
+        order by doc_id
+    """,
     # same Knuth-hash + rank arithmetic as operators/sampling.py
     "sample_per_source": """
         with b as (
