@@ -222,3 +222,20 @@ def scd2_init(
         F.lit(None).cast("timestamp").alias(valid_to),
         F.lit(True).alias(current_flag),
     )
+
+
+def scd2_as_of(
+    dim: DataFrame,
+    ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Time-travel view of an SCD2 dimension: the version of every key that
+    was current at `ts` (valid_from <= ts < valid_to, open rows unbounded).
+    A pure filter — parquet min/max stats on valid_from/valid_to prune at
+    scan time if the dimension is range-sorted on valid_from."""
+    t = F.lit(ts).cast("timestamp")
+    return dim.filter(
+        (F.col(valid_from) <= t)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > t))
+    )

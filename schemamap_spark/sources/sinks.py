@@ -290,3 +290,37 @@ def write_point_lookup_optimized(
     tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
     writer.parquet(tmp)
     _swap_into_place(tmp, target_dir)
+
+
+def compact_parquet_dir(
+    spark,
+    target_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the classic ingest debt: streaming appends
+    (foreachBatch sinks, rollup stores, dedup fresh dirs) leave thousands
+    of KB-sized files whose per-file open/footer cost eventually dominates
+    scans. Rewrites the directory into ceil(bytes/target) files via the
+    atomic dir swap (readers never see a half-compacted dir), optionally
+    re-sorting so footer pruning survives compaction. Returns the new file
+    count. Run it off the write path (the store stays readable throughout).
+    """
+    sizes = [
+        os.path.getsize(os.path.join(target_dir, f))
+        for f in (os.listdir(target_dir) if os.path.isdir(target_dir) else [])
+        if f.endswith(".parquet")
+    ]
+    if not sizes:
+        raise ValueError(f"no parquet files in {target_dir}")
+    n = max(1, -(-sum(sizes) // target_file_bytes))  # ceil
+    df = spark.read.parquet(target_dir)
+    if sort_cols:
+        out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.coalesce(n) if n < len(sizes) else df.repartition(n)
+    parent = os.path.dirname(os.path.abspath(target_dir))
+    tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
+    out.write.mode("overwrite").parquet(tmp)
+    _swap_into_place(tmp, target_dir)
+    return n

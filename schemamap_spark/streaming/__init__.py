@@ -6,6 +6,7 @@ from schemamap_spark.streaming.pipeline import (
     interval_join_streams,
     dsir_gate_stream,
     mixture_fill_stream,
+    enrich_stream,
     curated_document_stream,
     daily_from_hourly,
     start_memory_sink,
@@ -19,6 +20,7 @@ __all__ = [
     "interval_join_streams",
     "dsir_gate_stream",
     "mixture_fill_stream",
+    "enrich_stream",
     "curated_document_stream",
     "daily_from_hourly",
     "start_memory_sink",

@@ -388,6 +388,52 @@ def mixture_fill_stream(
     )
 
 
+def enrich_stream(
+    events: DataFrame,
+    dim_dir: str,
+    on: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+):
+    """Streaming dimension enrichment against a PERSISTED dimension store:
+    each micro-batch re-reads the dimension's CURRENT slice (an SCD2 store
+    maintained by scd2_merge + write_parquet_atomic, or any keyed parquet
+    dir) and broadcast-joins it in — so a dimension update between batches
+    is visible to the very next batch, with no stream restart. That
+    per-batch re-read is the point: a static `spark.read` join would
+    snapshot the dimension once at stream start and drift forever.
+
+    Stateless per batch (the foreachBatch twin of a stream-static join,
+    chosen over Spark's built-in stream-static join precisely for the
+    refresh semantics). Dimensions are broadcast — keep them dimension-
+    sized; for fact-sized enrichment use interval_join_streams.
+
+    Returns the StreamingQuery (availableNow — call .awaitTermination())."""
+    from pyspark.sql import functions as _F
+
+    def _batch(batch_df, _batch_id):
+        spark = batch_df.sparkSession
+        dim = spark.read.parquet(dim_dir)
+        if "is_current" in dim.columns:
+            dim = dim.filter(_F.col("is_current")).drop(
+                "valid_from", "valid_to", "is_current"
+            )
+        if dim_cols:
+            dim = dim.select(on, *dim_cols)
+        batch_df.join(_F.broadcast(dim), on, how).write.mode("append").parquet(
+            out_dir
+        )
+
+    return (
+        events.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def continuous_hourly_rollup(
     events: DataFrame,
     rollup_dir: str,

@@ -332,3 +332,28 @@ def test_key_skew_report_math(spark):
     # 3 keys, 100 rows -> mean per key 33.33; hot key 80 -> factor 2.4
     assert rows[1].skew_factor == 2.4
     assert rows[2].skew_factor == 0.3
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    import os
+
+    from schemamap_spark.sources.sinks import compact_parquet_dir
+
+    d = str(tmp_path / "frag")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    for i in range(6):  # simulate streaming appends: many tiny files
+        ev.filter(F.col("event_id") % 6 == i).repartition(4).write.mode(
+            "append"
+        ).parquet(d)
+    before = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert before >= 20
+    rows_before = spark.read.parquet(d).count()
+    n = compact_parquet_dir(spark, d, target_file_bytes=64 * 1024 * 1024,
+                            sort_cols=["user_id"])
+    after = len([f for f in os.listdir(d) if f.endswith(".parquet")])
+    assert after <= max(n, 1) < before
+    assert spark.read.parquet(d).count() == rows_before  # lossless
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no parquet"):
+        compact_parquet_dir(spark, str(tmp_path / "empty_nothing"))

@@ -85,3 +85,21 @@ def test_scd2_duplicate_snapshot_keys_raise(spark):
     )
     with pytest.raises(DuplicateKeyError):
         scd2_merge(dim, dup, ["id"], T1)
+
+
+def test_scd2_as_of_time_travel(spark):
+    from schemamap_spark.sources.merge import scd2_as_of
+
+    dim = _dim(spark)
+    b1 = spark.createDataFrame([(1, "alice", 150.0)], "id long, name string, balance double")
+    out = scd2_merge(dim, b1, ["id"], T1)
+    # before the change: the original version; after: the new one
+    before = {r.id: r.balance for r in scd2_as_of(out, "2024-01-15 00:00:00").collect()}
+    after = {r.id: r.balance for r in scd2_as_of(out, "2024-02-15 00:00:00").collect()}
+    assert before[1] == 100.0 and after[1] == 150.0
+    assert before[2] == after[2] == 200.0
+    # exactly at the boundary, the NEW version is current (valid_to exclusive)
+    at = {r.id: r.balance for r in scd2_as_of(out, T1).collect()}
+    assert at[1] == 150.0
+    # before the dimension existed: nothing
+    assert scd2_as_of(out, "2019-01-01 00:00:00").count() == 0

@@ -330,3 +330,54 @@ def test_mixture_fill_stream_respects_budgets(spark, tmp_path):
     assert sorted(r.doc_id for r in got.collect()) == sorted(
         r.doc_id for r in again.collect()
     )
+
+
+def test_enrich_stream_sees_dimension_updates_between_batches(spark, tmp_path):
+    """The per-batch dimension re-read: after the SCD2 store is rewritten
+    mid-stream, the next micro-batch joins the NEW current slice."""
+    from schemamap_spark.sources.merge import scd2_init, scd2_merge
+    from schemamap_spark.sources.sinks import write_parquet_atomic
+    from schemamap_spark.streaming import enrich_stream
+
+    dim_dir = str(tmp_path / "dim")
+    snap = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in range(1, 200)], "user_id long, tier string"
+    )
+    write_parquet_atomic(scd2_init(snap, "2020-01-01 00:00:00"), dim_dir)
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_in")
+    ev.limit(100).repartition(2).write.mode("overwrite").parquet(src)
+
+    out1, out2 = str(tmp_path / "out1"), str(tmp_path / "out2")
+    q = enrich_stream(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "2").parquet(src),
+        dim_dir, "user_id", out1, str(tmp_path / "c1"),
+    )
+    q.awaitTermination()
+    first = spark.read.parquet(out1)
+    assert first.count() == 100
+    assert set(first.columns) == set(ev.columns) | {"tier"}
+    tiers1 = {r.tier for r in first.select("tier").distinct().collect()}
+    assert tiers1 <= {"tier0", "tier1", "tier2", None}
+
+    # dimension update: every user moves to gold; a NEW stream run (same
+    # batch mechanics as a later trigger) must see it
+    upd = snap.withColumn("tier", F.lit("gold"))
+    write_parquet_atomic(
+        scd2_merge(
+            spark.read.parquet(dim_dir), upd, ["user_id"], "2024-01-01 00:00:00"
+        ),
+        dim_dir,
+    )
+    q2 = enrich_stream(
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "2").parquet(src),
+        dim_dir, "user_id", out2, str(tmp_path / "c2"),
+    )
+    q2.awaitTermination()
+    tiers2 = {
+        r.tier
+        for r in spark.read.parquet(out2).filter("tier is not null")
+        .select("tier").distinct().collect()
+    }
+    assert tiers2 == {"gold"}  # only the CURRENT slice joined
