@@ -221,6 +221,17 @@ def line_dedup_q(spark, sf):
     return drop_repeated_lines(docs, max_doc_freq=2).orderBy("doc_id")
 
 
+def scd2_as_of_q(spark, sf):
+    """Time-travel read of the scd2_merge_q dimension as of a point between
+    the two effective timestamps: every key shows its T0 version (changed
+    keys' new versions and the inserted keys are invisible)."""
+    from schemamap_spark.sources.merge import scd2_as_of
+
+    return scd2_as_of(scd2_merge_q(spark, sf), "2024-01-15 00:00:00").orderBy(
+        "c_custkey"
+    )
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -234,6 +245,7 @@ EXTRA_SPARK_QUERIES = {
     "sample_per_source": sample_per_source_q,
     "key_skew": key_skew_q,
     "line_dedup": line_dedup_q,
+    "scd2_as_of": scd2_as_of_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -438,6 +450,20 @@ EXTRA_ORACLE_SQL = {
         from pk cross join t
         order by n desc, o_custkey
         limit 10
+    """,
+    # the as-of filter over the replayed dimension: only rows already valid
+    # at 2024-01-15 and not yet closed — i.e. every key's T0 version
+    "scd2_as_of": f"""
+        with cust as (select c_custkey, c_name, c_acctbal, c_mktsegment from customer)
+        select c_custkey, c_name, c_acctbal, c_mktsegment,
+               timestamp '{_SCD2_T0}' as valid_from,
+               cast(null as timestamp) as valid_to, true as is_current
+        from cust where c_custkey % 3 <> 0
+        union all
+        select c_custkey, c_name, c_acctbal, c_mktsegment,
+               timestamp '{_SCD2_T0}', timestamp '{_SCD2_T1}', false
+        from cust where c_custkey % 3 = 0
+        order by c_custkey
     """,
     "interval_join": """
         with c as (select event_id, user_id, ts from events
