@@ -375,3 +375,73 @@ def test_fuzzy_match_model(spark, left, right, threshold):
             if g_r and len(g_l & g_r) / len(g_l | g_r) >= threshold:
                 want.add((i, 100 + j))
     assert got == want
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "\n", " ", "A"]),
+            min_size=0, max_size=6,
+        ).map("".join),
+        max_size=8,
+    ),
+    max_df=st.integers(min_value=1, max_value=3),
+)
+def test_drop_repeated_lines_model(spark, docs, max_df):
+    from schemamap_spark.operators.dedup import drop_repeated_lines
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in drop_repeated_lines(df, max_doc_freq=max_df).collect()}
+
+    # pure-python model: normalized non-empty lines with df > max_df drop
+    from collections import defaultdict
+
+    df_count: dict[str, set[int]] = defaultdict(set)
+    for i, t in rows:
+        for line in t.split("\n"):
+            norm = line.strip().lower()
+            if len(norm) >= 1:
+                df_count[norm].add(i)
+    hot = {n for n, s in df_count.items() if len(s) > max_df}
+    want = {
+        i: "\n".join(
+            line for line in t.split("\n") if line.strip().lower() not in hot
+        )
+        for i, t in rows
+    }
+    assert got == want
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=50), st.sampled_from("pqr")),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_sample_n_per_group_model(spark, rows, n):
+    from schemamap_spark.operators.sampling import sample_n_per_group
+
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r.source, r.doc_id)
+        for r in sample_n_per_group(df, "source", n, id_col="doc_id").collect()
+    )
+    KNUTH, MOD = 2654435761, 2_147_483_648
+    by_src: dict[str, list[int]] = {}
+    for i, s in rows:
+        by_src.setdefault(s, []).append(i)
+    want = sorted(
+        (s, i)
+        for s, ids_ in by_src.items()
+        for i in sorted(ids_, key=lambda x: ((x % MOD) * KNUTH % MOD, x))[:n]
+    )
+    assert got == want
