@@ -48,7 +48,18 @@ from schemamap_spark.operators.dsir import (
     dsir_weights,
     hashed_gram_features,
 )
-from schemamap_spark.operators.embeddings import embedding_outliers, truncate_embeddings
+from schemamap_spark.operators.embeddings import (
+    embedding_outliers,
+    ivf_centroids,
+    ivf_pq_encode,
+    ivf_pq_search_encoded,
+    truncate_embeddings,
+)
+from schemamap_spark.operators.ann_index import (
+    ann_index_append,
+    ann_index_build,
+    ann_index_search,
+)
 from schemamap_spark.operators.sketches import (
     append_sketches,
     column_sketches,
@@ -83,4 +94,6 @@ __all__ = [
     "truncate_embeddings", "embedding_outliers",
     "column_sketches", "append_sketches", "ndv_estimates", "incremental_ndv",
     "corpus_stats_partials", "append_corpus_stats", "corpus_stats_report",
+    "ivf_centroids", "ivf_pq_encode", "ivf_pq_search_encoded",
+    "ann_index_build", "ann_index_append", "ann_index_search",
 ]

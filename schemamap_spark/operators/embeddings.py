@@ -298,39 +298,16 @@ def pq_topk(
     )
 
 
-def ivf_pq_topk(
+def ivf_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    codebooks: list,
-    k: int = 5,
     num_centroids: int = 16,
-    nprobe: int = 4,
-    rerank: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-PQ: the composed billion-vector shape — coarse centroid routing
-    (IVF) over PQ-compressed codes (ADC). Each corpus vector is assigned to
-    its nearest coarse centroid at encode time; a query ADC-scores ONLY the
-    rows in its `nprobe` nearest cells, so scored work drops ~nprobe/C on
-    top of PQ's per-row byte cut. Two approximations stack (cell routing may
-    miss a boundary neighbor, ADC quantizes the scores); rerank=R re-scores
-    the top R·k survivors with exact cosine like pq_topk.
-
-    Coarse centroids derive from the same deterministic hash-ordered sample
-    rule as pq_train/ivf_topk; corpus encoding happens here (one pass: cell
-    assignment + PQ codes in a single mapInPandas) — callers that precompute
-    can persist the returned plan's source instead, the operator is a pure
-    function of (corpus, codebooks)."""
+) -> list:
+    """Coarse IVF centroids: the deterministic hash-ordered sample rule
+    pq_train/ivf_topk use, L2-normalized, returned as plain nested lists so
+    they persist next to the codebooks (ann_index meta)."""
     import numpy as np
-
-    from pyspark.sql import Window
-
-    from schemamap_spark.operators.similarity import collect_bounded_queries, cosine
-
-    books = [np.array(b, dtype=np.float64) for b in codebooks]
-    dsub = books[0].shape[1]
-    m = len(books)
 
     cent_rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -340,8 +317,27 @@ def ivf_pq_topk(
     )
     C = np.array([r._v for r in cent_rows], dtype=np.float64)
     C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
-    ncells = C.shape[0]
-    nprobe = min(nprobe, ncells)
+    return [[float(x) for x in c] for c in C]
+
+
+def ivf_pq_encode(
+    corpus: DataFrame,
+    codebooks: list,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-pass IVF-PQ corpus encoding: (id, cell, codes) — the persistable
+    index payload (~m bytes + 4 per vector). Pure function of
+    (corpus, codebooks, centroids): a NEW batch encoded later with the SAME
+    models lands in the same cells with the same codes, which is what makes
+    the index store appendable. Zero-norm vectors drop (no direction)."""
+    import numpy as np
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    m = len(books)
+    C = np.array(centroids, dtype=np.float64)
 
     def enc(batches):
         import pandas as pd
@@ -369,15 +365,48 @@ def ivf_pq_topk(
                 }
             )
 
-    encoded = corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInPandas(
         enc, schema=f"{id_col} long, cell int, codes array<smallint>"
     )
+
+
+def ivf_pq_search_encoded(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    centroids: list,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 0,
+    vectors: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over a PRE-ENCODED (id, cell, codes) frame — the scoring
+    tail of ivf_pq_topk, split out so a persisted index store
+    (operators/ann_index.py) can search without re-encoding the corpus.
+    rerank=R needs the raw `vectors` (id, embedding) to re-score the top
+    R·k survivors exactly; passing rerank without vectors raises."""
+    import numpy as np
+
+    from pyspark.sql import Window
+
+    from schemamap_spark.operators.similarity import collect_bounded_queries, cosine
+
+    if rerank and vectors is None:
+        raise ValueError("rerank requires the raw `vectors` frame (id, embedding)")
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    m = len(books)
+    C = np.array(centroids, dtype=np.float64)
+    ncells = C.shape[0]
+    nprobe = min(nprobe, ncells)
 
     q_rows = collect_bounded_queries(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
         "ivf_pq_topk",
     )
-    spark = corpus.sparkSession
+    spark = encoded.sparkSession
     if not q_rows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, cosine_sim double"
@@ -471,7 +500,7 @@ def ivf_pq_topk(
         .select("query_id", "neighbor_id")
     )
     qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cdf = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    cdf = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     exact = (
         cands.join(F.broadcast(qdf), "query_id")
         .join(cdf, "neighbor_id")
@@ -483,6 +512,37 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
         .orderBy("query_id", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list,
+    k: int = 5,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the composed billion-vector shape — coarse centroid routing
+    (IVF) over PQ-compressed codes (ADC). Each corpus vector is assigned to
+    its nearest coarse centroid at encode time; a query ADC-scores ONLY the
+    rows in its `nprobe` nearest cells, so scored work drops ~nprobe/C on
+    top of PQ's per-row byte cut. Two approximations stack (cell routing may
+    miss a boundary neighbor, ADC quantizes the scores); rerank=R re-scores
+    the top R·k survivors with exact cosine like pq_topk.
+
+    Pure composition since round 5: ivf_centroids (hash-ordered sample) →
+    ivf_pq_encode (one-pass cell+codes) → ivf_pq_search_encoded (stacked
+    ADC). Callers that want a PERSISTED index use operators/ann_index.py,
+    which composes the same three pieces around a parquet store."""
+    centroids = ivf_centroids(corpus, num_centroids, id_col, vec_col)
+    encoded = ivf_pq_encode(corpus, codebooks, centroids, id_col, vec_col)
+    return ivf_pq_search_encoded(
+        encoded, queries, codebooks, centroids, k, nprobe, rerank,
+        vectors=corpus, id_col=id_col, vec_col=vec_col,
     )
 
 
