@@ -381,3 +381,35 @@ def test_enrich_stream_sees_dimension_updates_between_batches(spark, tmp_path):
         .select("tier").distinct().collect()
     }
     assert tiers2 == {"gold"}  # only the CURRENT slice joined
+
+
+def test_dedup_store_survives_compaction(spark, tmp_path):
+    """The ops compose: after compacting the streaming dedup stores
+    (small-file debt from per-batch appends), a replayed/later batch still
+    dedups correctly against the compacted fingerprint store."""
+    from schemamap_spark.operators.dedup import incremental_exact_dedup
+    from schemamap_spark.sources.sinks import compact_parquet_dir
+    from schemamap_spark.streaming import (
+        start_memory_sink,  # noqa: F401 (import parity with module style)
+    )
+    from schemamap_spark.streaming.pipeline import incremental_dedup_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "in")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    fresh, store = str(tmp_path / "fresh"), str(tmp_path / "store")
+    q = incremental_dedup_stream(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(src),
+        fresh, store, str(tmp_path / "ck"),
+    )
+    q.awaitTermination()
+    n_store = spark.read.parquet(store).count()
+
+    compact_parquet_dir(spark, store, target_file_bytes=256 * 1024 * 1024)
+    compact_parquet_dir(spark, fresh, target_file_bytes=256 * 1024 * 1024)
+    assert spark.read.parquet(store).count() == n_store  # lossless
+
+    # a brand-new batch that is ALL duplicates of the landed corpus emits
+    # nothing against the compacted store
+    replay, _ = incremental_exact_dedup(docs, spark.read.parquet(store))
+    assert replay.count() == 0
