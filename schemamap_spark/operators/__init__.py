@@ -55,6 +55,7 @@ from schemamap_spark.operators.embeddings import (
     ivf_pq_search_encoded,
     truncate_embeddings,
 )
+from schemamap_spark.operators.profile import profile_table
 from schemamap_spark.operators.ann_index import (
     ann_index_append,
     ann_index_build,
@@ -96,4 +97,5 @@ __all__ = [
     "corpus_stats_partials", "append_corpus_stats", "corpus_stats_report",
     "ivf_centroids", "ivf_pq_encode", "ivf_pq_search_encoded",
     "ann_index_build", "ann_index_append", "ann_index_search",
+    "profile_table",
 ]

@@ -232,6 +232,22 @@ def scd2_as_of_q(spark, sf):
     )
 
 
+_PROFILE_COLS = ["c_custkey", "c_name", "c_mktsegment", "c_nationkey"]
+
+
+def profile_q(spark, sf):
+    """One-pass column profile of customer over its string/int columns (the
+    engine-portable slice: double min/max render differently across engines,
+    and approx_ndv is a sketch — both excluded from the value check by
+    projection, exercised by pytest instead)."""
+    from schemamap_spark.operators.profile import profile_table
+
+    cust = load_table(spark, sf, "customer")
+    return profile_table(cust, _PROFILE_COLS).select(
+        "column", "n_rows", "n_nulls", "null_ratio", "min_value", "max_value"
+    )
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -246,6 +262,7 @@ EXTRA_SPARK_QUERIES = {
     "key_skew": key_skew_q,
     "line_dedup": line_dedup_q,
     "scd2_as_of": scd2_as_of_q,
+    "profile": profile_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -450,6 +467,33 @@ EXTRA_ORACLE_SQL = {
         from pk cross join t
         order by n desc, o_custkey
         limit 10
+    """,
+    "profile": """
+        with m as (
+          select 'c_custkey' as "column", count(*) as n_rows,
+                 sum(case when c_custkey is null then 1 else 0 end) as n_nulls,
+                 cast(min(c_custkey) as varchar) as min_value,
+                 cast(max(c_custkey) as varchar) as max_value
+          from customer
+          union all
+          select 'c_name', count(*),
+                 sum(case when c_name is null then 1 else 0 end),
+                 min(c_name), max(c_name) from customer
+          union all
+          select 'c_mktsegment', count(*),
+                 sum(case when c_mktsegment is null then 1 else 0 end),
+                 min(c_mktsegment), max(c_mktsegment) from customer
+          union all
+          select 'c_nationkey', count(*),
+                 sum(case when c_nationkey is null then 1 else 0 end),
+                 cast(min(c_nationkey) as varchar),
+                 cast(max(c_nationkey) as varchar) from customer
+        )
+        select "column", cast(n_rows as bigint) as n_rows,
+               cast(n_nulls as bigint) as n_nulls,
+               round(n_nulls / n_rows, 6) as null_ratio,
+               min_value, max_value
+        from m order by "column"
     """,
     # the as-of filter over the replayed dimension: only rows already valid
     # at 2024-01-15 and not yet closed — i.e. every key's T0 version

@@ -1541,3 +1541,27 @@ def test_embedding_outliers_degenerate_cluster(spark):
     )
     out = embedding_outliers(df, k=2).collect()
     assert all(r.z == 0.0 and not r.is_outlier for r in out)  # sd=0 -> z=0
+
+
+def test_profile_table_metrics(spark):
+    from schemamap_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (3, None, 2.5), (4, "a", None)],
+        "id long, s string, v double",
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert got["s"].n_nulls == 1 and got["s"].null_ratio == 0.25
+    assert got["v"].n_nulls == 2 and got["v"].null_ratio == 0.5
+    assert (got["id"].min_value, got["id"].max_value) == ("1", "4")
+    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
+    assert got["id"].approx_ndv == 4  # small domains: HLL is exact
+    assert got["s"].approx_ndv == 2   # nulls don't count as a value
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
+    with _pytest.raises(ValueError, match="non-empty"):
+        profile_table(df.select([]), [])
