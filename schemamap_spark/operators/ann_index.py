@@ -49,14 +49,19 @@ def ann_index_build(
     vec_col: str = "embedding",
 ) -> None:
     """Train codebooks + coarse centroids on `emb`, encode it, persist the
-    store. Overwrites an existing index at `index_dir` (meta is written
-    last via rename, so a crashed build leaves no half-valid index: readers
-    require meta.json)."""
+    store. The WHOLE index (codes + meta) builds in a temp dir and swaps
+    into place atomically (the warehouse _swap_into_place recipe), so a
+    crashed or concurrent REBUILD can never pair old codebooks with new
+    codes — readers see the previous complete index until the swap."""
+    from schemamap_spark.sources.sinks import _swap_into_place
+
     books = pq_train(emb, vec_col, id_col, m, k_per_sub, sample)
     cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
-    os.makedirs(index_dir, exist_ok=True)
     encoded = ivf_pq_encode(emb, books, cents, id_col, vec_col)
-    encoded.write.mode("overwrite").parquet(os.path.join(index_dir, _CODES))
+    parent = os.path.dirname(os.path.abspath(index_dir))
+    os.makedirs(parent, exist_ok=True)
+    tmp_dir = tempfile.mkdtemp(dir=parent, prefix=".index_new_")
+    encoded.write.mode("overwrite").parquet(os.path.join(tmp_dir, _CODES))
     meta = {
         "codebooks": books,
         "centroids": cents,
@@ -66,10 +71,9 @@ def ann_index_build(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    fd, tmp = tempfile.mkstemp(dir=index_dir, prefix=".meta_")
-    with os.fdopen(fd, "w") as f:
+    with open(os.path.join(tmp_dir, _META), "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, os.path.join(index_dir, _META))
+    _swap_into_place(tmp_dir, index_dir)
 
 
 def _load_meta(index_dir: str) -> dict:

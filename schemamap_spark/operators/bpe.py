@@ -114,9 +114,9 @@ def bpe_tokenize(
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
     """(id, bpe_tokens array<string>, bpe_token_count): the learned-subword
-    segmentation of every document. mapInPandas with a per-batch word
-    cache; the closure is self-contained (workers never import this
-    package)."""
+    segmentation of every document. mapInPandas with a per-task word cache
+    (bounded at 1M entries, cleared when full); the closure is
+    self-contained (workers never import this package)."""
     import pandas as pd  # noqa: F401  (worker-side dependency, checked here)
 
     from pyspark.sql import types as T
@@ -133,7 +133,13 @@ def bpe_tokenize(
     def gen(batches):
         import pandas as _pd
 
+        # word cache persists across the partition's Arrow batches (each
+        # DISTINCT word encodes once per task) but is BOUNDED: web-scale
+        # partitions can carry millions of distinct words, and an unbounded
+        # dict of subword lists would grow executor memory for the task's
+        # lifetime
         cache: dict[str, list[str]] = {}
+        cache_cap = 1_000_000
 
         def enc_word(word):
             got = cache.get(word)
@@ -149,6 +155,8 @@ def bpe_tokenize(
                         break
                     syms[best : best + 2] = [syms[best] + syms[best + 1]]
                 got = syms
+                if len(cache) >= cache_cap:
+                    cache.clear()
                 cache[word] = got
             return got
 

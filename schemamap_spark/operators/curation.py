@@ -319,7 +319,10 @@ def corpus_stats_partials(
         )
         .groupBy(F.col(group_col).alias("group"), "bin")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit(batch_id).alias("batch_id"), "*")
+        # bins rides every row so the report can recover (and validate) the
+        # resolution — a report guessing a different bins value would
+        # silently mis-scale every quantile
+        .select(F.lit(batch_id).alias("batch_id"), F.lit(bins).alias("bins"), "*")
     )
     return scalars, hist
 
@@ -339,12 +342,24 @@ def append_corpus_stats(
     hist.write.mode("append").parquet(f"{store_dir}/hist")
 
 
-def corpus_stats_report(spark, store_dir: str, bins: int = 1000) -> DataFrame:
+def corpus_stats_report(spark, store_dir: str) -> DataFrame:
     """Dashboard merge over the partial store: per group — exact docs/
     tokens/chars sums, exact-to-the-micro quality mean, histogram quantiles
-    (resolution 1/bins), HLL unique-text estimate and clamped dup ratio.
-    Cost scales with store rows (batches x groups x occupied bins)."""
+    (resolution 1/bins, with bins read from the store itself — mixed-bins
+    stores raise rather than silently mis-scaling), HLL unique-text
+    estimate and clamped dup ratio. Cost scales with store rows (batches x
+    groups x occupied bins)."""
     from pyspark.sql import Window
+
+    bins_vals = [
+        r.bins for r in spark.read.parquet(f"{store_dir}/hist").select("bins").distinct().collect()
+    ]
+    if len(bins_vals) != 1:
+        raise ValueError(
+            f"corpus stats store mixes histogram resolutions {sorted(bins_vals)} — "
+            "rebuild with one bins value"
+        )
+    bins = int(bins_vals[0])
 
     scalars = (
         spark.read.parquet(f"{store_dir}/scalars")

@@ -185,15 +185,14 @@ def score_against_models(
             F.sum(F.round(contrib * 1e6).cast("bigint")).alias("lw_micros"),
         )
     )
-    # docs whose every feature row vanished can't exist (every doc yields
-    # >= 1 unigram), but keep the id frame authoritative anyway
-    return (
-        candidate_ids.join(scored, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
-            F.coalesce(F.col("lw_micros"), F.lit(0)).alias("lw_micros"),
-        )
+    # Featureless docs (only NULL text produces zero gram rows — empty
+    # string still yields one unigram) are EXCLUDED, not scored 0: most
+    # real candidates carry negative lw against a small target corpus, so a
+    # coalesced 0 would rank contentless docs above every real one in
+    # dsir_select — and diverge from the DuckDB oracle, which never emits
+    # rows for them. Inner join = "no evidence, no candidacy".
+    return candidate_ids.join(scored, "doc_id").select(
+        "doc_id", "n_grams", "lw_micros"
     )
 
 

@@ -610,8 +610,14 @@ def embedding_outliers(
     needs one (cluster_id)-keyed aggregation of 3 doubles — no vector ever
     shuffles. Degenerate clusters (stddev 0: singletons or exact
     duplicates) produce z = 0, never a division error."""
-    from schemamap_spark.operators.clustering import kmeans_clusters, kmeans_fit
+    from pyspark.ml.functions import array_to_vector
 
+    from schemamap_spark.operators.clustering import kmeans_fit
+
+    # ONE fit: assignments come from model.transform of the SAME fitted
+    # model whose clusterCenters() provide the distances — a second fit (as
+    # kmeans_clusters would do) doubles the expensive step and would pair
+    # centers from fit #1 with assignments from fit #2
     model = kmeans_fit(df, k, vec_col, seed)
     centers = model.clusterCenters()
     # centroid lookup as a literal map column: array<array<double>> indexed
@@ -619,8 +625,12 @@ def embedding_outliers(
     centers_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
     )
-    assigned = kmeans_clusters(df, k, id_col, vec_col, seed)
-    with_vec = assigned.join(df.select(id_col, vec_col), id_col)
+    feat = df.select(id_col, vec_col).withColumn(
+        "__features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    with_vec = model.transform(feat).select(
+        id_col, F.col("prediction").alias("cluster_id"), vec_col
+    )
     dist = F.sqrt(
         F.aggregate(
             F.zip_with(

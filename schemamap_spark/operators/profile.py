@@ -29,6 +29,16 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+    # map-typed columns are not orderable (min/max fails analysis) — reject
+    # them loudly up front so one column can't abort a whole-table profile
+    # with an opaque analyzer error; callers pass cols= to exclude them
+    types = dict(df.dtypes)
+    unorderable = [c for c in cols if types[c].startswith("map<")]
+    if unorderable:
+        raise ValueError(
+            f"map-typed columns are not profilable (min/max undefined): "
+            f"{unorderable} — exclude them via cols="
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
         col = F.col(c)
@@ -39,8 +49,13 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             F.max(col).cast("string").alias(f"__mx_{i}"),
         ]
     one = df.agg(*aggs)
+    # names are spliced into stack() as string LITERALS (labels, not
+    # references) — escape quotes so "o'brien"-style names can't break the SQL
     stacked = ", ".join(
-        f"'{c}', __nul_{i}, __ndv_{i}, __mn_{i}, __mx_{i}" for i, c in enumerate(cols)
+        "'{}', __nul_{}, __ndv_{}, __mn_{}, __mx_{}".format(
+            c.replace("'", "''"), i, i, i, i
+        )
+        for i, c in enumerate(cols)
     )
     return (
         one.select(

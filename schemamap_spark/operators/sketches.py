@@ -24,14 +24,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# types hll_sketch_agg accepts natively; everything else casts to string
-_NATIVE = {"int", "bigint", "smallint", "tinyint", "string", "binary"}
+# types hll_sketch_agg accepts natively (it REJECTS smallint/tinyint —
+# verified against Spark 4.1: DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE);
+# narrow ints widen to int (value-preserving), everything else casts to
+# string (cast semantics define distinctness for them)
+_NATIVE = {"int", "bigint", "string", "binary"}
+_WIDEN = {"smallint", "tinyint"}
 
 
 def _sketchable(df: DataFrame, col: str) -> F.Column:
     t = dict(df.dtypes)[col]
     c = F.col(col)
-    return c if t in _NATIVE else c.cast("string")
+    if t in _NATIVE:
+        return c
+    if t in _WIDEN:
+        return c.cast("int")
+    return c.cast("string")
 
 
 def column_sketches(
@@ -49,7 +57,11 @@ def column_sketches(
         for i, c in enumerate(cols)
     ] + [F.count(F.lit(1)).alias("__n")]
     one = df.agg(*aggs)
-    stacked = ", ".join(f"'{c}', __sk_{i}" for i, c in enumerate(cols))
+    # column names are spliced into stack() as string literals — escape
+    # quotes so a hostile name can't break (or reshape) the SQL
+    stacked = ", ".join(
+        "'{}', __sk_{}".format(c.replace("'", "''"), i) for i, c in enumerate(cols)
+    )
     return one.select(
         F.lit(batch_id).alias("batch_id"),
         F.expr(f"stack({len(cols)}, {stacked}) as (column, sketch)"),

@@ -153,6 +153,15 @@ def scd2_merge(
 
     history = target.filter(~F.col(current_flag))
     current = target.filter(F.col(current_flag))
+    # NULL-key current rows can never match an update (NULL never equi-joins)
+    # and would otherwise fall through every branch below (t_exists is false
+    # for them) and vanish — pass them through untouched instead
+    any_key_null = None
+    for k in keys:
+        n = F.col(k).isNull()
+        any_key_null = n if any_key_null is None else (any_key_null | n)
+    null_keyed = current.filter(any_key_null)
+    current = current.filter(~any_key_null)
 
     u = updates.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
@@ -204,7 +213,12 @@ def scd2_merge(
         F.lit(True).alias(current_flag),
     ).select(*target.columns)
 
-    return history.unionByName(keep).unionByName(closed).unionByName(fresh)
+    return (
+        history.unionByName(null_keyed)
+        .unionByName(keep)
+        .unionByName(closed)
+        .unionByName(fresh)
+    )
 
 
 def scd2_init(

@@ -134,12 +134,16 @@ def zorder_column(
         if nb > 4096:
             raise ValueError("quantile binning: use bits <= 12 (boundary count)")
         probs = [i / nb for i in range(1, nb)]
-        scaled_cols = []
         casted = df.select(*df.columns, *[
             F.col(c).cast("double").alias(f"__cast_{j}") for j, c in enumerate(cols)
         ])
-        for j, c in enumerate(cols):
-            bounds = casted.approxQuantile(f"__cast_{j}", probs, 0.001)
+        # ONE multi-column approxQuantile pass — the per-column form would
+        # re-scan the (potentially huge) input len(cols) times pre-write
+        all_bounds = casted.approxQuantile(
+            [f"__cast_{j}" for j in range(len(cols))], probs, 0.001
+        )
+        scaled_cols = []
+        for j, bounds in enumerate(all_bounds):
             blit = F.array(*[F.lit(float(b)) for b in bounds])
             # rank = number of boundaries <= value: equal-mass bin in [0, 2^bits)
             scaled_cols.append(

@@ -326,10 +326,16 @@ def mixture_fill_stream(
     from schemamap_spark.sources.sinks import write_parquet_atomic
 
     def _batch(batch_df, _batch_id):
+        import os as _os
+
         spark = batch_df.sparkSession
-        try:
+        # ONLY a genuinely absent store means "no state yet"; a read error on
+        # an existing store must raise — swallowing it would silently reset
+        # every source's counter and re-admit a full budget, the exact
+        # invariant this operator exists to enforce
+        if _os.path.isdir(state_dir):
             used = spark.read.parquet(state_dir)
-        except Exception:
+        else:
             used = spark.createDataFrame([], "source string, tokens_used long")
         budget_map = F.create_map(
             *[F.lit(x) for s, b in budgets.items() for x in (s, int(b))]

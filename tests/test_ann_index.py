@@ -77,3 +77,25 @@ def test_rerank_needs_vectors_and_improves(spark, emb, tmp_path):
 def test_missing_index_is_loud(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="no ANN index"):
         ann_index_search(spark, str(tmp_path / "nope"), _q(emb))
+
+
+def test_rebuild_is_atomic_and_self_consistent(spark, emb, tmp_path):
+    """A REBUILD over an existing index swaps codes+meta together: after
+    rebuilding on a different corpus slice, search still equals the direct
+    operator for the new build (no old-meta/new-codes pairing), and no
+    half-built temp dirs leak."""
+    import os
+
+    idx = str(tmp_path / "idx_rb")
+    ann_index_build(emb, idx, m=8, num_centroids=16)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(half, idx, m=8, num_centroids=8)
+    got = ann_index_search(spark, idx, _q(emb), k=5, nprobe=8).collect()
+    books = pq_train(half, m=8)
+    cents = ivf_centroids(half, 8)
+    direct = ivf_pq_search_encoded(
+        ivf_pq_encode(half, books, cents), _q(emb), books, cents, k=5, nprobe=8
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
+    leftovers = [d for d in os.listdir(str(tmp_path)) if d.startswith(".index_new_")]
+    assert leftovers == []

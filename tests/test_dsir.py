@@ -144,3 +144,14 @@ def test_dsir_empty_target_raises(spark):
     empty = cand.filter("doc_id < 0")
     with pytest.raises(ValueError, match="empty target"):
         dsir_weights(cand, empty)
+
+
+def test_dsir_null_text_docs_excluded(spark):
+    """NULL-text candidates carry no evidence: they are absent from the
+    weights (not coalesced to 0, which would outrank negative real docs)."""
+    cand = spark.createDataFrame(
+        [(1, "cat sat"), (2, None)], "doc_id long, text string"
+    )
+    targ = spark.createDataFrame([(9, "dog ran")], "doc_id long, text string")
+    got = {r.doc_id for r in dsir_weights(cand, targ).collect()}
+    assert got == {1}

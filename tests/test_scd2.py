@@ -103,3 +103,16 @@ def test_scd2_as_of_time_travel(spark):
     assert at[1] == 150.0
     # before the dimension existed: nothing
     assert scd2_as_of(out, "2019-01-01 00:00:00").count() == 0
+
+
+def test_scd2_null_key_rows_pass_through(spark):
+    dim = scd2_init(
+        spark.createDataFrame([(None, "ghost", 1.0), (1, "alice", 100.0)],
+                              "id long, name string, balance double"),
+        T0,
+    )
+    upd = spark.createDataFrame([(1, "alice", 150.0)], "id long, name string, balance double")
+    out = scd2_merge(dim, upd, ["id"], T1)
+    ghosts = out.filter(F.col("id").isNull()).collect()
+    assert len(ghosts) == 1 and ghosts[0].name == "ghost"  # not silently dropped
+    assert out.count() == 3  # ghost + closed alice + new alice

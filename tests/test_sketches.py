@@ -74,3 +74,15 @@ def test_empty_cols_rejected(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     with pytest.raises(ValueError, match="non-empty"):
         column_sketches(ev, [])
+
+
+def test_narrow_int_and_quoted_columns_sketchable(spark):
+    """smallint/tinyint widen to int (hll_sketch_agg rejects them raw);
+    quoted column names can't break the stack() labels."""
+    df = spark.createDataFrame(
+        [(1, 2, "x")], "a smallint, b tinyint, `o'brien` string"
+    )
+    est = {r.column: r.ndv for r in ndv_estimates(
+        column_sketches(df, ["a", "b", "o'brien"])
+    ).collect()}
+    assert est == {"a": 1, "b": 1, "o'brien": 1}
