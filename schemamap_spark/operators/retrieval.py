@@ -1,0 +1,126 @@
+"""BM25 lexical retrieval — the classic inverted-index ranking baseline.
+
+Okapi BM25 (Robertson & Walker, public formula) over the corpus:
+
+    score(q, d) = sum_{t in q∩d} idf(t) * tf_td*(k1+1)
+                                          / (tf_td + k1*(1 - b + b*dl/avgdl))
+    idf(t) = ln((N - df_t + 0.5)/(df_t + 0.5) + 1)
+
+Every training-data pipeline eventually needs it: eval-set retrieval
+sanity checks, nearest-text lookup for contamination triage, the lexical
+half of hybrid (BM25 + dense) search next to the ANN ladder.
+
+Scale shape: the corpus reduces once to (doc_id, term, tf, dl) rows — an
+inverted index, never raw text; queries join it on the TERM (short-key
+shuffle ∝ posting lists touched, not corpus size); per-(query, doc) scores
+aggregate as ORDER-INDEPENDENT integer micro-scores (each term contribution
+rounds to micros before the integer sum — the perplexity_score pattern), so
+ranking is deterministic under any partitioning and the DuckDB oracle
+replays it exactly. Top-k per query is one window over the already-reduced
+(query, doc) scores. Hot guard: `max_df_ratio` drops stop-terms (the
+quadratic posting lists) BEFORE the join — at corpus scale "the" would
+otherwise join every document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, dl): the inverted-index rows BM25 scores over.
+    Persist to parquet to search repeatedly without re-tokenizing."""
+    from schemamap_spark.session import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(docs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("toks"),
+        )
+        .select("doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term"))
+    )
+    return toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = K1,
+    b: float = B,
+    max_df_ratio: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 documents per query: (query_id, doc_id, score_micros,
+    rank), rank ordered by (score_micros desc, doc_id) — a total order, so
+    the cut boundary is engine-stable. Query terms are DISTINCT (standard
+    BM25 ignores query-side tf). max_df_ratio drops terms appearing in more
+    than that fraction of documents before the join (stop-term hot guard);
+    None keeps everything."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    index = bm25_index(docs, id_col, text_col)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        F.broadcast(
+            index.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+                F.avg("dl").alias("avgdl")
+            )
+        )
+    )
+    df_map = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df_ratio is not None:
+        total = docs.count()
+        df_map = df_map.filter(F.col("df") <= max_df_ratio * total)
+
+    q_terms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(F.array_distinct(F.split(F.col(query_text_col), " "))).alias(
+                "term"
+            ),
+        )
+        .distinct()
+    )
+    # idf and the length normalization mirror the DuckDB oracle term for
+    # term — operand order matters for bit-equal doubles
+    idf = F.log(
+        (F.col("n").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
+    scored = (
+        q_terms.join(df_map, "term")
+        .join(index, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.round(contrib * 1e6).cast("bigint")).alias("score_micros"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micros"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micros", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -248,6 +248,26 @@ def profile_q(spark, sf):
     )
 
 
+_BM25_QUERY_DOCS = (1, 3, 5)
+
+
+def bm25_q(spark, sf):
+    """BM25 retrieval over documents: three documents' own texts as
+    queries, top-5 per query. (On this shared-vocabulary fixture rank 1 is
+    decided by tf/length patterns, not necessarily the query doc itself —
+    self-retrieval-at-1 is pinned by pytest on a distinct-vocab corpus.)
+    Integer micro-scores make the ranking order-independent; the DuckDB
+    twin replays index, idf, length normalization, and the
+    (score desc, doc_id) cut exactly."""
+    from schemamap_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    queries = docs.filter(F.col("doc_id").isin(*_BM25_QUERY_DOCS)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -263,6 +283,7 @@ EXTRA_SPARK_QUERIES = {
     "line_dedup": line_dedup_q,
     "scd2_as_of": scd2_as_of_q,
     "profile": profile_q,
+    "bm25": bm25_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -467,6 +488,47 @@ EXTRA_ORACLE_SQL = {
         from pk cross join t
         order by n desc, o_custkey
         limit 10
+    """,
+    # mirrors operators/retrieval.py term for term: same index/df/avgdl,
+    # same idf and length-normalization operand order, same micro-rounding
+    # and (score desc, doc_id) tie order
+    "bm25": """
+        with idx as (
+          select doc_id, term, count(*) as tf, any_value(dl) as dl from (
+            select doc_id, len(toks) as dl, unnest(toks) as term
+            from (select doc_id, string_split(text, ' ') as toks from documents)
+          ) group by doc_id, term
+        ),
+        stats as (
+          select (select cast(count(*) as double) from documents) as n,
+                 (select avg(dl) from
+                    (select any_value(dl) as dl from idx group by doc_id)) as avgdl
+        ),
+        dfm as (select term, count(*) as df from idx group by 1),
+        qt as (
+          select doc_id as query_id, unnest(list_distinct(string_split(text, ' ')))
+                   as term
+          from documents where doc_id in (1, 3, 5)
+        ),
+        scored as (
+          select q.query_id, i.doc_id,
+                 cast(sum(cast(round(
+                   ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (i.tf * 2.2)
+                   / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * i.dl / s.avgdl))
+                   * 1000000) as bigint)) as bigint) as score_micros
+          from qt q
+          join dfm d using (term)
+          join idx i using (term)
+          cross join stats s
+          group by 1, 2
+        )
+        select query_id, doc_id, score_micros,
+               cast(row_number() over (partition by query_id
+                    order by score_micros desc, doc_id) as int) as rank
+        from scored
+        qualify rank <= 5
+        order by query_id, rank
     """,
     "profile": """
         with m as (

@@ -1565,3 +1565,53 @@ def test_profile_table_metrics(spark):
         profile_table(df, ["nope"])
     with _pytest.raises(ValueError, match="non-empty"):
         profile_table(df.select([]), [])
+
+
+def test_bm25_self_retrieval_and_ranking(spark):
+    from schemamap_spark.operators.retrieval import bm25_topk
+
+    # distinct-vocabulary corpus: self-retrieval at rank 1 is a valid
+    # invariant here (the fixture documents share one tiny vocabulary, so
+    # rank 1 legitimately goes to tf/length patterns there — that path is
+    # value-checked by the bm25 DuckDB oracle instead)
+    docs = spark.createDataFrame(
+        [
+            (1, "apple orchard harvest cider apple press"),
+            (2, "quantum entanglement qubit decoherence"),
+            (3, "sourdough levain crumb fermentation bake"),
+            (4, "apple pie bake"),  # overlaps both 1 and 3
+        ],
+        "doc_id long, text string",
+    )
+    queries = docs.select(F.col("doc_id").alias("query_id"), "text")
+    out = bm25_topk(docs, queries, k=3)
+    top1 = {r.query_id: r.doc_id for r in out.filter("rank = 1").collect()}
+    assert top1 == {1: 1, 2: 2, 3: 3, 4: 4}
+    # ranks dense from 1, scores non-increasing within a query
+    for q in (1, 2, 3, 4):
+        rows = sorted(
+            (r.rank, r.score_micros)
+            for r in out.filter(F.col("query_id") == q).collect()
+        )
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+    # disjoint-vocabulary query matches nothing but itself
+    assert {r.doc_id for r in out.filter("query_id = 2").collect()} == {2}
+
+
+def test_bm25_stop_term_guard_and_validation(spark):
+    from schemamap_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"the common word{i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(100, "the word3")], "query_id long, text string")
+    # "the"/"common" are in every doc; with max_df_ratio=0.5 only "word3"
+    # survives, so exactly one doc matches
+    hits = bm25_topk(docs, q, k=5, max_df_ratio=0.5).collect()
+    assert [r.doc_id for r in hits] == [3]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        bm25_topk(docs, q, k=0)
