@@ -56,7 +56,7 @@ from schemamap_spark.operators.embeddings import (
     truncate_embeddings,
 )
 from schemamap_spark.operators.profile import profile_table
-from schemamap_spark.operators.retrieval import bm25_index, bm25_topk
+from schemamap_spark.operators.retrieval import bm25_index, bm25_topk, rrf_fuse
 from schemamap_spark.operators.ann_index import (
     ann_index_append,
     ann_index_build,
@@ -99,5 +99,5 @@ __all__ = [
     "ivf_centroids", "ivf_pq_encode", "ivf_pq_search_encoded",
     "ann_index_build", "ann_index_append", "ann_index_search",
     "profile_table",
-    "bm25_index", "bm25_topk",
+    "bm25_index", "bm25_topk", "rrf_fuse",
 ]

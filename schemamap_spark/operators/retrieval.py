@@ -124,3 +124,59 @@ def bm25_topk(
         .select("query_id", "doc_id", "score_micros", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    rrf_k: int = 60,
+    top: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., public method) — the standard
+    hybrid-retrieval combiner: fuse any number of (query_id, doc_id, rank)
+    frames (bm25_topk, cosine_topk/ann_index_search, ...) by
+
+        score(q, d) = sum_systems 1 / (rrf_k + rank_s(q, d))
+
+    Rank-based, so the systems' score scales never need calibrating — the
+    reason RRF is the default for BM25 + dense fusion. Documents absent
+    from a system contribute nothing (no penalty). Per-system contributions
+    round to integer micros before the sum (the engine's usual
+    order-independence pattern), ties break on doc id.
+
+    Scale: a union of slim (query, doc, rank) rows + one groupBy — input
+    sizes are already top-k-bounded per system, so this is dashboard-cheap
+    at any corpus size."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    slim = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).alias("rank"),
+        )
+        for r in rankings
+    ]
+    unioned = slim[0]
+    for r in slim[1:]:
+        unioned = unioned.unionByName(r)
+    contrib = F.round(
+        F.lit(1e6) / (F.lit(rrf_k) + F.col("rank").cast("double"))
+    ).cast("bigint")
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.sum(contrib).alias("rrf_micros"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micros"), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top)
+        .select("query_id", "doc_id", "rrf_micros", "n_systems", "rank")
+        .orderBy("query_id", "rank")
+    )

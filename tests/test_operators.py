@@ -1615,3 +1615,40 @@ def test_bm25_stop_term_guard_and_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must"):
         bm25_topk(docs, q, k=0)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from schemamap_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = {r.doc_id: (r.rrf_micros, r.n_systems, r.rank)
+           for r in rrf_fuse([a, b], rrf_k=60, top=10).collect()}
+
+    def m(rank):
+        return round(1e6 / (60 + rank))
+
+    # doc 11 appears in both systems -> fused to the top
+    assert got[11] == (m(2) + m(1), 2, 1)
+    assert got[10] == (m(1), 1, 2)
+    assert got[13] == (m(2), 1, 3)
+    assert got[12] == (m(3), 1, 4)
+
+    # composes with the real BM25 output shape
+    from schemamap_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    q = docs.filter("doc_id = 1").select(F.col("doc_id").alias("query_id"), "text")
+    r1 = bm25_topk(docs, q, k=5)
+    r2 = bm25_topk(docs, q, k=5, b=0.0)  # second "system": no length norm
+    fused = rrf_fuse([r1, r2], top=3)
+    assert fused.count() == 3
+    assert [r.rank for r in fused.collect()] == [1, 2, 3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])
