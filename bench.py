@@ -31,6 +31,7 @@ HEADLINE = [
     "text_profile",
     "text_ngram_stats",
     "dsir_select",
+    "bm25",
     "events_tumbling_window",
     "events_sessionize",
 ]
@@ -51,10 +52,13 @@ def main() -> None:
     # dsir_select (round 5): data-selection is a headline training-data
     # workload; it lives in the parity-only registry (50-slot driver cap)
     # but benches alongside the driver queries
+    # bm25 (round 6): lexical retrieval joined the bench when its inverted
+    # index gained the single-tokenization persist — track it round-over-round
     SPARK_QUERIES = {
         **_REGISTRY,
         "q12_topk": q12_topk,
         "dsir_select": EXTRA_SPARK_QUERIES["dsir_select"],
+        "bm25": EXTRA_SPARK_QUERIES["bm25"],
     }
 
     spark = get_spark("schemamap-bench")

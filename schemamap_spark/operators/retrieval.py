@@ -64,18 +64,38 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, doc_id, score_micros,
     rank), rank ordered by (score_micros desc, doc_id) — a total order, so
     the cut boundary is engine-stable. Query terms are DISTINCT (standard
     BM25 ignores query-side tf). max_df_ratio drops terms appearing in more
     than that fraction of documents before the join (stop-term hot guard);
-    None keeps everything."""
+    None keeps everything. Pass a precomputed `index` (from bm25_index,
+    ideally persisted or parquet-backed) to amortize tokenization across
+    calls; otherwise one is built and cached internally."""
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    index = bm25_index(docs, id_col, text_col)
+    # The inverted index feeds THREE consumers below (avgdl aggregate,
+    # per-term df map, scoring join). Unpersisted, Spark would re-run the
+    # full corpus tokenize→explode→groupBy once per consumer — at corpus
+    # scale that is 3 scans of every byte of text. Persist it so the
+    # tokenization happens exactly once; the cache lives for the lifetime
+    # of the returned (lazy) result plan. Callers that search repeatedly
+    # should build the index once via bm25_index() and pass it in.
+    owns_index = index is None
+    if owns_index:
+        from pyspark import StorageLevel
+
+        index = bm25_index(docs, id_col, text_col).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    # N and avgdl as one broadcastable 1-row frame. N counts ALL docs
+    # (NULL-text docs drop out of the index, but standard BM25's N is the
+    # corpus size), so it comes from `docs` — a count-only aggregate that
+    # prunes to zero columns, not a second tokenization.
     n_docs = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
         F.broadcast(
             index.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
@@ -85,8 +105,13 @@ def bm25_topk(
     )
     df_map = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df_ratio is not None:
-        total = docs.count()
-        df_map = df_map.filter(F.col("df") <= max_df_ratio * total)
+        # stop-term guard: N rides in via the same 1-row broadcast instead
+        # of a separate eager docs.count() action
+        df_map = (
+            df_map.crossJoin(F.broadcast(n_docs.select("n")))
+            .filter(F.col("df") <= F.lit(max_df_ratio) * F.col("n"))
+            .drop("n")
+        )
 
     q_terms = (
         queries.select(

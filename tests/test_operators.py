@@ -1617,6 +1617,39 @@ def test_bm25_stop_term_guard_and_validation(spark):
         bm25_topk(docs, q, k=0)
 
 
+def test_bm25_index_tokenizes_once(spark):
+    """The inverted index feeds three consumers (avgdl, df map, scoring
+    join); the fix for the triple-tokenization smell persists it, so the
+    physical plan must read the cached index — not re-derive it — at each
+    reuse point, and the corpus text must be tokenized exactly once."""
+    from schemamap_spark.operators.retrieval import bm25_index, bm25_topk
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    q = docs.filter("doc_id <= 3").select(F.col("doc_id").alias("query_id"), "text")
+
+    out = bm25_topk(docs, q, k=5, max_df_ratio=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    reuse = plan.count("InMemoryTableScan")
+    assert reuse >= 2, f"cached index not reused (found {reuse} cache scans):\n{plan}"
+    # every corpus tokenization (explode of the doc token array) in the
+    # printout is the cached relation's child plan reprinted under an
+    # InMemoryTableScan — none standalone. The single live explode is the
+    # query side (array_distinct over query tokens).
+    assert plan.count("Generate explode(toks") <= reuse, plan
+    assert plan.count("Generate explode(array_distinct") == 1, plan
+
+    # a caller-supplied prebuilt index is honored (no internal rebuild) and
+    # gives identical results
+    idx = bm25_index(docs).persist()
+    try:
+        via_idx = bm25_topk(docs, q, k=5, max_df_ratio=0.9, index=idx)
+        assert sorted(map(tuple, via_idx.collect())) == sorted(
+            map(tuple, out.collect())
+        )
+    finally:
+        idx.unpersist()
+
+
 def test_rrf_fuse_hand_computed(spark):
     from schemamap_spark.operators.retrieval import rrf_fuse
 
