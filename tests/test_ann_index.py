@@ -99,3 +99,101 @@ def test_rebuild_is_atomic_and_self_consistent(spark, emb, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
     leftovers = [d for d in os.listdir(str(tmp_path)) if d.startswith(".index_new_")]
     assert leftovers == []
+
+
+def test_append_crash_is_invisible_and_commit_is_manifest_gated(
+    spark, emb, tmp_path
+):
+    """A crashed append (batch dir written or half-written, manifest not
+    yet rewritten) must be invisible to search; only the atomic manifest
+    rewrite publishes a batch."""
+    import os
+    import shutil
+
+    idx = str(tmp_path / "idx_crash")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    ann_index_build(b1, idx, m=8, num_centroids=16)
+    before = sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5, nprobe=16).collect())
+    )
+
+    # simulate the crash: run the real append, then surgically roll the
+    # manifest back to its pre-append content — the committed-batch dir now
+    # sits on disk exactly as a crash-between-rename-and-commit leaves it
+    import json
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        pre = f.read()
+    ann_index_append(b2, idx)
+    with open(os.path.join(idx, "manifest.json"), "w") as f:
+        f.write(pre)
+    batch_dirs = [d for d in os.listdir(idx) if d.startswith("batch_")]
+    assert batch_dirs, "append should have produced a batch dir"
+    after_crash = sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5, nprobe=16).collect())
+    )
+    assert after_crash == before, "uncommitted batch leaked into search"
+
+    # a half-written hidden temp dir is equally invisible
+    os.makedirs(os.path.join(idx, ".batch_partial000"))
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5, nprobe=16).collect())
+    ) == before
+    shutil.rmtree(os.path.join(idx, ".batch_partial000"))
+
+    # a REAL append is then seen (manifest-gated commit completes)
+    ann_index_append(b2, idx)
+    with_b2 = ann_index_search(spark, idx, _q(emb), k=5, nprobe=16)
+    assert with_b2.count() == len(before)  # same queries, same k
+    assert sorted(map(tuple, with_b2.collect())) != before
+
+
+def test_drift_measured_and_search_warns(spark, emb, tmp_path):
+    """Appends matching the trained distribution report ~0 drift; a batch
+    concentrated in one cell drives TV-distance up and search warns."""
+    import warnings as _warnings
+
+    from schemamap_spark.operators.ann_index import ann_index_drift
+
+    idx = str(tmp_path / "idx_drift")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(b1, idx, m=8, num_centroids=16)
+    assert ann_index_drift(idx) == 0.0  # nothing appended yet
+
+    # in-distribution append: the odd half of the same clustered corpus
+    ann_index_append(emb.filter(F.col("vec_id") % 2 == 1), idx)
+    low = ann_index_drift(idx)
+    assert low < 0.25, f"in-distribution append should not drift ({low})"
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any warning -> test failure
+        ann_index_search(spark, idx, _q(emb), k=5, nprobe=4).count()
+
+    # out-of-distribution append: one near-constant direction -> one cell
+    skew = emb.limit(200).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: F.when(i == 0, 100.0).otherwise(0.001)
+        ).alias("embedding"),
+    )
+    ann_index_append(skew, idx)
+    high = ann_index_drift(idx)
+    assert high > low
+    if high > 0.25:
+        with pytest.warns(UserWarning, match="drifted"):
+            ann_index_search(spark, idx, _q(emb), k=5, nprobe=4).count()
+    # drift_warn=None disables the check
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        ann_index_search(
+            spark, idx, _q(emb), k=5, nprobe=4, drift_warn=None
+        ).count()
+
+
+def test_store_paths_must_be_local(spark, emb, tmp_path):
+    with pytest.raises(ValueError, match="driver-local"):
+        ann_index_build(emb, "s3://bucket/idx")
+    idx = str(tmp_path / "idx_local")
+    ann_index_build(emb.limit(64), idx, m=8, num_centroids=4)
+    with pytest.raises(ValueError, match="driver-local"):
+        ann_index_append(emb, "hdfs://nn/idx")
