@@ -49,15 +49,12 @@ def main() -> None:
     from schemamap_spark.suite.extra import EXTRA_SPARK_QUERIES
     from schemamap_spark.suite.relational import q12_topk
 
-    # dsir_select (round 5): data-selection is a headline training-data
-    # workload; it lives in the parity-only registry (50-slot driver cap)
-    # but benches alongside the driver queries
-    # bm25 (round 6): lexical retrieval joined the bench when its inverted
-    # index gained the single-tokenization persist — track it round-over-round
+    # dsir_select entered the driver registry in round 6, so it now arrives
+    # via _REGISTRY; bm25 (round 6) joined the bench when its inverted index
+    # gained the single-tokenization persist — track it round-over-round
     SPARK_QUERIES = {
         **_REGISTRY,
         "q12_topk": q12_topk,
-        "dsir_select": EXTRA_SPARK_QUERIES["dsir_select"],
         "bm25": EXTRA_SPARK_QUERIES["bm25"],
     }
 

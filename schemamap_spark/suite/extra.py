@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
 from schemamap_spark.session import load_table
-from schemamap_spark.suite.relational import Q33_CUBE_ORACLE, q33_cube
+from schemamap_spark.suite.relational import (
+    Q04_LEFT_JOIN_ORACLE,
+    Q33_CUBE_ORACLE,
+    q04_left_join,
+    q33_cube,
+)
 
 FIX = DEFAULT_FIXTURE_DIR
 
@@ -275,7 +280,11 @@ EXTRA_SPARK_QUERIES = {
     "mixture_sample": mixture_sample_q,
     "fuzzy_match": fuzzy_match_q,
     "perplexity": perplexity_q,
-    "dsir_select": dsir_select_q,
+    # dsir_select was PROMOTED into the 50-slot driver registry in round 6
+    # (suite/llm.py imports dsir_select_q + _DSIR_ORACLE from here); its
+    # vacated slot is backfilled by q04_left_join, demoted from the driver
+    # registry the same round (J2 left-join stays driver-proven via q22).
+    "q04_left_join": q04_left_join,
     "scd2_merge": scd2_merge_q,
     "interval_join": interval_join_q,
     "sample_per_source": sample_per_source_q,
@@ -444,7 +453,7 @@ EXTRA_ORACLE_SQL = {
     # replays bigram_lm_train + perplexity_score exactly: unigram/bigram
     # counts, add-k smoothing with V+1 reserved mass, seen-context and
     # unseen-context fallbacks, per-bigram lp -> integer micro-nats -> sum
-    "dsir_select": _DSIR_ORACLE,
+    "q04_left_join": Q04_LEFT_JOIN_ORACLE,
     "scd2_merge": _SCD2_ORACLE,
     # single-line docs: a doc keeps its text unless its normalized form is
     # shared by MORE THAN 2 distinct docs (and non-empty after trim)

@@ -361,6 +361,18 @@ SPARK_QUERIES = {
     "quality_quantile_filter": quality_quantile_filter,
 }
 
+
+def _register_dsir() -> None:
+    """Round 6: dsir_select promoted into the driver registry in place of
+    q04_left_join (which keeps its value-check in the extra parity
+    registry). The query + oracle stay defined in suite/extra.py next to
+    the other training-data parity twins; registered late to keep the
+    import direction extra → relational one-way at module-load time."""
+    from schemamap_spark.suite.extra import _DSIR_ORACLE, dsir_select_q
+
+    SPARK_QUERIES["dsir_select"] = dsir_select_q
+    ORACLE_SQL["dsir_select"] = _DSIR_ORACLE
+
 # ---- shared oracle snippets -------------------------------------------------
 
 _SHINGLE_CTE = """
@@ -725,3 +737,6 @@ ORACLE_SQL = {
         from ranked where rank <= 5 order by query_id, rank
     """,
 }
+
+
+_register_dsir()

@@ -326,7 +326,10 @@ SPARK_QUERIES = {
     "q01_scan": q01_scan,
     "q02_filter_in": q02_filter_in,
     "q03_join_agg": q03_join_agg,
-    "q04_left_join": q04_left_join,
+    # q04_left_join left the 50-slot driver registry in round 6 for
+    # dsir_select (the flagship round-5 training-data op): left-outer join
+    # (J2) stays driver-proven by q22_status's SMO left joins, and q04
+    # keeps its full value-check via the extra parity registry.
     "q05_semi_anti": q05_semi_anti,
     "q07_minmax_norm": q07_minmax_norm,
     "q08_collect_set": q08_collect_set,
@@ -359,10 +362,6 @@ ORACLE_SQL = {
     "q03_join_agg": (
         "select n_name, count(*) as c from customer "
         "join nation on c_nationkey = n_nationkey group by 1 order by 1"
-    ),
-    "q04_left_join": (
-        "select n_name, count(c_custkey) as customer_count from nation "
-        "left join customer on c_nationkey = n_nationkey group by 1 order by 1"
     ),
     "q05_semi_anti": (
         "select 'anti' as op, n_nationkey as k from nation where n_nationkey not in "
@@ -474,8 +473,13 @@ ORACLE_SQL = {
     """,
 }
 
-# Oracle for the demoted q33_cube — consumed by suite/extra.py's parity-only
-# registry, kept here next to its Spark twin.
+# Oracles for the demoted q04_left_join / q33_cube — consumed by
+# suite/extra.py's parity-only registry, kept here next to their Spark twins.
+Q04_LEFT_JOIN_ORACLE = (
+    "select n_name, count(c_custkey) as customer_count from nation "
+    "left join customer on c_nationkey = n_nationkey group by 1 order by 1"
+)
+
 Q33_CUBE_ORACLE = """
     select o_orderstatus, o_orderpriority, count(*) as n
     from orders
