@@ -255,6 +255,42 @@ def profile_q(spark, sf):
 
 _BM25_QUERY_DOCS = (1, 3, 5)
 
+# shared CTE block: the inverted index, corpus stats, per-term df, the
+# three query docs' distinct terms, and the per-(query, doc) integer
+# micro-scores — mirrors operators/retrieval.py term for term (operand
+# order matters for bit-equal doubles). Consumed by both the bm25 oracle
+# and the rrf_hybrid oracle's lexical half.
+_BM25_CTES = """idx as (
+          select doc_id, term, count(*) as tf, any_value(dl) as dl from (
+            select doc_id, len(toks) as dl, unnest(toks) as term
+            from (select doc_id, string_split(text, ' ') as toks from documents)
+          ) group by doc_id, term
+        ),
+        stats as (
+          select (select cast(count(*) as double) from documents) as n,
+                 (select avg(dl) from
+                    (select any_value(dl) as dl from idx group by doc_id)) as avgdl
+        ),
+        dfm as (select term, count(*) as df from idx group by 1),
+        qt as (
+          select doc_id as query_id, unnest(list_distinct(string_split(text, ' ')))
+                   as term
+          from documents where doc_id in (1, 3, 5)
+        ),
+        scored as (
+          select q.query_id, i.doc_id,
+                 cast(sum(cast(round(
+                   ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * (i.tf * 2.2)
+                   / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * i.dl / s.avgdl))
+                   * 1000000) as bigint)) as bigint) as score_micros
+          from qt q
+          join dfm d using (term)
+          join idx i using (term)
+          cross join stats s
+          group by 1, 2
+        )"""
+
 
 def bm25_q(spark, sf):
     """BM25 retrieval over documents: three documents' own texts as
@@ -271,6 +307,30 @@ def bm25_q(spark, sf):
         F.col("doc_id").alias("query_id"), "text"
     )
     return bm25_topk(docs, queries, k=5)
+
+
+def rrf_hybrid_q(spark, sf):
+    """End-to-end hybrid retrieval: BM25 over documents' text and exact
+    cosine top-k over the embeddings corpus, fused by Reciprocal Rank
+    Fusion — the standard lexical+dense combiner. Three query ids drive
+    both systems (their text on the lexical side, their vector on the
+    dense side); each contributes its (query_id, doc_id, rank) top-5, RRF
+    re-ranks by sum(1/(60+rank)) in integer micros. The whole composition
+    — both retrievers AND the fusion — replays in DuckDB."""
+    from schemamap_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from schemamap_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    q_text = docs.filter(F.col("doc_id").isin(*_BM25_QUERY_DOCS)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = bm25_topk(docs, q_text, k=5)
+    q_vec = emb.filter(F.col("vec_id").isin(*_BM25_QUERY_DOCS))
+    dense = cosine_topk(emb, q_vec, k=5).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, dense], rrf_k=60, top=10)
 
 
 EXTRA_SPARK_QUERIES = {
@@ -293,6 +353,7 @@ EXTRA_SPARK_QUERIES = {
     "scd2_as_of": scd2_as_of_q,
     "profile": profile_q,
     "bm25": bm25_q,
+    "rrf_hybrid": rrf_hybrid_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -501,42 +562,60 @@ EXTRA_ORACLE_SQL = {
     # mirrors operators/retrieval.py term for term: same index/df/avgdl,
     # same idf and length-normalization operand order, same micro-rounding
     # and (score desc, doc_id) tie order
-    "bm25": """
-        with idx as (
-          select doc_id, term, count(*) as tf, any_value(dl) as dl from (
-            select doc_id, len(toks) as dl, unnest(toks) as term
-            from (select doc_id, string_split(text, ' ') as toks from documents)
-          ) group by doc_id, term
-        ),
-        stats as (
-          select (select cast(count(*) as double) from documents) as n,
-                 (select avg(dl) from
-                    (select any_value(dl) as dl from idx group by doc_id)) as avgdl
-        ),
-        dfm as (select term, count(*) as df from idx group by 1),
-        qt as (
-          select doc_id as query_id, unnest(list_distinct(string_split(text, ' ')))
-                   as term
-          from documents where doc_id in (1, 3, 5)
-        ),
-        scored as (
-          select q.query_id, i.doc_id,
-                 cast(sum(cast(round(
-                   ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                   * (i.tf * 2.2)
-                   / (i.tf + 1.2 * (1.0 - 0.75 + 0.75 * i.dl / s.avgdl))
-                   * 1000000) as bigint)) as bigint) as score_micros
-          from qt q
-          join dfm d using (term)
-          join idx i using (term)
-          cross join stats s
-          group by 1, 2
-        )
+    "bm25": f"""
+        with {_BM25_CTES}
         select query_id, doc_id, score_micros,
                cast(row_number() over (partition by query_id
                     order by score_micros desc, doc_id) as int) as rank
         from scored
         qualify rank <= 5
+        order by query_id, rank
+    """,
+    # both retrievers AND the fusion replay: BM25 ranks from the shared
+    # CTEs, dense ranks brute-forced over embeddings, RRF contributions
+    # rounded to integer micros before the sum exactly as rrf_fuse does
+    "rrf_hybrid": f"""
+        with {_BM25_CTES},
+        branked as (
+          select query_id, doc_id,
+                 row_number() over (partition by query_id
+                      order by score_micros desc, doc_id) as rank
+          from scored
+          qualify rank <= 5
+        ),
+        e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        qv as (select vec_id, v from e where vec_id in (1, 3, 5)),
+        cscored as (
+          select qv.vec_id as query_id, e.vec_id as neighbor_id,
+                 list_dot_product(qv.v, e.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(e.v, e.v))) as sim
+          from qv join e on e.vec_id <> qv.vec_id
+        ),
+        cranked as (
+          select query_id, neighbor_id as doc_id,
+                 row_number() over (partition by query_id
+                      order by sim desc, neighbor_id) as rank
+          from cscored
+          qualify rank <= 5
+        ),
+        uni as (
+          select query_id, doc_id, rank from branked
+          union all
+          select query_id, doc_id, rank from cranked
+        ),
+        fused as (
+          select query_id, doc_id,
+                 cast(sum(cast(round(1000000.0 / (60 + rank)) as bigint))
+                      as bigint) as rrf_micros,
+                 count(*) as n_systems
+          from uni group by 1, 2
+        )
+        select query_id, doc_id, rrf_micros, n_systems,
+               cast(row_number() over (partition by query_id
+                    order by rrf_micros desc, doc_id) as int) as rank
+        from fused
+        qualify rank <= 10
         order by query_id, rank
     """,
     "profile": """

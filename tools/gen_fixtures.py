@@ -339,6 +339,30 @@ def gen_clustered_embeddings():
     )
 
 
+def gen_clustered_docs():
+    """Deterministic TEXT twin of clustered_embeddings — the fixture hybrid
+    (lexical + dense) retrieval is measured on: every vector gets a document
+    whose tokens encode its cluster (16 draws from a 30-token per-cluster
+    vocabulary + 8 draws from a 50-token shared vocabulary), so BM25 can
+    recover cluster membership but NOT within-cluster ordering — exactly
+    the complementary-signal shape real hybrid search exploits.
+
+    Replays gen_clustered_embeddings() (its own pinned seed) for the
+    vec_id→cluster map and uses its OWN RandomState (seed 11): regenerating
+    keeps every other fixture byte-identical."""
+    emb = gen_clustered_embeddings()
+    rng = np.random.RandomState(11)
+    rows = []
+    for vid, c in zip(emb["vec_id"], emb["cluster"]):
+        toks = [f"c{c}t{rng.randint(0, 30)}" for _ in range(16)]
+        toks += [f"sh{rng.randint(0, 50)}" for _ in range(8)]
+        rng.shuffle(toks)
+        rows.append((int(vid), int(c), " ".join(toks)))
+    return pd.DataFrame(rows, columns=["doc_id", "cluster", "text"]).astype(
+        {"doc_id": np.int64, "cluster": np.int32}
+    )
+
+
 def gen_registries():
     bidi = pd.DataFrame([
         dict(name="trim_str", i18n='{"name":{"en":"Trim"}}', forward_fn_name="trim_str",
@@ -377,6 +401,7 @@ def main() -> None:
         staging_organizations_csv=so, staging_projects_csv=sp,
         tenants=tenants, bidi_mapping_fns=bidi,
         clustered_embeddings=gen_clustered_embeddings(),
+        clustered_docs=gen_clustered_docs(),
     )
     for name, df in frames.items():
         # Spark cannot read parquet TIMESTAMP(NANOS); write microseconds.
