@@ -132,7 +132,11 @@ def scd2_merge(
     Change detection is null-safe equality over `tracked_cols` (default:
     every update column except the keys). `strict` raises DuplicateKeyError
     when the snapshot has several rows per key — silently merging them
-    would make "the" new value order-dependent.
+    would make "the" new value order-dependent — and when the snapshot has
+    NULL-keyed rows, which can never equi-join the dimension and would
+    otherwise be re-inserted as fresh open rows on EVERY merge. Non-strict
+    drops NULL-keyed updates (NULL-keyed TARGET rows always pass through
+    untouched either way).
 
     Scale: one shuffled join of the CURRENT slice against the snapshot on
     the key (history never joins), plus a union — the same plan family as
@@ -143,23 +147,41 @@ def scd2_merge(
     biz_cols = [c for c in target.columns if c not in meta]
     eff = F.lit(effective_ts).cast("timestamp")
 
+    any_key_null = None
+    for k in keys:
+        n = F.col(k).isNull()
+        any_key_null = n if any_key_null is None else (any_key_null | n)
+
     if strict:
-        dup = (
+        # one pass over the snapshot catches both ambiguity classes:
+        # duplicated keys (which new value wins?) and NULL keys (can never
+        # equi-join the dimension, so they'd re-insert a fresh open row on
+        # EVERY merge — silent unbounded duplication)
+        chk = (
             updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > 1).count()
+            .agg(
+                F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias("dups"),
+                F.sum(F.when(any_key_null, F.col("n")).otherwise(0)).alias("nulls"),
+            )
+            .first()
         )
-        if dup:
-            raise DuplicateKeyError(f"updates carry {dup} duplicated key(s)")
+        if chk["dups"]:
+            raise DuplicateKeyError(f"updates carry {chk['dups']} duplicated key(s)")
+        if chk["nulls"]:
+            raise DuplicateKeyError(
+                f"updates carry {chk['nulls']} NULL-keyed row(s): they can "
+                "never match a dimension key, so each merge would insert "
+                "them again as fresh open rows"
+            )
+    else:
+        # non-strict: drop them instead of letting them accumulate
+        updates = updates.filter(~any_key_null)
 
     history = target.filter(~F.col(current_flag))
     current = target.filter(F.col(current_flag))
     # NULL-key current rows can never match an update (NULL never equi-joins)
     # and would otherwise fall through every branch below (t_exists is false
     # for them) and vanish — pass them through untouched instead
-    any_key_null = None
-    for k in keys:
-        n = F.col(k).isNull()
-        any_key_null = n if any_key_null is None else (any_key_null | n)
     null_keyed = current.filter(any_key_null)
     current = current.filter(~any_key_null)
 

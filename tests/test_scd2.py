@@ -105,6 +105,61 @@ def test_scd2_as_of_time_travel(spark):
     assert scd2_as_of(out, "2019-01-01 00:00:00").count() == 0
 
 
+def test_scd2_null_keyed_updates_strict_raise(spark):
+    # a NULL-keyed update can never equi-join the dimension, so it would be
+    # re-inserted as a fresh open row on EVERY merge — strict refuses it
+    dim = _dim(spark)
+    upd = spark.createDataFrame(
+        [(None, "ghost", 9.0), (1, "alice", 150.0)],
+        "id long, name string, balance double",
+    )
+    with pytest.raises(DuplicateKeyError, match="NULL-keyed"):
+        scd2_merge(dim, upd, ["id"], T1)
+
+
+def test_scd2_null_keyed_updates_nonstrict_dropped_not_accumulated(spark):
+    dim = _dim(spark)
+    upd = spark.createDataFrame(
+        [(None, "ghost", 9.0), (1, "alice", 150.0)],
+        "id long, name string, balance double",
+    )
+    out1 = scd2_merge(dim, upd, ["id"], T1, strict=False)
+    out2 = scd2_merge(out1, upd, ["id"], T2, strict=False)
+    # the NULL-keyed update is dropped, not inserted once per merge
+    assert out1.filter(F.col("id").isNull()).count() == 0
+    assert out2.filter(F.col("id").isNull()).count() == 0
+    # and the real update applied exactly once (merge 2 sees it unchanged)
+    assert out2.filter("is_current and id = 1").collect()[0].balance == 150.0
+    # closed alice + new alice + bob + carol, stable across merges
+    assert out2.count() == out1.count() == 4
+
+
+def test_scd2_bucketed_dimension_merges_shuffle_free(spark):
+    """The docstring's 'bucket both sides on the key to elide the shuffle'
+    claim, proven: write dimension and snapshot bucketed on the key, run
+    scd2_merge on the read-back tables, and assert the full-outer merge
+    join carries NO shuffle Exchange — the 100 TB dimension-merge recipe."""
+    from schemamap_spark.operators.skew import write_bucketed
+    from schemamap_spark.plans.dryrun import explain_str
+
+    dim = _dim(spark)
+    upd = spark.createDataFrame(
+        [(1, "alice", 150.0), (4, "dan", 400.0)],
+        "id long, name string, balance double",
+    )
+    write_bucketed(dim, "b_scd2_dim", "id", 8)
+    write_bucketed(upd, "b_scd2_upd", "id", 8)
+    out = scd2_merge(
+        spark.table("b_scd2_dim"), spark.table("b_scd2_upd"), ["id"], T1
+    )
+    assert "Exchange hashpartitioning" not in explain_str(out)
+    rows = {(r.id, r.balance, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, 100.0, False), (1, 150.0, True), (2, 200.0, True),
+        (3, 300.0, True), (4, 400.0, True),
+    }
+
+
 def test_scd2_null_key_rows_pass_through(spark):
     dim = scd2_init(
         spark.createDataFrame([(None, "ghost", 1.0), (1, "alice", 100.0)],
