@@ -294,10 +294,12 @@ def corpus_stats_partials(
     bins: int = 1000,
 ) -> tuple[DataFrame, DataFrame]:
     """One scan -> two small partial frames for a batch:
-    scalars: (batch_id, group, docs, tokens, chars, q_micros, fp_sketch)
+    scalars: (batch_id, group, docs, q_docs, tokens, chars, q_micros, fp_sketch)
     hist:    (batch_id, group, bin, n)   quality histogram, bin = floor(q*bins)
-    q_micros is the integer micro-sum of quality (order/merge-independent);
-    fp_sketch is an HLL sketch of md5(normalized text)."""
+    q_micros is the integer micro-sum of quality (order/merge-independent)
+    over the q_docs docs with non-NULL quality — NULL-text docs count in
+    `docs` but not in the mean or the histogram, matching corpus_report's
+    avg(_q) semantics; fp_sketch is an HLL sketch of md5(normalized text)."""
     from schemamap_spark.functions.text import quality_score, token_count
 
     g = (
@@ -307,13 +309,17 @@ def corpus_stats_partials(
     )
     scalars = g.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).alias("docs"),
+        F.count("_q").alias("q_docs"),
         F.sum("_tok").cast("bigint").alias("tokens"),
         F.sum(F.length(text_col)).cast("bigint").alias("chars"),
         F.sum(F.round(F.col("_q") * 1e6).cast("bigint")).alias("q_micros"),
         F.hll_sketch_agg("_fp").alias("fp_sketch"),
     ).select(F.lit(batch_id).alias("batch_id"), "*")
     hist = (
-        g.withColumn(
+        # NULL quality (NULL text) stays out of the histogram — least()
+        # SKIPS nulls, so an unfiltered NULL _q would land in the TOP bin
+        g.filter(F.col("_q").isNotNull())
+        .withColumn(
             "bin",
             F.least(F.floor(F.col("_q") * bins).cast("int"), F.lit(bins - 1)),
         )
@@ -354,18 +360,21 @@ def corpus_stats_report(spark, store_dir: str) -> DataFrame:
     bins_vals = [
         r.bins for r in spark.read.parquet(f"{store_dir}/hist").select("bins").distinct().collect()
     ]
-    if len(bins_vals) != 1:
+    if len(bins_vals) > 1:
         raise ValueError(
             f"corpus stats store mixes histogram resolutions {sorted(bins_vals)} — "
             "rebuild with one bins value"
         )
-    bins = int(bins_vals[0])
+    # an EMPTY hist store is legal (every doc so far had NULL quality):
+    # quantiles are simply unknown, like approx_percentile over no rows
+    bins = int(bins_vals[0]) if bins_vals else None
 
     scalars = (
         spark.read.parquet(f"{store_dir}/scalars")
         .groupBy("group")
         .agg(
             F.sum("docs").cast("bigint").alias("docs"),
+            F.sum("q_docs").cast("bigint").alias("q_docs"),
             F.sum("tokens").cast("bigint").alias("tokens"),
             F.sum("chars").cast("bigint").alias("chars"),
             F.sum("q_micros").alias("q_micros"),
@@ -375,7 +384,12 @@ def corpus_stats_report(spark, store_dir: str) -> DataFrame:
         )
         .select(
             "group", "docs", "tokens", "chars",
-            F.round(F.col("q_micros") / 1e6 / F.col("docs"), 6).alias("quality_mean"),
+            # mean over docs WITH a quality value (corpus_report's avg(_q)
+            # skips NULLs); all-NULL groups surface NULL, matching avg()
+            F.round(
+                F.col("q_micros") / 1e6 / F.nullif(F.col("q_docs"), F.lit(0)),
+                6,
+            ).alias("quality_mean"),
             "approx_unique_texts",
             F.round(
                 F.greatest(
@@ -387,6 +401,14 @@ def corpus_stats_report(spark, store_dir: str) -> DataFrame:
             ).alias("approx_dup_ratio"),
         )
     )
+    if bins is None:
+        return scalars.select(
+            "*",
+            F.lit(None).cast("double").alias("quality_p10"),
+            F.lit(None).cast("double").alias("quality_p50"),
+            F.lit(None).cast("double").alias("quality_p90"),
+        ).orderBy("group")
+
     hist = (
         spark.read.parquet(f"{store_dir}/hist")
         .groupBy("group", "bin")
@@ -409,4 +431,7 @@ def corpus_stats_report(spark, store_dir: str) -> DataFrame:
         q_at(0.5).alias("quality_p50"),
         q_at(0.9).alias("quality_p90"),
     )
-    return scalars.join(quants, "group").orderBy("group")
+    # LEFT join: a group whose quality is all-NULL has scalars but no
+    # histogram rows — it must still report (with NULL quantiles), not
+    # silently vanish from the dashboard
+    return scalars.join(quants, "group", "left").orderBy("group")

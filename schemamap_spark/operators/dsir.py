@@ -40,7 +40,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from schemamap_spark.operators.ngrams import ngrams_from_tokens
-from schemamap_spark.operators.sampling import KNUTH, MOD
 
 DEFAULT_BUCKETS = 8192
 
@@ -238,14 +237,20 @@ def dsir_resample(
     k docs without replacement with probability proportional to
     exp(lw/temperature); temperature -> 0 recovers dsir_select.
 
-    The noise is a seeded Knuth-hash uniform (doc_id + seed -> bucket of
-    1e6 -> u in (0,1) -> -ln(-ln u)), so the draw is reproducible across
-    runs, partitionings, and engines — no engine RNG."""
+    The noise is a seeded hash uniform on md5 of the id's STRING form —
+    portable across id types (a numeric cast of a string id would go NULL
+    and silently degenerate the sample to first-n-by-id) — md5(id|seed)
+    first 8 hex chars -> bucket of 1e6 -> u in (0,1) -> -ln(-ln u), so the
+    draw is reproducible across runs, partitionings, and engines — no
+    engine RNG."""
     if temperature <= 0:
         raise ValueError(f"temperature must be positive, got {temperature}")
     w = dsir_weights(candidates, target, buckets, alpha, id_col, text_col)
-    reduced = F.pmod(F.col("doc_id").cast("long") + F.lit(int(seed)), F.lit(MOD))
-    u_bucket = F.pmod(F.pmod(reduced * F.lit(KNUTH), F.lit(MOD)), F.lit(1_000_000))
+    id_str = F.coalesce(F.col("doc_id").cast("string"), F.lit("~null~"))
+    digest = F.md5(F.concat(id_str, F.lit(f"|{int(seed)}")))
+    u_bucket = F.pmod(
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long"), F.lit(1_000_000)
+    )
     u = (u_bucket.cast("double") + F.lit(0.5)) / F.lit(1_000_000.0)
     gumbel = -F.log(-F.log(u))
     score = F.col("lw_micros").cast("double") / F.lit(1e6 * temperature) + gumbel

@@ -41,7 +41,10 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, c in enumerate(cols):
-        col = F.col(c)
+        # bare F.col(c) PARSES the name — a dot becomes nested-field access,
+        # an unpaired backtick is a syntax error; quote it (`` escapes `)
+        # so any legal column name resolves as itself
+        col = F.col("`" + c.replace("`", "``") + "`")
         aggs += [
             F.sum(col.isNull().cast("long")).alias(f"__nul_{i}"),
             F.approx_count_distinct(col).alias(f"__ndv_{i}"),

@@ -34,7 +34,9 @@ _WIDEN = {"smallint", "tinyint"}
 
 def _sketchable(df: DataFrame, col: str) -> F.Column:
     t = dict(df.dtypes)[col]
-    c = F.col(col)
+    # bare F.col(col) PARSES the name (dots nest, unpaired backticks are a
+    # syntax error); backtick-quote it so any legal name resolves as itself
+    c = F.col("`" + col.replace("`", "``") + "`")
     if t in _NATIVE:
         return c
     if t in _WIDEN:

@@ -127,6 +127,24 @@ def test_dsir_resample_seeded_and_deterministic(spark):
     assert cold == det
 
 
+def test_dsir_resample_string_ids_get_real_noise(spark):
+    # non-numeric ids must NOT degenerate the draw: the old numeric-cast
+    # noise went NULL on string ids, silently making the "sample" first-n
+    cand = spark.createDataFrame(
+        [(f"doc-{i:03d}", f"tok{i} tok{i + 1} tok{i + 2}") for i in range(30)],
+        "doc_id string, text string",
+    )
+    targ = spark.createDataFrame(
+        [("t", "tok0 tok1 tok2 tok3")], "doc_id string, text string"
+    )
+    out1 = dsir_resample(cand, targ, 10, seed=1).collect()
+    assert all(r.score is not None for r in out1)  # noise actually applied
+    a1 = [r.doc_id for r in out1]
+    assert a1 == [r.doc_id for r in dsir_resample(cand, targ, 10, seed=1).collect()]
+    b = [r.doc_id for r in dsir_resample(cand, targ, 10, seed=2).collect()]
+    assert set(a1) != set(b)  # seeds reshuffle string-keyed draws too
+
+
 def test_dsir_input_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="buckets"):

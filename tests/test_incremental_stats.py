@@ -38,6 +38,36 @@ def test_merged_partials_match_full_batch(spark, tmp_path):
         assert 0.0 <= m["approx_dup_ratio"] <= 1.0
 
 
+def test_null_text_docs_match_batch_report_semantics(spark, tmp_path):
+    """NULL-text docs count in `docs` but not in the quality mean or the
+    histogram — the one-shot corpus_report's avg(_q)/approx_percentile skip
+    NULLs, and the incremental twin must agree beyond micro-rounding (the
+    old q_micros/docs divided by ALL docs, silently deflating the mean; the
+    old histogram even binned NULL quality into the TOP bin via least())."""
+    docs = spark.createDataFrame(
+        [(1, "a solid, reasonably long document text.", "s"),
+         (2, None, "s"),
+         (3, "another ordinary document body with words.", "s"),
+         (4, None, "s")],
+        "doc_id long, text string, source string",
+    )
+    store = str(tmp_path / "stats_store")
+    append_corpus_stats(docs.filter("doc_id <= 2"), store, "b0")
+    append_corpus_stats(docs.filter("doc_id > 2"), store, "b1")
+    m = corpus_stats_report(spark, store).collect()[0]
+    f = corpus_report(docs).collect()[0]
+    assert m.docs == f.docs == 4
+    assert abs(m.quality_mean - f.quality_mean) < 1e-5
+    assert abs(m.quality_p90 - f.quality_p90) < 0.01  # no NULLs in top bin
+
+    # an all-NULL group reports NULL mean, exactly like avg() would
+    ghosts = spark.createDataFrame([(9, None, "g")], "doc_id long, text string, source string")
+    store2 = str(tmp_path / "ghost_store")
+    append_corpus_stats(ghosts, store2, "b0")
+    g = corpus_stats_report(spark, store2).collect()[0]
+    assert g.docs == 1 and g.quality_mean is None
+
+
 def test_sketch_merge_equals_one_shot_ndv(spark, tmp_path):
     """The HLL component must merge exactly: 3-way-split union == single
     sketch over everything (register max is split-insensitive)."""

@@ -1567,6 +1567,23 @@ def test_profile_table_metrics(spark):
         profile_table(df.select([]), [])
 
 
+def test_profile_table_hostile_column_names(spark):
+    """Dotted / backticked / quoted names must profile: columns are
+    addressed by exact name (df[c]), not parsed (F.col would read 'a.b'
+    as nested-field access and choke on an embedded backtick)."""
+    from schemamap_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (None, "y", 3.0)],
+        ["a.b", "o'brien", "tick`d"],
+    )
+    got = {r.column: r for r in profile_table(df).collect()}
+    assert set(got) == {"a.b", "o'brien", "tick`d"}
+    assert got["a.b"].n_nulls == 1
+    assert got["o'brien"].approx_ndv == 2
+    assert (got["tick`d"].min_value, got["tick`d"].max_value) == ("2.0", "3.0")
+
+
 def test_bm25_self_retrieval_and_ranking(spark):
     from schemamap_spark.operators.retrieval import bm25_topk
 

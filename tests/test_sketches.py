@@ -86,3 +86,9 @@ def test_narrow_int_and_quoted_columns_sketchable(spark):
         column_sketches(df, ["a", "b", "o'brien"])
     ).collect()}
     assert est == {"a": 1, "b": 1, "o'brien": 1}
+    # dotted / backticked names resolve as themselves, not as nested access
+    hostile = spark.createDataFrame([(1, "x")], ["a.b", "tick`d"])
+    est2 = {r.column: r.ndv for r in ndv_estimates(
+        column_sketches(hostile, ["a.b", "tick`d"])
+    ).collect()}
+    assert est2 == {"a.b": 1, "tick`d": 1}
