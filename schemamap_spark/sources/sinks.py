@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 _IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_.]*$")
 
 
+def _require_local(path: str, op: str) -> None:
+    """These writers commit via os.rename — atomic only on a driver-local
+    posix filesystem. Refuse URI-scheme paths loudly instead of writing a
+    store whose crash-safety contract silently doesn't hold (S3 has no
+    rename; HDFS renames happen on another filesystem than the driver's).
+    Deployments on an object store should either stage locally or port the
+    swap tail to the store's own atomic primitive (manifest files / Hadoop
+    FileSystem.rename via spark._jvm)."""
+    if "://" in path:
+        raise ValueError(
+            f"{op} requires a driver-local path (os.rename commit protocol); "
+            f"got scheme path {path!r}"
+        )
+
+
 def write_parquet_atomic(df: DataFrame, target_dir: str, ordered_by: list[str] | None = None) -> None:
     """Write to a temp dir then swap into place.
 
@@ -38,6 +53,7 @@ def write_parquet_atomic(df: DataFrame, target_dir: str, ordered_by: list[str] |
     inside the window leaves the previous data in '<target>.old' for manual
     recovery. Single-writer semantics are assumed (the reference's matview
     refresh has the same contract)."""
+    _require_local(target_dir, "write_parquet_atomic")
     parent = os.path.dirname(os.path.abspath(target_dir))
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
@@ -75,6 +91,7 @@ def write_range_sorted(
     file); num_files defaults to spark.sql.shuffle.partitions."""
     if not sort_cols:
         raise ValueError("sort_cols must be non-empty")
+    _require_local(target_dir, "write_range_sorted")
     spark = df.sparkSession
     n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
@@ -200,6 +217,7 @@ def write_zordered(
     queries filter on MORE THAN ONE column: a 2-D range predicate prunes
     files in both dimensions instead of only the leading sort key's
     (asserted against the real footers in test_scale_ops)."""
+    _require_local(target_dir, "write_zordered")
     spark = df.sparkSession
     n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed, key = zorder_column(df, zorder_cols, bits, binning)
@@ -280,6 +298,7 @@ def write_point_lookup_optimized(
     negatives, so results are exact either way)."""
     if not bloom_cols:
         raise ValueError("bloom_cols must be non-empty")
+    _require_local(target_dir, "write_point_lookup_optimized")
     out = df
     if sort_cols:
         spark = df.sparkSession
@@ -310,6 +329,7 @@ def compact_parquet_dir(
     re-sorting so footer pruning survives compaction. Returns the new file
     count. Run it off the write path (the store stays readable throughout).
     """
+    _require_local(target_dir, "compact_parquet_dir")
     sizes = [
         os.path.getsize(os.path.join(target_dir, f))
         for f in (os.listdir(target_dir) if os.path.isdir(target_dir) else [])

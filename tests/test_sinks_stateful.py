@@ -36,6 +36,30 @@ def test_write_parquet_atomic_swap(spark, tmp_path):
     assert spark.read.parquet(target).count() == 3  # replaced, not appended
 
 
+def test_swap_writers_refuse_non_local_paths(spark, tmp_path):
+    """Every os.rename-committing writer refuses URI-scheme targets loudly:
+    the atomic-swap crash-safety contract does not hold on object stores
+    (no rename on S3), and failing at write time beats a store that only
+    LOOKS crash-safe. The same guard exists in the ANN index store."""
+    from schemamap_spark.sources.sinks import (
+        compact_parquet_dir,
+        write_point_lookup_optimized,
+        write_range_sorted,
+        write_zordered,
+    )
+
+    df = spark.range(4).withColumnRenamed("id", "v")
+    for fn, args in [
+        (write_parquet_atomic, (df, "s3://bucket/tbl")),
+        (write_range_sorted, (df, "s3a://bucket/tbl", ["v"])),
+        (write_zordered, (df, "hdfs://nn/tbl", ["v"])),
+        (write_point_lookup_optimized, (df, "s3://b/t", ["v"])),
+        (compact_parquet_dir, (spark, "abfss://c@a/t")),
+    ]:
+        with pytest.raises(ValueError, match="driver-local"):
+            fn(*args)
+
+
 def test_write_parquet_atomic_recovers_from_stale_old(spark, tmp_path):
     """A '<target>.old' left behind by a crashed swap must not wedge the next
     write (os.rename onto a non-empty dir raises ENOTEMPTY)."""
