@@ -333,6 +333,30 @@ def rrf_hybrid_q(spark, sf):
     return rrf_fuse([lex, dense], rrf_k=60, top=10)
 
 
+def hybrid_rerank_q(spark, sf):
+    """The recall-first hybrid combiner (SCALE.md 'Hybrid retrieval'):
+    UNION the BM25 and dense candidate sets and re-rank the union with the
+    EXACT cosine — monotone in retrievers where RRF is not. Same two
+    systems as rrf_hybrid; the oracle replays candidate generation, the
+    distinct union, the exact-cosine rerank, and the (sim desc, doc_id)
+    cut. Inner-joining the corpus drops lexical candidates with no vector
+    (none at this sf — ids are shared — but the contract is pinned)."""
+    from schemamap_spark.operators.retrieval import bm25_topk, hybrid_rerank_topk
+    from schemamap_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    q_text = docs.filter(F.col("doc_id").isin(*_BM25_QUERY_DOCS)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = bm25_topk(docs, q_text, k=5)
+    q_vec = emb.filter(F.col("vec_id").isin(*_BM25_QUERY_DOCS))
+    dense = cosine_topk(emb, q_vec, k=5).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -354,6 +378,7 @@ EXTRA_SPARK_QUERIES = {
     "profile": profile_q,
     "bm25": bm25_q,
     "rrf_hybrid": rrf_hybrid_q,
+    "hybrid_rerank": hybrid_rerank_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -616,6 +641,58 @@ EXTRA_ORACLE_SQL = {
                     order by rrf_micros desc, doc_id) as int) as rank
         from fused
         qualify rank <= 10
+        order by query_id, rank
+    """,
+    # candidate-union + exact rerank: BM25 top-5 from the shared CTEs,
+    # dense top-5 brute-forced, DISTINCT union of (query, doc) pairs,
+    # exact cosine against the query vectors, (sim desc, doc_id) cut —
+    # the same round-6 math as ann_topk_cosine's sim (hash-proven there)
+    "hybrid_rerank": f"""
+        with {_BM25_CTES},
+        branked as (
+          select query_id, doc_id,
+                 row_number() over (partition by query_id
+                      order by score_micros desc, doc_id) as rank
+          from scored
+          qualify rank <= 5
+        ),
+        e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        qv as (select vec_id, v from e where vec_id in (1, 3, 5)),
+        cscored as (
+          select qv.vec_id as query_id, e.vec_id as neighbor_id,
+                 list_dot_product(qv.v, e.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(e.v, e.v))) as sim
+          from qv join e on e.vec_id <> qv.vec_id
+        ),
+        cranked as (
+          select query_id, neighbor_id as doc_id,
+                 row_number() over (partition by query_id
+                      order by sim desc, neighbor_id) as rank
+          from cscored
+          qualify rank <= 5
+        ),
+        cands as (
+          select query_id, doc_id from branked
+          union
+          select query_id, doc_id from cranked
+        ),
+        rescored as (
+          select c.query_id, c.doc_id,
+                 list_dot_product(qv.v, e.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(e.v, e.v))) as sim
+          from cands c
+          join qv on qv.vec_id = c.query_id
+          join e on e.vec_id = c.doc_id
+          where c.doc_id <> c.query_id
+        )
+        select query_id, doc_id,
+               cast(row_number() over (partition by query_id
+                    order by sim desc, doc_id) as int) as rank,
+               round(sim, 6) as cosine_sim
+        from rescored
+        qualify rank <= 5
         order by query_id, rank
     """,
     "profile": """
