@@ -277,3 +277,102 @@ def rrf_fuse(
         .select("query_id", "doc_id", "rrf_micros", "n_systems", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval metrics — the measurement half of the retrieval
+    family: evaluate any (query_id, doc_id, rank) result frame (bm25_topk,
+    cosine_topk, ann_index_search, hybrid_rerank_topk, rrf_fuse output)
+    against graded judgments (query_id, doc_id, rel; rel > 0 = relevant).
+
+    Output one row per JUDGED query (queries with no results still report,
+    with zero hits — the standard eval convention, and the failure mode
+    you most want visible):
+      (query_id, n_rel, hits_at_k, recall_at_k, mrr_micros, ndcg_micros)
+
+    - recall_at_k = relevant retrieved in top-k / min(n_rel, k) (the
+      'capped' recall, so a perfect top-k scores 1.0 even when n_rel > k)
+    - mrr_micros  = round(1e6 / rank of the first relevant hit), 0 if none
+    - ndcg_micros = round(1e6 * DCG@k / IDCG@k), graded, burges-style
+      gains (2^rel - 1), log2 discounts; micro-rounded per-position
+      contributions integer-sum on both sides of the ratio, so the value
+      is partition-order-independent and replays exactly in the DuckDB
+      oracle (suite/extra.py `retrieval_eval`).
+
+    Scale: results are top-k-bounded per query and qrels are judgment-
+    sized; everything shuffles on query_id only — dashboard-cheap next to
+    the retrievers it measures. Duplicate (query, doc) result rows raise
+    upstream design questions but are tolerated here (first rank wins)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = (
+        results.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank").alias("rank"))
+    )
+    j = qrels.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rel_col).cast("int").alias("rel"),
+    ).filter(F.col("rel") > 0)
+
+    gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0)
+    # per-position DCG contribution, micro-rounded BEFORE the sum — the
+    # order-independence pattern shared with bm25/rrf/perplexity
+    dcg_c = F.round(gain / F.log2(F.col("rank") + F.lit(1.0)) * 1e6).cast("bigint")
+    hits = j.join(r, ["query_id", "doc_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min("rank").alias("first_rel_rank"),
+        F.sum(dcg_c).alias("dcg_micros"),
+    )
+    # ideal DCG: the query's own judgments, best-first, cut at k
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    ideal = (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy("query_id")
+        .agg(F.sum(dcg_c).alias("idcg_micros"))
+    )
+    n_rel = j.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    return (
+        n_rel.join(ideal, "query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("int").alias("hits_at_k"),
+            F.round(
+                F.coalesce(F.col("hits_at_k"), F.lit(0))
+                / F.least(F.col("n_rel"), F.lit(k)),
+                6,
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.round(F.lit(1e6) / F.col("first_rel_rank")).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("mrr_micros"),
+            F.coalesce(
+                F.round(
+                    F.col("dcg_micros").cast("double")
+                    / F.col("idcg_micros").cast("double")
+                    * 1e6
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("ndcg_micros"),
+        )
+        .orderBy("query_id")
+    )

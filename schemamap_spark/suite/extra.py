@@ -357,6 +357,58 @@ def hybrid_rerank_q(spark, sf):
     return hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
 
 
+def retrieval_eval_q(spark, sf):
+    """The measurement half of the retrieval family, value-checked end to
+    end against GRADED qrels = exact cosine top-10 (rel = 11 - exact rank):
+    per-(system, query) recall@5 / MRR / nDCG@5 for TWO systems —
+    'hybrid' (hybrid_rerank_topk of BM25 + exact dense; saturates perfect
+    by construction, the sanity anchor that a perfect system scores 1.0)
+    and 'trunc32' (exact cosine over the raw 32-dim Matryoshka prefix; a
+    genuinely lossy retriever, so its partial hits exercise the capped
+    recall, the first-hit MRR, and the graded micro-rounded DCG arithmetic
+    in the non-trivial regime). Every stage replays in DuckDB — prefix
+    retrieval is a list slice, cosine is scale-invariant so the slice
+    needs no renormalization."""
+    from schemamap_spark.operators.retrieval import (
+        bm25_topk,
+        hybrid_rerank_topk,
+        retrieval_eval,
+    )
+    from schemamap_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    q_text = docs.filter(F.col("doc_id").isin(*_BM25_QUERY_DOCS)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = bm25_topk(docs, q_text, k=5)
+    q_vec = emb.filter(F.col("vec_id").isin(*_BM25_QUERY_DOCS))
+    dense = cosine_topk(emb, q_vec, k=5).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    hybrid = hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
+
+    emb_t = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    trunc = cosine_topk(
+        emb_t, emb_t.filter(F.col("vec_id").isin(*_BM25_QUERY_DOCS)), k=5
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+
+    qrels = cosine_topk(emb, q_vec, k=10).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        (F.lit(11) - F.col("rank")).alias("rel"),
+    )
+    return (
+        retrieval_eval(hybrid, qrels, k=5)
+        .select(F.lit("hybrid").alias("system"), "*")
+        .unionByName(
+            retrieval_eval(trunc, qrels, k=5)
+            .select(F.lit("trunc32").alias("system"), "*")
+        )
+        .orderBy("system", "query_id")
+    )
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -379,6 +431,7 @@ EXTRA_SPARK_QUERIES = {
     "bm25": bm25_q,
     "rrf_hybrid": rrf_hybrid_q,
     "hybrid_rerank": hybrid_rerank_q,
+    "retrieval_eval": retrieval_eval_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -694,6 +747,120 @@ EXTRA_ORACLE_SQL = {
         from rescored
         qualify rank <= 5
         order by query_id, rank
+    """,
+    # metrics over the hybrid system: hybrid top-5 (same CTEs as the
+    # hybrid_rerank row) scored against exact-cosine top-10 graded qrels;
+    # DCG terms micro-round before integer sums on both sides of the
+    # nDCG ratio, recall is capped at k, absent queries report zeros
+    "retrieval_eval": f"""
+        with {_BM25_CTES},
+        branked as (
+          select query_id, doc_id,
+                 row_number() over (partition by query_id
+                      order by score_micros desc, doc_id) as rank
+          from scored
+          qualify rank <= 5
+        ),
+        e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        qv as (select vec_id, v from e where vec_id in (1, 3, 5)),
+        cscored as (
+          select qv.vec_id as query_id, e.vec_id as neighbor_id,
+                 list_dot_product(qv.v, e.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(e.v, e.v))) as sim
+          from qv join e on e.vec_id <> qv.vec_id
+        ),
+        cranked as (
+          select query_id, neighbor_id as doc_id,
+                 row_number() over (partition by query_id
+                      order by sim desc, neighbor_id) as rank
+          from cscored
+        ),
+        cands as (
+          select query_id, doc_id from branked
+          union
+          select query_id, doc_id from cranked where rank <= 5
+        ),
+        rescored as (
+          select c.query_id, c.doc_id,
+                 list_dot_product(qv.v, e.v)
+                   / (sqrt(list_dot_product(qv.v, qv.v))
+                      * sqrt(list_dot_product(e.v, e.v))) as sim
+          from cands c
+          join qv on qv.vec_id = c.query_id
+          join e on e.vec_id = c.doc_id
+          where c.doc_id <> c.query_id
+        ),
+        hres as (
+          select query_id, doc_id,
+                 row_number() over (partition by query_id
+                      order by sim desc, doc_id) as rank
+          from rescored
+          qualify rank <= 5
+        ),
+        tscored as (
+          select qv.vec_id as query_id, e.vec_id as doc_id,
+                 list_dot_product(qv.v[1:32], e.v[1:32])
+                   / (sqrt(list_dot_product(qv.v[1:32], qv.v[1:32]))
+                      * sqrt(list_dot_product(e.v[1:32], e.v[1:32]))) as sim
+          from qv join e on e.vec_id <> qv.vec_id
+        ),
+        tres as (
+          select query_id, doc_id,
+                 row_number() over (partition by query_id
+                      order by sim desc, doc_id) as rank
+          from tscored
+          qualify rank <= 5
+        ),
+        res as (
+          select 'hybrid' as system, query_id, doc_id, rank from hres
+          union all
+          select 'trunc32' as system, query_id, doc_id, rank from tres
+        ),
+        qrels as (
+          select query_id, doc_id, 11 - rank as rel
+          from cranked where rank <= 10
+        ),
+        hits as (
+          select r.system, j.query_id,
+                 count(*) as hits_at_k,
+                 min(r.rank) as first_rel_rank,
+                 cast(sum(cast(round((pow(2, j.rel) - 1)
+                      / log2(r.rank + 1.0) * 1000000) as bigint)) as bigint)
+                   as dcg_micros
+          from qrels j
+          join res r using (query_id, doc_id)
+          group by 1, 2
+        ),
+        ideal as (
+          select query_id,
+                 cast(sum(cast(round((pow(2, rel) - 1)
+                      / log2(irank + 1.0) * 1000000) as bigint)) as bigint)
+                   as idcg_micros
+          from (
+            select query_id, rel,
+                   row_number() over (partition by query_id
+                        order by rel desc, doc_id) as irank
+            from qrels
+          )
+          where irank <= 5
+          group by 1
+        ),
+        nrel as (select query_id, count(*) as n_rel from qrels group by 1),
+        systems as (select distinct system from res)
+        select s.system, n.query_id, n.n_rel,
+               cast(coalesce(h.hits_at_k, 0) as int) as hits_at_k,
+               round(coalesce(h.hits_at_k, 0) / least(n.n_rel, 5), 6)
+                 as recall_at_k,
+               coalesce(cast(round(1000000.0 / h.first_rel_rank) as bigint),
+                        0) as mrr_micros,
+               coalesce(cast(round(h.dcg_micros / cast(i.idcg_micros as double)
+                        * 1000000) as bigint), 0) as ndcg_micros
+        from systems s
+        cross join nrel n
+        join ideal i using (query_id)
+        left join hits h on h.system = s.system and h.query_id = n.query_id
+        order by s.system, n.query_id
     """,
     "profile": """
         with m as (
