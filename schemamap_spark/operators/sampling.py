@@ -95,6 +95,46 @@ def stratified_sample(
     return df.filter(deterministic_bucket(id_col) < cutoff)
 
 
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float,
+    source_col: str = "source",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Derive a target mixture from the corpus itself by temperature
+    scaling: w_s ∝ n_s^alpha over per-source token counts — the standard
+    data-mixing recipe for rebalancing skewed source distributions
+    (public method: exponential smoothing in mC4/mT5 and XLM-R; alpha=1
+    keeps natural proportions, alpha=0 is uniform, alpha≈0.3 is the
+    common multilingual compromise that up-weights small sources without
+    letting them dominate).
+
+    Returns {source: weight} with weights summing to 1.0 — exactly the
+    `target_mix` shape mixture_weights / mixture_sample consume, so the
+    full pipeline is  temperature_mix(docs, 0.3) |> mixture_sample(docs,
+    _, budget).  Derivation is one per-source aggregation collected to
+    the driver (bounded by source cardinality, dozens not millions); the
+    sampling it feeds stays oracle-checked via the mixture_sample row."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    from schemamap_spark.functions.text import token_count
+
+    toks = F.col(tokens_col) if tokens_col else token_count(text_col)
+    avail = {
+        r["src"]: int(r["toks"])
+        for r in docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(toks).cast("bigint").alias("toks"))
+        .collect()
+        if r["toks"]
+    }
+    if not avail:
+        raise ValueError("no sources with tokens — nothing to mix")
+    powered = {s: float(n) ** alpha for s, n in avail.items()}
+    total = sum(powered.values())
+    return {s: w / total for s, w in sorted(powered.items())}
+
+
 def mixture_weights(
     docs: DataFrame,
     target_mix: dict[str, float],

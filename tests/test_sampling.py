@@ -182,3 +182,43 @@ def test_sample_n_per_group_deterministic_and_sized(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n must"):
         sample_n_per_group(docs, "source", 0)
+
+
+def test_temperature_mix_derivation(spark):
+    """w_s ∝ n_s^alpha: alpha=1 recovers natural token proportions,
+    alpha=0 is uniform, intermediate alpha up-weights small sources
+    monotonically; derived weights feed mixture_sample unchanged."""
+    from schemamap_spark.operators.sampling import (
+        mixture_sample,
+        temperature_mix,
+    )
+
+    docs = spark.createDataFrame(
+        # token counts by whitespace: big=8 tokens x 2 docs, small=2 x 1
+        [(1, "a b c d e f g h", "big"), (2, "a b c d e f g h", "big"),
+         (3, "a b", "small")],
+        "doc_id long, text string, source string",
+    )
+    nat = temperature_mix(docs, alpha=1.0)
+    assert abs(nat["big"] - 16 / 18) < 1e-12 and abs(nat["small"] - 2 / 18) < 1e-12
+    uni = temperature_mix(docs, alpha=0.0)
+    assert uni == {"big": 0.5, "small": 0.5}
+    mid = temperature_mix(docs, alpha=0.3)
+    assert nat["small"] < mid["small"] < uni["small"]  # up-weighted, bounded
+    assert abs(sum(mid.values()) - 1.0) < 1e-12
+
+    # pipeline shape: the derived dict IS mixture_sample's target_mix
+    kept = mixture_sample(docs, temperature_mix(docs, 0.3), token_budget=10)
+    assert kept.count() <= 3 and set(kept.columns) == set(docs.columns)
+
+    # precomputed token column takes the same path
+    pre = docs.withColumn("n_tok", F.lit(4))
+    assert temperature_mix(pre, 1.0, tokens_col="n_tok") == {
+        "big": 2 / 3, "small": 1 / 3,
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix(docs, -0.1)
+    with _pytest.raises(ValueError, match="no sources"):
+        temperature_mix(docs.filter("doc_id < 0"), 0.3)
