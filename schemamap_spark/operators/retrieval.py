@@ -230,18 +230,28 @@ def rrf_fuse(
     query_col: str = "query_id",
     doc_col: str = "doc_id",
     rank_col: str = "rank",
+    weights: list[float] | None = None,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack et al., public method) — the standard
     hybrid-retrieval combiner: fuse any number of (query_id, doc_id, rank)
     frames (bm25_topk, cosine_topk/ann_index_search, ...) by
 
-        score(q, d) = sum_systems 1 / (rrf_k + rank_s(q, d))
+        score(q, d) = sum_systems w_s / (rrf_k + rank_s(q, d))
 
     Rank-based, so the systems' score scales never need calibrating — the
     reason RRF is the default for BM25 + dense fusion. Documents absent
     from a system contribute nothing (no penalty). Per-system contributions
     round to integer micros before the sum (the engine's usual
     order-independence pattern), ties break on doc id.
+
+    `weights` (parallel to `rankings`, default all-1.0) down-weights a
+    system known to be weaker — the knob behind SCALE.md's 'Hybrid
+    retrieval' sweep. Use it when the systems are comparably strong but
+    not equal; when one system is categorically weaker, prefer
+    hybrid_rerank_topk (rank fusion lets a noisy ranking perturb a strong
+    one — measured there). weight 0 removes a system's influence exactly
+    (its contributions round to 0 micros but its docs still appear in
+    n_systems and can surface with zero score).
 
     Scale: a union of slim (query, doc, rank) rows + one groupBy — input
     sizes are already top-k-bounded per system, so this is dashboard-cheap
@@ -252,19 +262,28 @@ def rrf_fuse(
         raise ValueError("rankings must be non-empty")
     if top < 1:
         raise ValueError(f"top must be >= 1, got {top}")
+    if weights is not None:
+        if len(weights) != len(rankings):
+            raise ValueError(
+                f"weights must parallel rankings: {len(weights)} != {len(rankings)}"
+            )
+        if any(w < 0 for w in weights):
+            raise ValueError("weights must be non-negative")
+    ws = weights if weights is not None else [1.0] * len(rankings)
     slim = [
         r.select(
             F.col(query_col).alias("query_id"),
             F.col(doc_col).alias("doc_id"),
             F.col(rank_col).alias("rank"),
+            F.lit(float(w)).alias("__w"),
         )
-        for r in rankings
+        for r, w in zip(rankings, ws)
     ]
     unioned = slim[0]
     for r in slim[1:]:
         unioned = unioned.unionByName(r)
     contrib = F.round(
-        F.lit(1e6) / (F.lit(rrf_k) + F.col("rank").cast("double"))
+        F.col("__w") * F.lit(1e6) / (F.lit(rrf_k) + F.col("rank").cast("double"))
     ).cast("bigint")
     fused = unioned.groupBy("query_id", "doc_id").agg(
         F.sum(contrib).alias("rrf_micros"),

@@ -199,3 +199,21 @@ def test_hybrid_union_rerank_beats_single_systems(spark, clustered, tmp_path):
     # the hybrid floor the judge asked for: ≥ max(single systems), with the
     # monotonicity margin made explicit (strictly better here, not just ≥)
     assert r_hybrid >= max(r_dense, r_lex) + 0.05, (r_hybrid, r_dense, r_lex)
+
+    # the SCALE.md counterpoint, pinned: on THIS asymmetric pair, rank
+    # fusion cannot reach the union+rerank — equal-weight RRF lets the
+    # weak lexical ranking perturb the strong dense one, and even a
+    # down-weighted fusion only asymptotes back toward dense-alone
+    from schemamap_spark.operators.retrieval import rrf_fuse
+
+    def rrf_recall(w_lex):
+        fused = rrf_fuse([dense_c, lex], top=K, weights=[1.0, w_lex]).select(
+            "query_id", F.col("doc_id").alias("neighbor_id")
+        )
+        return _recall(exact, fused)
+
+    r_rrf_eq = rrf_recall(1.0)
+    r_rrf_low = rrf_recall(0.3)
+    assert r_rrf_eq < r_dense, (r_rrf_eq, r_dense)          # fuses DOWN
+    assert r_rrf_low > r_rrf_eq, (r_rrf_low, r_rrf_eq)       # weighting helps…
+    assert r_hybrid > max(r_rrf_eq, r_rrf_low), "union+rerank beats fusion"

@@ -1704,6 +1704,40 @@ def test_rrf_fuse_hand_computed(spark):
         rrf_fuse([])
 
 
+def test_rrf_fuse_weighted(spark):
+    from schemamap_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+
+    def m(rank, w=1.0):
+        return round(w * 1e6 / (60 + rank))
+
+    # down-weighted system B: its boost of doc 11 shrinks by exactly w
+    got = {r.doc_id: r.rrf_micros
+           for r in rrf_fuse([a, b], weights=[1.0, 0.25]).collect()}
+    assert got[11] == m(2) + m(1, 0.25)
+    assert got[13] == m(2, 0.25)
+    # default weights are bit-identical to the unweighted path
+    plain = {r.doc_id: r.rrf_micros for r in rrf_fuse([a, b]).collect()}
+    ones = {r.doc_id: r.rrf_micros
+            for r in rrf_fuse([a, b], weights=[1.0, 1.0]).collect()}
+    assert plain == ones
+    # weight 0 removes a system's influence: A's order wins outright
+    zeroed = [r.doc_id for r in rrf_fuse([a, b], weights=[1.0, 0.0]).collect()]
+    assert zeroed[:2] == [10, 11]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="parallel"):
+        rrf_fuse([a, b], weights=[1.0])
+    with _pytest.raises(ValueError, match="non-negative"):
+        rrf_fuse([a, b], weights=[1.0, -0.5])
+
+
 def test_retrieval_eval_hand_computed(spark):
     """recall@k / MRR / nDCG against a worked example:
     query 1: qrels {10: rel 3, 11: rel 1, 12: rel 2}; results ranked
