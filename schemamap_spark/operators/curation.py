@@ -342,10 +342,14 @@ def append_corpus_stats(
     bins: int = 1000,
 ) -> None:
     """Sketch a batch into the two-part parquet store (store_dir/scalars,
-    store_dir/hist)."""
+    store_dir/hist). Write ORDER is the crash contract: hist first, scalars
+    last — the scalars row is the batch's commit record, and
+    corpus_stats_report cross-checks the two (a committed batch with
+    q_docs > 0 but no hist rows can only be a torn append, and raises)."""
     scalars, hist = corpus_stats_partials(docs, batch_id, text_col, group_col, bins)
-    scalars.write.mode("append").parquet(f"{store_dir}/scalars")
+    # one computation for the two writes (they share the scan + quality)
     hist.write.mode("append").parquet(f"{store_dir}/hist")
+    scalars.write.mode("append").parquet(f"{store_dir}/scalars")
 
 
 def corpus_stats_report(spark, store_dir: str) -> DataFrame:
@@ -354,8 +358,35 @@ def corpus_stats_report(spark, store_dir: str) -> DataFrame:
     (resolution 1/bins, with bins read from the store itself — mixed-bins
     stores raise rather than silently mis-scaling), HLL unique-text
     estimate and clamped dup ratio. Cost scales with store rows (batches x
-    groups x occupied bins)."""
+    groups x occupied bins).
+
+    Torn-append detection: append_corpus_stats writes hist BEFORE scalars,
+    so a scalars batch with q_docs > 0 whose batch_id is absent from hist
+    can only mean a crash between the two writes — the report raises and
+    names the batches (quantiles silently computed over a subset of the
+    batches the means cover would be a wrong dashboard, not a slow one)."""
     from pyspark.sql import Window
+
+    committed = spark.read.parquet(f"{store_dir}/scalars")
+    hist_batches = {
+        r.batch_id
+        for r in spark.read.parquet(f"{store_dir}/hist")
+        .select("batch_id").distinct().collect()
+    }
+    torn = sorted(
+        r.batch_id
+        for r in committed.groupBy("batch_id")
+        .agg(F.sum("q_docs").alias("q"))
+        .filter(F.col("q") > 0)
+        .collect()
+        if r.batch_id not in hist_batches
+    )
+    if torn:
+        raise ValueError(
+            f"corpus stats store is torn: batches {torn} committed scalars "
+            "with quality docs but no histogram rows (crash between the two "
+            "appends) — re-append those batches"
+        )
 
     bins_vals = [
         r.bins for r in spark.read.parquet(f"{store_dir}/hist").select("bins").distinct().collect()
@@ -370,7 +401,7 @@ def corpus_stats_report(spark, store_dir: str) -> DataFrame:
     bins = int(bins_vals[0]) if bins_vals else None
 
     scalars = (
-        spark.read.parquet(f"{store_dir}/scalars")
+        committed
         .groupBy("group")
         .agg(
             F.sum("docs").cast("bigint").alias("docs"),

@@ -68,6 +68,37 @@ def test_null_text_docs_match_batch_report_semantics(spark, tmp_path):
     assert g.docs == 1 and g.quality_mean is None
 
 
+def test_torn_append_detected(spark, tmp_path):
+    """A crash between the two store writes (hist first, scalars last by
+    contract) leaves a scalars batch with quality docs but no histogram
+    rows — the report must raise and name the batch, never serve quantiles
+    computed over fewer batches than the means."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "a perfectly fine document with words.", "s")],
+        "doc_id long, text string, source string",
+    )
+    store = str(tmp_path / "stats_store")
+    append_corpus_stats(docs, store, "b0")
+    # simulate the torn batch: scalars committed, hist rows lost
+    from schemamap_spark.operators.curation import corpus_stats_partials
+
+    scalars, _hist = corpus_stats_partials(docs, "b1")
+    scalars.write.mode("append").parquet(f"{store}/scalars")
+    with pytest.raises(ValueError, match=r"torn.*b1"):
+        corpus_stats_report(spark, store)
+
+    # but an all-NULL-quality batch legitimately has no hist rows: no raise
+    ghosts = spark.createDataFrame(
+        [(9, None, "s")], "doc_id long, text string, source string"
+    )
+    store2 = str(tmp_path / "ok_store")
+    append_corpus_stats(docs, store2, "b0")
+    append_corpus_stats(ghosts, store2, "b1")
+    assert corpus_stats_report(spark, store2).collect()[0].docs == 2
+
+
 def test_sketch_merge_equals_one_shot_ndv(spark, tmp_path):
     """The HLL component must merge exactly: 3-way-split union == single
     sketch over everything (register max is split-insensitive)."""
