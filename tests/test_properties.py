@@ -445,3 +445,64 @@ def test_sample_n_per_group_model(spark, rows, n):
         for i in sorted(ids_, key=lambda x: ((x % MOD) * KNUTH % MOD, x))[:n]
     )
     assert got == want
+
+
+@SET
+@given(
+    results=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 14)),
+        max_size=20,
+        unique=True,
+    ),
+    qrels=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 14), st.integers(0, 4)),
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    k=st.integers(1, 5),
+)
+def test_retrieval_eval_model(spark, results, qrels, k):
+    """retrieval_eval vs a pure-Python model over adversarial shapes:
+    overlapping/missing queries, rel=0 judgments, ranks past k, ties."""
+    import math
+
+    from schemamap_spark.operators.retrieval import retrieval_eval
+
+    # assign ranks per query by doc order of appearance (dense 1..n)
+    per_q: dict[int, list[int]] = {}
+    rows = []
+    for q, d in results:
+        per_q.setdefault(q, []).append(d)
+        rows.append((q, d, len(per_q[q])))
+    if not rows:
+        rows = [(99, 99, 1)]  # spark needs a non-empty frame for schema
+    rdf = spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+    jrows = qrels or [(98, 98, 0)]
+    jdf = spark.createDataFrame(jrows, "query_id long, doc_id long, rel int")
+
+    got = {r.query_id: r for r in retrieval_eval(rdf, jdf, k=k).collect()}
+
+    def c(rel, rank):
+        return round((2 ** rel - 1) / math.log2(rank + 1) * 1e6)
+
+    judged: dict[int, dict[int, int]] = {}
+    for q, d, rel in jrows:
+        if rel > 0:
+            judged.setdefault(q, {})[d] = rel
+    assert set(got) == set(judged)
+    for q, rels in judged.items():
+        ranked = [(d, r) for d, r in
+                  [(d, i + 1) for i, d in enumerate(per_q.get(q, []))] if r <= k]
+        hits = [(d, r) for d, r in ranked if d in rels]
+        n_rel = len(rels)
+        dcg = sum(c(rels[d], r) for d, r in hits)
+        ideal = sorted(rels.values(), reverse=True)[:k]
+        idcg = sum(c(rel, i + 1) for i, rel in enumerate(ideal))
+        row = got[q]
+        assert row.n_rel == n_rel
+        assert row.hits_at_k == len(hits)
+        assert row.recall_at_k == round(len(hits) / min(n_rel, k), 6)
+        assert row.mrr_micros == (
+            round(1e6 / min(r for _, r in hits)) if hits else 0
+        )
+        assert row.ndcg_micros == (round(dcg / idcg * 1e6) if hits else 0)
