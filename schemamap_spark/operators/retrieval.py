@@ -176,9 +176,14 @@ def hybrid_rerank_topk(
 
     Scale shape: inputs are already top-k-bounded per (system, query), so
     the union is slim (query, doc) rows — systems × queries × depth, never
-    corpus-sized; the rerank joins vectors by id (one shuffle on the id,
-    high-dim payloads ride only for candidates) with the query side
-    broadcast under the same bounded-queries assumption as cosine_topk."""
+    corpus-sized. The whole candidate side (ids + their query vectors) is
+    explicitly BROADCAST into the corpus scan — without the hint Spark's
+    stats pick the corpus as the build side at small scale, which
+    inverts into a full corpus-vector shuffle (or OOM broadcast) at real
+    scale. The corpus is therefore never shuffled OR broadcast: one scan,
+    hash-probe per row. Candidate-side size is bounded by the same
+    bounded-queries contract as cosine_topk (queries × systems × depth
+    rows, each carrying one query vector)."""
     from pyspark.sql import Window
 
     from schemamap_spark.operators.similarity import cosine
@@ -205,10 +210,9 @@ def hybrid_rerank_topk(
     cv = corpus.select(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("c_vec")
     )
+    cand_q = cands.distinct().join(F.broadcast(qv), "query_id")
     scored = (
-        cands.distinct()
-        .join(F.broadcast(qv), "query_id")
-        .join(cv, "doc_id")
+        cv.join(F.broadcast(cand_q), "doc_id")
         .filter(F.col("query_id") != F.col("doc_id"))
         .select(
             "query_id", "doc_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")

