@@ -251,3 +251,45 @@ def ann_index_search(
         k, nprobe, rerank, vectors,
         id_col=meta["id_col"], vec_col=meta["vec_col"],
     )
+
+
+def ann_index_compact(spark: SparkSession, index_dir: str) -> int:
+    """Fold all committed APPEND batches into one code dir — the store's
+    small-file debt collector: after N daily appends every search opens
+    N+1 parquet dirs; compaction returns that to 2 (build codes + one
+    compacted batch dir) without touching the build codes or the drift
+    accounting (the compacted entry carries the SUM of the folded batches'
+    occupancies, so ann_index_drift reports exactly what it did before —
+    folding appended rows into `codes/` instead would misfile them as
+    trained mass). Returns the number of batch dirs folded (0 = no-op).
+
+    Crash contract mirrors append: the union writes to a hidden temp dir,
+    renames, and publishes via one atomic manifest rewrite; the superseded
+    batch dirs are deleted only AFTER the commit, so a crash at any point
+    leaves either the old manifest (old dirs intact) or the new one
+    (orphan old dirs that no reader consults). Single-writer, like every
+    store in the repo."""
+    import shutil
+
+    _require_local(index_dir, "ann_index_compact")
+    manifest = _load_manifest(index_dir)
+    batches = [d for d in manifest["dirs"] if d["name"] != _CODES]
+    if len(batches) < 2:
+        return 0
+    paths = [os.path.join(index_dir, d["name"]) for d in batches]
+    tmp_dir = tempfile.mkdtemp(dir=index_dir, prefix=".batch_")
+    spark.read.parquet(*paths).write.mode("overwrite").parquet(tmp_dir)
+    occupancy: dict[str, int] = {}
+    for d in batches:
+        for cell, n in d.get("occupancy", {}).items():
+            occupancy[cell] = occupancy.get(cell, 0) + n
+    final_name = "batch_" + os.path.basename(tmp_dir)[len(".batch_"):]
+    os.rename(tmp_dir, os.path.join(index_dir, final_name))
+    keep = [d for d in manifest["dirs"] if d["name"] == _CODES]
+    _commit_manifest(
+        index_dir,
+        {**manifest, "dirs": keep + [{"name": final_name, "occupancy": occupancy}]},
+    )
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(batches)

@@ -197,3 +197,42 @@ def test_store_paths_must_be_local(spark, emb, tmp_path):
     ann_index_build(emb.limit(64), idx, m=8, num_centroids=4)
     with pytest.raises(ValueError, match="driver-local"):
         ann_index_append(emb, "hdfs://nn/idx")
+
+
+def test_compact_folds_batches_preserving_search_and_drift(spark, emb, tmp_path):
+    """Compaction is pure layout: search results byte-identical, drift
+    identical (the compacted entry carries the summed occupancies — folded
+    rows must stay filed as APPENDED mass, not trained), store down to
+    build codes + one batch dir, superseded dirs gone."""
+    import json
+    import os
+
+    from schemamap_spark.operators.ann_index import (
+        ann_index_compact,
+        ann_index_drift,
+    )
+
+    idx = str(tmp_path / "idx")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(half, idx, m=8, num_centroids=16)
+    rest = emb.subtract(half)
+    for m in (1, 3, 5):
+        ann_index_append(rest.filter(F.col("vec_id") % 7 == m), idx)
+
+    before = sorted(map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect()))
+    drift_before = ann_index_drift(idx)
+
+    assert ann_index_compact(spark, idx) == 3
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        dirs = json.load(f)["dirs"]
+    assert len(dirs) == 2 and dirs[0]["name"] == "codes"
+    on_disk = {d for d in os.listdir(idx) if d.startswith("batch_")}
+    assert on_disk == {dirs[1]["name"]}  # superseded dirs deleted
+
+    after = sorted(map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect()))
+    assert after == before
+    assert ann_index_drift(idx) == drift_before
+
+    # idempotent: a second compact is a no-op
+    assert ann_index_compact(spark, idx) == 0
