@@ -1843,3 +1843,9 @@ def test_hybrid_rerank_corpus_never_shuffles_or_broadcasts(spark):
     rows = out.collect()
     assert {r.query_id for r in rows} == {1, 2, 3}
     assert all(r.cosine_sim is not None for r in rows)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        hybrid_rerank_topk([], emb, q)
+    with _pytest.raises(ValueError, match="k must be"):
+        hybrid_rerank_topk([ranking], emb, q, k=0)
