@@ -43,6 +43,7 @@ def main() -> None:
     from schemamap_spark.operators.ann_index import (
         ann_index_append,
         ann_index_build,
+        ann_index_compact,
         ann_index_search,
     )
     from schemamap_spark.operators.similarity import cosine_topk
@@ -65,10 +66,18 @@ def main() -> None:
     ann_index_build(emb, idx, m=16, k_per_sub=64, num_centroids=64, sample=8192)
     t_build = time.monotonic() - t0
 
-    batch = spark.createDataFrame(make_corpus(N_APPEND, seed=8, id_base=N))
+    t_append = 0.0
+    for j in range(4):
+        batch = spark.createDataFrame(
+            make_corpus(N_APPEND // 4, seed=8 + j, id_base=N + j * (N_APPEND // 4))
+        )
+        t0 = time.monotonic()
+        ann_index_append(batch, idx)
+        t_append += time.monotonic() - t0
+
     t0 = time.monotonic()
-    ann_index_append(batch, idx)
-    t_append = time.monotonic() - t0
+    folded = ann_index_compact(spark, idx)
+    t_compact = time.monotonic() - t0
 
     t0 = time.monotonic()
     exact = cosine_topk(emb, q, k=K, method="matmul").cache()
@@ -106,7 +115,8 @@ def main() -> None:
     print(f"corpus {N:,} + append {N_APPEND:,}  x {DIMS} dims, "
           f"{CLUSTERS} clusters; {N_Q} queries, k={K}")
     print(f"build  (train+encode+swap): {t_build:.1f}s")
-    print(f"append ({N_APPEND:,} rows):       {t_append:.1f}s")
+    print(f"append ({N_APPEND:,} rows, 4 batches): {t_append:.1f}s")
+    print(f"compact ({folded} batches -> 1):   {t_compact:.1f}s")
     print(f"exact brute force (matmul): {t_exact:.1f}s  ({n_exact} rows)")
     for nprobe, rerank, dt, r in results:
         tag = f"nprobe={nprobe}" + (f" rerank={rerank}x" if rerank else "")
