@@ -357,6 +357,28 @@ def hybrid_rerank_q(spark, sf):
     return hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
 
 
+_BENCH_DOCS = (2, 4, 6)
+
+
+def contamination_q(spark, sf):
+    """Benchmark decontamination scan, value-checked: hashed 3-gram overlap
+    of three 'benchmark' docs against the whole corpus (the 13-gram rule at
+    a k dense enough to overlap on the fixture — 100 pairs at sf0.01), with
+    the max_df stop-gram guard doing real work (common trigrams exceed the
+    df cap). The oracle joins on the RAW gram strings where Spark
+    joins on xxhash64 — identical counts absent a 64-bit collision between
+    co-occurring grams, which is the operator's own correctness premise.
+    Self-pairs (bench doc vs itself in the corpus) come back at
+    contamination 1.0 — the built-in sanity anchor."""
+    from schemamap_spark.operators.dedup import contamination_report
+
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id").isin(*_BENCH_DOCS))
+    return contamination_report(docs, bench, k=3, max_df=50).orderBy(
+        "bench_id", "corpus_id"
+    )
+
+
 def retrieval_eval_q(spark, sf):
     """The measurement half of the retrieval family, value-checked end to
     end against GRADED qrels = exact cosine top-10 (rel = 11 - exact rank):
@@ -432,6 +454,7 @@ EXTRA_SPARK_QUERIES = {
     "rrf_hybrid": rrf_hybrid_q,
     "hybrid_rerank": hybrid_rerank_q,
     "retrieval_eval": retrieval_eval_q,
+    "contamination": contamination_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -747,6 +770,43 @@ EXTRA_ORACLE_SQL = {
         from rescored
         qualify rank <= 5
         order by query_id, rank
+    """,
+    # joins on raw 3-gram strings where Spark joins on xxhash64(gram) —
+    # counts agree absent a 64-bit collision between co-occurring grams;
+    # the max_df guard replays as a df-threshold anti-filter before the join
+    "contamination": """
+        with t as (select doc_id, string_split(text, ' ') as toks from documents),
+        sh as (
+          select doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 2, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]
+                 )) as sh
+          from t where len(toks) >= 3
+        ),
+        ex as (select doc_id, unnest(sh) as g from sh),
+        bench as (select doc_id as bench_id, g from ex where doc_id in (2, 4, 6)),
+        bench_sizes as (
+          select bench_id, count(*) as bench_ngrams from bench group by 1
+        ),
+        hot as (
+          select g from ex group by g having count(*) > 50
+        ),
+        corp as (
+          select doc_id as corpus_id, g from ex
+          where g not in (select g from hot)
+        ),
+        shared as (
+          select b.bench_id, c.corpus_id, count(*) as shared_ngrams
+          from bench b join corp c using (g)
+          group by 1, 2
+        )
+        select s.bench_id, s.corpus_id,
+               s.shared_ngrams, z.bench_ngrams,
+               round(cast(s.shared_ngrams as double)
+                     / cast(z.bench_ngrams as double), 6) as contamination
+        from shared s join bench_sizes z using (bench_id)
+        order by bench_id, corpus_id
     """,
     # metrics over the hybrid system: hybrid top-5 (same CTEs as the
     # hybrid_rerank row) scored against exact-cosine top-10 graded qrels;
