@@ -357,6 +357,23 @@ def hybrid_rerank_q(spark, sf):
     return hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
 
 
+def containment_q(spark, sf):
+    """Asymmetric containment over winnowing fingerprints, value-checked
+    via the committed-golden pattern (the SimHash/LSH situation): the
+    window-min selects by xxhash64 VALUE, so the fingerprint sets have no
+    portable SQL twin — the engine's (doc_id, f) rows at sf0.01 are a
+    committed fixture (tools/gen_winnow_golden.py), and the oracle
+    recomputes sizes, the max_df stop-fingerprint filter, shared counts
+    and the |FP_i∩FP_j|/|FP_i| ratio from the golden. The hash pins both
+    the winnowing output and the containment arithmetic."""
+    from schemamap_spark.operators.dedup import containment_pairs
+    from schemamap_spark.suite.llm import _require_golden_sf
+
+    _require_golden_sf(sf, "containment")
+    docs = load_table(spark, sf, "documents")
+    return containment_pairs(docs, threshold=0.5, k=3, w=4, max_df=50)
+
+
 _BENCH_DOCS = (2, 4, 6)
 
 
@@ -455,6 +472,7 @@ EXTRA_SPARK_QUERIES = {
     "hybrid_rerank": hybrid_rerank_q,
     "retrieval_eval": retrieval_eval_q,
     "contamination": contamination_q,
+    "containment": containment_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -770,6 +788,29 @@ EXTRA_ORACLE_SQL = {
         from rescored
         qualify rank <= 5
         order by query_id, rank
+    """,
+    # golden-driven: fingerprints from the committed winnowing fixture;
+    # sizes from the FULL golden, the max_df filter only prunes the join
+    # side — exactly containment_pairs' structure
+    "containment": f"""
+        with g as (
+          select doc_id, f
+          from read_parquet('{FIX}/winnow_fps_sf0_01.parquet')
+        ),
+        sizes as (select doc_id, count(*) as n_fp from g group by 1),
+        hot as (select f from g group by f having count(*) > 50),
+        ex as (select doc_id, f from g where f not in (select f from hot)),
+        shared as (
+          select a.doc_id as i, b.doc_id as j, count(*) as shared
+          from ex a join ex b on a.f = b.f and a.doc_id <> b.doc_id
+          group by 1, 2
+        )
+        select s.i, s.j,
+               round(cast(s.shared as double) / cast(z.n_fp as double), 6)
+                 as containment
+        from shared s join sizes z on z.doc_id = s.i
+        where round(cast(s.shared as double) / cast(z.n_fp as double), 6) >= 0.5
+        order by i, j
     """,
     # joins on raw 3-gram strings where Spark joins on xxhash64(gram) —
     # counts agree absent a 64-bit collision between co-occurring grams;
