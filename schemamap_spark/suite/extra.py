@@ -357,6 +357,22 @@ def hybrid_rerank_q(spark, sf):
     return hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
 
 
+def corpus_stats_q(spark, sf):
+    """The incremental corpus-stats SCALARS, value-checked: per-source doc/
+    quality-doc counts, exact token/char sums, and the order-independent
+    integer micro-sum of quality — every additive piece of
+    corpus_stats_partials except the (engine-specific binary) HLL sketch.
+    This is the frame the no-rescan dashboard merges, so pinning it pins
+    the incremental path's arithmetic, not just its batch==merged pytest."""
+    from schemamap_spark.operators.curation import corpus_stats_partials
+
+    docs = load_table(spark, sf, "documents")
+    scalars, _ = corpus_stats_partials(docs, "b0")
+    return scalars.select(
+        "group", "docs", "q_docs", "tokens", "chars", "q_micros"
+    ).orderBy("group")
+
+
 def containment_q(spark, sf):
     """Asymmetric containment over winnowing fingerprints, value-checked
     via the committed-golden pattern (the SimHash/LSH situation): the
@@ -473,6 +489,7 @@ EXTRA_SPARK_QUERIES = {
     "retrieval_eval": retrieval_eval_q,
     "contamination": contamination_q,
     "containment": containment_q,
+    "corpus_stats": corpus_stats_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -788,6 +805,32 @@ EXTRA_ORACLE_SQL = {
         from rescored
         qualify rank <= 5
         order by query_id, rank
+    """,
+    # the quality twin is the curate/quantile oracles' expression verbatim;
+    # micro-sum outer-cast to bigint (DuckDB sum -> HUGEINT -> float64 trap)
+    "corpus_stats": """
+        with tk as (select doc_id, source, text,
+                           string_split(text, ' ') as toks from documents),
+        q as (
+          select source, text,
+                 round(0.5 * least(len(toks) / 100.0, 1.0)
+                       + 0.4 * (len(list_distinct(toks)) * 1.0 / len(toks))
+                       + 0.1 * least(len(list_filter(toks,
+                             x -> list_contains(['the','a','of','and','is','to','in'], x)))
+                                     * 1.0 / len(toks) * 5.0, 1.0), 6) as quality,
+                 len(toks) as n_tok
+          from tk
+        )
+        select source as "group",
+               count(*) as docs,
+               count(quality) as q_docs,
+               cast(sum(n_tok) as bigint) as tokens,
+               cast(sum(length(text)) as bigint) as chars,
+               cast(sum(cast(round(quality * 1000000) as bigint)) as bigint)
+                 as q_micros
+        from q
+        group by 1
+        order by 1
     """,
     # golden-driven: fingerprints from the committed winnowing fixture;
     # sizes from the FULL golden, the max_df filter only prunes the join
