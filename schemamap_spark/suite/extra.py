@@ -357,6 +357,24 @@ def hybrid_rerank_q(spark, sf):
     return hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
 
 
+def quantize_q(spark, sf):
+    """Symmetric int8 quantization of the embeddings table, value-checked
+    element-wise: per-row scale = max|x|/127, q[i] = round(x[i]/scale).
+    Both engines compute the unrounded scale bit-identically (list-max +
+    one divide), so the code arrays match exactly; the output scale is
+    round-9 for hash stability and codes go out as array<int> (tinyint
+    survives, but int keeps the pandas dtype identical across engines)."""
+    from schemamap_spark.operators.embeddings import quantize_embeddings
+
+    emb = load_table(spark, sf, "embeddings")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        F.round("qscale", 9).alias("qscale"),
+        F.transform(F.col("qvec"), lambda x: x.cast("int")).alias("qvec"),
+    ).orderBy("vec_id")
+
+
 def corpus_stats_q(spark, sf):
     """The incremental corpus-stats SCALARS, value-checked: per-source doc/
     quality-doc counts, exact token/char sums, and the order-independent
@@ -490,6 +508,7 @@ EXTRA_SPARK_QUERIES = {
     "contamination": contamination_q,
     "containment": containment_q,
     "corpus_stats": corpus_stats_q,
+    "quantize": quantize_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -805,6 +824,23 @@ EXTRA_ORACLE_SQL = {
         from rescored
         qualify rank <= 5
         order by query_id, rank
+    """,
+    # per-row scale and codes recomputed from scratch; the lambda's outer
+    # reference to `scale` is a correlated column, supported by both engines
+    "quantize": """
+        with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        s as (
+          select vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127.0 as scale
+          from e
+        )
+        select vec_id,
+               round(scale, 9) as qscale,
+               case when scale > 0
+                    then list_transform(v, x -> cast(round(x / scale) as int))
+                    else list_transform(v, x -> 0) end as qvec
+        from s
+        order by vec_id
     """,
     # the quality twin is the curate/quantile oracles' expression verbatim;
     # micro-sum outer-cast to bigint (DuckDB sum -> HUGEINT -> float64 trap)
