@@ -357,6 +357,25 @@ def hybrid_rerank_q(spark, sf):
     return hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
 
 
+def matryoshka_q(spark, sf):
+    """Matryoshka truncation to 32 dims with L2 renormalization,
+    value-checked element-wise: both engines fold the prefix dot product
+    sequentially in array order (Spark aggregate, DuckDB list_dot_product),
+    so the norm — and every renormalized element — is bit-identical before
+    the round-6 output. Zero-norm prefixes pass through unnormalized in
+    both (the operator's documented contract)."""
+    from schemamap_spark.operators.embeddings import truncate_embeddings
+
+    emb = load_table(spark, sf, "embeddings")
+    out = truncate_embeddings(emb, 32)
+    return out.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding_trunc"), lambda x: F.round(x, 6)
+        ).alias("vec32"),
+    ).orderBy("vec_id")
+
+
 def quantize_q(spark, sf):
     """Symmetric int8 quantization of the embeddings table, value-checked
     element-wise: per-row scale = max|x|/127, q[i] = round(x[i]/scale).
@@ -509,6 +528,7 @@ EXTRA_SPARK_QUERIES = {
     "containment": containment_q,
     "corpus_stats": corpus_stats_q,
     "quantize": quantize_q,
+    "matryoshka": matryoshka_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -824,6 +844,21 @@ EXTRA_ORACLE_SQL = {
         from rescored
         qualify rank <= 5
         order by query_id, rank
+    """,
+    # prefix slice + sequential-fold norm + per-element renormalize; the
+    # zero-norm passthrough replays as a case
+    "matryoshka": """
+        with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        p as (select vec_id, v[1:32] as pv from e),
+        n as (
+          select vec_id, pv, sqrt(list_dot_product(pv, pv)) as nrm from p
+        )
+        select vec_id,
+               case when nrm > 0
+                    then list_transform(pv, x -> round(x / nrm, 6))
+                    else list_transform(pv, x -> round(x, 6)) end as vec32
+        from n
+        order by vec_id
     """,
     # per-row scale and codes recomputed from scratch; the lambda's outer
     # reference to `scale` is a correlated column, supported by both engines
