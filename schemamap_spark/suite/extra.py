@@ -4,21 +4,25 @@
 The driver caps queries() at 50 entries, so coverage that outgrows the cap
 lands here instead of silently losing its oracle: tools/parity.py and
 tests/test_oracle_parity.py run these exactly like driver entries (rows +
-schema + order-insensitive value hash vs DuckDB). Current entries:
+schema + order-insensitive value hash vs DuckDB).
 
-- q33_cube: demoted from the driver registry in round 5 (slot given to
-  quality_quantile_filter); CUBE's grouping-sets machinery is also proven by
-  q28_rollup, this keeps the full value-check.
-- incremental_dedup: the daily-ingest exact-dedup shape (batch 2 anti-joins
-  its digests against batch 1's persisted fingerprint store). DuckDB replays
-  the digest anti-join exactly, value-checking the incremental path outside
-  the repo's own two-batch == full-batch pytest.
-- semantic_dedup: SemDeDup composition (exact metric-pruned cosine pairs →
-  connected components → min-id representative). DuckDB brute-forces the
-  pairs and replays the closure with a recursive CTE.
-- mixture_sample: token-budgeted source-mixture sampling. Fully
-  deterministic (Knuth buckets + floor'd per-mille cutoffs BY CONTRACT), so
-  DuckDB replays the entire plan — totals, fractions, cutoffs, row picks.
+Entry families (each function's docstring carries its own contract):
+- demoted driver rows keeping their full value-check (q04_left_join,
+  q33_cube);
+- incremental / storeful twins (incremental_dedup, scd2_merge, scd2_as_of,
+  corpus_stats);
+- training-data ops beyond the driver cap (semantic_dedup, mixture_sample,
+  sample_per_source, fuzzy_match, perplexity, key_skew, line_dedup,
+  interval_join, profile, quantize, matryoshka, contamination);
+- the retrieval family end to end (bm25, rrf_hybrid, hybrid_rerank,
+  retrieval_eval);
+- committed-golden rows where Spark hashing has no portable SQL twin
+  (containment — winnowing fingerprints, sf0.01-guarded like the
+  SimHash/LSH goldens in suite/llm.py).
+
+Portability conventions are the suite-wide ones (ROUND_NOTES traps):
+integer micro-sums for order-independence, round(…, 6) ratios, outer
+bigint casts on aggregate sums, explicit total orders at every top-k cut.
 """
 
 from __future__ import annotations
