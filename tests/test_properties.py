@@ -506,3 +506,58 @@ def test_retrieval_eval_model(spark, results, qrels, k):
             round(1e6 / min(r for _, r in hits)) if hits else 0
         )
         assert row.ndcg_micros == (round(dcg / idcg * 1e6) if hits else 0)
+
+
+@SET
+@given(
+    initial=st.lists(
+        st.tuples(ids, st.one_of(st.none(), st.integers(0, 3))),
+        max_size=6, unique_by=lambda t: t[0],
+    ),
+    upd1=st.lists(
+        st.tuples(ids, st.one_of(st.none(), st.integers(0, 3))),
+        max_size=6, unique_by=lambda t: t[0],
+    ),
+    upd2=st.lists(
+        st.tuples(ids, st.one_of(st.none(), st.integers(0, 3))),
+        max_size=6, unique_by=lambda t: t[0],
+    ),
+)
+def test_scd2_chain_model(spark, initial, upd1, upd2):
+    """Two chained SCD2 merges vs a pure-Python versioned-dict model:
+    close-on-change (null-safe), insert-on-new, carry-on-absent — over
+    adversarial shapes incl. NULL tracked values and empty snapshots."""
+    from schemamap_spark.sources.merge import scd2_init, scd2_merge
+
+    T = ["2024-01-01 00:00:00", "2024-02-01 00:00:00", "2024-03-01 00:00:00"]
+    schema = "id long, v long"
+
+    dim = scd2_init(spark.createDataFrame(initial, schema), T[0])
+    out = dim
+    for i, upd in enumerate((upd1, upd2)):
+        out = scd2_merge(out, spark.createDataFrame(upd, schema), ["id"], T[i + 1])
+
+    # model: id -> list of [value, from, to, current]
+    hist: dict[int, list[list]] = {i: [[v, T[0], None, True]] for i, v in initial}
+    for t, upd in ((T[1], upd1), (T[2], upd2)):
+        for i, v in upd:
+            if i in hist:
+                cur = hist[i][-1]
+                if cur[0] != v:  # null-safe: None != 2, None == None
+                    cur[2], cur[3] = t, False
+                    hist[i].append([v, t, None, True])
+            else:
+                hist[i] = [[v, t, None, True]]
+
+    want = {
+        (i, row[0], row[1], row[2], row[3])
+        for i, rows in hist.items() for row in rows
+    }
+    got = {
+        (r.id, r.v,
+         str(r.valid_from)[:19],
+         str(r.valid_to)[:19] if r.valid_to else None,
+         r.is_current)
+        for r in out.collect()
+    }
+    assert got == want
