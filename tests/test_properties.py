@@ -561,3 +561,41 @@ def test_scd2_chain_model(spark, initial, upd1, upd2):
         for r in out.collect()
     }
     assert got == want
+
+
+@SET
+@given(
+    sys_a=st.lists(st.integers(0, 9), max_size=6, unique=True),
+    sys_b=st.lists(st.integers(0, 9), max_size=6, unique=True),
+    w_b=st.sampled_from([0.0, 0.25, 1.0]),
+    rrf_k=st.sampled_from([1, 60]),
+)
+def test_rrf_fuse_model(spark, sys_a, sys_b, w_b, rrf_k):
+    """Weighted RRF vs a pure-Python model: micro-rounded contributions,
+    (score desc, doc_id) tie order, absent-doc no-penalty semantics, dense
+    per-query ranks. Empty systems ride as a disjoint query id, modeled
+    identically."""
+    from schemamap_spark.operators.retrieval import rrf_fuse
+
+    frames = []
+    model = {}
+    for docs, w in ((sys_a, 1.0), (sys_b, w_b)):
+        rows = [(1, d, r + 1) for r, d in enumerate(docs)] or [(99, 99, 1)]
+        frames.append(
+            spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+        )
+        for q, d, rank in rows:
+            model.setdefault((q, d), [0, 0])
+            model[(q, d)][0] += round(w * 1e6 / (rrf_k + rank))
+            model[(q, d)][1] += 1
+
+    got = rrf_fuse(frames, rrf_k=rrf_k, top=100, weights=[1.0, w_b]).collect()
+    want = sorted(model.items(), key=lambda kv: (kv[0][0], -kv[1][0], kv[0][1]))
+    assert [(r.query_id, r.doc_id, r.rrf_micros, r.n_systems) for r in got] == [
+        (q, d, s, n) for (q, d), (s, n) in want
+    ]
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_q.values():
+        assert ranks == list(range(1, len(ranks) + 1))
