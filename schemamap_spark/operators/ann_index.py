@@ -268,7 +268,14 @@ def ann_index_compact(spark: SparkSession, index_dir: str) -> int:
     batch dirs are deleted only AFTER the commit, so a crash at any point
     leaves either the old manifest (old dirs intact) or the new one
     (orphan old dirs that no reader consults). Single-writer, like every
-    store in the repo."""
+    store in the repo.
+
+    Reader race, stated honestly: a search that loaded the OLD manifest
+    just before the commit can hit deleted batch dirs and FAIL LOUDLY
+    (never read wrong data) — the classic compactor-vs-reader window every
+    rename-based store has. Run compaction off the query path, or retry
+    the search; a grace-period delete (keep superseded dirs for N minutes)
+    is the standard production extension if retries are unacceptable."""
     import shutil
 
     _require_local(index_dir, "ann_index_compact")
