@@ -39,7 +39,14 @@ def assign_splits(
 
     Weights are per-mille-resolved cumulative thresholds; every row lands in
     exactly one split and re-running (or re-partitioning, or re-reading)
-    never moves a row."""
+    never moves a row.
+
+    LEAKAGE-SAFE splits: id_col is the assignment KEY, so passing a GROUP
+    column instead of the row id keeps whole groups in one split — e.g.
+    `assign_splits(curate_corpus(docs), id_col="dup_group")` can never put
+    two near-duplicates on opposite sides of a train/test boundary (the
+    classic eval-contamination bug of row-level splitting); same for
+    splitting by domain/source. Pinned in test_sampling."""
     weights = weights or {"train": 0.96, "val": 0.02, "test": 0.02}
     if abs(sum(weights.values()) - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {sum(weights.values())}")

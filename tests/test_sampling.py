@@ -222,3 +222,50 @@ def test_temperature_mix_derivation(spark):
         temperature_mix(docs, -0.1)
     with _pytest.raises(ValueError, match="no sources"):
         temperature_mix(docs.filter("doc_id < 0"), 0.3)
+
+
+def test_group_keyed_splits_are_leakage_safe(spark):
+    """Splitting by the near-dup component id can never put two
+    near-duplicates on opposite sides of a train/test boundary — checked at
+    the PAIR level against the actual similarity pairs. The id-keyed split
+    on the same corpus is shown to leak, so the guarantee isn't vacuous."""
+    from schemamap_spark.operators.dedup import jaccard_similar_pairs
+    from schemamap_spark.operators.graph import connected_components
+    from schemamap_spark.operators.sampling import assign_splits
+
+    # pairs of near-identical docs (one token differs), ids interleaved so
+    # consecutive ids hash to different buckets
+    rows = []
+    for i in range(40):
+        # per-pair disjoint vocabulary: each pair is ONE component, not one
+        # corpus-wide blob
+        base = " ".join(f"w{i}x{t}" for t in range(8))
+        rows.append((2 * i, base, "s"))
+        rows.append((2 * i + 1, base + " extra", "s"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {"train": 0.5, "val": 0.25, "test": 0.25}
+
+    pairs = jaccard_similar_pairs(docs, threshold=0.5, k=3).persist()
+    assert pairs.count() >= 30  # the corpus genuinely pairs up
+    groups = connected_components(pairs)
+    keyed = docs.join(
+        groups.select(F.col("node").alias("doc_id"), "group_id"), "doc_id", "left"
+    ).withColumn("dup_group", F.coalesce("group_id", F.col("doc_id")))
+
+    def pair_leaks(split_df):
+        sp = split_df.select("doc_id", "split")
+        return (
+            pairs.join(sp.select(F.col("doc_id").alias("i"),
+                                 F.col("split").alias("si")), "i")
+            .join(sp.select(F.col("doc_id").alias("j"),
+                            F.col("split").alias("sj")), "j")
+            .filter("si != sj")
+            .count()
+        )
+
+    grouped = assign_splits(keyed, id_col="dup_group", weights=w)
+    assert pair_leaks(grouped) == 0           # no near-dup pair straddles
+    assert grouped.select("split").distinct().count() >= 2  # non-vacuous
+    # the row-keyed split leaks on the very same corpus — the bug this
+    # guards against is real, not hypothetical
+    assert pair_leaks(assign_splits(docs, weights=w)) > 0
