@@ -32,6 +32,7 @@ HEADLINE = [
     "text_ngram_stats",
     "dsir_select",
     "bm25",
+    "hybrid_rerank",
     "events_tumbling_window",
     "events_sessionize",
 ]
@@ -51,11 +52,14 @@ def main() -> None:
 
     # dsir_select entered the driver registry in round 6, so it now arrives
     # via _REGISTRY; bm25 (round 6) joined the bench when its inverted index
-    # gained the single-tokenization persist — track it round-over-round
+    # gained the single-tokenization persist; hybrid_rerank (round 6) is the
+    # new retrieval flagship (BM25 + dense candidate union + exact rerank) —
+    # both tracked round-over-round from the extras registry
     SPARK_QUERIES = {
         **_REGISTRY,
         "q12_topk": q12_topk,
         "bm25": EXTRA_SPARK_QUERIES["bm25"],
+        "hybrid_rerank": EXTRA_SPARK_QUERIES["hybrid_rerank"],
     }
 
     spark = get_spark("schemamap-bench")
