@@ -398,6 +398,19 @@ def quantize_q(spark, sf):
     ).orderBy("vec_id")
 
 
+def chunk_documents_q(spark, sf):
+    """Overlapping token-window chunking (the pre-embedding step),
+    value-checked per chunk: stride = 40 - 8 = 32, last chunk short, docs
+    at or under the window emit exactly one chunk. The oracle replays the
+    ceil-based chunk count, the slice boundaries, and the re-join."""
+    from schemamap_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf, "documents")
+    return chunk_documents(docs, chunk_tokens=40, overlap=8).orderBy(
+        "doc_id", "chunk_no"
+    )
+
+
 def sample_exact_n_q(spark, sf):
     """Exact-N deterministic global sample (eval-set primitive): the 120
     smallest documents under the portable md5 hash of the id string, ties
@@ -542,6 +555,7 @@ EXTRA_SPARK_QUERIES = {
     "contamination": contamination_q,
     "containment": containment_q,
     "corpus_stats": corpus_stats_q,
+    "chunk_documents": chunk_documents_q,
     "sample_exact_n": sample_exact_n_q,
     "quantize": quantize_q,
     "matryoshka": matryoshka_q,
@@ -860,6 +874,28 @@ EXTRA_ORACLE_SQL = {
         from rescored
         qualify rank <= 5
         order by query_id, rank
+    """,
+    # ceil-based chunk counts, stride-32 slice starts, short last chunk —
+    # list slicing is 1-based inclusive in DuckDB: t[s : s+39]
+    "chunk_documents": """
+        with t as (
+          select doc_id, string_split(coalesce(text, ''), ' ') as toks,
+                 len(string_split(coalesce(text, ''), ' ')) as n
+          from documents
+        ),
+        c as (
+          select doc_id, toks, n,
+                 case when n <= 40 then 1
+                      else cast(ceil((n - 40) / 32.0) as int) + 1 end as n_chunks
+          from t
+        )
+        select doc_id,
+               cast(i as int) as chunk_no,
+               n_chunks,
+               array_to_string(toks[i * 32 + 1 : i * 32 + 40], ' ') as chunk_text,
+               cast(len(toks[i * 32 + 1 : i * 32 + 40]) as int) as chunk_tokens
+        from c, unnest(range(0, n_chunks)) as u(i)
+        order by doc_id, chunk_no
     """,
     # the md5-prefix hash is the engine-portable twin of Spark's
     # conv(substr(md5(...),1,8),16,10) — same dsir/bucket convention
