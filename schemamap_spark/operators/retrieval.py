@@ -346,11 +346,23 @@ def retrieval_eval(
         .groupBy("query_id", "doc_id")
         .agg(F.min("rank").alias("rank"))
     )
-    j = qrels.select(
-        F.col(query_col).alias("query_id"),
-        F.col(doc_col).alias("doc_id"),
-        F.col(rel_col).cast("int").alias("rel"),
-    ).filter(F.col("rel") > 0)
+    # The judgments feed THREE consumers (the hits join, the ideal-DCG
+    # ranking, the n_rel count). Unpersisted, Spark re-runs the qrels plan
+    # once per consumer — harmless for a hand-labeled file, a triple
+    # corpus scan when qrels are DERIVED (e.g. exact top-k over the
+    # corpus, the retrieval_eval extras row's shape). Same rule as
+    # bm25_topk's index; the cache lives with the returned plan.
+    from pyspark import StorageLevel
+
+    j = (
+        qrels.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rel_col).cast("int").alias("rel"),
+        )
+        .filter(F.col("rel") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     gain = F.pow(F.lit(2.0), F.col("rel").cast("double")) - F.lit(1.0)
     # per-position DCG contribution, micro-rounded BEFORE the sum — the

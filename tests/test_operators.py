@@ -1819,6 +1819,11 @@ def test_retrieval_eval_hand_computed(spark):
     q3 = got[3]  # judged, never retrieved: still reports, all zeros
     assert (q3.hits_at_k, q3.mrr_micros, q3.ndcg_micros) == (0, 0, 0)
 
+    # the qrels plan is evaluated ONCE for its three consumers (hits /
+    # ideal / n_rel): the physical plan reads the cache at the reuse points
+    plan = retrieval_eval(res, qrels, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
     # capped recall: 5 relevant, k=2, both top-2 relevant -> recall 1.0
     res_b = spark.createDataFrame(
         [(9, i, i) for i in range(1, 3)], "query_id long, doc_id long, rank int"
