@@ -508,6 +508,12 @@ def contamination_report(
     bench_sizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_ngrams"))
     corp = grams(corpus, "corpus_id")
     if max_df is not None:
+        # the corpus gram frame feeds BOTH the hot-gram df aggregation and
+        # the overlap join — unpersisted, the full-corpus tokenize+hash
+        # would run twice (the bm25-index rule; cache lives with the plan)
+        from pyspark import StorageLevel
+
+        corp = corp.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             corp.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
