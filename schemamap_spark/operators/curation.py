@@ -307,6 +307,12 @@ def corpus_stats_partials(
         .withColumn("_tok", token_count(text_col))
         .withColumn("_fp", F.md5(F.lower(F.trim(F.col(text_col)))))
     )
+    # the scored frame feeds BOTH partial outputs; unpersisted, the two
+    # store writes would each re-run quality/token/digest over the batch
+    # (the bm25-index multi-consumer rule; cache lives with the plans)
+    from pyspark import StorageLevel
+
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
     scalars = g.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).alias("docs"),
         F.count("_q").alias("q_docs"),
