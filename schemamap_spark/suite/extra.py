@@ -12,8 +12,9 @@ Entry families (each function's docstring carries its own contract):
 - incremental / storeful twins (incremental_dedup, scd2_merge, scd2_as_of,
   corpus_stats);
 - training-data ops beyond the driver cap (semantic_dedup, mixture_sample,
-  sample_per_source, fuzzy_match, perplexity, key_skew, line_dedup,
-  interval_join, profile, quantize, matryoshka, contamination);
+  sample_per_source, sample_exact_n, fuzzy_match, perplexity, key_skew,
+  line_dedup, interval_join, profile, quantize, matryoshka, contamination,
+  chunk_documents);
 - the retrieval family end to end (bm25, rrf_hybrid, hybrid_rerank,
   retrieval_eval);
 - committed-golden rows where Spark hashing has no portable SQL twin
