@@ -83,9 +83,22 @@ def sample_exact_n(df: DataFrame, n: int, id_col: str = "doc_id") -> DataFrame:
 
     The key hashes md5 of the id's STRING form (the dsir_resample rule), so
     string/uuid ids sample uniformly instead of silently degenerating to
-    first-n-by-id through a NULLed numeric cast."""
+    first-n-by-id through a NULLed numeric cast.
+
+    n is bounded at 10M: TakeOrderedAndProject allocates its bounded
+    priority queue by N — O(n) heap PER PARTITION regardless of how few
+    rows exist, so an absurd n (say 10^9) OOMs the JVM on a 150-row table
+    (measured: it killed a whole test session). Past the bound you are not
+    sampling an eval set any more — use deterministic_sample by fraction,
+    or sort+write the whole frame."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if n > 10_000_000:
+        raise ValueError(
+            f"n={n} exceeds the 10M sample bound (the top-n heap allocates "
+            "O(n) memory per partition); use deterministic_sample for "
+            "fraction-of-corpus takes"
+        )
     id_str = F.coalesce(F.col(id_col).cast("string"), F.lit("~null~"))
     key = F.conv(F.substring(F.md5(id_str), 1, 8), 16, 10).cast("long")
     return (

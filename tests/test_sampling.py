@@ -285,8 +285,12 @@ def test_sample_exact_n_deterministic_and_nested(spark):
     s40 = sorted(r.doc_id for r in sample_exact_n(docs, 40).collect())
     assert set(s40) <= set(s100)
     # n past the corpus returns everything; schema untouched
-    assert sample_exact_n(docs, 10**9).count() == docs.count()
+    assert sample_exact_n(docs, 10_000).count() == docs.count()
     assert sample_exact_n(docs, 5).columns == docs.columns
+    # absurd n is refused: the top-n heap allocates O(n) per partition
+    # (10^9 here OOMed the JVM on a 150-row table before the guard)
+    with pytest.raises(ValueError, match="10M sample bound"):
+        sample_exact_n(docs, 10**9)
     # plan: TakeOrderedAndProject, not a global sort
     plan = sample_exact_n(docs, 100)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
