@@ -599,3 +599,29 @@ def test_rrf_fuse_model(spark, sys_a, sys_b, w_b, rrf_k):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for ranks in per_q.values():
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+@SET
+@given(
+    ids=st.lists(
+        st.one_of(st.integers(0, 99), st.text(alphabet="abz-", min_size=1, max_size=6)),
+        min_size=1, max_size=25, unique=True,
+    ),
+    n=st.integers(1, 30),
+)
+def test_sample_exact_n_model(spark, ids, n):
+    """sample_exact_n vs the pure-Python md5 model: same hash, same tie
+    order, same cut — over mixed int/string id universes."""
+    import hashlib
+
+    from schemamap_spark.operators.sampling import sample_exact_n
+
+    rows = [(str(i),) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id string")
+    got = [r.doc_id for r in sample_exact_n(df, n).collect()]
+
+    def key(s):
+        return (int(hashlib.md5(s.encode()).hexdigest()[:8], 16), s)
+
+    want = sorted((s for (s,) in rows), key=key)[:n]
+    assert sorted(got) == sorted(want)
