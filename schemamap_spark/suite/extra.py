@@ -399,6 +399,60 @@ def quantize_q(spark, sf):
     ).orderBy("vec_id")
 
 
+def pii_redact_q(spark, sf):
+    """PII redaction + hit counting, value-checked across engines: PII is
+    INJECTED deterministically (same concat in both engines — the corpus
+    itself is clean, so the injection IS the test surface), then redacted
+    through the shared PII_PATTERNS in declaration order. The oracle SQL is
+    GENERATED from the same pattern list (suite/extra._pii_oracle_sql), so
+    the two sides cannot drift; patterns are lookaround-free by contract
+    (functions/text.py) precisely so Java regex and RE2 agree."""
+    from schemamap_spark.functions.text import pii_hit_count, redact_pii
+
+    docs = load_table(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call (555) 123-4567 or 192.168.0."),
+            F.pmod(F.col("doc_id"), F.lit(255)).cast("string"),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id",
+        pii_hit_count().alias("n_pii"),
+        redact_pii().alias("redacted"),
+    ).orderBy("doc_id")
+
+
+def _pii_oracle_sql() -> str:
+    """Generate the DuckDB twin from the SAME pattern list redact_pii
+    walks, chaining per-pattern count-then-replace exactly like
+    pii_hit_count's progressive redaction."""
+    from schemamap_spark.functions.text import PII_PATTERNS
+
+    ctes = ["r0 as (select doc_id, text || ' contact user' || cast(doc_id as varchar)"
+            " || '@example.com call (555) 123-4567 or 192.168.0.'"
+            " || cast(doc_id % 255 as varchar) as t from documents)"]
+    for i, (kind, pattern) in enumerate(PII_PATTERNS, start=1):
+        pat = pattern.replace("'", "''")
+        ctes.append(
+            f"r{i} as (select doc_id, regexp_replace(t, '{pat}', "
+            f"'[{kind.upper()}]', 'g') as t, "
+            + (f"n + len(regexp_extract_all(t, '{pat}')) as n"
+               if i > 1 else f"len(regexp_extract_all(t, '{pat}')) as n")
+            + f" from r{i - 1})"
+        )
+    last = f"r{len(PII_PATTERNS)}"
+    return (
+        "with " + ", ".join(ctes)
+        + f" select doc_id, cast(n as int) as n_pii, t as redacted from {last}"
+        " order by doc_id"
+    )
+
+
 def chunk_documents_q(spark, sf):
     """Overlapping token-window chunking (the pre-embedding step),
     value-checked per chunk: stride = 40 - 8 = 32, last chunk short, docs
@@ -556,6 +610,7 @@ EXTRA_SPARK_QUERIES = {
     "contamination": contamination_q,
     "containment": containment_q,
     "corpus_stats": corpus_stats_q,
+    "pii_redact": pii_redact_q,
     "chunk_documents": chunk_documents_q,
     "sample_exact_n": sample_exact_n_q,
     "quantize": quantize_q,
@@ -876,6 +931,7 @@ EXTRA_ORACLE_SQL = {
         qualify rank <= 5
         order by query_id, rank
     """,
+    "pii_redact": _pii_oracle_sql(),
     # ceil-based chunk counts, stride-32 slice starts, short last chunk —
     # list slicing is 1-based inclusive in DuckDB: t[s : s+39]
     "chunk_documents": """
