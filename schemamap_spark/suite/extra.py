@@ -399,6 +399,52 @@ def quantize_q(spark, sf):
     ).orderBy("vec_id")
 
 
+def normalize_text_q(spark, sf):
+    """normalize_text value-checked across regex engines: byte noise
+    (control chars, zero-width marks, tab runs, 4-newline paragraph gaps)
+    is injected identically in both engines around the corpus text, then
+    the whole regexp_replace chain replays in DuckDB with the SQL
+    GENERATED from the same _CONTROL_CHARS/_ZERO_WIDTH constants Spark
+    compiles (suite/extra._normalize_oracle_sql). clean_html stays
+    pytest-only: its script/style pattern needs a backreference, which
+    RE2 cannot express."""
+    from schemamap_spark.functions.text import normalize_text
+
+    docs = load_table(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(" \t\t"),
+            F.col("text"),
+            F.lit("\x07\x1f\u200b\n\n\n\nend  "),
+        ).alias("text"),
+    )
+    return injected.select(
+        "doc_id", normalize_text().alias("normalized")
+    ).orderBy("doc_id")
+
+
+def _normalize_oracle_sql() -> str:
+    from schemamap_spark.functions.text import _CONTROL_CHARS, _ZERO_WIDTH
+
+    inj = ("' ' || chr(9) || chr(9) || text || chr(7) || chr(31) || "
+           "chr(8203) || repeat(chr(10), 4) || 'end  '")
+    expr = f"({inj})"
+    for pat, rep in [
+        (_CONTROL_CHARS, ""),
+        (_ZERO_WIDTH, ""),
+        ("[ \t]+", " "),
+        (" ?\n ?", "\n"),
+        ("\n{3,}", "\n\n"),
+    ]:
+        sql_pat = pat.replace("'", "''")
+        sql_rep = rep.replace("\n", "' || chr(10) || '")
+        expr = (f"regexp_replace({expr}, '{sql_pat}', "
+                f"'{sql_rep}', 'g')")
+    return (f"select doc_id, trim({expr}) as normalized "
+            "from documents order by doc_id")
+
+
 def pii_redact_q(spark, sf):
     """PII redaction + hit counting, value-checked across engines: PII is
     INJECTED deterministically (same concat in both engines — the corpus
@@ -610,6 +656,7 @@ EXTRA_SPARK_QUERIES = {
     "contamination": contamination_q,
     "containment": containment_q,
     "corpus_stats": corpus_stats_q,
+    "normalize_text": normalize_text_q,
     "pii_redact": pii_redact_q,
     "chunk_documents": chunk_documents_q,
     "sample_exact_n": sample_exact_n_q,
@@ -931,6 +978,7 @@ EXTRA_ORACLE_SQL = {
         qualify rank <= 5
         order by query_id, rank
     """,
+    "normalize_text": _normalize_oracle_sql(),
     "pii_redact": _pii_oracle_sql(),
     # ceil-based chunk counts, stride-32 slice starts, short last chunk —
     # list slicing is 1-based inclusive in DuckDB: t[s : s+39]
