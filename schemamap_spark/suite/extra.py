@@ -14,7 +14,7 @@ Entry families (each function's docstring carries its own contract):
 - training-data ops beyond the driver cap (semantic_dedup, mixture_sample,
   sample_per_source, sample_exact_n, fuzzy_match, perplexity, key_skew,
   line_dedup, interval_join, profile, quantize, matryoshka, contamination,
-  chunk_documents, pii_redact);
+  chunk_documents, pii_redact, normalize_text);
 - the retrieval family end to end (bm25, rrf_hybrid, hybrid_rerank,
   retrieval_eval);
 - committed-golden rows where Spark hashing has no portable SQL twin
