@@ -248,13 +248,16 @@ def cosine_topk(
     # Single-reference formulation: the naive `(sq > 0) & ~isnan(sq) &
     # (sq < inf)` embeds the aggregate-HOF dot product THREE times in the
     # predicate tree and codegen does not CSE it (measured 0.24s vs 0.17s
-    # per corpus pass at sf0.1). `1/sq > 0` tests all three conditions with
-    # ONE evaluation: sq finite-positive → positive (denormal sq overflows
-    # to +inf, still > 0); sq = 0 → try_divide NULL → dropped; sq = +inf →
-    # 0.0 → dropped; sq = NaN (NaN element) → NaN → dropped; sq NULL (NULL
-    # vector) → NULL → dropped.
+    # per corpus pass at sf0.1). `1/nanvl(sq, 0) > 0` tests all conditions
+    # with ONE evaluation of the HOF: sq finite-positive → positive
+    # (denormal sq overflows to +inf, still > 0); sq = 0 → try_divide NULL
+    # → dropped; sq = +inf → 0.0 → dropped; sq = NaN (NaN element) →
+    # nanvl→0 → try_divide NULL → dropped; sq NULL (NULL vector) → NULL →
+    # dropped. The nanvl is load-bearing: Spark SQL orders NaN GREATER
+    # than every numeric, so a bare `NaN > 0` is TRUE and a NaN-element
+    # vector would pass the guard and rank as every query's top neighbor.
     def _finite_nonzero(col):
-        return F.try_divide(F.lit(1.0), _dot(col, col)) > 0
+        return F.try_divide(F.lit(1.0), F.nanvl(_dot(col, col), F.lit(0.0))) > 0
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

@@ -1222,7 +1222,11 @@ def test_cosine_topk_drops_infinite_vectors(spark):
     """A vector containing ±Inf has an infinite squared norm; its sims are
     NaN (inf/inf), which Spark's desc sort ranks greatest — it must be
     dropped per side before the join, like zero-norm vectors, on BOTH
-    scoring paths."""
+    scoring paths. A NaN ELEMENT is the sneakier case: sq = NaN, and since
+    Spark SQL orders NaN greater than every numeric, a guard ending in
+    `> 0` passes it unless the NaN is neutralized first (nanvl) — an
+    unguarded NaN corpus vector ranks as EVERY query's rank-1 neighbor
+    with cosine_sim=NaN."""
     import math
 
     rows = [
@@ -1231,14 +1235,16 @@ def test_cosine_topk_drops_infinite_vectors(spark):
         (2, [0.0, 1.0, 0.0, 0.0]),
         (3, [math.inf, 1.0, 0.0, 0.0]),   # Inf corpus vector
         (4, [-math.inf, 0.0, 1.0, 0.0]),  # -Inf query vector
+        (5, [math.nan, 1.0, 0.0, 0.0]),   # NaN corpus vector
+        (6, [0.5, math.nan, 0.0, 0.0]),   # NaN query vector
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    queries = emb.filter(F.col("vec_id").isin(0, 4))
+    queries = emb.filter(F.col("vec_id").isin(0, 4, 6))
     for method in ("expr", "matmul"):
         out = SIM.cosine_topk(emb, queries, k=3, method=method).collect()
-        # the Inf query is dropped entirely; the Inf corpus row never ranks
+        # the Inf/NaN queries are dropped entirely; Inf/NaN corpus rows never rank
         assert {r.query_id for r in out} == {0}, (method, out)
-        assert all(r.neighbor_id not in (3, 4) for r in out), (method, out)
+        assert all(r.neighbor_id not in (3, 4, 5, 6) for r in out), (method, out)
         assert all(not math.isnan(r.cosine_sim) for r in out), (method, out)
         assert [r.neighbor_id for r in out] == [1, 2], (method, out)
 
