@@ -349,9 +349,12 @@ def append_corpus_stats(
 ) -> None:
     """Sketch a batch into the two-part parquet store (store_dir/scalars,
     store_dir/hist). Write ORDER is the crash contract: hist first, scalars
-    last — the scalars row is the batch's commit record, and
-    corpus_stats_report cross-checks the two (a committed batch with
-    q_docs > 0 but no hist rows can only be a torn append, and raises)."""
+    last — the scalars row is the batch's commit record. A crash between
+    the two writes leaves orphan hist rows for an uncommitted batch; the
+    report ignores them (it reads only committed batches), and RE-APPENDING
+    the same batch_id is the supported recovery: partials are
+    deterministic, and the report collapses the resulting duplicate rows,
+    so a re-append is idempotent rather than double-counting."""
     scalars, hist = corpus_stats_partials(docs, batch_id, text_col, group_col, bins)
     # one computation for the two writes (they share the scan + quality)
     hist.write.mode("append").parquet(f"{store_dir}/hist")
@@ -366,19 +369,38 @@ def corpus_stats_report(spark, store_dir: str) -> DataFrame:
     estimate and clamped dup ratio. Cost scales with store rows (batches x
     groups x occupied bins).
 
-    Torn-append detection: append_corpus_stats writes hist BEFORE scalars,
-    so a scalars batch with q_docs > 0 whose batch_id is absent from hist
-    can only mean a crash between the two writes — the report raises and
-    names the batches (quantiles silently computed over a subset of the
-    batches the means cover would be a wrong dashboard, not a slow one)."""
+    Torn-append handling is two-directional. append_corpus_stats writes
+    hist BEFORE scalars, so the scalars row is the commit record:
+    (a) scalars with q_docs > 0 but no hist rows can only mean partial
+    data loss — the report raises and names the batches (quantiles
+    silently computed over a subset of the batches the means cover would
+    be a wrong dashboard, not a slow one);
+    (b) the ACTUAL crash window — hist landed, scalars didn't — leaves
+    hist rows whose batch never committed. Those are excluded from the
+    quantiles (semi-join on committed batch_ids), and because the fix for
+    a torn batch is to re-append it, duplicate rows from the re-append
+    (hist per (batch_id, group, bin); scalars per (batch_id, group)) are
+    collapsed — partials are deterministic, so duplicates are
+    value-identical and keeping one is exact."""
     from pyspark.sql import Window
 
-    committed = spark.read.parquet(f"{store_dir}/scalars")
+    committed = spark.read.parquet(f"{store_dir}/scalars").dropDuplicates(
+        ["batch_id", "group"]
+    )
+    hist_raw = spark.read.parquet(f"{store_dir}/hist")
+    # orphan (uncommitted) hist rows still count as "the hist write
+    # happened" for the torn check in (a) — so batch presence comes from
+    # the RAW frame, while everything value-bearing reads the committed set
     hist_batches = {
-        r.batch_id
-        for r in spark.read.parquet(f"{store_dir}/hist")
-        .select("batch_id").distinct().collect()
+        r.batch_id for r in hist_raw.select("batch_id").distinct().collect()
     }
+    hist_committed = (
+        hist_raw.join(
+            F.broadcast(committed.select("batch_id").distinct()), "batch_id", "semi"
+        )
+        .groupBy("batch_id", "bins", "group", "bin")
+        .agg(F.max("n").alias("n"))
+    )
     torn = sorted(
         r.batch_id
         for r in committed.groupBy("batch_id")
@@ -395,7 +417,7 @@ def corpus_stats_report(spark, store_dir: str) -> DataFrame:
         )
 
     bins_vals = [
-        r.bins for r in spark.read.parquet(f"{store_dir}/hist").select("bins").distinct().collect()
+        r.bins for r in hist_committed.select("bins").distinct().collect()
     ]
     if len(bins_vals) > 1:
         raise ValueError(
@@ -446,11 +468,7 @@ def corpus_stats_report(spark, store_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("quality_p90"),
         ).orderBy("group")
 
-    hist = (
-        spark.read.parquet(f"{store_dir}/hist")
-        .groupBy("group", "bin")
-        .agg(F.sum("n").alias("n"))
-    )
+    hist = hist_committed.groupBy("group", "bin").agg(F.sum("n").alias("n"))
     w_cum = Window.partitionBy("group").orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -99,6 +99,58 @@ def test_torn_append_detected(spark, tmp_path):
     assert corpus_stats_report(spark, store2).collect()[0].docs == 2
 
 
+def test_uncommitted_hist_excluded_and_reappend_idempotent(spark, tmp_path):
+    """The ACTUAL crash window (hist lands, scalars doesn't — the write
+    order) must leave the dashboard untouched: orphan hist rows stay out
+    of the quantiles, the report does NOT raise (this is the recoverable
+    direction), and re-appending the torn batch — the documented recovery
+    — counts it exactly once despite the duplicated hist rows."""
+    lo = spark.createDataFrame(
+        [(i, "short txt!!", "s") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    hi = spark.createDataFrame(
+        [(100 + i,
+          "a genuinely substantial, well punctuated document body with many "
+          "ordinary words that scores high on every quality heuristic.", "s")
+         for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    from schemamap_spark.operators.curation import corpus_stats_partials
+
+    store = str(tmp_path / "crash_store")
+    append_corpus_stats(lo, store, "b0")
+    # crash simulation: b1's hist write landed, scalars never committed
+    _scalars, hist = corpus_stats_partials(hi, "b1")
+    hist.write.mode("append").parquet(f"{store}/hist")
+
+    clean = str(tmp_path / "clean_store")
+    append_corpus_stats(lo, clean, "b0")
+    got = corpus_stats_report(spark, store).collect()[0]
+    want = corpus_stats_report(spark, clean).collect()[0]
+    assert got.docs == want.docs == 20
+    # the orphan high-quality hist rows must not drag p90 up
+    assert got.quality_p90 == want.quality_p90
+
+    # recovery: re-append b1 in full — its hist rows now exist TWICE, but
+    # the report collapses them; compare against a never-crashed store
+    append_corpus_stats(hi, store, "b1")
+    append_corpus_stats(hi, clean, "b1")
+    got2 = corpus_stats_report(spark, store).collect()[0]
+    want2 = corpus_stats_report(spark, clean).collect()[0]
+    assert got2.docs == want2.docs == 40
+    assert (got2.quality_p10, got2.quality_p50, got2.quality_p90) == (
+        want2.quality_p10, want2.quality_p50, want2.quality_p90
+    )
+    assert got2.quality_mean == want2.quality_mean
+
+    # defensive: a FULLY re-appended committed batch (operator retry after
+    # a commit that actually landed) is also idempotent, scalars included
+    append_corpus_stats(hi, store, "b1")
+    got3 = corpus_stats_report(spark, store).collect()[0]
+    assert got3.docs == 40 and got3.quality_p90 == want2.quality_p90
+
+
 def test_sketch_merge_equals_one_shot_ndv(spark, tmp_path):
     """The HLL component must merge exactly: 3-way-split union == single
     sketch over everything (register max is split-insensitive)."""
