@@ -65,26 +65,38 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "text",
     index: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, doc_id, score_micros,
     rank), rank ordered by (score_micros desc, doc_id) — a total order, so
     the cut boundary is engine-stable. Query terms are DISTINCT (standard
     BM25 ignores query-side tf). max_df_ratio drops terms appearing in more
     than that fraction of documents before the join (stop-term hot guard);
-    None keeps everything. Pass a precomputed `index` (from bm25_index,
-    ideally persisted or parquet-backed) to amortize tokenization across
-    calls; otherwise one is built and cached internally."""
+    None keeps everything.
+
+    Pass a precomputed `index` (from bm25_index, ideally persisted or
+    parquet-backed) to amortize tokenization across calls; otherwise one is
+    built from `docs` and cached internally (the cache lives for the
+    session — repeated ad-hoc calls should pass an index rather than
+    accumulate per-call caches). When `index` is supplied it is the SINGLE
+    source of corpus statistics: N, avgdl, and the stop-term guard all
+    derive from the index, and `docs` is ignored — a stale or
+    wrong-corpus index can therefore never silently mix with a fresh
+    docs count and skew idf. An index-derived N counts indexed documents
+    only (NULL-text docs never produce index rows); pass `n_docs` to
+    assert the true corpus size when those differ."""
     from pyspark.sql import Window
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    # The inverted index feeds THREE consumers below (avgdl aggregate,
+    if index is not None and n_docs is not None and n_docs < 1:
+        raise ValueError(f"n_docs must be >= 1, got {n_docs}")
+    # The inverted index feeds THREE consumers below (N/avgdl aggregate,
     # per-term df map, scoring join). Unpersisted, Spark would re-run the
     # full corpus tokenize→explode→groupBy once per consumer — at corpus
     # scale that is 3 scans of every byte of text. Persist it so the
     # tokenization happens exactly once; the cache lives for the lifetime
-    # of the returned (lazy) result plan. Callers that search repeatedly
-    # should build the index once via bm25_index() and pass it in.
+    # of the returned (lazy) result plan.
     owns_index = index is None
     if owns_index:
         from pyspark import StorageLevel
@@ -92,23 +104,34 @@ def bm25_topk(
         index = bm25_index(docs, id_col, text_col).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-    # N and avgdl as one broadcastable 1-row frame. N counts ALL docs
-    # (NULL-text docs drop out of the index, but standard BM25's N is the
-    # corpus size), so it comes from `docs` — a count-only aggregate that
-    # prunes to zero columns, not a second tokenization.
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
-        F.broadcast(
-            index.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
-                F.avg("dl").alias("avgdl")
-            )
-        )
+    # N and avgdl as one broadcastable 1-row frame, from ONE pass over the
+    # per-doc rows. Internally-built index: N counts ALL docs (NULL-text
+    # docs drop out of the index, but standard BM25's N is the corpus
+    # size), so it comes from `docs` — a count-only aggregate that prunes
+    # to zero columns, not a second tokenization. Caller-supplied index:
+    # N comes from the index itself (or the explicit n_docs override) so
+    # the statistics can never disagree with the postings being scored.
+    idx_stats = (
+        index.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_idx"), F.avg("dl").alias("avgdl"))
     )
+    if owns_index:
+        stats_1row = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+            F.broadcast(idx_stats.select("avgdl"))
+        )
+    elif n_docs is not None:
+        stats_1row = idx_stats.select(
+            F.lit(int(n_docs)).cast("long").alias("n"), "avgdl"
+        )
+    else:
+        stats_1row = idx_stats.select(F.col("n_idx").alias("n"), "avgdl")
     df_map = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df_ratio is not None:
         # stop-term guard: N rides in via the same 1-row broadcast instead
         # of a separate eager docs.count() action
         df_map = (
-            df_map.crossJoin(F.broadcast(n_docs.select("n")))
+            df_map.crossJoin(F.broadcast(stats_1row.select("n")))
             .filter(F.col("df") <= F.lit(max_df_ratio) * F.col("n"))
             .drop("n")
         )
@@ -136,7 +159,7 @@ def bm25_topk(
     scored = (
         q_terms.join(df_map, "term")
         .join(index, "term")
-        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(stats_1row))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.round(contrib * 1e6).cast("bigint")).alias("score_micros"))
     )
@@ -160,11 +183,19 @@ def hybrid_rerank_topk(
     vec_col: str = "embedding",
     query_col: str = "query_id",
     doc_col: str = "doc_id",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Hybrid retrieval the recall-first way: UNION the candidate sets of
     any number of retrievers (bm25_topk, ann_index_search, lsh_topk, ...)
     and re-rank the union with the EXACT cosine against the query vectors —
     (query_id, doc_id, rank, cosine_sim round6).
+
+    `exclude_self=True` (default) drops candidates where doc_id ==
+    query_id — the cosine_topk "self excluded" contract, correct when
+    queries are drawn from the corpus (the usual dedup/eval setup). When
+    query ids live in a SEPARATE id space, a coincidental id collision
+    would silently remove a legitimate document — pass
+    `exclude_self=False` there.
 
     Candidate-union + exact rerank is monotone where rank fusion is not:
     adding a retriever can only grow the candidate pool, so recall@k never
@@ -211,9 +242,11 @@ def hybrid_rerank_topk(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("c_vec")
     )
     cand_q = cands.distinct().join(F.broadcast(qv), "query_id")
+    scored = cv.join(F.broadcast(cand_q), "doc_id")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("doc_id"))
     scored = (
-        cv.join(F.broadcast(cand_q), "doc_id")
-        .filter(F.col("query_id") != F.col("doc_id"))
+        scored
         .select(
             "query_id", "doc_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
         )

@@ -1714,6 +1714,67 @@ def test_bm25_index_tokenizes_once(spark):
         idx.unpersist()
 
 
+def test_bm25_prebuilt_index_is_single_stats_source(spark):
+    """A caller-supplied index owns ALL corpus statistics (N, avgdl, the
+    stop-term guard) — the `docs` argument is ignored, so a stale or
+    wrong-corpus index can never silently mix with a fresh docs count and
+    skew idf. `n_docs` overrides the index-derived N explicitly."""
+    from schemamap_spark.operators.retrieval import bm25_index, bm25_topk
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    small = docs.filter("doc_id <= 30")
+    q = docs.filter("doc_id = 1").select(F.col("doc_id").alias("query_id"), "text")
+
+    idx_small = bm25_index(small).persist()
+    try:
+        # passing the WRONG docs frame alongside a small-corpus index must
+        # score exactly as the small corpus — not blend big-N idf in
+        via_idx = bm25_topk(docs, q, k=5, index=idx_small)
+        direct = bm25_topk(small, q, k=5)
+        assert sorted(map(tuple, via_idx.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        # explicit n_docs: same value -> identical; a different corpus
+        # size must move idf (provably used, not ignored)
+        n_small = small.count()
+        same = bm25_topk(docs, q, k=5, index=idx_small, n_docs=n_small)
+        assert sorted(map(tuple, same.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        bigger = bm25_topk(docs, q, k=5, index=idx_small, n_docs=10 * n_small)
+        d_scores = {r.doc_id: r.score_micros for r in direct.collect()}
+        b_scores = {r.doc_id: r.score_micros for r in bigger.collect()}
+        common = set(d_scores) & set(b_scores)
+        assert common and all(b_scores[d] > d_scores[d] for d in common)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="n_docs"):
+            bm25_topk(docs, q, k=5, index=idx_small, n_docs=0)
+    finally:
+        idx_small.unpersist()
+
+
+def test_hybrid_rerank_exclude_self_flag(spark):
+    """Default drops query_id==doc_id self-pairs (queries drawn from the
+    corpus); exclude_self=False keeps a colliding id — the separate
+    query-id-space case where the collision is a legitimate document."""
+    from schemamap_spark.operators.retrieval import hybrid_rerank_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.05])], "query_id long, embedding array<double>"
+    )
+    cands = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 3)], "query_id long, doc_id long"
+    )
+    kept = hybrid_rerank_topk([cands], corpus, queries, k=3)
+    assert [r.doc_id for r in kept.collect()] == [2, 3]
+    full = hybrid_rerank_topk([cands], corpus, queries, k=3, exclude_self=False)
+    assert [r.doc_id for r in full.collect()] == [1, 2, 3]
+
+
 def test_rrf_fuse_hand_computed(spark):
     from schemamap_spark.operators.retrieval import rrf_fuse
 
