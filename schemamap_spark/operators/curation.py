@@ -299,7 +299,25 @@ def corpus_stats_partials(
     q_micros is the integer micro-sum of quality (order/merge-independent)
     over the q_docs docs with non-NULL quality — NULL-text docs count in
     `docs` but not in the mean or the histogram, matching corpus_report's
-    avg(_q) semantics; fp_sketch is an HLL sketch of md5(normalized text)."""
+    avg(_q) semantics; fp_sketch is an HLL sketch of md5(normalized text).
+
+    The two frames share one persisted scored scan; the cache lives with
+    the returned plans. append_corpus_stats (which materializes both via
+    its writes) releases it eagerly — callers holding the frames for other
+    actions keep the amortization."""
+    scalars, hist, _g = _corpus_stats_partials_cached(
+        docs, batch_id, text_col, group_col, bins
+    )
+    return scalars, hist
+
+
+def _corpus_stats_partials_cached(
+    docs: DataFrame,
+    batch_id: str,
+    text_col: str,
+    group_col: str,
+    bins: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     from schemamap_spark.functions.text import quality_score, token_count
 
     g = (
@@ -336,7 +354,7 @@ def corpus_stats_partials(
         # silently mis-scale every quantile
         .select(F.lit(batch_id).alias("batch_id"), F.lit(bins).alias("bins"), "*")
     )
-    return scalars, hist
+    return scalars, hist, g
 
 
 def append_corpus_stats(
@@ -355,10 +373,17 @@ def append_corpus_stats(
     the same batch_id is the supported recovery: partials are
     deterministic, and the report collapses the resulting duplicate rows,
     so a re-append is idempotent rather than double-counting."""
-    scalars, hist = corpus_stats_partials(docs, batch_id, text_col, group_col, bins)
-    # one computation for the two writes (they share the scan + quality)
-    hist.write.mode("append").parquet(f"{store_dir}/hist")
-    scalars.write.mode("append").parquet(f"{store_dir}/scalars")
+    scalars, hist, g = _corpus_stats_partials_cached(
+        docs, batch_id, text_col, group_col, bins
+    )
+    try:
+        # one computation for the two writes (they share the scan + quality)
+        hist.write.mode("append").parquet(f"{store_dir}/hist")
+        scalars.write.mode("append").parquet(f"{store_dir}/scalars")
+    finally:
+        # both consumers have materialized — release the scored-scan cache
+        # instead of accumulating one per appended batch for the session
+        g.unpersist()
 
 
 def corpus_stats_report(spark, store_dir: str) -> DataFrame:
