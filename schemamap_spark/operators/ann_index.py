@@ -79,6 +79,39 @@ def _cell_occupancy(spark: SparkSession, codes_dir: str) -> dict[str, int]:
     return {str(r["cell"]): r["n"] for r in rows}
 
 
+def _coarse_centroids(
+    emb: DataFrame,
+    num_centroids: int,
+    id_col: str,
+    vec_col: str,
+    method: str,
+) -> list:
+    """Coarse-router training. 'sample': the deterministic hash-ordered
+    sample (cheap, one bounded collect). 'kmeans': Spark ML k-means
+    (clustering.kmeans_fit — the same router ivf_topk(centroids='kmeans')
+    uses), centers L2-normalized because cell assignment is argmax of the
+    dot against UNIT corpus vectors (ivf_pq_encode) — unnormalized centers
+    would bias routing toward long centroids instead of nearest-by-cosine.
+    On clustered corpora sampled centroids are what make routing miss
+    cells (the 220k probe: routing, not PQ resolution, binds recall);
+    k-means costs one extra training pass at build time only — appends and
+    searches just read the recorded centers."""
+    if method == "kmeans":
+        import numpy as np
+
+        from schemamap_spark.operators.clustering import kmeans_fit
+
+        model = kmeans_fit(emb, k=num_centroids, vec_col=vec_col)
+        C = np.array(
+            [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+        )
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        return [[float(x) for x in c] for c in C]
+    if method == "sample":
+        return ivf_centroids(emb, num_centroids, id_col, vec_col)
+    raise ValueError(f"unknown centroids method {method!r} (use 'sample' or 'kmeans')")
+
+
 def ann_index_build(
     emb: DataFrame,
     index_dir: str,
@@ -88,6 +121,7 @@ def ann_index_build(
     sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "sample",
 ) -> None:
     """Train codebooks + coarse centroids on `emb`, encode it, persist the
     store. The WHOLE index (codes + manifest + meta) builds in a temp dir
@@ -95,13 +129,22 @@ def ann_index_build(
     recipe), so a crashed or concurrent REBUILD can never pair old
     codebooks with new codes — readers see the previous complete index
     until the swap. The build's per-cell occupancy is recorded in meta as
-    the trained distribution that appends are measured against."""
+    the trained distribution that appends are measured against.
+
+    centroids='kmeans' trains the coarse router with k-means instead of
+    the deterministic sample — measurably better cell routing on
+    clustered corpora (SCALE.md 'ANN store probe', 220k mixture corpus:
+    recall@10 at nprobe=16+rerank 0.626→0.747 sampled→kmeans; the trained
+    router reaches at nprobe=16 what the sampled one needs nprobe=32 for)
+    at the cost of one extra training pass at build time (9.1s→11.3s at
+    220k×64d). Appends/searches are router-agnostic: they read whatever
+    centers the build recorded."""
     from schemamap_spark.sources.sinks import _swap_into_place
 
     _require_local(index_dir, "ann_index_build")
     spark = emb.sparkSession
     books = pq_train(emb, vec_col, id_col, m, k_per_sub, sample)
-    cents = ivf_centroids(emb, num_centroids, id_col, vec_col)
+    cents = _coarse_centroids(emb, num_centroids, id_col, vec_col, centroids)
     encoded = ivf_pq_encode(emb, books, cents, id_col, vec_col)
     parent = os.path.dirname(os.path.abspath(index_dir))
     os.makedirs(parent, exist_ok=True)
@@ -114,6 +157,7 @@ def ann_index_build(
         "m": m,
         "k_per_sub": k_per_sub,
         "num_centroids": num_centroids,
+        "coarse_router": centroids,
         "id_col": id_col,
         "vec_col": vec_col,
         "cell_occupancy": _cell_occupancy(spark, codes_tmp),

@@ -63,6 +63,61 @@ def test_append_equals_one_shot_encoding(spark, emb, tmp_path):
     assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
 
 
+def test_kmeans_router_improves_clustered_recall(spark, emb, tmp_path):
+    """centroids='kmeans' trains the coarse router instead of sampling it.
+    On the clustered fixture (the regime the 220k probe pinned: ROUTING,
+    not PQ resolution, binds recall) the trained router must not lose to
+    the sampled one at the same nprobe, and must clear a recall floor the
+    sampled router historically misses at low nprobe. Also pins: the
+    router choice is recorded in meta, appends/searches are
+    router-agnostic (append==one-shot holds for a kmeans store)."""
+    import json
+    import os
+
+    from schemamap_spark.operators.ann_index import _coarse_centroids
+    from schemamap_spark.operators.similarity import cosine_topk, topk_recall
+
+    q = _q(emb)
+    exact = cosine_topk(emb, q, k=10)
+
+    recalls = {}
+    for method in ("sample", "kmeans"):
+        idx = str(tmp_path / f"idx_{method}")
+        ann_index_build(
+            emb, idx, m=8, num_centroids=32, centroids=method
+        )
+        with open(os.path.join(idx, "meta.json")) as f:
+            assert json.load(f)["coarse_router"] == method
+        # exact rerank removes PQ-resolution loss, so recall here measures
+        # ROUTING alone — the thing the trained router is supposed to fix
+        got = ann_index_search(
+            spark, idx, q, k=10, nprobe=4, rerank=4, vectors=emb
+        )
+        recalls[method] = (
+            topk_recall(exact, got).agg(F.avg("recall")).collect()[0][0]
+        )
+    assert recalls["kmeans"] >= recalls["sample"] - 1e-9, recalls
+    assert recalls["kmeans"] >= 0.6, recalls
+
+    # append-consistency is router-agnostic: build(b1)+append(b2) on a
+    # kmeans store == one-shot encode of b1∪b2 with b1's recorded models
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.filter(F.col("vec_id") % 2 == 1)
+    idx2 = str(tmp_path / "idx_km_append")
+    ann_index_build(b1, idx2, m=8, num_centroids=16, centroids="kmeans")
+    ann_index_append(b2, idx2)
+    got = ann_index_search(spark, idx2, q, k=5, nprobe=4).collect()
+    books = pq_train(b1, m=8)
+    cents = _coarse_centroids(b1, 16, "vec_id", "embedding", "kmeans")
+    direct = ivf_pq_search_encoded(
+        ivf_pq_encode(emb, books, cents), q, books, cents, k=5, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
+
+    with pytest.raises(ValueError, match="centroids method"):
+        ann_index_build(emb, str(tmp_path / "bad"), centroids="median")
+
+
 def test_rerank_needs_vectors_and_improves(spark, emb, tmp_path):
     idx = str(tmp_path / "idx3")
     ann_index_build(emb, idx, m=8, num_centroids=16)

@@ -5,7 +5,10 @@ rows), then measures the full store lifecycle:
 
   build (train + encode + atomic swap) | append 20k | search 100 queries
   at nprobe 4 / 8 / 16 (+exact rerank) | store bytes vs raw vector bytes |
-  recall@10 vs exact brute force (cosine_topk method="matmul")
+  recall@10 vs exact brute force (cosine_topk method="matmul") |
+  coarse-router comparison: the same search grid against a second store
+  built with centroids="kmeans" (routing, not PQ resolution, binds recall
+  in this dense regime — the trained router is the lever)
 
 Run:  python tools/ann_scale_probe.py          (writes under /tmp)
 Prints one human-readable block; paste the numbers into SCALE.md.
@@ -91,19 +94,33 @@ def main() -> None:
         got = {(r.query_id, r.neighbor_id) for r in df.collect()}
         return len(got & truth) / len(truth)
 
-    results = []
-    for nprobe, rerank in [
-        (4, 0), (8, 0), (16, 0), (8, 4), (8, 16), (16, 16), (32, 16)
-    ]:
-        t0 = time.monotonic()
-        res = ann_index_search(
-            spark, idx, q, k=K, nprobe=nprobe, rerank=rerank,
-            vectors=emb if rerank else None,
-        ).cache()
-        res.count()
-        dt = time.monotonic() - t0
-        results.append((nprobe, rerank, dt, recall(res)))
-        res.unpersist()
+    grid = [(4, 0), (8, 0), (16, 0), (8, 4), (8, 16), (16, 16), (32, 16)]
+
+    def sweep(index_dir):
+        out = []
+        for nprobe, rerank in grid:
+            t0 = time.monotonic()
+            res = ann_index_search(
+                spark, index_dir, q, k=K, nprobe=nprobe, rerank=rerank,
+                vectors=emb if rerank else None,
+            ).cache()
+            res.count()
+            dt = time.monotonic() - t0
+            out.append((nprobe, rerank, dt, recall(res)))
+            res.unpersist()
+        return out
+
+    results = sweep(idx)
+
+    # second store, identical PQ params, trained coarse router
+    idx_km = os.path.join(base, "index_kmeans")
+    t0 = time.monotonic()
+    ann_index_build(
+        emb, idx_km, m=16, k_per_sub=64, num_centroids=64, sample=8192,
+        centroids="kmeans",
+    )
+    t_build_km = time.monotonic() - t0
+    results_km = sweep(idx_km)
 
     store_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -118,9 +135,12 @@ def main() -> None:
     print(f"append ({N_APPEND:,} rows, 4 batches): {t_append:.1f}s")
     print(f"compact ({folded} batches -> 1):   {t_compact:.1f}s")
     print(f"exact brute force (matmul): {t_exact:.1f}s  ({n_exact} rows)")
-    for nprobe, rerank, dt, r in results:
+    print(f"kmeans-router build: {t_build_km:.1f}s (sampled build {t_build:.1f}s)")
+    print(f"{'config':24s} {'sampled':>16s} {'kmeans':>16s}")
+    for (nprobe, rerank, dt, r), (_, _, dtk, rk) in zip(results, results_km):
         tag = f"nprobe={nprobe}" + (f" rerank={rerank}x" if rerank else "")
-        print(f"search {tag:22s} {dt:5.1f}s   recall@{K} {r:.3f}")
+        print(f"search {tag:17s} {dt:5.1f}s r@{K} {r:.3f}   "
+              f"{dtk:5.1f}s r@{K} {rk:.3f}")
     print(f"store size: {store_bytes/1e6:.1f} MB vs raw {raw_bytes/1e6:.1f} MB "
           f"({raw_bytes/store_bytes:.1f}x compression)")
 
