@@ -60,6 +60,9 @@ from schemamap_spark.operators.retrieval import bm25_index, bm25_topk, rrf_fuse
 from schemamap_spark.operators.ann_index import (
     ann_index_append,
     ann_index_build,
+    ann_index_compact,
+    ann_index_drift,
+    ann_index_gc,
     ann_index_search,
 )
 from schemamap_spark.operators.sketches import (
@@ -98,6 +101,7 @@ __all__ = [
     "corpus_stats_partials", "append_corpus_stats", "corpus_stats_report",
     "ivf_centroids", "ivf_pq_encode", "ivf_pq_search_encoded",
     "ann_index_build", "ann_index_append", "ann_index_search",
+    "ann_index_compact", "ann_index_drift", "ann_index_gc",
     "profile_table",
     "bm25_index", "bm25_topk", "rrf_fuse",
 ]

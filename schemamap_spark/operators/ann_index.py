@@ -28,18 +28,16 @@ Search loads meta (driver, bounded) and runs ivf_pq_search_encoded over the
 manifested code dirs — the stacked-ADC scorer, reading ~nprobe/C of the
 store.
 
-Filesystem contract: store paths are DRIVER-LOCAL (os.path / os.rename
-commit semantics). Non-local schemes raise loudly up front rather than
-corrupting silently; deploying against S3/HDFS means routing these few
-calls through the warehouse's FS layer (see sources/sinks.py, same
-contract).
+Filesystem contract: the store commits through sources/fscommit — plain
+paths use os.rename (driver-local posix), ``scheme://`` paths route
+through the Hadoop FileSystem API on the session JVM, atomic on
+real-rename filesystems (``hdfs://``, ``file://``); copy+delete schemes
+(``s3a://`` …) still raise loudly rather than corrupting silently.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,22 +49,12 @@ from schemamap_spark.operators.embeddings import (
     ivf_pq_search_encoded,
     pq_train,
 )
+from schemamap_spark.sources import fscommit
+from schemamap_spark.sources.fscommit import basename, join
 
 _META = "meta.json"
 _MANIFEST = "manifest.json"
 _CODES = "codes"
-
-
-def _require_local(path: str, op: str) -> None:
-    """The store's commit protocol is os.rename — atomic only on a local
-    posix filesystem. Refuse URI schemes loudly instead of writing a store
-    whose crash-safety contract silently doesn't hold."""
-    if "://" in path:
-        raise ValueError(
-            f"{op} requires a driver-local path (os.rename commit protocol); "
-            f"got scheme path {path!r}. Route through a local staging dir or "
-            "port the commit to your object store's rename/manifest API."
-        )
 
 
 def _cell_occupancy(spark: SparkSession, codes_dir: str) -> dict[str, int]:
@@ -141,15 +129,13 @@ def ann_index_build(
     centers the build recorded."""
     from schemamap_spark.sources.sinks import _swap_into_place
 
-    _require_local(index_dir, "ann_index_build")
     spark = emb.sparkSession
+    fs = fscommit.fs_for(index_dir, spark)
     books = pq_train(emb, vec_col, id_col, m, k_per_sub, sample)
     cents = _coarse_centroids(emb, num_centroids, id_col, vec_col, centroids)
     encoded = ivf_pq_encode(emb, books, cents, id_col, vec_col)
-    parent = os.path.dirname(os.path.abspath(index_dir))
-    os.makedirs(parent, exist_ok=True)
-    tmp_dir = tempfile.mkdtemp(dir=parent, prefix=".index_new_")
-    codes_tmp = os.path.join(tmp_dir, _CODES)
+    tmp_dir = fs.mktempdir(fscommit.dirname(index_dir), ".index_new_")
+    codes_tmp = join(tmp_dir, _CODES)
     encoded.write.mode("overwrite").parquet(codes_tmp)
     meta = {
         "codebooks": books,
@@ -162,43 +148,47 @@ def ann_index_build(
         "vec_col": vec_col,
         "cell_occupancy": _cell_occupancy(spark, codes_tmp),
     }
-    with open(os.path.join(tmp_dir, _META), "w") as f:
-        json.dump(meta, f)
-    with open(os.path.join(tmp_dir, _MANIFEST), "w") as f:
-        json.dump({"dirs": [{"name": _CODES}]}, f)
-    _swap_into_place(tmp_dir, index_dir)
+    fs.write_text(join(tmp_dir, _META), json.dumps(meta))
+    fs.write_text(join(tmp_dir, _MANIFEST), json.dumps({"dirs": [{"name": _CODES}]}))
+    _swap_into_place(tmp_dir, index_dir, fs)
 
 
-def _load_meta(index_dir: str) -> dict:
-    path = os.path.join(index_dir, _META)
-    if not os.path.exists(path):
+def _fs_for(index_dir: str, spark=None):
+    return fscommit.fs_for(index_dir, spark)
+
+
+def _load_meta(index_dir: str, fs=None) -> dict:
+    fs = fs or _fs_for(index_dir)
+    path = join(index_dir, _META)
+    if not fs.exists(path):
         raise ValueError(f"no ANN index at {index_dir} (missing {_META})")
-    with open(path) as f:
-        return json.load(f)
+    return json.loads(fs.read_text(path))
 
 
-def _load_manifest(index_dir: str) -> dict:
-    path = os.path.join(index_dir, _MANIFEST)
-    if not os.path.exists(path):
+def _load_manifest(index_dir: str, fs=None) -> dict:
+    fs = fs or _fs_for(index_dir)
+    path = join(index_dir, _MANIFEST)
+    if not fs.exists(path):
         # pre-manifest store (or hand-built): the build dir is the store
         return {"dirs": [{"name": _CODES}]}
-    with open(path) as f:
-        return json.load(f)
+    return json.loads(fs.read_text(path))
 
 
-def _commit_manifest(index_dir: str, manifest: dict) -> None:
-    """Single-file atomic commit: write-next + os.replace. A reader opening
-    the manifest concurrently sees either the old or the new complete list,
-    never a torn write."""
-    path = os.path.join(index_dir, _MANIFEST)
-    fd, tmp = tempfile.mkstemp(dir=index_dir, prefix=".manifest_")
+def _commit_manifest(index_dir: str, manifest: dict, fs=None) -> None:
+    """Single-file atomic commit: write-next + atomic replace (os.replace
+    locally, FileContext rename-overwrite on Hadoop filesystems). A reader
+    opening the manifest concurrently sees either the old or the new
+    complete list, never a torn write."""
+    import uuid
+
+    fs = fs or _fs_for(index_dir)
+    path = join(index_dir, _MANIFEST)
+    tmp = join(index_dir, ".manifest_" + uuid.uuid4().hex[:12])
     try:
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, path)
+        fs.write_text(tmp, json.dumps(manifest))
+        fs.replace_file(tmp, path)
     except BaseException:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+        fs.delete(tmp)
         raise
 
 
@@ -213,20 +203,20 @@ def ann_index_append(emb: DataFrame, index_dir: str) -> None:
     from the trained distribution is measurable (ann_index_drift).
     (Re-appending the same ids is the caller's dedup problem — run the
     batch through incremental_exact_dedup first, the stores compose.)"""
-    _require_local(index_dir, "ann_index_append")
-    meta = _load_meta(index_dir)
     spark = emb.sparkSession
+    fs = _fs_for(index_dir, spark)
+    meta = _load_meta(index_dir, fs)
     encoded = ivf_pq_encode(
         emb, meta["codebooks"], meta["centroids"], meta["id_col"], meta["vec_col"]
     )
-    tmp_dir = tempfile.mkdtemp(dir=index_dir, prefix=".batch_")
+    tmp_dir = fs.mktempdir(index_dir, ".batch_")
     encoded.write.mode("overwrite").parquet(tmp_dir)
     occupancy = _cell_occupancy(spark, tmp_dir)
-    final_name = "batch_" + os.path.basename(tmp_dir)[len(".batch_"):]
-    os.rename(tmp_dir, os.path.join(index_dir, final_name))
-    manifest = _load_manifest(index_dir)
+    final_name = "batch_" + basename(tmp_dir)[len(".batch_"):]
+    fs.rename(tmp_dir, join(index_dir, final_name))
+    manifest = _load_manifest(index_dir, fs)
     manifest["dirs"].append({"name": final_name, "occupancy": occupancy})
-    _commit_manifest(index_dir, manifest)
+    _commit_manifest(index_dir, manifest, fs)
 
 
 def ann_index_drift(index_dir: str) -> float:
@@ -287,7 +277,7 @@ def ann_index_search(
                 stacklevel=2,
             )
     paths = [
-        os.path.join(index_dir, d["name"]) for d in _load_manifest(index_dir)["dirs"]
+        join(index_dir, d["name"]) for d in _load_manifest(index_dir)["dirs"]
     ]
     codes = spark.read.parquet(*paths)
     return ivf_pq_search_encoded(
@@ -297,7 +287,9 @@ def ann_index_search(
     )
 
 
-def ann_index_compact(spark: SparkSession, index_dir: str) -> int:
+def ann_index_compact(
+    spark: SparkSession, index_dir: str, grace: bool = True
+) -> int:
     """Fold all committed APPEND batches into one code dir — the store's
     small-file debt collector: after N daily appends every search opens
     N+1 parquet dirs; compaction returns that to 2 (build codes + one
@@ -308,39 +300,89 @@ def ann_index_compact(spark: SparkSession, index_dir: str) -> int:
     trained mass). Returns the number of batch dirs folded (0 = no-op).
 
     Crash contract mirrors append: the union writes to a hidden temp dir,
-    renames, and publishes via one atomic manifest rewrite; the superseded
-    batch dirs are deleted only AFTER the commit, so a crash at any point
-    leaves either the old manifest (old dirs intact) or the new one
-    (orphan old dirs that no reader consults). Single-writer, like every
-    store in the repo.
+    renames, and publishes via one atomic manifest rewrite — a crash at
+    any point leaves either the old manifest (old dirs intact) or the new
+    one. Single-writer, like every store in the repo.
 
-    Reader race, stated honestly: a search that loaded the OLD manifest
-    just before the commit can hit deleted batch dirs and FAIL LOUDLY
-    (never read wrong data) — the classic compactor-vs-reader window every
-    rename-based store has. Run compaction off the query path, or retry
-    the search; a grace-period delete (keep superseded dirs for N minutes)
-    is the standard production extension if retries are unacceptable."""
-    import shutil
-
-    _require_local(index_dir, "ann_index_compact")
-    manifest = _load_manifest(index_dir)
+    Reader race, closed by the GRACE PERIOD (default): superseded batch
+    dirs are NOT deleted at commit — they're recorded in the manifest's
+    `superseded` list and survive until the NEXT compact (or an explicit
+    ann_index_gc(delete_superseded=True)), so a search that resolved the
+    OLD manifest just before the commit still finds every dir it plans to
+    read. No reader ever consults `superseded` for routing; it is purely
+    the deferred-delete ledger. `grace=False` restores eager deletion for
+    single-process stores that never search concurrently."""
+    fs = _fs_for(index_dir, spark)
+    manifest = _load_manifest(index_dir, fs)
+    # dirs superseded by the PREVIOUS compact have had a full cycle of
+    # grace — collect them now, before this round's fold
+    for name in manifest.get("superseded", []):
+        fs.delete(join(index_dir, name))
     batches = [d for d in manifest["dirs"] if d["name"] != _CODES]
     if len(batches) < 2:
+        if manifest.get("superseded"):
+            _commit_manifest(index_dir, {**manifest, "superseded": []}, fs)
         return 0
-    paths = [os.path.join(index_dir, d["name"]) for d in batches]
-    tmp_dir = tempfile.mkdtemp(dir=index_dir, prefix=".batch_")
+    paths = [join(index_dir, d["name"]) for d in batches]
+    tmp_dir = fs.mktempdir(index_dir, ".batch_")
     spark.read.parquet(*paths).write.mode("overwrite").parquet(tmp_dir)
     occupancy: dict[str, int] = {}
     for d in batches:
         for cell, n in d.get("occupancy", {}).items():
             occupancy[cell] = occupancy.get(cell, 0) + n
-    final_name = "batch_" + os.path.basename(tmp_dir)[len(".batch_"):]
-    os.rename(tmp_dir, os.path.join(index_dir, final_name))
+    final_name = "batch_" + basename(tmp_dir)[len(".batch_"):]
+    fs.rename(tmp_dir, join(index_dir, final_name))
     keep = [d for d in manifest["dirs"] if d["name"] == _CODES]
     _commit_manifest(
         index_dir,
-        {**manifest, "dirs": keep + [{"name": final_name, "occupancy": occupancy}]},
+        {
+            **manifest,
+            "dirs": keep + [{"name": final_name, "occupancy": occupancy}],
+            "superseded": [d["name"] for d in batches] if grace else [],
+        },
+        fs,
     )
-    for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
+    if not grace:
+        for p in paths:
+            fs.delete(p)
     return len(batches)
+
+
+def ann_index_gc(
+    index_dir: str, spark: SparkSession | None = None,
+    delete_superseded: bool = False,
+) -> list[str]:
+    """Garbage-collect store debris the commit protocol can leave behind:
+    `.batch_*` / `batch_*` dirs and `.manifest_*` temp files that are in
+    neither the committed manifest nor its `superseded` grace list can
+    only be crashed appends/compacts (the rename landed but the manifest
+    commit didn't) — nothing will ever reference them, and on disk they
+    are indistinguishable from committed batches, so without GC they
+    accumulate silently. Returns the deleted names.
+
+    `delete_superseded=True` also reclaims the grace-period dirs early
+    (safe once no reader started before the last compact is still
+    running). Never touches `codes/`, meta, or the manifest itself."""
+    fs = _fs_for(index_dir, spark)
+    manifest = _load_manifest(index_dir, fs)
+    referenced = {d["name"] for d in manifest["dirs"]}
+    superseded = set(manifest.get("superseded", []))
+    deleted: list[str] = []
+    for name in fs.listdir(index_dir):
+        if name in referenced or name in (_META, _MANIFEST) or name == _CODES:
+            continue
+        is_debris = (
+            name.startswith(".batch_")
+            or name.startswith(".manifest_")
+            or (name.startswith("batch_") and name not in superseded)
+        )
+        if name in superseded:
+            if not delete_superseded:
+                continue
+            is_debris = True
+        if is_debris:
+            fs.delete(join(index_dir, name))
+            deleted.append(name)
+    if delete_superseded and superseded:
+        _commit_manifest(index_dir, {**manifest, "superseded": []}, fs)
+    return sorted(deleted)

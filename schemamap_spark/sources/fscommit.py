@@ -1,0 +1,235 @@
+"""Filesystem commit seam — one place that knows how to rename-commit.
+
+Every store in the repo (warehouse parquet swaps, the ANN index store, the
+SMO snapshot) publishes data the same way: write to a temp location, then
+an atomic rename makes it visible. Until round 7 that protocol was
+hard-wired to os.rename, so any URI-scheme path raised loudly. This module
+is the port: the same five primitives (exists / rename / delete / read /
+write-atomic + listing) behind one seam, with two implementations —
+
+- ``_LocalFS`` — plain paths (no scheme): os.* / shutil, byte-identical to
+  the old behavior. No Spark session required (ann_index_drift stays
+  driver-only arithmetic).
+- ``_HadoopFS`` — ``scheme://`` paths: the Hadoop FileSystem API through
+  the live session's JVM (``spark._jvm``). Directory renames go through
+  ``FileSystem.rename`` — atomic on HDFS-like stores and on ``file:``
+  (RawLocalFileSystem delegates to rename(2)). Single-file commits
+  (manifest pointers) go through ``FileContext.rename(...OVERWRITE)``,
+  the HDFS-atomic replace; if the FileContext path is unavailable the
+  fallback is delete+rename with a documented non-atomic instant.
+
+Honesty guard: object stores whose Hadoop connector FAKES rename as
+copy+delete (s3a, gs, abfs without hierarchical namespace, oss, swift,
+wasb) still raise — the commit protocol's crash contract genuinely does
+not hold there, and pretending otherwise is how stores corrupt. Those
+deployments need a manifest-pointer layout (the ANN store already has
+one) or a table format with its own commit log.
+
+The sandbox's only real scheme is ``file:``, so that is what the tests
+drive end-to-end; the seam is the same code path an ``hdfs://`` warehouse
+would take.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+# Hadoop FileSystem.rename is a real metadata rename on these schemes —
+# the commit contract holds. Everything else with a scheme raises.
+_ATOMIC_RENAME_SCHEMES = {"file", "hdfs", "viewfs", "webhdfs", "ofs", "o3fs"}
+
+
+def split_scheme(path: str) -> str | None:
+    """'hdfs://nn/x' -> 'hdfs'; '/plain/path' -> None."""
+    if "://" not in path:
+        return None
+    return path.split("://", 1)[0]
+
+
+def fs_for(path: str, spark=None):
+    """Pick the implementation for `path`. Plain paths never need Spark;
+    scheme paths resolve a Hadoop FileSystem through the active session's
+    JVM (pass `spark` explicitly or have an active session)."""
+    scheme = split_scheme(path)
+    if scheme is None:
+        return _LocalFS()
+    if scheme not in _ATOMIC_RENAME_SCHEMES:
+        raise ValueError(
+            f"scheme {scheme!r} ({path!r}): its Hadoop connector implements "
+            "rename as copy+delete, so the rename-commit crash contract does "
+            "not hold. Use a manifest-pointer layout or a table format with "
+            "its own commit log for this store."
+        )
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                f"scheme path {path!r} needs an active SparkSession (the "
+                "Hadoop FileSystem rides the session JVM)"
+            )
+    return _HadoopFS(spark)
+
+
+class _LocalFS:
+    """os/shutil implementation for plain local paths."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def replace_file(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+    def delete(self, path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.unlink(path)
+
+    def listdir(self, path: str) -> list[str]:
+        return os.listdir(path)
+
+    def listsizes(self, path: str) -> list[tuple[str, int]]:
+        return [
+            (f, os.path.getsize(os.path.join(path, f)))
+            for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        ]
+
+    def mktempdir(self, parent: str, prefix: str) -> str:
+        self.mkdirs(parent)
+        return tempfile.mkdtemp(dir=parent, prefix=prefix)
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_text(self, path: str, data: str) -> None:
+        with open(path, "w") as f:
+            f.write(data)
+
+
+class _HadoopFS:
+    """Hadoop FileSystem implementation for scheme paths, via spark._jvm.
+    Each operation resolves the FileSystem from the path itself, so one
+    instance serves any scheme the JVM can load."""
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _p(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _fs(self, path: str):
+        return self._p(path).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs(path).exists(self._p(path)))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs(path).mkdirs(self._p(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        ok = self._fs(src).rename(self._p(src), self._p(dst))
+        if not ok:
+            raise OSError(f"Hadoop rename failed: {src!r} -> {dst!r}")
+
+    def replace_file(self, src: str, dst: str) -> None:
+        """Atomic single-file replace. FileContext.rename with OVERWRITE is
+        the HDFS-atomic primitive; py4j reaches the nested enum as
+        Options$Rename. If that path is unavailable for the FS, fall back
+        to delete+rename — a documented non-atomic instant in which the
+        destination is missing (never torn). `last_replace_atomic` records
+        which branch ran, so tests can pin that the atomic path is live."""
+        jvm = self._jvm
+        try:
+            fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._p(dst).toUri(), self._conf
+            )
+            overwrite = getattr(
+                jvm, "org.apache.hadoop.fs.Options$Rename"
+            ).valueOf("OVERWRITE")
+            renames = jvm.java.lang.reflect.Array.newInstance(
+                overwrite.getClass(), 1
+            )
+            renames[0] = overwrite
+            fc.rename(self._p(src), self._p(dst), renames)
+            self.last_replace_atomic = True
+        except Exception:
+            self.last_replace_atomic = False
+            fs = self._fs(dst)
+            fs.delete(self._p(dst), False)
+            self.rename(src, dst)
+
+    def delete(self, path: str) -> None:
+        fs = self._fs(path)
+        p = self._p(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def listdir(self, path: str) -> list[str]:
+        fs = self._fs(path)
+        return [s.getPath().getName() for s in fs.listStatus(self._p(path))]
+
+    def listsizes(self, path: str) -> list[tuple[str, int]]:
+        fs = self._fs(path)
+        return [
+            (s.getPath().getName(), s.getLen())
+            for s in fs.listStatus(self._p(path))
+            if s.isFile()
+        ]
+
+    def mktempdir(self, parent: str, prefix: str) -> str:
+        self.mkdirs(parent)
+        path = join(parent, prefix + uuid.uuid4().hex[:12])
+        self.mkdirs(path)
+        return path
+
+    def read_text(self, path: str) -> str:
+        fs = self._fs(path)
+        stream = fs.open(self._p(path))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return bytes(data).decode("utf-8")
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, data: str) -> None:
+        fs = self._fs(path)
+        out = fs.create(self._p(path), True)
+        try:
+            out.write(bytearray(data.encode("utf-8")))
+        finally:
+            out.close()
+
+
+def join(parent: str, *names: str) -> str:
+    """Path join that works for both plain paths and URIs (os.path.join
+    would be fine for both on POSIX, but keep URI separators explicit)."""
+    out = parent.rstrip("/")
+    for n in names:
+        out = out + "/" + n.strip("/")
+    return out
+
+
+def basename(path: str) -> str:
+    return path.rstrip("/").rsplit("/", 1)[-1]
+
+
+def dirname(path: str) -> str:
+    scheme = split_scheme(path)
+    if scheme is None:
+        return os.path.dirname(os.path.abspath(path))
+    head = path.rstrip("/").rsplit("/", 1)[0]
+    return head

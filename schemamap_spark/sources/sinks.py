@@ -16,30 +16,25 @@ server-side merge (rust/src/common.rs:12-13). The Spark equivalents:
 
 from __future__ import annotations
 
-import os
 import re
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from schemamap_spark.sources import fscommit
+
 _IDENT_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_.]*$")
 
 
-def _require_local(path: str, op: str) -> None:
-    """These writers commit via os.rename — atomic only on a driver-local
-    posix filesystem. Refuse URI-scheme paths loudly instead of writing a
-    store whose crash-safety contract silently doesn't hold (S3 has no
-    rename; HDFS renames happen on another filesystem than the driver's).
-    Deployments on an object store should either stage locally or port the
-    swap tail to the store's own atomic primitive (manifest files / Hadoop
-    FileSystem.rename via spark._jvm)."""
-    if "://" in path:
-        raise ValueError(
-            f"{op} requires a driver-local path (os.rename commit protocol); "
-            f"got scheme path {path!r}"
-        )
+def _stage(target_dir: str, spark) -> tuple[object, str]:
+    """Resolve the commit filesystem for `target_dir` (sources/fscommit —
+    os.rename for plain paths, the Hadoop FileSystem API for scheme paths
+    whose connector has a real metadata rename; copy+delete schemes like
+    s3a raise loudly, the round-6 contract) and create the staging temp
+    dir next to the target."""
+    fs = fscommit.fs_for(target_dir, spark)
+    tmp = fs.mktempdir(fscommit.dirname(target_dir), ".write_new_")
+    return fs, tmp
 
 
 def write_parquet_atomic(df: DataFrame, target_dir: str, ordered_by: list[str] | None = None) -> None:
@@ -53,25 +48,25 @@ def write_parquet_atomic(df: DataFrame, target_dir: str, ordered_by: list[str] |
     inside the window leaves the previous data in '<target>.old' for manual
     recovery. Single-writer semantics are assumed (the reference's matview
     refresh has the same contract)."""
-    _require_local(target_dir, "write_parquet_atomic")
-    parent = os.path.dirname(os.path.abspath(target_dir))
-    os.makedirs(parent, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
+    fs, tmp = _stage(target_dir, df.sparkSession)
     out = df.orderBy(*ordered_by) if ordered_by else df
     out.write.mode("overwrite").parquet(tmp)
-    _swap_into_place(tmp, target_dir)
+    _swap_into_place(tmp, target_dir, fs)
 
 
-def _swap_into_place(tmp: str, target_dir: str) -> None:
+def _swap_into_place(tmp: str, target_dir: str, fs=None) -> None:
     """Directory-swap tail shared by every warehouse writer (see the
-    crash-safety contract in write_parquet_atomic's docstring)."""
-    old = target_dir + ".old"
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    if os.path.exists(target_dir):
-        os.rename(target_dir, old)
-    os.rename(tmp, target_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    crash-safety contract in write_parquet_atomic's docstring). `fs` is
+    the fscommit filesystem for target_dir; defaults to resolving it
+    (plain path → os.rename, scheme path → Hadoop FileSystem rename)."""
+    fs = fs or fscommit.fs_for(target_dir)
+    old = target_dir.rstrip("/") + ".old"
+    if fs.exists(old):
+        fs.delete(old)
+    if fs.exists(target_dir):
+        fs.rename(target_dir, old)
+    fs.rename(tmp, target_dir)
+    fs.delete(old)
 
 
 def write_range_sorted(
@@ -91,17 +86,14 @@ def write_range_sorted(
     file); num_files defaults to spark.sql.shuffle.partitions."""
     if not sort_cols:
         raise ValueError("sort_cols must be non-empty")
-    _require_local(target_dir, "write_range_sorted")
     spark = df.sparkSession
     n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
     # same atomic temp-dir swap as write_parquet_atomic: readers never see a
     # half-written layout
-    parent = os.path.dirname(os.path.abspath(target_dir))
-    os.makedirs(parent, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
+    fs, tmp = _stage(target_dir, spark)
     out.write.mode("overwrite").parquet(tmp)
-    _swap_into_place(tmp, target_dir)
+    _swap_into_place(tmp, target_dir, fs)
 
 
 def zorder_column(
@@ -217,16 +209,13 @@ def write_zordered(
     queries filter on MORE THAN ONE column: a 2-D range predicate prunes
     files in both dimensions instead of only the leading sort key's
     (asserted against the real footers in test_scale_ops)."""
-    _require_local(target_dir, "write_zordered")
     spark = df.sparkSession
     n = num_files or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     keyed, key = zorder_column(df, zorder_cols, bits, binning)
     out = keyed.repartitionByRange(n, key).sortWithinPartitions(key).drop(key)
-    parent = os.path.dirname(os.path.abspath(target_dir))
-    os.makedirs(parent, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
+    fs, tmp = _stage(target_dir, spark)
     out.write.mode("overwrite").parquet(tmp)
-    _swap_into_place(tmp, target_dir)
+    _swap_into_place(tmp, target_dir, fs)
 
 
 def write_jdbc_append(
@@ -298,7 +287,6 @@ def write_point_lookup_optimized(
     negatives, so results are exact either way)."""
     if not bloom_cols:
         raise ValueError("bloom_cols must be non-empty")
-    _require_local(target_dir, "write_point_lookup_optimized")
     out = df
     if sort_cols:
         spark = df.sparkSession
@@ -308,11 +296,9 @@ def write_point_lookup_optimized(
     for c in bloom_cols:
         writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
         writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
-    parent = os.path.dirname(os.path.abspath(target_dir))
-    os.makedirs(parent, exist_ok=True)
-    tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
+    fs, tmp = _stage(target_dir, df.sparkSession)
     writer.parquet(tmp)
-    _swap_into_place(tmp, target_dir)
+    _swap_into_place(tmp, target_dir, fs)
 
 
 def compact_parquet_dir(
@@ -329,12 +315,12 @@ def compact_parquet_dir(
     re-sorting so footer pruning survives compaction. Returns the new file
     count. Run it off the write path (the store stays readable throughout).
     """
-    _require_local(target_dir, "compact_parquet_dir")
-    sizes = [
-        os.path.getsize(os.path.join(target_dir, f))
-        for f in (os.listdir(target_dir) if os.path.isdir(target_dir) else [])
-        if f.endswith(".parquet")
-    ]
+    fs = fscommit.fs_for(target_dir, spark)
+    sizes = (
+        [s for f, s in fs.listsizes(target_dir) if f.endswith(".parquet")]
+        if fs.exists(target_dir)
+        else []
+    )
     if not sizes:
         raise ValueError(f"no parquet files in {target_dir}")
     n = max(1, -(-sum(sizes) // target_file_bytes))  # ceil
@@ -343,8 +329,7 @@ def compact_parquet_dir(
         out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         out = df.coalesce(n) if n < len(sizes) else df.repartition(n)
-    parent = os.path.dirname(os.path.abspath(target_dir))
-    tmp = tempfile.mkdtemp(dir=parent, prefix=".write_new_")
+    tmp = fs.mktempdir(fscommit.dirname(target_dir), ".write_new_")
     out.write.mode("overwrite").parquet(tmp)
-    _swap_into_place(tmp, target_dir)
+    _swap_into_place(tmp, target_dir, fs)
     return n

@@ -245,20 +245,56 @@ def test_drift_measured_and_search_warns(spark, emb, tmp_path):
         ).count()
 
 
-def test_store_paths_must_be_local(spark, emb, tmp_path):
-    with pytest.raises(ValueError, match="driver-local"):
+def test_store_scheme_contract(spark, emb, tmp_path):
+    """Copy+delete-rename schemes (s3a and friends) still raise loudly —
+    their Hadoop connector fakes rename, so the commit contract doesn't
+    hold. Real-rename schemes route through the Hadoop FileSystem API:
+    the full store lifecycle works end-to-end on a file:// URI (the
+    sandbox's only live scheme — the same code path hdfs:// takes)."""
+    with pytest.raises(ValueError, match="copy\\+delete"):
         ann_index_build(emb, "s3://bucket/idx")
-    idx = str(tmp_path / "idx_local")
-    ann_index_build(emb.limit(64), idx, m=8, num_centroids=4)
-    with pytest.raises(ValueError, match="driver-local"):
-        ann_index_append(emb, "hdfs://nn/idx")
+    with pytest.raises(ValueError, match="copy\\+delete"):
+        ann_index_append(emb, "s3a://bucket/idx")
+
+    from schemamap_spark.operators.ann_index import (
+        ann_index_compact,
+        ann_index_drift,
+        ann_index_gc,
+    )
+
+    idx_uri = "file://" + str(tmp_path / "idx_uri")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.subtract(b1)
+    ann_index_build(b1, idx_uri, m=8, num_centroids=16)
+    ann_index_append(b2.filter(F.col("vec_id") % 5 == 1), idx_uri)
+    ann_index_append(b2.filter(F.col("vec_id") % 5 == 2), idx_uri)
+    got = ann_index_search(spark, idx_uri, _q(emb), k=5, nprobe=4).collect()
+    assert len(got) > 0
+    assert ann_index_drift(idx_uri) >= 0.0
+    assert ann_index_compact(spark, idx_uri) == 2
+    after = ann_index_search(spark, idx_uri, _q(emb), k=5, nprobe=4).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, got))
+    assert ann_index_gc(idx_uri, spark) == []
+
+    # the URI store and a plain-path store of the same build are identical
+    idx_plain = str(tmp_path / "idx_plain")
+    ann_index_build(b1, idx_plain, m=8, num_centroids=16)
+    plain = ann_index_search(
+        spark, idx_plain, _q(emb), k=5, nprobe=4,
+        ).collect()
+    uri_only_build = "file://" + str(tmp_path / "idx_uri2")
+    ann_index_build(b1, uri_only_build, m=8, num_centroids=16)
+    uri2 = ann_index_search(spark, uri_only_build, _q(emb), k=5, nprobe=4).collect()
+    assert sorted(map(tuple, uri2)) == sorted(map(tuple, plain))
 
 
 def test_compact_folds_batches_preserving_search_and_drift(spark, emb, tmp_path):
     """Compaction is pure layout: search results byte-identical, drift
     identical (the compacted entry carries the summed occupancies — folded
     rows must stay filed as APPENDED mass, not trained), store down to
-    build codes + one batch dir, superseded dirs gone."""
+    build codes + one batch dir. Superseded dirs survive ONE compact cycle
+    (the grace period that closes the compactor-vs-reader race) and are
+    collected by the next compact."""
     import json
     import os
 
@@ -280,14 +316,112 @@ def test_compact_folds_batches_preserving_search_and_drift(spark, emb, tmp_path)
     assert ann_index_compact(spark, idx) == 3
 
     with open(os.path.join(idx, "manifest.json")) as f:
-        dirs = json.load(f)["dirs"]
+        manifest = json.load(f)
+    dirs = manifest["dirs"]
     assert len(dirs) == 2 and dirs[0]["name"] == "codes"
+    superseded = set(manifest["superseded"])
+    assert len(superseded) == 3
     on_disk = {d for d in os.listdir(idx) if d.startswith("batch_")}
-    assert on_disk == {dirs[1]["name"]}  # superseded dirs deleted
+    # grace period: superseded dirs still on disk for old-manifest readers
+    assert on_disk == {dirs[1]["name"]} | superseded
 
     after = sorted(map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect()))
     assert after == before
     assert ann_index_drift(idx) == drift_before
 
-    # idempotent: a second compact is a no-op
+    # a second compact is a fold no-op but collects the grace-expired dirs
     assert ann_index_compact(spark, idx) == 0
+    on_disk2 = {d for d in os.listdir(idx) if d.startswith("batch_")}
+    assert on_disk2 == {dirs[1]["name"]}
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert json.load(f)["superseded"] == []
+    # and search still matches
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect())
+    ) == before
+
+
+def test_compact_reader_race_closed_by_grace_period(spark, emb, tmp_path):
+    """The documented compactor-vs-reader window: a search whose plan
+    resolved the OLD manifest (pre-compact dir list) must still succeed
+    after a concurrent compact, because superseded dirs survive the grace
+    cycle. grace=False restores eager deletion."""
+    import os
+
+    from schemamap_spark.operators.ann_index import ann_index_compact
+
+    idx = str(tmp_path / "idx_race")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(half, idx, m=8, num_centroids=16)
+    rest = emb.subtract(half)
+    for m in (1, 3):
+        ann_index_append(rest.filter(F.col("vec_id") % 5 == m), idx)
+
+    # the reader: plan constructed (manifest resolved, paths pinned) BEFORE
+    # the compact commits
+    old_reader = ann_index_search(spark, idx, _q(emb), k=5)
+    expected = sorted(map(tuple, old_reader.collect()))
+
+    assert ann_index_compact(spark, idx) == 2
+    # old-manifest reader re-executes against the superseded dirs: succeeds
+    assert sorted(map(tuple, old_reader.collect())) == expected
+
+    # eager mode: superseded dirs deleted at commit (the pre-r7 behavior)
+    idx2 = str(tmp_path / "idx_eager")
+    ann_index_build(half, idx2, m=8, num_centroids=16)
+    for m in (1, 3):
+        ann_index_append(rest.filter(F.col("vec_id") % 5 == m), idx2)
+    names_before = {d for d in os.listdir(idx2) if d.startswith("batch_")}
+    assert ann_index_compact(spark, idx2, grace=False) == 2
+    left = {d for d in os.listdir(idx2) if d.startswith("batch_")}
+    assert not (left & names_before)
+
+
+def test_gc_removes_crash_debris_only(spark, emb, tmp_path):
+    """Orphan batch_* dirs (rename landed, manifest commit didn't) are
+    indistinguishable on disk from committed batches — ann_index_gc
+    deletes exactly the unreferenced debris (plus .batch_/.manifest_
+    temps), never committed dirs, and keeps grace-period dirs unless
+    explicitly asked."""
+    import json
+    import os
+    import shutil
+
+    from schemamap_spark.operators.ann_index import (
+        ann_index_compact,
+        ann_index_gc,
+    )
+
+    idx = str(tmp_path / "idx_gc")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(half, idx, m=8, num_centroids=16)
+    b2 = emb.subtract(half)
+    ann_index_append(b2.filter(F.col("vec_id") % 5 == 1), idx)
+    ann_index_append(b2.filter(F.col("vec_id") % 5 == 2), idx)
+    baseline = sorted(map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect()))
+
+    # crash debris: an orphan committed-looking batch dir, a half-written
+    # hidden temp, and a manifest temp file
+    committed = [d for d in os.listdir(idx) if d.startswith("batch_")]
+    shutil.copytree(os.path.join(idx, committed[0]), os.path.join(idx, "batch_orphan"))
+    os.makedirs(os.path.join(idx, ".batch_halfwritten"))
+    with open(os.path.join(idx, ".manifest_dead"), "w") as f:
+        f.write("{}")
+
+    deleted = ann_index_gc(idx, spark)
+    assert deleted == sorted([".batch_halfwritten", ".manifest_dead", "batch_orphan"])
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect())
+    ) == baseline
+
+    # grace dirs survive a default gc, die with delete_superseded=True
+    assert ann_index_compact(spark, idx) == 2
+    with open(os.path.join(idx, "manifest.json")) as f:
+        superseded = set(json.load(f)["superseded"])
+    assert superseded and ann_index_gc(idx, spark) == []
+    assert set(ann_index_gc(idx, spark, delete_superseded=True)) == superseded
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert json.load(f)["superseded"] == []
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect())
+    ) == baseline

@@ -1,0 +1,83 @@
+"""The filesystem commit seam: plain paths stay os.rename, scheme paths
+ride the Hadoop FileSystem API, copy+delete schemes refuse."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from schemamap_spark.sources import fscommit
+
+
+def test_scheme_routing(spark, tmp_path):
+    assert isinstance(fscommit.fs_for(str(tmp_path)), fscommit._LocalFS)
+    assert isinstance(
+        fscommit.fs_for("file://" + str(tmp_path), spark), fscommit._HadoopFS
+    )
+    for bad in ("s3://b/k", "s3a://b/k", "gs://b/k", "abfss://c@a/k", "wasb://c@a/k"):
+        with pytest.raises(ValueError, match="copy\\+delete"):
+            fscommit.fs_for(bad, spark)
+
+
+def test_hadoop_fs_primitives_on_file_uri(spark, tmp_path):
+    fs = fscommit.fs_for("file://" + str(tmp_path), spark)
+    base = "file://" + str(tmp_path)
+
+    fs.mkdirs(base + "/d1")
+    assert fs.exists(base + "/d1")
+    fs.write_text(base + "/d1/x.txt", "hello")
+    assert fs.read_text(base + "/d1/x.txt") == "hello"
+    assert fs.listdir(base + "/d1") == ["x.txt"]
+    assert fs.listsizes(base + "/d1") == [("x.txt", 5)]
+
+    # atomic replace must take the FileContext OVERWRITE branch on file://
+    fs.write_text(base + "/d1/y.txt", "new content")
+    fs.replace_file(base + "/d1/y.txt", base + "/d1/x.txt")
+    assert fs.last_replace_atomic is True
+    assert fs.read_text(base + "/d1/x.txt") == "new content"
+    assert not fs.exists(base + "/d1/y.txt")
+
+    fs.rename(base + "/d1", base + "/d2")
+    assert fs.exists(base + "/d2") and not fs.exists(base + "/d1")
+    tmp = fs.mktempdir(base, ".stage_")
+    assert fs.exists(tmp) and fscommit.basename(tmp).startswith(".stage_")
+    fs.delete(tmp)
+    assert not fs.exists(tmp)
+    fs.delete(base + "/d2")
+    assert not fs.exists(base + "/d2")
+
+
+def test_local_fs_matches_hadoop_semantics(tmp_path):
+    fs = fscommit.fs_for(str(tmp_path))
+    d = str(tmp_path / "d")
+    fs.mkdirs(d)
+    fs.write_text(d + "/a.txt", "v1")
+    fs.write_text(d + "/b.txt", "v2")
+    fs.replace_file(d + "/b.txt", d + "/a.txt")
+    assert fs.read_text(d + "/a.txt") == "v2"
+    assert fs.listsizes(d) == [("a.txt", 2)]
+    tmp = fs.mktempdir(str(tmp_path), ".stage_")
+    assert os.path.isdir(tmp)
+
+
+def test_scheme_path_without_session_raises(monkeypatch):
+    """A scheme path with no active session (e.g. ann_index_drift called
+    from a plain script) must fail with a clear message, not an obscure
+    py4j error."""
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(
+        SparkSession, "getActiveSession", classmethod(lambda cls: None)
+    )
+    with pytest.raises(ValueError, match="active SparkSession"):
+        fscommit.fs_for("file:///tmp/x")
+
+
+def test_uri_helpers():
+    assert fscommit.split_scheme("/plain/p") is None
+    assert fscommit.split_scheme("hdfs://nn/p") == "hdfs"
+    assert fscommit.join("file:///a/", "b", "c") == "file:///a/b/c"
+    assert fscommit.basename("file:///a/b/") == "b"
+    assert fscommit.dirname("file:///a/b") == "file:///a"
+    assert fscommit.dirname("rel") == os.path.dirname(os.path.abspath("rel"))

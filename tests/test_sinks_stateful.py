@@ -37,10 +37,11 @@ def test_write_parquet_atomic_swap(spark, tmp_path):
 
 
 def test_swap_writers_refuse_non_local_paths(spark, tmp_path):
-    """Every os.rename-committing writer refuses URI-scheme targets loudly:
-    the atomic-swap crash-safety contract does not hold on object stores
-    (no rename on S3), and failing at write time beats a store that only
-    LOOKS crash-safe. The same guard exists in the ANN index store."""
+    """Writers refuse copy+delete-rename schemes loudly (s3a and friends
+    fake rename, so the atomic-swap crash contract does not hold), and
+    route real-rename schemes through the Hadoop FileSystem API — proven
+    end-to-end on a file:// URI, the same code path an hdfs:// warehouse
+    takes. The same seam serves the ANN index store."""
     from schemamap_spark.sources.sinks import (
         compact_parquet_dir,
         write_point_lookup_optimized,
@@ -52,12 +53,31 @@ def test_swap_writers_refuse_non_local_paths(spark, tmp_path):
     for fn, args in [
         (write_parquet_atomic, (df, "s3://bucket/tbl")),
         (write_range_sorted, (df, "s3a://bucket/tbl", ["v"])),
-        (write_zordered, (df, "hdfs://nn/tbl", ["v"])),
+        (write_zordered, (df, "gs://bucket/tbl", ["v"])),
         (write_point_lookup_optimized, (df, "s3://b/t", ["v"])),
         (compact_parquet_dir, (spark, "abfss://c@a/t")),
     ]:
-        with pytest.raises(ValueError, match="driver-local"):
+        with pytest.raises(ValueError, match="copy\\+delete"):
             fn(*args)
+
+    # file:// routes through the Hadoop FS seam: atomic-swap write,
+    # overwrite of an existing store, and compaction all work; results
+    # identical to the plain-path writer
+    target = "file://" + str(tmp_path / "uri_tbl")
+    write_parquet_atomic(df, target)
+    write_parquet_atomic(df.withColumn("v", F.col("v") * 2), target)  # swap over old
+    got = sorted(r.v for r in spark.read.parquet(target).collect())
+    assert got == [0, 2, 4, 6]
+    import os
+
+    assert not os.path.exists(str(tmp_path / "uri_tbl") + ".old")
+    n = compact_parquet_dir(spark, target, target_file_bytes=1 << 30)
+    assert n == 1
+    assert sorted(r.v for r in spark.read.parquet(target).collect()) == got
+
+    ranged = "file://" + str(tmp_path / "uri_ranged")
+    write_range_sorted(df, ranged, ["v"], num_files=2)
+    assert sorted(r.v for r in spark.read.parquet(ranged).collect()) == [0, 1, 2, 3]
 
 
 def test_write_parquet_atomic_recovers_from_stale_old(spark, tmp_path):
