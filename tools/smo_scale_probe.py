@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# 18M-row SMO aggregation needs more than the 8g test-suite default heap
+# (local[32] shares one JVM); the probe box has 128 GiB.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 R = int(sys.argv[1]) if len(sys.argv) > 1 else 10_400
 
 
