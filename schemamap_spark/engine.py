@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,21 +55,21 @@ class SchemamapEngine:
         With a warehouse dir, the new snapshot is written to a temp dir and
         atomically renamed into place — the moral equivalent of REFRESH
         MATERIALIZED VIEW CONCURRENTLY (readers of the old files are never
-        blocked; parquet dirs are immutable once written)."""
+        blocked; parquet dirs are immutable once written). The swap routes
+        through sources/fscommit, so a warehouse on hdfs:// (or any
+        real-rename scheme) commits the same way a local one does."""
+        from schemamap_spark.sources import fscommit
+        from schemamap_spark.sources.sinks import _swap_into_place
+
         # canonical sort only when persisting (byte-stable snapshot files);
         # in-memory consumers (status, concepts) don't pay for it
         smo = build_smo(self.catalog, ordered=self.warehouse_dir is not None)
         if self.warehouse_dir:
-            target = os.path.join(self.warehouse_dir, "smo")
-            tmp = tempfile.mkdtemp(dir=self.warehouse_dir, prefix=".smo_new_")
+            fs = fscommit.fs_for(self.warehouse_dir, self.spark)
+            target = fscommit.join(self.warehouse_dir, "smo")
+            tmp = fs.mktempdir(self.warehouse_dir, ".smo_new_")
             smo.write.mode("overwrite").parquet(tmp)
-            old = target + ".old"
-            if os.path.exists(old):
-                shutil.rmtree(old)  # stale leftover from an interrupted swap
-            if os.path.exists(target):
-                os.rename(target, old)
-            os.rename(tmp, target)
-            shutil.rmtree(old, ignore_errors=True)
+            _swap_into_place(tmp, target, fs)
             self._smo = self.spark.read.parquet(target)
         else:
             self._smo = smo.localCheckpoint(eager=not concurrently) if smo.isStreaming is False else smo
@@ -158,29 +156,43 @@ class SchemamapEngine:
         }
 
     def _i18n_path(self) -> str | None:
-        return os.path.join(self.warehouse_dir, "i18n.json") if self.warehouse_dir else None
+        from schemamap_spark.sources import fscommit
+
+        return (
+            fscommit.join(self.warehouse_dir, "i18n.json")
+            if self.warehouse_dir
+            else None
+        )
 
     def i18n(self) -> dict:
         """The reference stores i18n in-database (SCHEMA:258-277); with a
         warehouse dir the store is a JSON file that survives engine restarts,
         loaded lazily on first read."""
+        from schemamap_spark.sources import fscommit
+
         path = self._i18n_path()
-        if not self._i18n and path and os.path.exists(path):
-            with open(path) as f:
-                self._i18n = json.load(f)
+        if not self._i18n and path:
+            fs = fscommit.fs_for(self.warehouse_dir, self.spark)
+            if fs.exists(path):
+                self._i18n = json.loads(fs.read_text(path))
         return self._i18n
 
     def update_i18n(self, doc: dict) -> dict:
         """Shallow-merge like the reference's `i18n_stored || $1` jsonb update
-        (SCHEMA:266-277); persisted through the warehouse when one exists."""
+        (SCHEMA:266-277); persisted through the warehouse when one exists —
+        write-temp + atomic replace through the fscommit seam."""
+        import uuid
+
+        from schemamap_spark.sources import fscommit
+
         self._i18n = {**self.i18n(), **doc}
         path = self._i18n_path()
         if path:
-            os.makedirs(self.warehouse_dir, exist_ok=True)
-            fd, tmp = tempfile.mkstemp(dir=self.warehouse_dir, prefix=".i18n_")
-            with os.fdopen(fd, "w") as f:
-                json.dump(self._i18n, f, indent=2, sort_keys=True)
-            os.replace(tmp, path)
+            fs = fscommit.fs_for(self.warehouse_dir, self.spark)
+            fs.mkdirs(self.warehouse_dir)
+            tmp = fscommit.join(self.warehouse_dir, ".i18n_" + uuid.uuid4().hex[:12])
+            fs.write_text(tmp, json.dumps(self._i18n, indent=2, sort_keys=True))
+            fs.replace_file(tmp, path)
         return self._i18n
 
     def count_estimate(self, df: DataFrame) -> int:

@@ -68,6 +68,34 @@ def test_i18n_survives_engine_restart(spark, tmp_path):
     assert reborn.i18n()["en"]["models"]["organizations"] == "Organizations"
 
 
+def test_warehouse_on_file_uri(spark, tmp_path):
+    """The engine warehouse rides the fscommit seam: a file:// warehouse
+    (the sandbox's stand-in for hdfs://) supports the snapshot refresh
+    swap, re-reading the persisted SMO, and the i18n store across an
+    engine restart — identically to a plain-path warehouse."""
+    from schemamap_spark import SchemamapEngine
+    from schemamap_spark.catalog import FixtureCatalog
+
+    wh = "file://" + str(tmp_path / "wh_uri")
+    eng = SchemamapEngine(spark, FixtureCatalog(spark), warehouse_dir=wh)
+    n1 = eng.refresh().count()
+    assert n1 > 0
+    n2 = eng.refresh().count()  # second refresh: swap over the existing dir
+    assert n2 == n1
+    import os
+
+    assert not os.path.exists(str(tmp_path / "wh_uri" / "smo") + ".old")
+
+    eng.update_i18n({"en": {"models": {"organizations": "Organizations"}}})
+    reborn = SchemamapEngine(spark, FixtureCatalog(spark), warehouse_dir=wh)
+    assert reborn.i18n()["en"]["models"]["organizations"] == "Organizations"
+
+    plain = SchemamapEngine(
+        spark, FixtureCatalog(spark), warehouse_dir=str(tmp_path / "wh_plain")
+    )
+    assert plain.refresh().count() == n1
+
+
 def test_versioned_bootstrap_applies_once(tmp_path):
     """Flyway parity (reference core.clj:9-16): re-running init applies only
     missing versions; history records each applied migration."""
