@@ -525,6 +525,7 @@ def ivf_pq_topk(
     rerank: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "sample",
 ) -> DataFrame:
     """IVF-PQ: the composed billion-vector shape — coarse centroid routing
     (IVF) over PQ-compressed codes (ADC). Each corpus vector is assigned to
@@ -534,14 +535,19 @@ def ivf_pq_topk(
     miss a boundary neighbor, ADC quantizes the scores); rerank=R re-scores
     the top R·k survivors with exact cosine like pq_topk.
 
-    Pure composition since round 5: ivf_centroids (hash-ordered sample) →
+    Pure composition since round 5: coarse centroids (hash-ordered sample,
+    or a trained k-means router with centroids='kmeans' — same option as
+    ann_index_build/ivf_topk; the 220k probe shows the trained router
+    halves the nprobe needed for a given recall on clustered corpora) →
     ivf_pq_encode (one-pass cell+codes) → ivf_pq_search_encoded (stacked
     ADC). Callers that want a PERSISTED index use operators/ann_index.py,
     which composes the same three pieces around a parquet store."""
-    centroids = ivf_centroids(corpus, num_centroids, id_col, vec_col)
-    encoded = ivf_pq_encode(corpus, codebooks, centroids, id_col, vec_col)
+    from schemamap_spark.operators.ann_index import _coarse_centroids
+
+    cents = _coarse_centroids(corpus, num_centroids, id_col, vec_col, centroids)
+    encoded = ivf_pq_encode(corpus, codebooks, cents, id_col, vec_col)
     return ivf_pq_search_encoded(
-        encoded, queries, codebooks, centroids, k, nprobe, rerank,
+        encoded, queries, codebooks, cents, k, nprobe, rerank,
         vectors=corpus, id_col=id_col, vec_col=vec_col,
     )
 

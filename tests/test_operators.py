@@ -1217,6 +1217,15 @@ def test_ivf_pq_recall_and_full_probe(spark):
     rec_rr = SIM.topk_recall(exact, rr).agg(F.avg("recall")).collect()[0][0]
     assert rec_rr >= rec - 1e-9
 
+    # the trained router option (same seam as ann_index_build): full probe
+    # still reduces to plain PQ — routing can't lose — whatever the router
+    km_full = ivf_pq_topk(
+        emb, q, books, k=4, num_centroids=8, nprobe=8, centroids="kmeans"
+    )
+    assert {(r.query_id, r.neighbor_id, r.rank) for r in km_full.collect()} == {
+        (r.query_id, r.neighbor_id, r.rank) for r in plain.collect()
+    }
+
 
 def test_cosine_topk_drops_infinite_vectors(spark):
     """A vector containing ±Inf has an infinite squared norm; its sims are
