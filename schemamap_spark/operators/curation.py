@@ -14,7 +14,7 @@ keeps the smallest doc_id as the deterministic representative.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,6 +72,7 @@ def curate_corpus(
     contamination_threshold: float = 0.8,
     contamination_k: int = 13,
     stats: dict | None = None,
+    keep: str = "min_id",
 ) -> DataFrame:
     """Returns the curated corpus: rows of `docs` that survive all gates,
     with added columns quality (double), fingerprint (exact-dup digest),
@@ -82,9 +83,15 @@ def curate_corpus(
     - quality  >= quality_min (quality_score heuristic);
     - optional Gopher-style repetition gates: dup_line_ratio and
       top_bigram_ratio must not exceed their thresholds when given;
-    - one representative (min id) per byte-identical normalized text;
-    - one representative (min id) per near-duplicate group at
-      jaccard_threshold over k-token shingles;
+    - one representative per byte-identical normalized text (always min id:
+      identical text means identical quality, so the policies coincide);
+    - one representative per near-duplicate group at jaccard_threshold over
+      k-token shingles — ``keep="min_id"`` (default, deterministic proxy)
+      or ``keep="best_quality"`` (the production policy: argmax quality,
+      ties broken by min id; near-dups are NOT byte-identical, so their
+      quality scores genuinely differ). Either way ``dup_group`` stays the
+      group's min reachable id — a stable group key independent of which
+      member represents it;
     - when ``benchmark`` is given: no doc containing >=
       contamination_threshold of any benchmark doc's contamination_k-grams
       (eval-set decontamination, applied before dedup).
@@ -135,9 +142,29 @@ def curate_corpus(
         survivors, jaccard_threshold, k, id_col=id_col, text_col=text_col
     )
     groups = connected_components(pairs)  # (node, group_id = min reachable id)
-    non_reps = groups.filter(F.col("node") != F.col("group_id")).select(
-        F.col("node").alias(id_col)
-    )
+    if keep == "min_id":
+        non_reps = groups.filter(F.col("node") != F.col("group_id")).select(
+            F.col("node").alias(id_col)
+        )
+    elif keep == "best_quality":
+        # groups holds only multi-member components (pair-derived), so the
+        # per-group window runs over the near-dup rows, never the corpus
+        member_q = groups.join(
+            survivors.select(F.col(id_col).alias("node"), F.col("quality")),
+            "node",
+        )
+        w_rep = Window.partitionBy("group_id").orderBy(
+            F.desc_nulls_last("quality"), F.col("node")
+        )
+        non_reps = (
+            member_q.withColumn("_rn", F.row_number().over(w_rep))
+            .filter(F.col("_rn") > 1)
+            .select(F.col("node").alias(id_col))
+        )
+    else:
+        raise ValueError(
+            f"unknown keep policy {keep!r} (use 'min_id' or 'best_quality')"
+        )
     curated = (
         survivors.join(non_reps, id_col, "left_anti")
         .join(

@@ -515,6 +515,41 @@ def test_curate_corpus_funnel(spark):
     assert "dup_groups" not in rep.asDict()
 
 
+def test_curate_corpus_best_quality_keep(spark):
+    """keep='best_quality' keeps the argmax-quality member of each near-dup
+    group (the production policy) while dup_group stays the stable min-id
+    group key; default min_id behavior unchanged; bad policy raises."""
+    import pytest as _pytest
+
+    from schemamap_spark.functions.text import quality_score
+    from schemamap_spark.operators.curation import curate_corpus
+
+    base = ("the quick brown fox jumps over a lazy dog while seven wizards "
+            "brew strong potions under ancient oak trees near the river bend "
+            "and distant mountains echo with evening birdsong across valleys")
+    # same content + sentence punctuation: a near-dup that scores HIGHER on
+    # the quality heuristic (punctuation ratio) than the bare-token base
+    richer = base + " !!! ??? %%%"
+    docs = spark.createDataFrame(
+        [(1, base), (3, richer)], "doc_id long, text string"
+    )
+    q = {
+        r.doc_id: r.q
+        for r in docs.withColumn("q", quality_score("text")).collect()
+    }
+    assert q[3] > q[1], q   # the later id is the better document
+
+    best = curate_corpus(docs, quality_min=0.0, jaccard_threshold=0.8,
+                         keep="best_quality").collect()
+    assert [(r.doc_id, r.dup_group) for r in best] == [(3, 1)]
+
+    default = curate_corpus(docs, quality_min=0.0, jaccard_threshold=0.8).collect()
+    assert [(r.doc_id, r.dup_group) for r in default] == [(1, 1)]
+
+    with _pytest.raises(ValueError, match="keep policy"):
+        curate_corpus(docs, keep="newest")
+
+
 def test_curate_corpus_custom_column_names(spark):
     """id_col/text_col must reach the near-dup stage: previously the jaccard
     call hardcoded doc_id/text, so frames with other names raised — or, worse,
