@@ -192,20 +192,39 @@ def _commit_manifest(index_dir: str, manifest: dict, fs=None) -> None:
         raise
 
 
-def ann_index_append(emb: DataFrame, index_dir: str) -> None:
+def ann_index_append(
+    emb: DataFrame, index_dir: str, batch_token: str | None = None
+) -> bool:
     """Encode a NEW batch with the index's existing models and append its
     codes — the daily-ingest path: one narrow encode pass over the batch,
     no retraining, no touch of existing codes. Crash/reader-safe: the
     batch writes to a hidden temp dir, renames to its final name, and only
     then joins the manifest in one atomic rewrite — a crash at any earlier
     point leaves an orphan `.batch_*`/uncommitted dir that no reader ever
-    consults. Each committed batch records its per-cell occupancy so drift
-    from the trained distribution is measurable (ann_index_drift).
-    (Re-appending the same ids is the caller's dedup problem — run the
-    batch through incremental_exact_dedup first, the stores compose.)"""
+    consults (ann_index_gc collects it). Each committed batch records its
+    per-cell occupancy so drift from the trained distribution is
+    measurable (ann_index_drift).
+
+    `batch_token` makes the append IDEMPOTENT: if any committed manifest
+    entry already carries the token, the call is a no-op returning False.
+    Because the token commits atomically WITH the batch (one manifest
+    rewrite), an at-least-once driver — Structured Streaming foreachBatch
+    replaying after a crash, a retried orchestrator task — composes into
+    exactly-once store contents (ann_ingest_stream is the streaming
+    face). Returns True when the batch was appended.
+    (Re-appending the same ids WITHOUT a token is the caller's dedup
+    problem — run the batch through incremental_exact_dedup first, the
+    stores compose.)"""
     spark = emb.sparkSession
     fs = _fs_for(index_dir, spark)
     meta = _load_meta(index_dir, fs)
+    if batch_token is not None:
+        committed: set = set()
+        for d in _load_manifest(index_dir, fs)["dirs"]:
+            committed.add(d.get("batch_token"))
+            committed.update(d.get("batch_tokens", ()))  # compacted entries
+        if batch_token in committed:
+            return False  # replay of an already-committed batch
     encoded = ivf_pq_encode(
         emb, meta["codebooks"], meta["centroids"], meta["id_col"], meta["vec_col"]
     )
@@ -215,8 +234,12 @@ def ann_index_append(emb: DataFrame, index_dir: str) -> None:
     final_name = "batch_" + basename(tmp_dir)[len(".batch_"):]
     fs.rename(tmp_dir, join(index_dir, final_name))
     manifest = _load_manifest(index_dir, fs)
-    manifest["dirs"].append({"name": final_name, "occupancy": occupancy})
+    entry = {"name": final_name, "occupancy": occupancy}
+    if batch_token is not None:
+        entry["batch_token"] = batch_token
+    manifest["dirs"].append(entry)
     _commit_manifest(index_dir, manifest, fs)
+    return True
 
 
 def ann_index_drift(index_dir: str) -> float:
@@ -327,17 +350,26 @@ def ann_index_compact(
     tmp_dir = fs.mktempdir(index_dir, ".batch_")
     spark.read.parquet(*paths).write.mode("overwrite").parquet(tmp_dir)
     occupancy: dict[str, int] = {}
+    tokens: list[str] = []
     for d in batches:
         for cell, n in d.get("occupancy", {}).items():
             occupancy[cell] = occupancy.get(cell, 0) + n
+        if d.get("batch_token"):
+            tokens.append(d["batch_token"])
+        tokens.extend(d.get("batch_tokens", ()))
     final_name = "batch_" + basename(tmp_dir)[len(".batch_"):]
     fs.rename(tmp_dir, join(index_dir, final_name))
     keep = [d for d in manifest["dirs"] if d["name"] == _CODES]
+    folded = {"name": final_name, "occupancy": occupancy}
+    if tokens:
+        # idempotency tokens survive compaction — a late replay of a batch
+        # whose dir was folded away must still be recognized as committed
+        folded["batch_tokens"] = sorted(tokens)
     _commit_manifest(
         index_dir,
         {
             **manifest,
-            "dirs": keep + [{"name": final_name, "occupancy": occupancy}],
+            "dirs": keep + [folded],
             "superseded": [d["name"] for d in batches] if grace else [],
         },
         fs,

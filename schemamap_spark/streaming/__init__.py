@@ -8,6 +8,7 @@ from schemamap_spark.streaming.pipeline import (
     mixture_fill_stream,
     enrich_stream,
     curated_document_stream,
+    ann_ingest_stream,
     daily_from_hourly,
     start_memory_sink,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "mixture_fill_stream",
     "enrich_stream",
     "curated_document_stream",
+    "ann_ingest_stream",
     "daily_from_hourly",
     "start_memory_sink",
 ]

@@ -548,3 +548,40 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ann_ingest_stream(
+    vectors: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming embedding ingest into the PERSISTED IVF-PQ index store —
+    the store-twin next to the dedup gate and the rollup store: each
+    micro-batch encodes with the index's recorded models (pure function —
+    same cells/codes as a batch append) and commits through the store's
+    atomic manifest rewrite.
+
+    Exactly-once store contents from an at-least-once driver: foreachBatch
+    can replay a batch after a crash, but the append is keyed by a
+    batch_token derived from the deterministic micro-batch id, and the
+    token commits atomically WITH the batch dir in the one manifest
+    rewrite — a replayed batch finds its token committed and no-ops. A
+    crash BEFORE the manifest commit leaves an orphan dir no reader ever
+    consults (ann_index_gc collects it) and the replay appends cleanly.
+
+    The store must already exist (ann_index_build on a seed corpus — the
+    models have to be trained on something); drift of the streamed mass
+    vs the trained distribution is visible through ann_index_drift as for
+    batch appends. Returns the StreamingQuery (availableNow trigger —
+    call .awaitTermination())."""
+    from schemamap_spark.operators.ann_index import ann_index_append
+
+    def _batch(batch_df, batch_id):
+        ann_index_append(batch_df, index_dir, batch_token=f"stream-{batch_id}")
+
+    return (
+        vectors.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

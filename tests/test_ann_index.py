@@ -377,6 +377,40 @@ def test_compact_reader_race_closed_by_grace_period(spark, emb, tmp_path):
     assert not (left & names_before)
 
 
+def test_append_batch_token_idempotent(spark, emb, tmp_path):
+    """A tokened append commits its token atomically with the batch, so a
+    replay (same token) is a no-op — and the token survives compaction
+    (folded into the compacted entry's batch_tokens), so a LATE replay of
+    a batch whose dir was folded away still no-ops."""
+    from schemamap_spark.operators.ann_index import ann_index_compact
+
+    idx = str(tmp_path / "idx_tok")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.subtract(b1)
+    p1 = rest.filter(F.col("vec_id") % 5 == 1)
+    p2 = rest.filter(F.col("vec_id") % 5 == 2)
+    ann_index_build(b1, idx, m=8, num_centroids=16)
+    assert ann_index_append(p1, idx, batch_token="day-1") is True
+    assert ann_index_append(p2, idx, batch_token="day-2") is True
+    baseline = sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect())
+    )
+    # replay: no-op, store identical
+    assert ann_index_append(p1, idx, batch_token="day-1") is False
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect())
+    ) == baseline
+    # tokens survive the fold
+    assert ann_index_compact(spark, idx) == 2
+    assert ann_index_append(p1, idx, batch_token="day-1") is False
+    assert ann_index_append(p2, idx, batch_token="day-2") is False
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect())
+    ) == baseline
+    # untokened appends keep the old contract (always append)
+    assert ann_index_append(p1, idx) is True
+
+
 def test_gc_removes_crash_debris_only(spark, emb, tmp_path):
     """Orphan batch_* dirs (rename landed, manifest commit didn't) are
     indistinguishable on disk from committed batches — ann_index_gc

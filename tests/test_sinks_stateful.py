@@ -79,6 +79,13 @@ def test_swap_writers_refuse_non_local_paths(spark, tmp_path):
     write_range_sorted(df, ranged, ["v"], num_files=2)
     assert sorted(r.v for r in spark.read.parquet(ranged).collect()) == [0, 1, 2, 3]
 
+    # crash recovery parity: a stale '<target>.old' from an interrupted
+    # swap must not wedge the next URI-path write either
+    os.makedirs(str(tmp_path / "uri_tbl") + ".old/junk")
+    write_parquet_atomic(df, target)
+    assert spark.read.parquet(target).count() == 4
+    assert not os.path.exists(str(tmp_path / "uri_tbl") + ".old")
+
 
 def test_write_parquet_atomic_recovers_from_stale_old(spark, tmp_path):
     """A '<target>.old' left behind by a crashed swap must not wedge the next

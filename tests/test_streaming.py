@@ -152,6 +152,68 @@ def test_curated_document_stream_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ann_ingest_stream_matches_batch_appends(spark, tmp_path):
+    """The streaming ANN ingest must produce the same store contents as
+    batch appends of the same vectors (encoding is a pure function of the
+    recorded models), and a rerun over the same input with a FRESH
+    checkpoint must no-op — the manifest-committed batch tokens, not the
+    checkpoint, carry exactly-once."""
+    import json
+    import os
+
+    from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
+    from schemamap_spark.operators.ann_index import (
+        ann_index_build,
+        ann_index_search,
+    )
+    from schemamap_spark.streaming import ann_ingest_stream
+
+    emb = spark.read.parquet(f"{DEFAULT_FIXTURE_DIR}/clustered_embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    incoming = emb.subtract(seed)
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+
+    src = str(tmp_path / "vec_src")
+    incoming.repartition(4).write.mode("overwrite").parquet(src)
+
+    idx = str(tmp_path / "idx_stream")
+    ann_index_build(seed, idx, m=8, num_centroids=16)
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    ann_ingest_stream(stream, idx, str(tmp_path / "ckpt")).awaitTermination()
+
+    got = sorted(map(tuple, ann_index_search(spark, idx, q, k=5).collect()))
+
+    # batch twin: same seed build + one append of everything incoming
+    idx2 = str(tmp_path / "idx_batch")
+    ann_index_build(seed, idx2, m=8, num_centroids=16)
+    from schemamap_spark.operators.ann_index import ann_index_append
+
+    ann_index_append(incoming, idx2)
+    want = sorted(map(tuple, ann_index_search(spark, idx2, q, k=5).collect()))
+    assert got == want and len(got) > 0
+
+    # rerun with a FRESH checkpoint: micro-batch ids restart at 0, tokens
+    # match the committed ones, every batch no-ops
+    with open(os.path.join(idx, "manifest.json")) as f:
+        dirs_before = [d["name"] for d in json.load(f)["dirs"]]
+    stream2 = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    ann_ingest_stream(stream2, idx, str(tmp_path / "ckpt2")).awaitTermination()
+    with open(os.path.join(idx, "manifest.json")) as f:
+        dirs_after = [d["name"] for d in json.load(f)["dirs"]]
+    assert dirs_after == dirs_before
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, q, k=5).collect())
+    ) == got
+
+
 def test_incremental_dedup_stream(spark, tmp_path):
     """Micro-batches dedup against the persisted digest store: one
     representative per digest ever reaches fresh_dir (cross-batch dups
