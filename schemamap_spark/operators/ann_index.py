@@ -7,10 +7,14 @@ per query session. The index is three artifacts under one directory:
 - `codes/` + `batch_*/`  — parquet (id, cell, codes): ~m bytes + 4 per
   vector; `codes/` from the build, one `batch_*` dir per committed append
 - `manifest.json` — the list of COMMITTED code dirs (plus each batch's
-  per-cell occupancy). Readers resolve the store through the manifest, so
-  a half-written append (crash, concurrent reader) is simply invisible
-  until its single atomic manifest rewrite lands — the same
-  write-new/rename commit discipline as the build's directory swap.
+  per-cell occupancy, optional idempotency `batch_token`s, and the
+  `superseded` grace-period ledger left by compaction). Readers resolve
+  the store through the manifest, so a half-written append (crash,
+  concurrent reader) is simply invisible until its single atomic
+  manifest rewrite lands — the same write-new/rename commit discipline
+  as the build's directory swap. Because a batch's token commits in the
+  SAME rewrite as its dir, at-least-once drivers (streaming foreachBatch
+  replays, retried orchestrator tasks) get exactly-once store contents.
 - `meta.json` — codebooks + coarse centroids + params + the BUILD's
   per-cell occupancy (the trained distribution), written once at build.
 
