@@ -74,6 +74,38 @@ def test_scheme_path_without_session_raises(monkeypatch):
         fscommit.fs_for("file:///tmp/x")
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _seg = st.text(
+        alphabet="abcdefgh0123_-.", min_size=1, max_size=10
+    ).filter(lambda s: s not in (".", ".."))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        parent=st.sampled_from(
+            ["/abs/p", "/w", "file:///a/b", "hdfs://nn:8020/x", "file:///a/"]
+        ),
+        names=st.lists(_seg, min_size=1, max_size=3),
+    )
+    def test_path_helper_properties(parent, names):
+        """join/basename/dirname/split_scheme are mutually consistent for
+        plain absolute paths and URIs alike — the invariants every store's
+        path arithmetic rides on."""
+        path = fscommit.join(parent, *names)
+        assert fscommit.basename(path) == names[-1]
+        assert fscommit.split_scheme(path) == fscommit.split_scheme(parent)
+        assert "//" not in path.split("://", 1)[-1]
+        one = fscommit.join(parent, names[0])
+        assert fscommit.dirname(one) == parent.rstrip("/")
+        assert fscommit.basename(fscommit.dirname(path)) == (
+            names[-2] if len(names) > 1 else fscommit.basename(parent.rstrip("/"))
+        )
+except ImportError:  # pragma: no cover
+    pass
+
+
 def test_uri_helpers():
     assert fscommit.split_scheme("/plain/p") is None
     assert fscommit.split_scheme("hdfs://nn/p") == "hdfs"
