@@ -68,8 +68,10 @@ def decode_images(images: DataFrame, fake: bool = False) -> DataFrame:
             import pandas as _pd
 
             for pdf in batches:
-                n_bytes = pdf["payload"].map(len)
-                checksum = pdf["payload"].map(lambda b: sum(b) % 997)
+                n_bytes = pdf["payload"].map(lambda b: len(b) if b is not None else 0)
+                checksum = pdf["payload"].map(
+                    lambda b: sum(b) % 997 if b is not None else 0
+                )
                 yield _pd.DataFrame({
                     "image_id": pdf["image_id"],
                     "doc_id": pdf["doc_id"],
@@ -128,6 +130,13 @@ def decode_images(images: DataFrame, fake: bool = False) -> DataFrame:
                     if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
                         i += 2  # standalone markers carry no length
                         continue
+                    if marker == 0xDA:
+                        # start-of-scan: entropy-coded data follows, which is
+                        # not segment-structured — walking it could false-
+                        # match a SOF pattern and report garbage dims. A
+                        # well-formed JPEG carries SOF before SOS, so reaching
+                        # here means dims are genuinely absent.
+                        break
                     if i + 4 > n:
                         break
                     seglen = int.from_bytes(b[i + 2 : i + 4], "big")
