@@ -569,15 +569,32 @@ def ann_ingest_stream(
     crash BEFORE the manifest commit leaves an orphan dir no reader ever
     consults (ann_index_gc collects it) and the replay appends cleanly.
 
+    The token is namespaced by a digest of the CHECKPOINT path, not the
+    bare micro-batch id: batch ids restart at 0 for every new checkpoint,
+    so a bare id would make a LATER ingestion run (new checkpoint, new
+    source, same store) collide with the first run's tokens and silently
+    drop all its batches as replays. Same checkpoint (a genuine restart /
+    replay) → same prefix → dedup works; different checkpoint (a new
+    pipeline) → different prefix → appends proceed.
+
     The store must already exist (ann_index_build on a seed corpus — the
     models have to be trained on something); drift of the streamed mass
     vs the trained distribution is visible through ann_index_drift as for
     batch appends. Returns the StreamingQuery (availableNow trigger —
     call .awaitTermination())."""
+    import hashlib
+    import os as _os
+
     from schemamap_spark.operators.ann_index import ann_index_append
 
+    prefix = hashlib.md5(
+        _os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
     def _batch(batch_df, batch_id):
-        ann_index_append(batch_df, index_dir, batch_token=f"stream-{batch_id}")
+        ann_index_append(
+            batch_df, index_dir, batch_token=f"stream-{prefix}-{batch_id}"
+        )
 
     return (
         vectors.writeStream.foreachBatch(_batch)

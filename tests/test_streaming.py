@@ -155,9 +155,12 @@ def test_curated_document_stream_matches_batch(spark, tmp_path):
 def test_ann_ingest_stream_matches_batch_appends(spark, tmp_path):
     """The streaming ANN ingest must produce the same store contents as
     batch appends of the same vectors (encoding is a pure function of the
-    recorded models), and a rerun over the same input with a FRESH
-    checkpoint must no-op — the manifest-committed batch tokens, not the
-    checkpoint, carry exactly-once."""
+    recorded models). Exactly-once: a replay of a committed micro-batch
+    (same checkpoint → same token; the crash-after-manifest-commit-
+    before-checkpoint-commit window) no-ops, while a FRESH checkpoint is
+    by definition a NEW pipeline whose tokens don't collide — a later
+    ingestion run into the same store must not be silently dropped just
+    because its micro-batch ids restart at 0."""
     import json
     import os
 
@@ -196,10 +199,24 @@ def test_ann_ingest_stream_matches_batch_appends(spark, tmp_path):
     want = sorted(map(tuple, ann_index_search(spark, idx2, q, k=5).collect()))
     assert got == want and len(got) > 0
 
-    # rerun with a FRESH checkpoint: micro-batch ids restart at 0, tokens
-    # match the committed ones, every batch no-ops
+    # crash-replay simulation: re-append with a token the stream already
+    # committed (what a post-crash restart of the SAME checkpoint would
+    # carry) — must no-op, store untouched
     with open(os.path.join(idx, "manifest.json")) as f:
-        dirs_before = [d["name"] for d in json.load(f)["dirs"]]
+        manifest = json.load(f)
+    dirs_before = [d["name"] for d in manifest["dirs"]]
+    stream_tokens = [d["batch_token"] for d in manifest["dirs"] if "batch_token" in d]
+    assert len(stream_tokens) >= 2  # several real micro-batches committed
+    assert ann_index_append(incoming, idx, batch_token=stream_tokens[0]) is False
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert [d["name"] for d in json.load(f)["dirs"]] == dirs_before
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, q, k=5).collect())
+    ) == got
+
+    # a FRESH checkpoint is a NEW pipeline: its micro-batch ids restart at
+    # 0 but its tokens are namespaced by the checkpoint, so its batches
+    # APPEND instead of being silently dropped as replays
     stream2 = (
         spark.readStream.schema(incoming.schema)
         .option("maxFilesPerTrigger", 2)
@@ -208,10 +225,7 @@ def test_ann_ingest_stream_matches_batch_appends(spark, tmp_path):
     ann_ingest_stream(stream2, idx, str(tmp_path / "ckpt2")).awaitTermination()
     with open(os.path.join(idx, "manifest.json")) as f:
         dirs_after = [d["name"] for d in json.load(f)["dirs"]]
-    assert dirs_after == dirs_before
-    assert sorted(
-        map(tuple, ann_index_search(spark, idx, q, k=5).collect())
-    ) == got
+    assert len(dirs_after) == len(dirs_before) + len(stream_tokens)
 
 
 def test_incremental_dedup_stream(spark, tmp_path):

@@ -8,9 +8,9 @@ drain availableNow with small file triggers (several real micro-batches,
 each an encode pass + one atomic manifest commit). Verify:
   - store contents == one batch append of the same vectors (search
     equality over N_Q queries)
-  - a FRESH-checkpoint rerun over the same input no-ops every batch
-    (manifest dir list unchanged) — the tokens, not the checkpoint,
-    carry exactly-once
+  - crash-replay: re-appending with a token the stream already committed
+    (what a post-crash restart of the SAME checkpoint carries) no-ops —
+    the manifest-committed tokens, not the checkpoint, carry exactly-once
 
 Run:  python tools/ann_stream_probe.py [N_STREAM]   (default 100,000)
 """
@@ -94,14 +94,13 @@ def main() -> None:
     )
 
     with open(os.path.join(idx, "manifest.json")) as f:
-        dirs_before = [d["name"] for d in json.load(f)["dirs"]]
-    stream2 = (
-        spark.readStream.schema(incoming.schema)
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src)
-    )
+        manifest = json.load(f)
+    dirs_before = [d["name"] for d in manifest["dirs"]]
+    tokens = [d["batch_token"] for d in manifest["dirs"] if "batch_token" in d]
     t0 = time.monotonic()
-    ann_ingest_stream(stream2, idx, os.path.join(base, "ckpt2")).awaitTermination()
+    replay_appended = ann_index_append(
+        spark.read.parquet(src), idx, batch_token=tokens[0]
+    )
     t_replay = time.monotonic() - t0
     with open(os.path.join(idx, "manifest.json")) as f:
         dirs_after = [d["name"] for d in json.load(f)["dirs"]]
@@ -115,9 +114,9 @@ def main() -> None:
     print(f"single batch append of the same vectors: {t_batch:.1f}s")
     print(f"stream == batch-append search results: {got == want} "
           f"({len(got)} rows)")
-    print(f"fresh-checkpoint replay: {t_replay:.1f}s, manifest unchanged: "
-          f"{dirs_after == dirs_before}")
-    if got != want or dirs_after != dirs_before:
+    print(f"committed-token replay: no-op in {t_replay:.2f}s, "
+          f"manifest unchanged: {dirs_after == dirs_before}")
+    if got != want or dirs_after != dirs_before or replay_appended:
         raise SystemExit("PROBE FAILED")
 
 
