@@ -145,13 +145,14 @@ class _HadoopFS:
         if not ok:
             raise OSError(f"Hadoop rename failed: {src!r} -> {dst!r}")
 
-    def replace_file(self, src: str, dst: str) -> None:
-        """Atomic single-file replace. FileContext.rename with OVERWRITE is
-        the HDFS-atomic primitive; py4j reaches the nested enum as
-        Options$Rename. If that path is unavailable for the FS, fall back
-        to delete+rename — a documented non-atomic instant in which the
-        destination is missing (never torn). `last_replace_atomic` records
-        which branch ran, so tests can pin that the atomic path is live."""
+    def _filecontext_renamer(self, dst: str):
+        """Resolve the FileContext atomic-replace machinery for dst's
+        filesystem, or None when it is genuinely UNAVAILABLE (no
+        AbstractFileSystem binding for the scheme — e.g. webhdfs). Split
+        out from replace_file so that ONLY resolution failures select the
+        non-atomic fallback; a failure of the rename itself (permissions,
+        quota, src race) must propagate, not silently demote the commit
+        to the fallback path."""
         jvm = self._jvm
         try:
             fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
@@ -164,13 +165,44 @@ class _HadoopFS:
                 overwrite.getClass(), 1
             )
             renames[0] = overwrite
+        except Exception:
+            return None
+        return fc, renames
+
+    def replace_file(self, src: str, dst: str) -> None:
+        """Atomic single-file replace. FileContext.rename with OVERWRITE is
+        the HDFS-atomic primitive; py4j reaches the nested enum as
+        Options$Rename. If that machinery is unavailable for the FS, fall
+        back to rename-aside + rename — a documented non-atomic instant in
+        which the destination is missing (never torn), and one a FAILED
+        commit rolls back from: dst is moved aside (never deleted), so if
+        the src→dst rename then fails the original dst is restored and the
+        store keeps its last committed state. `last_replace_atomic` records
+        which branch ran, so tests can pin that the atomic path is live.
+        A genuine rename failure on either branch propagates to the
+        caller — it is a failed commit, not a cue to start deleting."""
+        ctx = self._filecontext_renamer(dst)
+        if ctx is not None:
+            fc, renames = ctx
             fc.rename(self._p(src), self._p(dst), renames)
             self.last_replace_atomic = True
-        except Exception:
-            self.last_replace_atomic = False
-            fs = self._fs(dst)
-            fs.delete(self._p(dst), False)
+            return
+        self.last_replace_atomic = False
+        aside = dst + ".replaced." + uuid.uuid4().hex[:8]
+        had_dst = self.exists(dst)
+        if had_dst:
+            self.rename(dst, aside)
+        try:
             self.rename(src, dst)
+        except BaseException:
+            if had_dst:
+                try:
+                    self.rename(aside, dst)  # roll back to the committed dst
+                except Exception:
+                    pass  # aside copy survives on disk; original error wins
+            raise
+        if had_dst:
+            self.delete(aside)
 
     def delete(self, path: str) -> None:
         fs = self._fs(path)

@@ -61,6 +61,83 @@ def test_local_fs_matches_hadoop_semantics(tmp_path):
     assert os.path.isdir(tmp)
 
 
+def test_replace_file_fallback_branch(spark, tmp_path, monkeypatch):
+    """When FileContext machinery is unavailable, replace_file must take
+    the rename-aside fallback (last_replace_atomic False), still replace
+    the content, and leave no aside debris on success."""
+    fs = fscommit.fs_for("file://" + str(tmp_path), spark)
+    base = "file://" + str(tmp_path)
+    fs.write_text(base + "/cur.json", "v1")
+    fs.write_text(base + "/next.json", "v2")
+    monkeypatch.setattr(
+        fscommit._HadoopFS, "_filecontext_renamer", lambda self, dst: None
+    )
+    fs.replace_file(base + "/next.json", base + "/cur.json")
+    assert fs.last_replace_atomic is False
+    assert fs.read_text(base + "/cur.json") == "v2"
+    assert not fs.exists(base + "/next.json")
+    assert fs.listdir(base) == ["cur.json"]  # no .replaced.* left behind
+
+    # first-commit case: no dst yet — fallback must still work
+    fs.write_text(base + "/new.json", "v3")
+    fs.replace_file(base + "/new.json", base + "/fresh.json")
+    assert fs.read_text(base + "/fresh.json") == "v3"
+
+
+def test_replace_file_fallback_failed_rename_restores_dst(
+    spark, tmp_path, monkeypatch
+):
+    """The ADVICE r7 data-loss window: in the fallback, a failed src→dst
+    rename must NOT strand a missing destination — dst was moved aside,
+    and the failure rolls it back, so the committed manifest survives a
+    failed commit."""
+    fs = fscommit.fs_for("file://" + str(tmp_path), spark)
+    base = "file://" + str(tmp_path)
+    fs.write_text(base + "/manifest.json", "committed")
+    fs.write_text(base + "/next.json", "candidate")
+    monkeypatch.setattr(
+        fscommit._HadoopFS, "_filecontext_renamer", lambda self, dst: None
+    )
+    real_rename = fscommit._HadoopFS.rename
+
+    def failing_rename(self, src, dst):
+        if fscommit.basename(src) == "next.json":
+            raise OSError("injected rename failure")
+        return real_rename(self, src, dst)
+
+    monkeypatch.setattr(fscommit._HadoopFS, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected rename failure"):
+        fs.replace_file(base + "/next.json", base + "/manifest.json")
+    # the committed destination is back in place, byte-identical
+    assert fs.read_text(base + "/manifest.json") == "committed"
+
+
+def test_replace_file_atomic_branch_failure_propagates(
+    spark, tmp_path, monkeypatch
+):
+    """A genuine FileContext rename failure is a FAILED COMMIT: it must
+    propagate, not fall through to delete+rename (the r7 catch-all did
+    exactly that and could delete dst with nothing to replace it)."""
+    fs = fscommit.fs_for("file://" + str(tmp_path), spark)
+    base = "file://" + str(tmp_path)
+    fs.write_text(base + "/manifest.json", "committed")
+
+    class _FailingFC:
+        def rename(self, *a):
+            raise RuntimeError("quota exceeded")
+
+    monkeypatch.setattr(
+        fscommit._HadoopFS,
+        "_filecontext_renamer",
+        lambda self, dst: (_FailingFC(), None),
+    )
+    fs.write_text(base + "/next.json", "candidate")
+    with pytest.raises(Exception, match="quota exceeded"):
+        fs.replace_file(base + "/next.json", base + "/manifest.json")
+    # dst untouched — the failure never cascaded into the delete fallback
+    assert fs.read_text(base + "/manifest.json") == "committed"
+
+
 def test_scheme_path_without_session_raises(monkeypatch):
     """A scheme path with no active session (e.g. ann_index_drift called
     from a plain script) must fail with a clear message, not an obscure
