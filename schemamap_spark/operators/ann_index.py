@@ -61,6 +61,13 @@ _MANIFEST = "manifest.json"
 _CODES = "codes"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer's manifest rewrite clobbered this one — the store's
+    single-writer contract was violated and the loss could not be repaired
+    by re-merging. The batch dir is still on disk but unreferenced (GC
+    would collect it); re-run the append under single-writer discipline."""
+
+
 def _cell_occupancy(spark: SparkSession, codes_dir: str) -> dict[str, int]:
     """Per-cell row counts of one committed code dir — num_centroids rows,
     read back column-pruned from the just-written parquet (cheaper than
@@ -196,6 +203,43 @@ def _commit_manifest(index_dir: str, manifest: dict, fs=None) -> None:
         raise
 
 
+def _commit_manifest_entry(
+    index_dir: str, entry: dict, fs, retries: int = 3
+) -> None:
+    """Append ONE dir entry to the manifest with lost-update DETECTION.
+
+    The manifest commit is read-modify-write: two concurrent appends (a
+    batch backfill racing ann_ingest_stream) can both read version v and
+    the second rewrite silently drops the first's entry — last-writer-wins
+    — after which ann_index_gc would delete the losing dir as debris. The
+    store's contract is SINGLE-WRITER; this helper turns a violated
+    contract from silent data loss into repair-or-loud-failure: after
+    committing it re-reads the manifest, and if this call's entry was
+    clobbered away it re-merges against the fresh manifest and retries,
+    raising ConcurrentWriteError when `retries` re-merges all get
+    clobbered. Detection, not prevention: a racing writer whose own
+    verify passed can still be clobbered AFTER its last re-read by a
+    third rewrite — which is why the contract stays single-writer and
+    this is a tripwire, not a license for concurrent writers."""
+    for _ in range(retries):
+        manifest = _load_manifest(index_dir, fs)
+        if not any(d["name"] == entry["name"] for d in manifest["dirs"]):
+            manifest["dirs"].append(entry)
+            _commit_manifest(index_dir, manifest, fs)
+        if any(
+            d["name"] == entry["name"]
+            for d in _load_manifest(index_dir, fs)["dirs"]
+        ):
+            return
+    raise ConcurrentWriteError(
+        f"ANN store {index_dir}: manifest entry {entry['name']!r} was "
+        f"clobbered by a concurrent rewrite {retries} times — another "
+        "writer is violating the store's single-writer contract. The "
+        "batch dir is on disk but uncommitted; re-run the append under "
+        "single-writer discipline."
+    )
+
+
 def ann_index_append(
     emb: DataFrame, index_dir: str, batch_token: str | None = None
 ) -> bool:
@@ -218,7 +262,17 @@ def ann_index_append(
     face). Returns True when the batch was appended.
     (Re-appending the same ids WITHOUT a token is the caller's dedup
     problem — run the batch through incremental_exact_dedup first, the
-    stores compose.)"""
+    stores compose.)
+
+    SINGLE-WRITER contract (same as compact/gc): the manifest commit is
+    read-modify-write, so concurrent appends — e.g. a batch backfill
+    racing ann_ingest_stream on the same store — can interleave so the
+    later rewrite drops the earlier entry. The append verifies its entry
+    after committing and re-merges if clobbered (raising
+    ConcurrentWriteError if the clobbering persists), so a violated
+    contract is repaired or LOUD, never silent loss — but the detection
+    window is not a license: serialize writers (run the backfill before
+    starting the stream, or pause the stream for it)."""
     spark = emb.sparkSession
     fs = _fs_for(index_dir, spark)
     meta = _load_meta(index_dir, fs)
@@ -237,12 +291,10 @@ def ann_index_append(
     occupancy = _cell_occupancy(spark, tmp_dir)
     final_name = "batch_" + basename(tmp_dir)[len(".batch_"):]
     fs.rename(tmp_dir, join(index_dir, final_name))
-    manifest = _load_manifest(index_dir, fs)
     entry = {"name": final_name, "occupancy": occupancy}
     if batch_token is not None:
         entry["batch_token"] = batch_token
-    manifest["dirs"].append(entry)
-    _commit_manifest(index_dir, manifest, fs)
+    _commit_manifest_entry(index_dir, entry, fs)
     return True
 
 
@@ -369,12 +421,19 @@ def ann_index_compact(
         # idempotency tokens survive compaction — a late replay of a batch
         # whose dir was folded away must still be recognized as committed
         folded["batch_tokens"] = sorted(tokens)
+    import time
+
     _commit_manifest(
         index_dir,
         {
             **manifest,
             "dirs": keep + [folded],
             "superseded": [d["name"] for d in batches] if grace else [],
+            # when the grace period STARTED — lets ann_index_gc(
+            # grace_max_age=...) reclaim by age on stores that compact
+            # rarely, instead of pinning superseded dirs until the next
+            # compact cycle
+            **({"superseded_at": int(time.time())} if grace else {}),
         },
         fs,
     )
@@ -387,6 +446,7 @@ def ann_index_compact(
 def ann_index_gc(
     index_dir: str, spark: SparkSession | None = None,
     delete_superseded: bool = False,
+    grace_max_age: float | None = None,
 ) -> list[str]:
     """Garbage-collect store debris the commit protocol can leave behind:
     `.batch_*` / `batch_*` dirs and `.manifest_*` temp files that are in
@@ -396,13 +456,32 @@ def ann_index_gc(
     are indistinguishable from committed batches, so without GC they
     accumulate silently. Returns the deleted names.
 
-    `delete_superseded=True` also reclaims the grace-period dirs early
-    (safe once no reader started before the last compact is still
-    running). Never touches `codes/`, meta, or the manifest itself."""
+    `delete_superseded=True` reclaims the grace-period dirs early (safe
+    once no reader that started before the last compact is still
+    running). `grace_max_age=SECONDS` reclaims them only once the grace
+    period is at least that old (from the `superseded_at` stamp the
+    compact wrote) — the age-based middle ground for stores that compact
+    rarely, where "survive one compact cycle" could pin superseded dirs
+    for days while any old-manifest reader is long gone. Never touches
+    `codes/`, meta, or committed batch dirs.
+
+    SINGLE-WRITER contract: GC must run under the same discipline as
+    append/compact — concurrently with an in-flight append it would
+    delete a renamed-but-not-yet-committed batch dir (on disk it is
+    indistinguishable from crash debris), and its superseded-clearing
+    manifest rewrite races the append's commit. Run it from the one
+    writer process (e.g. after compact), never beside one."""
     fs = _fs_for(index_dir, spark)
     manifest = _load_manifest(index_dir, fs)
     referenced = {d["name"] for d in manifest["dirs"]}
     superseded = set(manifest.get("superseded", []))
+    if grace_max_age is not None and not delete_superseded:
+        import time
+
+        stamped = manifest.get("superseded_at")
+        delete_superseded = (
+            stamped is not None and (time.time() - stamped) >= grace_max_age
+        )
     deleted: list[str] = []
     for name in fs.listdir(index_dir):
         if name in referenced or name in (_META, _MANIFEST) or name == _CODES:
@@ -420,5 +499,20 @@ def ann_index_gc(
             fs.delete(join(index_dir, name))
             deleted.append(name)
     if delete_superseded and superseded:
-        _commit_manifest(index_dir, {**manifest, "superseded": []}, fs)
+        # re-load immediately before the clearing rewrite: the manifest
+        # read at entry is stale by now, and blindly rewriting it would
+        # clobber any commit that landed while GC was deleting debris
+        # (defense in depth — the contract above already forbids that
+        # interleaving)
+        fresh = _load_manifest(index_dir, fs)
+        _commit_manifest(
+            index_dir,
+            {
+                **fresh,
+                "superseded": [
+                    n for n in fresh.get("superseded", []) if n not in deleted
+                ],
+            },
+            fs,
+        )
     return sorted(deleted)

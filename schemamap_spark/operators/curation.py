@@ -328,12 +328,17 @@ def corpus_stats_partials(
     `docs` but not in the mean or the histogram, matching corpus_report's
     avg(_q) semantics; fp_sketch is an HLL sketch of md5(normalized text).
 
-    The two frames share one persisted scored scan; the cache lives with
-    the returned plans. append_corpus_stats (which materializes both via
-    its writes) releases it eagerly — callers holding the frames for other
-    actions keep the amortization."""
+    The two frames are UNCACHED plans over one shared scored scan —
+    collecting both re-runs quality/token scoring twice. That is the right
+    default for a public function with no release handle (a persisted scan
+    the caller can't unpersist leaks one cache per call for the session
+    lifetime); append_corpus_stats, which materializes both frames
+    back-to-back in its writes, persists the shared scan itself and
+    releases it as soon as both writes land. Callers who want the same
+    amortization can persist `docs` (the dominant cost is its scan) around
+    the call."""
     scalars, hist, _g = _corpus_stats_partials_cached(
-        docs, batch_id, text_col, group_col, bins
+        docs, batch_id, text_col, group_col, bins, persist=False
     )
     return scalars, hist
 
@@ -344,6 +349,7 @@ def _corpus_stats_partials_cached(
     text_col: str,
     group_col: str,
     bins: int,
+    persist: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     from schemamap_spark.functions.text import quality_score, token_count
 
@@ -354,10 +360,14 @@ def _corpus_stats_partials_cached(
     )
     # the scored frame feeds BOTH partial outputs; unpersisted, the two
     # store writes would each re-run quality/token/digest over the batch
-    # (the bm25-index multi-consumer rule; cache lives with the plans)
-    from pyspark import StorageLevel
+    # (the bm25-index multi-consumer rule). Persist ONLY when the caller
+    # owns the release (append_corpus_stats unpersists after its writes) —
+    # the public partials function stays uncached so it can't leak a
+    # session-lifetime cache with no handle to free it.
+    if persist:
+        from pyspark import StorageLevel
 
-    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
     scalars = g.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).alias("docs"),
         F.count("_q").alias("q_docs"),

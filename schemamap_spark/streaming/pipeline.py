@@ -550,6 +550,28 @@ def incremental_dedup_stream(
     )
 
 
+def _checkpoint_token_prefix(checkpoint_dir: str) -> str:
+    """Digest of the checkpoint IDENTITY for namespacing idempotency
+    tokens. Only plain scheme-less paths are abspath'd (a relative path
+    must hash the same no matter where the driver was launched ONLY if it
+    resolves to the same dir — abspath is the identity there); URI-scheme
+    checkpoints (file://, hdfs://) hash VERBATIM after trailing-slash
+    normalization — os.path.abspath would prepend the driver's cwd to
+    'hdfs://…', so a post-crash restart from a different working directory
+    would derive a different prefix for the SAME checkpoint and re-append
+    every replayed micro-batch, defeating exactly-once."""
+    import hashlib
+    import os as _os
+
+    from schemamap_spark.sources.fscommit import split_scheme
+
+    if split_scheme(checkpoint_dir) is None:
+        ident = _os.path.abspath(checkpoint_dir)
+    else:
+        ident = checkpoint_dir.rstrip("/")
+    return hashlib.md5(ident.encode()).hexdigest()[:12]
+
+
 def ann_ingest_stream(
     vectors: DataFrame,
     index_dir: str,
@@ -581,15 +603,17 @@ def ann_ingest_stream(
     models have to be trained on something); drift of the streamed mass
     vs the trained distribution is visible through ann_index_drift as for
     batch appends. Returns the StreamingQuery (availableNow trigger —
-    call .awaitTermination())."""
-    import hashlib
-    import os as _os
+    call .awaitTermination()).
 
+    SINGLE-WRITER contract (ann_index_append's): while the stream runs it
+    must be the store's ONLY writer — a concurrent batch backfill or
+    compact races the manifest rewrite (append detects the clobber and
+    raises ConcurrentWriteError rather than losing data silently, which
+    fails the micro-batch). Run backfills before starting the stream or
+    while it is stopped."""
     from schemamap_spark.operators.ann_index import ann_index_append
 
-    prefix = hashlib.md5(
-        _os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:12]
+    prefix = _checkpoint_token_prefix(checkpoint_dir)
 
     def _batch(batch_df, batch_id):
         ann_index_append(

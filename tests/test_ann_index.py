@@ -459,3 +459,129 @@ def test_gc_removes_crash_debris_only(spark, emb, tmp_path):
     assert sorted(
         map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect())
     ) == baseline
+
+
+def test_append_lost_update_repaired_by_remerge(spark, emb, tmp_path, monkeypatch):
+    """A concurrent writer's last-writer-wins manifest rewrite drops this
+    append's entry once; the post-commit verify detects the clobber and
+    the re-merge re-commits against the fresh manifest — the batch
+    survives and search sees it."""
+    import json
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+
+    idx = str(tmp_path / "idx_lw")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.subtract(b1)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+
+    real_commit = ai._commit_manifest
+    clobbers = {"left": 1}
+
+    def racing_commit(index_dir, manifest, fs=None):
+        real_commit(index_dir, manifest, fs)
+        mine = [d for d in manifest["dirs"] if d["name"].startswith("batch_")]
+        if clobbers["left"] and mine:
+            clobbers["left"] -= 1
+            # the OTHER writer, whose read predates our commit, wins the
+            # race: it rewrites the manifest without our entry
+            real_commit(
+                index_dir,
+                {
+                    **manifest,
+                    "dirs": [
+                        d for d in manifest["dirs"]
+                        if not d["name"].startswith("batch_")
+                    ],
+                },
+                fs,
+            )
+
+    monkeypatch.setattr(ai, "_commit_manifest", racing_commit)
+    assert ann_index_append(b2, idx) is True
+    monkeypatch.undo()
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        names = [d["name"] for d in json.load(f)["dirs"]]
+    assert sum(n.startswith("batch_") for n in names) == 1
+    got = ann_index_search(spark, idx, _q(emb), k=5, nprobe=16).collect()
+    assert len(got) > 0
+
+
+def test_append_persistent_clobber_raises_concurrent_write_error(
+    spark, emb, tmp_path, monkeypatch
+):
+    """When every re-merge gets clobbered (a writer persistently violating
+    the single-writer contract), the append fails LOUDLY instead of
+    silently losing the batch — and the stranded dir is exactly what
+    ann_index_gc collects."""
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.operators.ann_index import (
+        ConcurrentWriteError,
+        ann_index_gc,
+    )
+
+    idx = str(tmp_path / "idx_clobber")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.subtract(b1)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+
+    real_commit = ai._commit_manifest
+
+    def always_clobbered(index_dir, manifest, fs=None):
+        real_commit(index_dir, manifest, fs)
+        stripped = [
+            d for d in manifest["dirs"] if not d["name"].startswith("batch_")
+        ]
+        if len(stripped) != len(manifest["dirs"]):
+            real_commit(index_dir, {**manifest, "dirs": stripped}, fs)
+
+    monkeypatch.setattr(ai, "_commit_manifest", always_clobbered)
+    with pytest.raises(ConcurrentWriteError, match="single-writer"):
+        ann_index_append(b2, idx)
+    monkeypatch.undo()
+
+    # the loser's dir is on disk but unreferenced — GC collects it
+    deleted = ann_index_gc(idx, spark)
+    assert len(deleted) == 1 and deleted[0].startswith("batch_")
+
+
+def test_gc_grace_max_age_reclaims_by_age(spark, emb, tmp_path):
+    """grace_max_age: superseded dirs outlive a young grace period and are
+    reclaimed once the compact's superseded_at stamp is old enough —
+    the middle ground for stores that compact rarely."""
+    import json
+    import os
+
+    from schemamap_spark.operators.ann_index import (
+        ann_index_compact,
+        ann_index_gc,
+    )
+
+    idx = str(tmp_path / "idx_age")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(half, idx, m=8, num_centroids=16, centroids="sample")
+    rest = emb.subtract(half)
+    ann_index_append(rest.filter(F.col("vec_id") % 5 == 1), idx)
+    ann_index_append(rest.filter(F.col("vec_id") % 5 == 2), idx)
+    baseline = sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect())
+    )
+    assert ann_index_compact(spark, idx) == 2
+    with open(os.path.join(idx, "manifest.json")) as f:
+        manifest = json.load(f)
+    superseded = set(manifest["superseded"])
+    assert superseded and isinstance(manifest["superseded_at"], int)
+
+    # young grace period: nothing reclaimed
+    assert ann_index_gc(idx, spark, grace_max_age=10**6) == []
+    assert superseded <= set(os.listdir(idx))
+    # expired: reclaimed and cleared from the manifest
+    assert set(ann_index_gc(idx, spark, grace_max_age=0)) == superseded
+    with open(os.path.join(idx, "manifest.json")) as f:
+        assert json.load(f)["superseded"] == []
+    assert not (superseded & set(os.listdir(idx)))
+    assert sorted(
+        map(tuple, ann_index_search(spark, idx, _q(emb), k=5).collect())
+    ) == baseline

@@ -489,3 +489,38 @@ def test_dedup_store_survives_compaction(spark, tmp_path):
     # nothing against the compacted store
     replay, _ = incremental_exact_dedup(docs, spark.read.parquet(store))
     assert replay.count() == 0
+
+
+def test_checkpoint_token_prefix_is_cwd_independent_for_uris(tmp_path, monkeypatch):
+    """ADVICE r7: os.path.abspath on a URI-scheme checkpoint prepended the
+    driver's cwd, so a post-crash restart from a different working
+    directory derived a DIFFERENT token prefix for the SAME checkpoint and
+    re-appended every replayed micro-batch. URI paths must hash verbatim
+    (trailing slashes normalized); plain relative paths still resolve
+    through abspath (same dir -> same prefix, different dir -> different)."""
+    import os
+
+    from schemamap_spark.streaming.pipeline import _checkpoint_token_prefix
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir()
+    d2.mkdir()
+
+    monkeypatch.chdir(d1)
+    p_uri_1 = _checkpoint_token_prefix("hdfs://nn:8020/ckpt/ann")
+    p_file_1 = _checkpoint_token_prefix("file:///warehouse/ckpt")
+    p_rel_1 = _checkpoint_token_prefix("ckpt")
+    monkeypatch.chdir(d2)
+    # same checkpoint URI from another cwd: SAME prefix (the r7 bug)
+    assert _checkpoint_token_prefix("hdfs://nn:8020/ckpt/ann") == p_uri_1
+    assert _checkpoint_token_prefix("file:///warehouse/ckpt") == p_file_1
+    # trailing slash is the same checkpoint
+    assert _checkpoint_token_prefix("hdfs://nn:8020/ckpt/ann/") == p_uri_1
+    # a relative path genuinely IS a different checkpoint from another cwd
+    assert _checkpoint_token_prefix("ckpt") != p_rel_1
+    monkeypatch.chdir(d1)
+    assert _checkpoint_token_prefix("ckpt") == p_rel_1
+    # distinct checkpoints never collide into one token namespace
+    assert p_uri_1 != p_file_1 != os.path.basename("")  # shape guard
+    assert _checkpoint_token_prefix("hdfs://nn:8020/ckpt/other") != p_uri_1
