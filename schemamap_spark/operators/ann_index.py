@@ -120,7 +120,7 @@ def ann_index_build(
     sample: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    centroids: str = "sample",
+    centroids: str = "kmeans",
 ) -> None:
     """Train codebooks + coarse centroids on `emb`, encode it, persist the
     store. The WHOLE index (codes + manifest + meta) builds in a temp dir
@@ -130,14 +130,20 @@ def ann_index_build(
     until the swap. The build's per-cell occupancy is recorded in meta as
     the trained distribution that appends are measured against.
 
-    centroids='kmeans' trains the coarse router with k-means instead of
-    the deterministic sample — measurably better cell routing on
-    clustered corpora (SCALE.md 'ANN store probe', 220k mixture corpus:
-    recall@10 at nprobe=16+rerank 0.626→0.747 sampled→kmeans; the trained
-    router reaches at nprobe=16 what the sampled one needs nprobe=32 for)
-    at the cost of one extra training pass at build time (9.1s→11.3s at
-    220k×64d). Appends/searches are router-agnostic: they read whatever
-    centers the build recorded."""
+    centroids='kmeans' (the DEFAULT) trains the coarse router with
+    k-means instead of the deterministic sample — measurably better cell
+    routing on clustered corpora (SCALE.md 'ANN store probe', 220k
+    mixture corpus: recall@10 at nprobe=16+rerank 0.626→0.747
+    sampled→kmeans; the trained router reaches at nprobe=16 what the
+    sampled one needs nprobe=32 for — HALF the probed fraction, paid on
+    every search for the store's lifetime) at the cost of one extra
+    training pass at build time (9.1s→11.3s at 220k×64d). A store is
+    built once and searched forever, so the default takes the
+    search-side win; pass centroids='sample' when the build cost itself
+    binds (one-shot throwaway stores, CI fixtures) or the corpus is
+    near-uniform (sampling loses nothing without cluster structure).
+    Appends/searches are router-agnostic: they read whatever centers the
+    build recorded."""
     from schemamap_spark.sources.sinks import _swap_into_place
 
     spark = emb.sparkSession

@@ -7,36 +7,73 @@ a named directory-level copy plus a bookkeeping entry recording git
 branch/rev and creation time (the reference stores the same fields in its
 `snapshots` table, rust/schemamap_dev.sql:34-40). Copies are storage-level
 (no Spark job), mirroring the reference's template-database trick.
+
+Filesystem contract (round 8): all copy/swap/bookkeeping rides the
+sources/fscommit seam, like every other store in the repo — plain paths
+keep the byte-identical os/shutil behavior (no Spark session needed);
+``scheme://`` warehouses (file://, hdfs://) take the Hadoop FileSystem
+API on the session JVM. The git-metadata shellout stays driver-local by
+design: it records the state of the developer's CHECKOUT (the reference
+snapshots table's git_branch/git_rev), which lives on the driver
+regardless of where the warehouse bytes live.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 import json
-import os
-import shutil
 import subprocess
+
+from schemamap_spark.sources import fscommit
+from schemamap_spark.sources.fscommit import join
 
 
 class SnapshotManager:
-    def __init__(self, warehouse_dir: str, snapshots_dir: str | None = None):
-        self.warehouse_dir = warehouse_dir
-        self.snapshots_dir = snapshots_dir or os.path.join(warehouse_dir, ".snapshots")
-        os.makedirs(self.snapshots_dir, exist_ok=True)
-        self._meta_path = os.path.join(self.snapshots_dir, "snapshots.json")
+    def __init__(
+        self,
+        warehouse_dir: str,
+        snapshots_dir: str | None = None,
+        spark=None,
+    ):
+        self.warehouse_dir = warehouse_dir.rstrip("/")
+        self.snapshots_dir = (snapshots_dir or join(self.warehouse_dir, ".snapshots")).rstrip("/")
+        self._fs = fscommit.fs_for(self.warehouse_dir, spark)
+        # the snapshot store rides inside the warehouse by default; an
+        # explicit external snapshots_dir must live on the SAME filesystem
+        # (restore renames between the two — renames don't cross schemes)
+        if fscommit.split_scheme(self.snapshots_dir) != fscommit.split_scheme(
+            self.warehouse_dir
+        ):
+            raise ValueError(
+                "snapshots_dir must be on the same filesystem as the "
+                f"warehouse ({self.snapshots_dir!r} vs {self.warehouse_dir!r})"
+            )
+        self._fs.mkdirs(self.snapshots_dir)
+        self._meta_path = join(self.snapshots_dir, "snapshots.json")
+        self._inside = self.snapshots_dir == join(self.warehouse_dir, ".snapshots")
 
     def _load_meta(self) -> list[dict]:
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                return json.load(f)
+        if self._fs.exists(self._meta_path):
+            return json.loads(self._fs.read_text(self._meta_path))
         return []
 
     def _save_meta(self, meta: list[dict]) -> None:
-        with open(self._meta_path, "w") as f:
-            json.dump(meta, f, indent=2, sort_keys=True)
+        self._fs.write_text(self._meta_path, json.dumps(meta, indent=2, sort_keys=True))
+
+    def _git_cwd(self) -> str | None:
+        """Where to ask git about the checkout: the warehouse dir itself
+        when it is a plain local path (the pre-r8 behavior), its local
+        rendition for file:// — otherwise (hdfs://) the driver's cwd,
+        since a remote warehouse has no checkout to inspect."""
+        scheme = fscommit.split_scheme(self.warehouse_dir)
+        if scheme is None:
+            return self.warehouse_dir
+        if scheme == "file":
+            return self.warehouse_dir[len("file://"):] or "/"
+        return None
 
     @staticmethod
-    def _git_info(cwd: str) -> tuple[str | None, str | None]:
+    def _git_info(cwd: str | None) -> tuple[str | None, str | None]:
         def run(*args):
             try:
                 return subprocess.run(
@@ -50,15 +87,15 @@ class SnapshotManager:
     def create(self, name: str) -> dict:
         if "/" in name or name.startswith("."):
             raise ValueError(f"invalid snapshot name: {name!r}")
-        dest = os.path.join(self.snapshots_dir, name)
-        if os.path.exists(dest):
+        dest = join(self.snapshots_dir, name)
+        if self._fs.exists(dest):
             raise ValueError(f"snapshot {name!r} already exists")
         t0 = dt.datetime.now(dt.timezone.utc)
-        shutil.copytree(self.warehouse_dir, dest, ignore=shutil.ignore_patterns(".snapshots"))
-        branch, rev = self._git_info(self.warehouse_dir)
+        self._fs.copydir(self.warehouse_dir, dest, ignore_names=(".snapshots",))
+        branch, rev = self._git_info(self._git_cwd())
         entry = {
             "db_name": name,
-            "template_db_name": os.path.basename(self.warehouse_dir),
+            "template_db_name": fscommit.basename(self.warehouse_dir),
             "git_branch": branch,
             "git_rev": rev,
             "created_at": t0.isoformat(),
@@ -70,24 +107,23 @@ class SnapshotManager:
         return entry
 
     def restore(self, name: str) -> dict:
-        src = os.path.join(self.snapshots_dir, name)
-        if not os.path.isdir(src):
+        src = join(self.snapshots_dir, name)
+        if not self._fs.isdir(src):
             raise FileNotFoundError(f"no snapshot named {name!r}")
         t0 = dt.datetime.now(dt.timezone.utc)
         # atomic-ish: build alongside, then swap (readers of old files finish)
         staging = self.warehouse_dir + ".restoring"
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
-        shutil.copytree(src, staging)
-        snapdir_rel = os.path.relpath(self.snapshots_dir, self.warehouse_dir)
+        if self._fs.exists(staging):
+            self._fs.delete(staging)
+        self._fs.copydir(src, staging)
         old = self.warehouse_dir + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)  # stale leftover from an interrupted restore
-        os.rename(self.warehouse_dir, old)
-        os.rename(staging, self.warehouse_dir)
-        if snapdir_rel == ".snapshots":  # carry the snapshot store across the swap
-            shutil.move(os.path.join(old, ".snapshots"), self.snapshots_dir)
-        shutil.rmtree(old)
+        if self._fs.exists(old):
+            self._fs.delete(old)  # stale leftover from an interrupted restore
+        self._fs.rename(self.warehouse_dir, old)
+        self._fs.rename(staging, self.warehouse_dir)
+        if self._inside:  # carry the snapshot store across the swap
+            self._fs.rename(join(old, ".snapshots"), self.snapshots_dir)
+        self._fs.delete(old)
         return {
             "restored": name,
             "elapsed_ms": int((dt.datetime.now(dt.timezone.utc) - t0).total_seconds() * 1000),
@@ -97,7 +133,7 @@ class SnapshotManager:
         return sorted(self._load_meta(), key=lambda e: e["created_at"], reverse=True)
 
     def drop(self, name: str) -> None:
-        src = os.path.join(self.snapshots_dir, name)
-        if os.path.isdir(src):
-            shutil.rmtree(src)
+        src = join(self.snapshots_dir, name)
+        if self._fs.isdir(src):
+            self._fs.delete(src)
         self._save_meta([e for e in self._load_meta() if e["db_name"] != name])

@@ -90,6 +90,16 @@ class _LocalFS:
     def replace_file(self, src: str, dst: str) -> None:
         os.replace(src, dst)
 
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def copydir(self, src: str, dst: str, ignore_names: tuple = ()) -> None:
+        """Recursive storage-level copy; dst must not exist. ignore_names
+        are skipped (shutil filters them at every level; the Hadoop twin
+        filters the top level, which is all the snapshot layout needs)."""
+        ignore = shutil.ignore_patterns(*ignore_names) if ignore_names else None
+        shutil.copytree(src, dst, ignore=ignore)
+
     def delete(self, path: str) -> None:
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
@@ -209,6 +219,29 @@ class _HadoopFS:
         p = self._p(path)
         if fs.exists(p):
             fs.delete(p, True)
+
+    def isdir(self, path: str) -> bool:
+        fs = self._fs(path)
+        p = self._p(path)
+        return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+
+    def copydir(self, src: str, dst: str, ignore_names: tuple = ()) -> None:
+        """Recursive storage-level copy via FileUtil.copy, skipping
+        top-level ignore_names. dst is created; children copy one by one
+        so the filter applies without a Hadoop PathFilter round-trip."""
+        FileUtil = self._jvm.org.apache.hadoop.fs.FileUtil
+        sfs = self._fs(src)
+        dfs = self._fs(dst)
+        self.mkdirs(dst)
+        for st in sfs.listStatus(self._p(src)):
+            name = st.getPath().getName()
+            if name in ignore_names:
+                continue
+            ok = FileUtil.copy(
+                sfs, st.getPath(), dfs, self._p(join(dst, name)), False, self._conf
+            )
+            if not ok:
+                raise OSError(f"Hadoop copy failed: {src}/{name} -> {dst}")
 
     def listdir(self, path: str) -> list[str]:
         fs = self._fs(path)

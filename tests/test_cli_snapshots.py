@@ -70,3 +70,46 @@ def test_init_plan_dry_run_does_not_execute():
     assert hits == []
     plan.execute()
     assert hits == [1, 2]
+
+
+def test_snapshot_roundtrip_on_file_uri(spark, tmp_path):
+    """Round-8 port: the snapshot store's copy/swap/bookkeeping rides the
+    fscommit seam, so a scheme warehouse (file:// here — the same Hadoop
+    FileSystem code path hdfs:// takes) supports the full lifecycle.
+    The git shellout stays driver-local (file:// resolves to its local
+    dir; a remote scheme would fall back to the driver's cwd)."""
+    import pytest
+
+    from schemamap_spark.snapshots import SnapshotManager
+
+    wh_local = tmp_path / "warehouse"
+    wh_local.mkdir()
+    (wh_local / "t.parquet").write_bytes(b"v1")
+    wh = "file://" + str(wh_local)
+
+    mgr = SnapshotManager(wh, spark=spark)
+    entry = mgr.create("before")
+    assert entry["db_name"] == "before"
+    assert entry["template_db_name"] == "warehouse"
+
+    (wh_local / "t.parquet").write_bytes(b"v2-changed")
+    SnapshotManager(wh, spark=spark).restore("before")
+    assert (wh_local / "t.parquet").read_bytes() == b"v1"
+    # the snapshot store survived the swap and the listing still sees it
+    assert [e["db_name"] for e in SnapshotManager(wh, spark=spark).list()] == [
+        "before"
+    ]
+    # no stale .restoring / .old debris
+    assert sorted(p.name for p in tmp_path.iterdir()) == ["warehouse"]
+
+    SnapshotManager(wh, spark=spark).drop("before")
+    assert SnapshotManager(wh, spark=spark).list() == []
+
+    # copy+delete schemes refuse at construction, same as every store
+    with pytest.raises(ValueError, match="copy\\+delete"):
+        SnapshotManager("s3a://bucket/warehouse", spark=spark)
+
+    # cross-filesystem snapshot stores refuse loudly (restore renames
+    # between the two; renames don't cross schemes)
+    with pytest.raises(ValueError, match="same filesystem"):
+        SnapshotManager(wh, snapshots_dir=str(tmp_path / "snaps"), spark=spark)

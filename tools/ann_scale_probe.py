@@ -66,7 +66,12 @@ def main() -> None:
     q.count()
 
     t0 = time.monotonic()
-    ann_index_build(emb, idx, m=16, k_per_sub=64, num_centroids=64, sample=8192)
+    # explicitly the SAMPLED router: this store is the baseline leg of the
+    # sampled-vs-kmeans grid below (the build default flipped to kmeans in r8)
+    ann_index_build(
+        emb, idx, m=16, k_per_sub=64, num_centroids=64, sample=8192,
+        centroids="sample",
+    )
     t_build = time.monotonic() - t0
 
     t_append = 0.0

@@ -109,12 +109,14 @@ def main() -> None:
     t0 = time.monotonic()
     cached.refresh()
     t_refresh = time.monotonic() - t0
-    t0 = time.monotonic()
-    cached.status().collect()
-    t_status_snap = time.monotonic() - t0
-    t0 = time.monotonic()
-    cached.status().collect()
-    t_status_snap2 = time.monotonic() - t0
+    # serving posture: refresh-persist ONCE, then N interactive status
+    # calls — the median is the number a dashboard user actually feels
+    t_statuses = []
+    for _ in range(5):
+        t0 = time.monotonic()
+        cached.status().collect()
+        t_statuses.append(time.monotonic() - t0)
+    t_status_med = sorted(t_statuses)[len(t_statuses) // 2]
 
     print("\n=== SMO catalog scale probe ===")
     print(f"{R:,} replicas -> {n_cols:,} column rows "
@@ -124,8 +126,9 @@ def main() -> None:
     print(f"define 16th concept + rebuild + status:      {t_define:.1f}s")
     print(f"new-concept consumer count ({n_new:,} rows):  {t_consumer:.1f}s")
     print(f"warehouse refresh (persist snapshot):        {t_refresh:.1f}s")
-    print(f"status from persisted snapshot:              {t_status_snap:.1f}s "
-          f"/ {t_status_snap2:.1f}s repeat")
+    print(f"status from persisted snapshot (5 calls):    "
+          f"median {t_status_med:.1f}s "
+          f"[{' '.join(f'{t:.1f}' for t in t_statuses)}]")
     print(f"status sanity: {st_cold.table_count:,} tables, "
           f"{st_cold.column_count:,} columns; 16-concept status matches: "
           f"{st16.column_count == st_cold.column_count}")
