@@ -211,7 +211,7 @@ def _commit_manifest(index_dir: str, manifest: dict, fs=None) -> None:
 
 def _commit_manifest_entry(
     index_dir: str, entry: dict, fs, retries: int = 3
-) -> None:
+) -> bool:
     """Append ONE dir entry to the manifest with lost-update DETECTION.
 
     The manifest commit is read-modify-write: two concurrent appends (a
@@ -226,9 +226,24 @@ def _commit_manifest_entry(
     clobbered. Detection, not prevention: a racing writer whose own
     verify passed can still be clobbered AFTER its last re-read by a
     third rewrite — which is why the contract stays single-writer and
-    this is a tripwire, not a license for concurrent writers."""
+    this is a tripwire, not a license for concurrent writers.
+
+    Tokened entries get one extra repair: if a fresh read shows a
+    DIFFERENT dir already committed under the same batch_token — a
+    racing replay of the same batch won — this entry is the duplicate;
+    its dir is deleted and the call returns False (not appended),
+    keeping exactly-once store contents even across that race. Returns
+    True when this entry is committed."""
+    tok = entry.get("batch_token")
     for _ in range(retries):
         manifest = _load_manifest(index_dir, fs)
+        if tok is not None and any(
+            d["name"] != entry["name"]
+            and (tok == d.get("batch_token") or tok in d.get("batch_tokens", ()))
+            for d in manifest["dirs"]
+        ):
+            fs.delete(join(index_dir, entry["name"]))
+            return False
         if not any(d["name"] == entry["name"] for d in manifest["dirs"]):
             manifest["dirs"].append(entry)
             _commit_manifest(index_dir, manifest, fs)
@@ -236,7 +251,7 @@ def _commit_manifest_entry(
             d["name"] == entry["name"]
             for d in _load_manifest(index_dir, fs)["dirs"]
         ):
-            return
+            return True
     raise ConcurrentWriteError(
         f"ANN store {index_dir}: manifest entry {entry['name']!r} was "
         f"clobbered by a concurrent rewrite {retries} times — another "
@@ -265,7 +280,12 @@ def ann_index_append(
     rewrite), an at-least-once driver — Structured Streaming foreachBatch
     replaying after a crash, a retried orchestrator task — composes into
     exactly-once store contents (ann_ingest_stream is the streaming
-    face). Returns True when the batch was appended.
+    face). Returns True when the batch was appended. The no-op holds even
+    when the replay RACES this call (its commit lands between this call's
+    up-front token check and its own manifest rewrite): the commit loop
+    sees the committed twin under the same token, deletes this call's dir
+    and returns False — exactly-once contents survive that interleaving
+    too.
     (Re-appending the same ids WITHOUT a token is the caller's dedup
     problem — run the batch through incremental_exact_dedup first, the
     stores compose.)
@@ -300,8 +320,7 @@ def ann_index_append(
     entry = {"name": final_name, "occupancy": occupancy}
     if batch_token is not None:
         entry["batch_token"] = batch_token
-    _commit_manifest_entry(index_dir, entry, fs)
-    return True
+    return _commit_manifest_entry(index_dir, entry, fs)
 
 
 def ann_index_drift(index_dir: str) -> float:

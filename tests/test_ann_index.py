@@ -603,3 +603,57 @@ def test_default_router_is_kmeans(spark, emb, tmp_path):
         meta = json.load(f)
     assert meta["coarse_router"] == "kmeans"
     assert ann_index_search(spark, idx, _q(emb), k=5, nprobe=4).count() > 0
+
+
+def test_tokened_append_racing_replay_collapses_to_one(
+    spark, emb, tmp_path, monkeypatch
+):
+    """A replay of the SAME batch (same token) racing this append — its
+    commit lands between this call's up-front token check and its own
+    manifest rewrite, then wins the rewrite race. The loser must detect
+    the committed twin, delete its dir, and return False: exactly-once
+    store contents survive the interleaving."""
+    import json
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+
+    idx = str(tmp_path / "idx_tokrace")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.subtract(b1)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+
+    real_commit = ai._commit_manifest
+    state = {"raced": False}
+
+    def racing_commit(index_dir, manifest, fs=None):
+        mine = [d for d in manifest["dirs"] if d.get("batch_token") == "day-1"]
+        if mine and not state["raced"]:
+            state["raced"] = True
+            # the replay wins: its twin entry (different dir, same token)
+            # is what actually lands; our rewrite is clobbered
+            twin = {
+                "name": "batch_replay_twin",
+                "occupancy": mine[0]["occupancy"],
+                "batch_token": "day-1",
+            }
+            others = [d for d in manifest["dirs"] if d not in mine]
+            real_commit(index_dir, {**manifest, "dirs": others + [twin]}, fs)
+            return
+        real_commit(index_dir, manifest, fs)
+
+    monkeypatch.setattr(ai, "_commit_manifest", racing_commit)
+    assert ann_index_append(b2, idx, batch_token="day-1") is False
+    monkeypatch.undo()
+
+    with open(os.path.join(idx, "manifest.json")) as f:
+        dirs = json.load(f)["dirs"]
+    assert [d["name"] for d in dirs if d.get("batch_token") == "day-1"] == [
+        "batch_replay_twin"
+    ]
+    # the loser's dir is gone — no unreferenced debris left for gc
+    leftover = [
+        d for d in os.listdir(idx)
+        if d.startswith("batch_") and d != "batch_replay_twin"
+    ]
+    assert leftover == []
