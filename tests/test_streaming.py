@@ -524,3 +524,75 @@ def test_checkpoint_token_prefix_is_cwd_independent_for_uris(tmp_path, monkeypat
     # distinct checkpoints never collide into one token namespace
     assert p_uri_1 != p_file_1 != os.path.basename("")  # shape guard
     assert _checkpoint_token_prefix("hdfs://nn:8020/ckpt/other") != p_uri_1
+
+
+def test_corpus_stats_stream_matches_batch(spark, tmp_path):
+    """The streaming stats ingest must serve the same dashboard as batch
+    appends of the same documents, and a replayed/re-run stream must not
+    change the report (partials are deterministic; the report collapses
+    duplicate batch rows exactly — the crash-recovery path IS the replay
+    path)."""
+    from schemamap_spark.operators.curation import (
+        append_corpus_stats,
+        corpus_stats_report,
+    )
+    from schemamap_spark.streaming import corpus_stats_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    store_s = str(tmp_path / "stats_stream")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    corpus_stats_stream(
+        stream, store_s, str(tmp_path / "ckpt")
+    ).awaitTermination()
+
+    got = corpus_stats_report(spark, store_s)
+    rows_got = sorted(map(tuple, got.collect()))
+    assert len(rows_got) > 0
+
+    # batch twin: one append of everything
+    store_b = str(tmp_path / "stats_batch")
+    append_corpus_stats(docs, store_b, "all")
+    rows_want = sorted(map(tuple, corpus_stats_report(spark, store_b).collect()))
+    assert rows_got == rows_want
+
+    # several real micro-batches landed (not one giant batch)
+    batch_ids = {
+        r.batch_id
+        for r in spark.read.parquet(f"{store_s}/scalars")
+        .select("batch_id").distinct().collect()
+    }
+    assert len(batch_ids) >= 2
+    assert all(b.startswith("stream-") for b in batch_ids)
+
+    # replay: re-running the SAME checkpoint with no new files is a no-op
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    corpus_stats_stream(
+        stream2, store_s, str(tmp_path / "ckpt")
+    ).awaitTermination()
+    assert sorted(map(tuple, corpus_stats_report(spark, store_s).collect())) == rows_got
+
+    # a crash-replayed micro-batch re-appends value-identical partials
+    # under the same batch_id (partials are deterministic); simulate the
+    # on-disk result by duplicating one batch's stored rows — the report
+    # must collapse them exactly
+    some_id = sorted(batch_ids)[0]
+    sc = spark.read.parquet(f"{store_s}/scalars").filter(
+        F.col("batch_id") == some_id
+    )
+    sc.write.mode("append").parquet(f"{store_s}/scalars")
+    hi = spark.read.parquet(f"{store_s}/hist").filter(
+        F.col("batch_id") == some_id
+    )
+    hi.write.mode("append").parquet(f"{store_s}/hist")
+    assert sorted(map(tuple, corpus_stats_report(spark, store_s).collect())) == rows_got
