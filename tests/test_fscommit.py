@@ -190,3 +190,35 @@ def test_uri_helpers():
     assert fscommit.basename("file:///a/b/") == "b"
     assert fscommit.dirname("file:///a/b") == "file:///a"
     assert fscommit.dirname("rel") == os.path.dirname(os.path.abspath("rel"))
+
+
+def test_rename_exclusive_local(tmp_path):
+    """The commit-log claim primitive: publishes a COMPLETE file, exactly
+    one concurrent claimant wins, loser's src is untouched."""
+    fs = fscommit.fs_for(str(tmp_path))
+    a = str(tmp_path / "a.tmp")
+    b = str(tmp_path / "b.tmp")
+    dst = str(tmp_path / "v1.json")
+    fs.write_text(a, "winner")
+    fs.write_text(b, "loser")
+    fs.rename_exclusive(a, dst)
+    assert fs.read_text(dst) == "winner"
+    assert not os.path.exists(a)  # src consumed
+    with pytest.raises(FileExistsError):
+        fs.rename_exclusive(b, dst)
+    assert fs.read_text(dst) == "winner"  # dst untouched by the loser
+    assert fs.read_text(b) == "loser"  # loser's src intact (it can retry)
+
+
+def test_rename_exclusive_file_uri(spark, tmp_path):
+    """file:// drops to the local os.link branch (Java renameTo would
+    silently overwrite) — same exclusive semantics end-to-end."""
+    fs = fscommit.fs_for("file://" + str(tmp_path), spark)
+    base = "file://" + str(tmp_path)
+    fs.write_text(base + "/a.tmp", "first")
+    fs.write_text(base + "/b.tmp", "second")
+    fs.rename_exclusive(base + "/a.tmp", base + "/v1.json")
+    assert fs.read_text(base + "/v1.json") == "first"
+    with pytest.raises(FileExistsError):
+        fs.rename_exclusive(base + "/b.tmp", base + "/v1.json")
+    assert fs.read_text(base + "/v1.json") == "first"
