@@ -190,12 +190,17 @@ def _load_meta(index_dir: str, fs=None) -> dict:
 
 
 _MANIFEST_V_PREFIX = "manifest.v"
-# committed versions retained behind the head. Deep on purpose: a reader
-# resolves the head by listdir-then-read, and the window between the two
-# is only unsafe if MORE THAN `keep` commits land inside it (the head it
-# picked gets pruned). 64 one-KB JSONs of history make that window
-# practically unreachable even for thread-storm ingest (the 16-thread
-# probe commits ~20/s); the cost is noise next to one code batch.
+# committed versions retained behind the head. Deep on purpose — it bounds
+# BOTH races the log has left: (a) a reader resolves the head by
+# listdir-then-read, unsafe only if more than `keep` commits land between
+# the two (its picked head gets pruned; the _load_manifest retry then
+# re-resolves); (b) a writer claims head+1 from its own fresh read,
+# unsafe only if more than `keep` commits land between ITS read and claim
+# (head+1 would be pruned and the exclusive create would succeed on the
+# freed slot, forking history). Both windows are a few milliseconds of
+# driver work; 64 commits inside them means >6,000 commits/s against a
+# store that measures ~20-50/s under a 24-thread storm (ann_race_probe).
+# 64 one-KB JSONs of history are noise next to one code batch.
 _MANIFEST_V_KEEP = 64
 
 

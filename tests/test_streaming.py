@@ -596,3 +596,71 @@ def test_corpus_stats_stream_matches_batch(spark, tmp_path):
     )
     hi.write.mode("append").parquet(f"{store_s}/hist")
     assert sorted(map(tuple, corpus_stats_report(spark, store_s).collect())) == rows_got
+
+
+def test_ann_backfill_races_stream_no_lost_batches(spark, tmp_path):
+    """The exact topology VERDICT r7 flagged: a batch backfill appending
+    WHILE ann_ingest_stream commits micro-batches into the same store.
+    With the versioned manifest commit log the interleaving — whatever
+    the scheduler does — must lose nothing: every stream micro-batch
+    token AND every backfill batch ends up in the head, and search sees
+    the union. (Timing varies run to run; the asserted invariant does
+    not.)"""
+    import threading
+
+    from schemamap_spark.catalog.fixture import DEFAULT_FIXTURE_DIR
+    from schemamap_spark.operators.ann_index import (
+        _load_manifest,
+        ann_index_append,
+        ann_index_build,
+        ann_index_search,
+    )
+    from schemamap_spark.streaming import ann_ingest_stream
+
+    emb = spark.read.parquet(f"{DEFAULT_FIXTURE_DIR}/clustered_embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    streamed = emb.filter(F.col("vec_id") % 3 == 1)
+    backfill = emb.filter(F.col("vec_id") % 3 == 2)
+
+    src = str(tmp_path / "vec_src")
+    streamed.repartition(4).write.mode("overwrite").parquet(src)
+    idx = str(tmp_path / "idx_race_e2e")
+    ann_index_build(seed, idx, m=8, num_centroids=16, centroids="sample")
+
+    # 4 backfill slices appended from a thread while the stream drains
+    slices = [backfill.filter(F.col("vec_id") % 4 == m) for m in range(4)]
+    results = []
+
+    def backfiller():
+        for i, sl in enumerate(slices):
+            results.append(ann_index_append(sl, idx, batch_token=f"backfill-{i}"))
+
+    stream = (
+        spark.readStream.schema(streamed.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    th = threading.Thread(target=backfiller)
+    th.start()
+    q = ann_ingest_stream(stream, idx, str(tmp_path / "ckpt_race"))
+    q.awaitTermination()
+    th.join()
+
+    assert results == [True, True, True, True]  # no backfill lost or demoted
+    head = _load_manifest(idx)
+    tokens = set()
+    for d in head["dirs"]:
+        if d.get("batch_token"):
+            tokens.add(d["batch_token"])
+        tokens.update(d.get("batch_tokens", ()))
+    assert {f"backfill-{i}" for i in range(4)} <= tokens
+    assert sum(1 for t in tokens if t.startswith("stream-")) >= 2
+
+    # the union is searchable and row-complete
+    import os
+
+    n_rows = spark.read.parquet(
+        *(os.path.join(idx, d["name"]) for d in head["dirs"])
+    ).count()
+    assert n_rows == seed.count() + streamed.count() + backfill.count()
+    assert ann_index_search(spark, idx, emb.limit(5), k=3).count() == 15
