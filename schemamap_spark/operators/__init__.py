@@ -58,6 +58,7 @@ from schemamap_spark.operators.embeddings import (
 from schemamap_spark.operators.profile import profile_table
 from schemamap_spark.operators.retrieval import bm25_index, bm25_topk, rrf_fuse
 from schemamap_spark.operators.ann_index import (
+    ConcurrentWriteError,
     ann_index_append,
     ann_index_build,
     ann_index_compact,
@@ -102,6 +103,7 @@ __all__ = [
     "ivf_centroids", "ivf_pq_encode", "ivf_pq_search_encoded",
     "ann_index_build", "ann_index_append", "ann_index_search",
     "ann_index_compact", "ann_index_drift", "ann_index_gc",
+    "ConcurrentWriteError",
     "profile_table",
     "bm25_index", "bm25_topk", "rrf_fuse",
 ]
