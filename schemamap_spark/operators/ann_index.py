@@ -340,11 +340,17 @@ def _commit_manifest_merge(
             raise
         # the commit IS the claim above; snapshot refresh + history prune
         # are housekeeping and must not fail an already-committed write
+        # (a transient listdir failure inside pruning would otherwise make
+        # a SUCCESSFUL append raise — and an untokened caller's retry
+        # would then commit the same rows twice)
         try:
             _refresh_pointer(index_dir, new, fs)
         except Exception:
             pass  # next committer refreshes; readers resolve the head anyway
-        _prune_versions(index_dir, version, fs)
+        try:
+            _prune_versions(index_dir, version, fs)
+        except Exception:
+            pass  # next committer prunes; history depth is still bounded
         return new
     raise ConcurrentWriteError(
         f"ANN store {index_dir}: lost the manifest version claim "
@@ -657,6 +663,12 @@ def ann_index_gc(
         is_debris = (
             name.startswith(".batch_")
             or name.startswith(".manifest_")
+            # fscommit.replace_file's rename-aside fallback strands a
+            # '<dst>.replaced.<hex>' copy only when a crash interrupts
+            # the swap (or a rollback itself failed); with GC running in
+            # the writer-exclusive maintenance slot, any aside present
+            # here is that debris
+            or ".replaced." in name
             or (name.startswith("batch_") and name not in superseded)
         )
         if name in superseded:

@@ -28,6 +28,21 @@ from schemamap_spark.sources import fscommit
 from schemamap_spark.sources.fscommit import join
 
 
+def _normalize(path: str) -> str:
+    """Canonical spelling for inside-ness comparison: plain paths resolve
+    through abspath+normpath (collapses '//', '.', relative forms);
+    scheme paths collapse duplicate slashes in the path part and drop the
+    trailing slash — URIs have no cwd to resolve against."""
+    import os
+    import re
+
+    scheme = fscommit.split_scheme(path)
+    if scheme is None:
+        return os.path.normpath(os.path.abspath(path))
+    rest = path[len(scheme) + 3:]
+    return scheme + "://" + re.sub("/{2,}", "/", rest).rstrip("/")
+
+
 class SnapshotManager:
     def __init__(
         self,
@@ -50,7 +65,22 @@ class SnapshotManager:
             )
         self._fs.mkdirs(self.snapshots_dir)
         self._meta_path = join(self.snapshots_dir, "snapshots.json")
-        self._inside = self.snapshots_dir == join(self.warehouse_dir, ".snapshots")
+        # inside-ness must be decided on NORMALIZED paths: a raw string
+        # compare would misclassify '/wh//.snapshots' or a relative
+        # spelling as EXTERNAL, and restore() would then rename the
+        # warehouse (physically containing the store) aside and delete
+        # it — destroying every snapshot. An inside store anywhere other
+        # than .snapshots would be destroyed the same way, so refuse it.
+        wh_n = _normalize(self.warehouse_dir)
+        sn_n = _normalize(self.snapshots_dir)
+        self._inside = sn_n == join(wh_n, ".snapshots")
+        if not self._inside and sn_n.startswith(wh_n + "/"):
+            raise ValueError(
+                "a snapshots_dir inside the warehouse must be exactly "
+                f"<warehouse>/.snapshots (got {self.snapshots_dir!r}) — "
+                "restore() swaps the warehouse directory wholesale and "
+                "only knows how to carry the .snapshots store across"
+            )
 
     def _load_meta(self) -> list[dict]:
         if self._fs.exists(self._meta_path):

@@ -559,7 +559,16 @@ def _checkpoint_token_prefix(checkpoint_dir: str) -> str:
     normalization — os.path.abspath would prepend the driver's cwd to
     'hdfs://…', so a post-crash restart from a different working directory
     would derive a different prefix for the SAME checkpoint and re-append
-    every replayed micro-batch, defeating exactly-once."""
+    every replayed micro-batch, defeating exactly-once.
+
+    Migration note: a stream created on the PRE-FIX code with a
+    URI-scheme checkpoint carries tokens under the old (cwd-dependent)
+    prefix, so the first restart after upgrading re-appends any
+    micro-batch that was in flight at the upgrade — a one-time
+    at-most-one-batch duplication per stream, visible in the manifest as
+    two entries covering the same ids. If that matters, drain the stream
+    (awaitTermination on availableNow) before upgrading, or dedup the
+    ingested ids once after. Plain-path checkpoints are unaffected."""
     import hashlib
     import os as _os
 

@@ -668,3 +668,47 @@ def test_tokened_append_racing_replay_collapses_to_one(
         if d.startswith("batch_") and d != "batch_replay_twin"
     ]
     assert leftover == []
+
+
+def test_housekeeping_failure_cannot_fail_a_committed_append(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Review r8: once the version claim lands the batch IS committed —
+    a transient failure in the pointer refresh or history pruning must
+    not surface as a failed append (an untokened caller's retry would
+    commit the same rows twice)."""
+    import schemamap_spark.operators.ann_index as ai
+
+    idx = str(tmp_path / "idx_hk")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.subtract(b1)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+
+    def boom(*a, **k):
+        raise OSError("transient listdir failure")
+
+    monkeypatch.setattr(ai, "_prune_versions", boom)
+    monkeypatch.setattr(ai, "_refresh_pointer", boom)
+    assert ann_index_append(b2, idx) is True
+    monkeypatch.undo()
+    head = ai._load_manifest(idx)
+    assert sum(d["name"].startswith("batch_") for d in head["dirs"]) == 1
+
+
+def test_gc_collects_replace_file_aside_debris(spark, emb, tmp_path):
+    """Review r8: a crash in fscommit.replace_file's rename-aside
+    fallback strands '<dst>.replaced.<hex>' — GC must recognize it as
+    debris (it previously matched no prefix and accumulated forever)."""
+    import os
+
+    from schemamap_spark.operators.ann_index import ann_index_gc
+
+    idx = str(tmp_path / "idx_aside")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, m=8, num_centroids=16,
+        centroids="sample",
+    )
+    with open(os.path.join(idx, "manifest.json.replaced.ab12cd34"), "w") as f:
+        f.write("{}")
+    assert ann_index_gc(idx, spark) == ["manifest.json.replaced.ab12cd34"]
+    assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0

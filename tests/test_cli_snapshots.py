@@ -113,3 +113,42 @@ def test_snapshot_roundtrip_on_file_uri(spark, tmp_path):
     # between the two; renames don't cross schemes)
     with pytest.raises(ValueError, match="same filesystem"):
         SnapshotManager(wh, snapshots_dir=str(tmp_path / "snaps"), spark=spark)
+
+
+def test_snapshot_inside_detection_is_normalized(tmp_path):
+    """Review r8: inside-ness must not depend on path SPELLING — a
+    double-slash or relative spelling of the default .snapshots location
+    used to be misclassified as external, and restore() then deleted the
+    whole snapshot store with the swapped-aside warehouse."""
+    import os
+
+    import pytest
+
+    from schemamap_spark.snapshots import SnapshotManager
+
+    wh = tmp_path / "warehouse"
+    wh.mkdir()
+    (wh / "t.parquet").write_bytes(b"v1")
+
+    # non-canonical spelling of the default location: still 'inside'
+    mgr = SnapshotManager(str(wh), snapshots_dir=str(wh) + "//.snapshots")
+    assert mgr._inside is True
+    mgr.create("s1")
+    (wh / "t.parquet").write_bytes(b"v2")
+    mgr.restore("s1")
+    assert (wh / "t.parquet").read_bytes() == b"v1"
+    # the store survived the swap
+    assert [e["db_name"] for e in SnapshotManager(str(wh)).list()] == ["s1"]
+
+    # relative spelling resolves through the cwd like any plain path
+    cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        assert SnapshotManager("warehouse")._inside is True
+    finally:
+        os.chdir(cwd)
+
+    # inside the warehouse but NOT at .snapshots: restore would destroy
+    # it — refuse at construction instead
+    with pytest.raises(ValueError, match="exactly"):
+        SnapshotManager(str(wh), snapshots_dir=str(wh / "mysnaps"))
