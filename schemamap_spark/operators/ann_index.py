@@ -19,7 +19,11 @@ per query session. The index is three artifacts under one directory:
   discipline, sized down to one JSON per commit). Because a batch's
   token commits in the SAME version as its dir, at-least-once drivers
   (streaming foreachBatch replays, retried orchestrator tasks) get
-  exactly-once store contents.
+  exactly-once store contents. A `manifest.format` marker declares the
+  protocol (format 2); pre-format-2 writers (which committed by replacing
+  `manifest.json` directly) must be DRAINED before a format-2 writer
+  touches a shared store — their replace-commit is invisible to format-2
+  readers and the next snapshot refresh would orphan their batch.
 - `meta.json` — codebooks + coarse centroids + params + the BUILD's
   per-cell occupancy (the trained distribution), written once at build.
 
@@ -63,6 +67,18 @@ from schemamap_spark.sources.fscommit import basename, join
 
 _META = "meta.json"
 _MANIFEST = "manifest.json"
+# Declares the commit protocol in force (written at build / first
+# versioned commit): format 2 = versioned commit log, manifest.json is
+# only a convenience snapshot. Pre-format-2 writers committed by atomic
+# REPLACE of manifest.json — against a format-2 store that write is
+# invisible to readers (the head lives in the version files) and the next
+# versioned commit's snapshot refresh overwrites it, orphaning the old
+# writer's batch for GC to delete. The marker gives deployment tooling a
+# cheap refusal hook; the operational rule is DRAIN pre-format-2 writers
+# before any format-2 writer touches a shared store (migration itself is
+# lossless: the first versioned commit derives from the manifest.json
+# snapshot, folding every legacy dir into version 1).
+_FORMAT_MARKER = "manifest.format"
 _CODES = "codes"
 
 
@@ -174,6 +190,7 @@ def ann_index_build(
     manifest0 = {"dirs": [{"name": _CODES}], "version": 1}
     fs.write_text(join(tmp_dir, _version_name(1)), json.dumps(manifest0))
     fs.write_text(join(tmp_dir, _MANIFEST), json.dumps(manifest0))
+    fs.write_text(join(tmp_dir, _FORMAT_MARKER), "2\n")
     _swap_into_place(tmp_dir, index_dir, fs)
 
 
@@ -220,6 +237,17 @@ def _head_version(index_dir: str, fs) -> int:
     return best
 
 
+def _is_missing_file(e: BaseException) -> bool:
+    """True when `e` means 'the file is gone' on EITHER fs implementation:
+    a Python FileNotFoundError from _LocalFS, or a py4j-wrapped
+    java.io.FileNotFoundException from _HadoopFS (py4j surfaces the Java
+    class name in the error string; there is no shared exception type to
+    isinstance against without importing py4j here)."""
+    return isinstance(e, FileNotFoundError) or (
+        "FileNotFoundException" in str(e)
+    )
+
+
 def _load_manifest(index_dir: str, fs=None) -> dict:
     """The committed manifest = the HEAD of the version log
     (`manifest.v{n}.json`, immutable once claimed). Version files are
@@ -235,9 +263,11 @@ def _load_manifest(index_dir: str, fs=None) -> dict:
     derive from old state and claim an already-pruned version slot —
     a forked history whose entries silently vanish from the head (the
     16-thread probe caught exactly that; this raises instead)."""
+    import time
+
     fs = fs or _fs_for(index_dir)
     last_err = None
-    for _ in range(10):
+    for attempt in range(10):
         v = _head_version(index_dir, fs)
         if not v:
             last_err = None
@@ -245,7 +275,14 @@ def _load_manifest(index_dir: str, fs=None) -> dict:
         try:
             return json.loads(fs.read_text(join(index_dir, _version_name(v))))
         except Exception as e:
+            # ONLY file-not-found is the pruned-head race worth retrying;
+            # a permission error, IO fault, or torn JSON is a real failure
+            # that must propagate as itself, not be retried ten times and
+            # then misreported as commit contention
+            if not _is_missing_file(e):
+                raise
             last_err = e  # head pruned between listdir and read — re-resolve
+            time.sleep(0.005 * attempt)  # yield to the pruning committer
     if last_err is not None:
         raise ConcurrentWriteError(
             f"ANN store {index_dir}: the manifest head kept vanishing "
@@ -318,10 +355,22 @@ def _commit_manifest_merge(
     silently dropped — every version derives from the version it
     replaces. The winner refreshes the manifest.json snapshot and prunes
     deep history. Raises ConcurrentWriteError only when the claim is
-    lost `retries` times running (pathological contention)."""
+    lost `retries` times running (pathological contention).
+
+    merge_fns must be IDEMPOTENT against a head that already reflects
+    their work (return None or identical content): the stall guard below
+    withdraws an ambiguous claim and re-merges, so a merge that is not
+    idempotent would double-apply.
+
+    Lost claims back off briefly (bounded, jittered) before re-reading:
+    under a writer storm every loser otherwise re-reads and re-claims in
+    lockstep, and one committer can starve through all `retries` rounds
+    (seen once at 24 uncoordinated threads — ann_race_probe)."""
+    import random
+    import time
     import uuid
 
-    for _ in range(retries):
+    for attempt in range(retries):
         head = _load_manifest(index_dir, fs)
         new = merge_fn(head)
         if new is None:
@@ -334,15 +383,50 @@ def _commit_manifest_merge(
             fs.rename_exclusive(tmp, join(index_dir, _version_name(version)))
         except FileExistsError:
             fs.delete(tmp)
-            continue  # lost the claim — re-read the new head and re-merge
+            # lost the claim — back off (jittered, capped at 20ms) so the
+            # loser pack spreads out, then re-read the new head and re-merge
+            # (without this, lockstep re-claims can starve one committer
+            # through all retries: ann_race_probe r8 saw it at 24 threads;
+            # with backoff 24x8 commits 192/192 with zero loud failures)
+            time.sleep(min(0.02, 0.001 * (1 << min(attempt, 5))) * random.random())
+            continue
         except BaseException:
             fs.delete(tmp)
             raise
+        # STALL GUARD (ADVICE r8 medium): pruning frees slots more than
+        # _MANIFEST_V_KEEP behind the head, so a committer that stalled
+        # between its head read and its claim (driver GC pause, swapped-out
+        # thread) can exclusively create a version file on a slot that was
+        # already pruned — a fork off stale state that never becomes the
+        # head, i.e. a silent loss. A claim is provably genuine only while
+        # it is still inside the live retention window NOW: the head only
+        # grows, so `version > head_now - keep` means the slot was never
+        # prunable at any earlier time and the exclusive create really was
+        # the next version. Outside the window is ambiguous (a genuine
+        # claim that >keep commits have since derived from also lands
+        # there), and in BOTH cases the same move is correct: withdraw the
+        # file (it is deep history or a fork — no reader resolves it as
+        # head either way) and re-merge against the fresh head. A genuine
+        # claim's entries propagated through every later version, so its
+        # re-merge aborts as already-applied; a forked claim's entries did
+        # NOT propagate, and the re-merge is what commits them for real.
+        head_now = _head_version(index_dir, fs)
+        if head_now - _MANIFEST_V_KEEP >= version:
+            fs.delete(join(index_dir, _version_name(version)))
+            continue
         # the commit IS the claim above; snapshot refresh + history prune
         # are housekeeping and must not fail an already-committed write
         # (a transient listdir failure inside pruning would otherwise make
         # a SUCCESSFUL append raise — and an untokened caller's retry
         # would then commit the same rows twice)
+        try:
+            if not fs.exists(join(index_dir, _FORMAT_MARKER)):
+                # first versioned commit on a pre-marker store: declare the
+                # commit protocol so deployment tooling can fence out
+                # pre-format-2 writers (see _FORMAT_MARKER)
+                fs.write_text(join(index_dir, _FORMAT_MARKER), "2\n")
+        except Exception:
+            pass
         try:
             _refresh_pointer(index_dir, new, fs)
         except Exception:
@@ -424,7 +508,12 @@ def ann_index_append(
     ingest workers) cannot drop each other's entries
     (tools/ann_race_probe.py: 8 threads × 6 appends, zero losses).
     Compact and GC remain ONE-AT-A-TIME operations: they delete dirs,
-    which no merge rule can make safe against a concurrent deleter."""
+    which no merge rule can make safe against a concurrent deleter.
+    MIXED-VERSION writers are NOT safe: a pre-format-2 deployment that
+    commits by replacing manifest.json must be drained before this code
+    writes to the same store (see the manifest.format marker note in the
+    module docstring) — migration itself is lossless, concurrent
+    old-protocol writes are not."""
     spark = emb.sparkSession
     fs = _fs_for(index_dir, spark)
     meta = _load_meta(index_dir, fs)
@@ -589,7 +678,9 @@ def ann_index_compact(
 
     folded_names = {d["name"] for d in batches}
 
-    def merge(head: dict) -> dict:
+    def merge(head: dict):
+        if any(d["name"] == folded["name"] for d in head["dirs"]):
+            return None  # already committed (stall-guard re-merge)
         # fold away exactly the dirs this compact UNIONED; anything that
         # joined the manifest after our read (a concurrent append) stays
         kept = [

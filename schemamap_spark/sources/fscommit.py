@@ -95,8 +95,34 @@ class _LocalFS:
         with src's full content or not at all, and exactly one concurrent
         caller wins (FileExistsError for the rest). os.link is the POSIX
         primitive with both properties — os.rename would silently
-        overwrite an existing dst."""
-        os.link(src, dst)
+        overwrite an existing dst.
+
+        Filesystems WITHOUT hard links (FAT/exFAT, some NFS/FUSE mounts)
+        surface that as EPERM/EACCES/EOPNOTSUPP/ENOSYS from link(2); those
+        fall back to an O_EXCL create of the fully-buffered content —
+        same exactly-one-winner guarantee (O_EXCL is atomic), with a
+        narrower crash contract: a claimant killed between create and
+        fsync can leave a TORN dst, which hard links can't. The store's
+        claim files are one small JSON write, so the window is a single
+        syscall; any other link error (quota, IO) propagates unchanged."""
+        import errno
+
+        try:
+            os.link(src, dst)
+        except OSError as e:
+            if isinstance(e, FileExistsError) or e.errno not in (
+                errno.EPERM, errno.EACCES, errno.EOPNOTSUPP,
+                errno.ENOTSUP, errno.ENOSYS,
+            ):
+                raise
+            with open(src, "rb") as f:
+                data = f.read()
+            fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+            try:
+                os.write(fd, data)
+                os.fsync(fd)
+            finally:
+                os.close(fd)
         os.unlink(src)
 
     def isdir(self, path: str) -> bool:

@@ -712,3 +712,145 @@ def test_gc_collects_replace_file_aside_debris(spark, emb, tmp_path):
         f.write("{}")
     assert ann_index_gc(idx, spark) == ["manifest.json.replaced.ab12cd34"]
     assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0
+
+
+def test_stalled_writer_claim_on_pruned_slot_is_withdrawn_and_remerged(
+    spark, emb, tmp_path, monkeypatch
+):
+    """ADVICE r8 (medium): a committer stalled between its head read and
+    its claim (driver GC pause) can exclusively create a version file on
+    a slot _prune_versions already freed — a fork off stale state that
+    never becomes the head. The stall guard re-resolves the head after a
+    successful claim, withdraws any claim that landed outside the live
+    retention window, and re-merges against the fresh head — the entry
+    COMMITS instead of silently vanishing."""
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.sources import fscommit
+
+    idx = str(tmp_path / "idx_stall")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, m=8, num_centroids=16,
+        centroids="sample",
+    )
+    fs = fscommit.fs_for(idx)
+    stale_head = ai._load_manifest(idx, fs)  # version 1 — the stalled read
+    # advance the head far past the retention window so slot 2 is pruned
+    for _ in range(ai._MANIFEST_V_KEEP + 8):
+        ai._commit_manifest_merge(idx, lambda h: dict(h), fs)
+    head_v = ai._head_version(idx, fs)
+    assert head_v == 1 + ai._MANIFEST_V_KEEP + 8
+    assert not fs.exists(os.path.join(idx, ai._version_name(2)))  # pruned
+
+    # the stalled writer wakes up holding the version-1 head and commits:
+    # its claim of slot 2 SUCCEEDS (the slot was freed by pruning)
+    calls = {"n": 0}
+    real = ai._load_manifest
+
+    def stale_once(index_dir, fs_=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return dict(stale_head)
+        return real(index_dir, fs_)
+
+    monkeypatch.setattr(ai, "_load_manifest", stale_once)
+    ok = ai._commit_manifest_entry(
+        idx, {"name": "batch_stalled", "occupancy": {}}, fs
+    )
+    monkeypatch.undo()
+    assert ok is True
+    # the entry is in the REAL head (pre-guard it lived only in the forked
+    # manifest.v2, invisible to every reader), and the fork was withdrawn
+    head = ai._load_manifest(idx, fs)
+    assert any(d["name"] == "batch_stalled" for d in head["dirs"])
+    assert int(head["version"]) > head_v
+    assert not fs.exists(os.path.join(idx, ai._version_name(2)))
+
+
+def test_load_manifest_retries_only_missing_head(spark, emb, tmp_path):
+    """ADVICE r8 (low): the head-pruned race is the ONLY retryable read
+    failure — a permission error must propagate as itself immediately,
+    not be retried ten times and misreported as commit contention; a
+    head that is missing on every retry still raises the loud
+    ConcurrentWriteError."""
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.operators.ann_index import ConcurrentWriteError
+    from schemamap_spark.sources import fscommit
+
+    idx = str(tmp_path / "idx_flaky")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, m=8, num_centroids=16,
+        centroids="sample",
+    )
+    inner = fscommit.fs_for(idx)
+
+    class FlakyFS:
+        def __init__(self, exc):
+            self.exc = exc
+            self.reads = 0
+
+        def listdir(self, p):
+            return inner.listdir(p)
+
+        def exists(self, p):
+            return inner.exists(p)
+
+        def read_text(self, p):
+            self.reads += 1
+            raise self.exc
+
+    denied = FlakyFS(PermissionError("denied"))
+    with pytest.raises(PermissionError, match="denied"):
+        ai._load_manifest(idx, denied)
+    assert denied.reads == 1  # no blind retry loop around a real failure
+
+    gone = FlakyFS(FileNotFoundError("gone"))
+    with pytest.raises(ConcurrentWriteError, match="manifest head"):
+        ai._load_manifest(idx, gone)
+    assert gone.reads == 10  # the pruned-head race IS retried, then loud
+
+
+def test_format_marker_written_and_legacy_migration_folds_dirs(
+    spark, emb, tmp_path
+):
+    """ADVICE r8 (low): the store declares its commit protocol in a
+    manifest.format marker (build writes it; the first versioned commit
+    on a legacy store adds it), and migrating a pre-versioned store is
+    lossless — version 1 derives from the manifest.json snapshot, so
+    every legacy dir folds into the commit log."""
+    import json
+    import os
+    import shutil
+
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.operators.ann_index import ann_index_gc
+
+    idx = str(tmp_path / "idx_fmt")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.subtract(b1)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+    marker = os.path.join(idx, "manifest.format")
+    assert open(marker).read().strip() == "2"
+    # GC never mistakes the marker for debris
+    assert "manifest.format" not in ann_index_gc(idx, spark)
+    assert os.path.exists(marker)
+
+    # rewind the store to the PRE-VERSIONED layout: manifest.json only
+    # (no version key), one legacy batch dir committed the old way
+    shutil.copytree(os.path.join(idx, "codes"), os.path.join(idx, "batch_legacy"))
+    os.unlink(os.path.join(idx, ai._version_name(1)))
+    os.unlink(marker)
+    with open(os.path.join(idx, "manifest.json"), "w") as f:
+        json.dump(
+            {"dirs": [{"name": "codes"}, {"name": "batch_legacy"}]}, f
+        )
+
+    assert ann_index_append(b2, idx) is True  # first versioned commit
+    head = ai._load_manifest(idx)
+    names = [d["name"] for d in head["dirs"]]
+    assert "batch_legacy" in names and "codes" in names  # folded, not lost
+    assert sum(n.startswith("batch_") for n in names) == 2
+    assert open(marker).read().strip() == "2"  # migration declared itself
+    # the migrated store still serves every row
+    assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0

@@ -222,3 +222,46 @@ def test_rename_exclusive_file_uri(spark, tmp_path):
     with pytest.raises(FileExistsError):
         fs.rename_exclusive(base + "/b.tmp", base + "/v1.json")
     assert fs.read_text(base + "/v1.json") == "first"
+
+
+def test_rename_exclusive_hardlink_fallback(tmp_path, monkeypatch):
+    """ADVICE r8 (low): on filesystems without hard links (FAT/exFAT,
+    some NFS/FUSE mounts) os.link fails with a capability errno —
+    rename_exclusive falls back to an O_EXCL create of the buffered
+    content, keeping both claim properties (exactly-one-winner, full
+    content). Non-capability link failures propagate unchanged."""
+    import errno
+
+    fs = fscommit._LocalFS()
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "Operation not permitted (no hardlinks)")
+
+    monkeypatch.setattr(fscommit.os, "link", no_link)
+    a = tmp_path / "a.tmp"
+    a.write_text('{"v": 1}')
+    dst = str(tmp_path / "claim.json")
+    fs.rename_exclusive(str(a), dst)
+    assert open(dst).read() == '{"v": 1}'  # full content published
+    assert not a.exists()  # src consumed, like the link path
+
+    # a second claimant still loses loudly, and dst is untouched
+    b = tmp_path / "b.tmp"
+    b.write_text('{"v": 2}')
+    with pytest.raises(FileExistsError):
+        fs.rename_exclusive(str(b), dst)
+    assert open(dst).read() == '{"v": 1}'
+    assert b.exists()  # loser's src survives for the caller to clean up
+
+    # a REAL link failure (IO error, quota) is not a capability signal —
+    # it must propagate as itself, not silently demote the primitive
+    def eio_link(src, dst):
+        raise OSError(errno.EIO, "I/O error")
+
+    monkeypatch.setattr(fscommit.os, "link", eio_link)
+    c = tmp_path / "c.tmp"
+    c.write_text("x")
+    with pytest.raises(OSError) as ei:
+        fs.rename_exclusive(str(c), str(tmp_path / "other.json"))
+    assert ei.value.errno == errno.EIO
+    assert not (tmp_path / "other.json").exists()
