@@ -271,10 +271,11 @@ class _HadoopFS:
         that means 'retry from a fresh read', which is also the correct
         response to a transient failure."""
         if split_scheme(src) == "file":
-            lsrc = src[len("file://"):]
-            ldst = dst[len("file://"):]
-            os.link(lsrc, ldst)
-            os.unlink(lsrc)
+            # same primitive as plain paths — including the O_EXCL
+            # fallback for link-incapable local filesystems
+            _LocalFS().rename_exclusive(
+                src[len("file://"):], dst[len("file://"):]
+            )
             return
         fs = self._fs(dst)
         if fs.exists(self._p(dst)):

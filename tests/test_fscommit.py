@@ -224,6 +224,26 @@ def test_rename_exclusive_file_uri(spark, tmp_path):
     assert fs.read_text(base + "/v1.json") == "first"
 
 
+def test_rename_exclusive_file_uri_inherits_hardlink_fallback(
+    spark, tmp_path, monkeypatch
+):
+    """The file:// branch delegates to the _LocalFS primitive, so a
+    link-incapable local mount gets the same O_EXCL fallback there too
+    (pre-r9 it called os.link directly and would raise raw OSError)."""
+    import errno
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "Operation not permitted (no hardlinks)")
+
+    monkeypatch.setattr(fscommit.os, "link", no_link)
+    fs = fscommit.fs_for("file://" + str(tmp_path), spark)
+    base = "file://" + str(tmp_path)
+    fs.write_text(base + "/c.tmp", "claimed")
+    fs.rename_exclusive(base + "/c.tmp", base + "/v2.json")
+    assert fs.read_text(base + "/v2.json") == "claimed"
+    assert not (tmp_path / "c.tmp").exists()
+
+
 def test_rename_exclusive_hardlink_fallback(tmp_path, monkeypatch):
     """ADVICE r8 (low): on filesystems without hard links (FAT/exFAT,
     some NFS/FUSE mounts) os.link fails with a capability errno —

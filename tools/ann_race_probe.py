@@ -21,8 +21,18 @@ with no coordination between them — and checks the invariant:
 Nothing in between: no append that returned True whose rows are gone,
 no committed-looking dir the manifest silently dropped.
 
-Run:  python tools/ann_race_probe.py [THREADS] [APPENDS_PER_THREAD]
+Run:  python tools/ann_race_probe.py [THREADS] [APPENDS_PER_THREAD] [compact]
 Defaults 4 x 4, 1,500 vectors per append, 64 dims.
+
+With the optional third arg `compact`, ONE compactor thread races the
+appender pack for the probe's whole duration (the documented contract:
+one compactor at a time, concurrent appends safe). This drives the
+claim-loop paths the pytest suite pins only with monkeypatched
+orderings: compact's merge folding while appends land mid-fold, the
+stall guard's withdraw-and-re-merge against compact's idempotent merge,
+and grace-dir collection racing fresh claims. Extra invariant: rows AND
+distinct vec_ids both equal committed x N_BATCH — folding must neither
+lose nor duplicate a concurrently-appended batch.
 """
 
 from __future__ import annotations
@@ -37,6 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 T = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+COMPACT = len(sys.argv) > 3 and sys.argv[3] == "compact"
 N_SEED = 20_000
 N_BATCH = 1_500
 DIMS = 64
@@ -108,11 +119,32 @@ def main() -> None:
             with lock:
                 results[(t, b)] = out
 
+    compact_stats = {"folds": 0, "runs": 0, "loud": 0, "bugs": []}
+    appenders_done = threading.Event()
+
+    def compactor() -> None:
+        from schemamap_spark.operators.ann_index import ann_index_compact
+
+        while not appenders_done.is_set():
+            appenders_done.wait(0.3)
+            try:
+                compact_stats["folds"] += ann_index_compact(spark, idx)
+                compact_stats["runs"] += 1
+            except ConcurrentWriteError:
+                compact_stats["loud"] += 1
+            except BaseException as e:
+                compact_stats["bugs"].append(type(e).__name__)
+
     t0 = time.monotonic()
     threads = [threading.Thread(target=worker, args=(t,)) for t in range(T)]
+    if COMPACT:
+        threads.append(threading.Thread(target=compactor))
     for th in threads:
         th.start()
-    for th in threads:
+    for th in threads[:T]:
+        th.join()
+    appenders_done.set()
+    for th in threads[T:]:
         th.join()
     wall = time.monotonic() - t0
 
@@ -127,38 +159,57 @@ def main() -> None:
     bugs = sorted(v for v in results.values() if v.startswith("bug:"))
 
     # invariant (a): every True append's rows are readable via the manifest
-    rows_in_store = (
+    # — and in compact mode, folding must neither lose nor DUPLICATE a
+    # batch (distinct ids catch a double-fold that row counts would too,
+    # but distinctness also catches fold-then-refold of the same dir)
+    store_df = (
         spark.read.parquet(*(os.path.join(idx, d["name"]) for d in committed_dirs))
-        .count()
         if committed_dirs
-        else 0
+        else None
+    )
+    rows_in_store = store_df.count() if store_df is not None else 0
+    distinct_ids = (
+        store_df.select("vec_id").distinct().count() if store_df is not None else 0
     )
     expect_rows = n_committed * N_BATCH
-    # invariant (b): loud failures leave only unreferenced debris; gc gets it
-    debris = ann_index_gc(idx, spark)
+    # invariant (b): loud failures leave only unreferenced debris; gc gets
+    # it (in compact mode a loud COMPACT can strand its unioned dir too,
+    # and grace dirs are reclaimed — counts can exceed loud appends, so
+    # the count equality is asserted only in append-only mode)
+    debris = ann_index_gc(idx, spark, delete_superseded=COMPACT)
     # search still serves through the manifest
     q = seed.limit(50)
     n_hits = ann_index_search(spark, idx, q, k=5, nprobe=8).count()
 
-    print("\n=== ANN store concurrent-append probe ===")
+    mode = "append+compact" if COMPACT else "append"
+    print(f"\n=== ANN store concurrent-{mode} probe ===")
     print(f"{T} threads x {B} appends x {N_BATCH:,} vectors, wall {wall:.1f}s")
     print(f"committed: {n_committed}/{T * B}   loud failures: {n_loud}   "
           f"other escapes: {len(bugs)} {bugs[:3]}   "
           f"silent losses: {T * B - n_committed - n_loud - len(bugs)}")
-    print(f"manifest batch entries: {len(committed_dirs)} "
-          f"(== committed: {len(committed_dirs) == n_committed})")
+    if COMPACT:
+        print(f"compactor: {compact_stats['runs']} runs folded "
+              f"{compact_stats['folds']} dirs, {compact_stats['loud']} loud, "
+              f"bugs: {compact_stats['bugs'][:3]}")
+        print(f"manifest batch entries after folding: {len(committed_dirs)}")
+    else:
+        print(f"manifest batch entries: {len(committed_dirs)} "
+              f"(== committed: {len(committed_dirs) == n_committed})")
     print(f"rows via manifest: {rows_in_store:,} "
-          f"(expected {expect_rows:,}: {rows_in_store == expect_rows})")
-    print(f"gc collected {len(debris)} stranded dir(s) "
-          f"(== loud failures: {len(debris) == n_loud})")
+          f"(expected {expect_rows:,}: {rows_in_store == expect_rows}; "
+          f"distinct ids match: {distinct_ids == expect_rows})")
+    print(f"gc collected {len(debris)} stranded dir(s)"
+          + ("" if COMPACT else f" (== loud failures: {len(debris) == n_loud})"))
     print(f"search over the store: {n_hits} hits from 50 queries")
     ok = (
         rows_in_store == expect_rows
-        and len(committed_dirs) == n_committed
-        and len(debris) == n_loud
+        and distinct_ids == expect_rows
         and (T * B - n_committed - n_loud) == 0
         and not bugs
+        and not compact_stats["bugs"]
     )
+    if not COMPACT:
+        ok = ok and len(committed_dirs) == n_committed and len(debris) == n_loud
     print("PASS" if ok else "FAIL")
     if not ok:
         sys.exit(1)
