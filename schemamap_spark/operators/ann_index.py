@@ -73,8 +73,10 @@ _MANIFEST = "manifest.json"
 # REPLACE of manifest.json — against a format-2 store that write is
 # invisible to readers (the head lives in the version files) and the next
 # versioned commit's snapshot refresh overwrites it, orphaning the old
-# writer's batch for GC to delete. The marker gives deployment tooling a
-# cheap refusal hook; the operational rule is DRAIN pre-format-2 writers
+# writer's batch for GC to delete. The marker is ENFORCED pre-claim by
+# this code (_check_format: a store declaring a format other than 2
+# refuses every commit) and gives deployment tooling the same refusal
+# hook; the operational rule is DRAIN pre-format-2 writers
 # before any format-2 writer touches a shared store (migration itself is
 # lossless: the first versioned commit derives from the manifest.json
 # snapshot, folding every legacy dir into version 1).
@@ -248,13 +250,65 @@ def _is_missing_file(e: BaseException) -> bool:
     )
 
 
+_FORMAT_STATE: dict[str, bool] = {}  # index_dir -> marker known present
+
+
+def _check_format(index_dir: str, fs) -> None:
+    """Enforce the protocol the manifest.format marker declares BEFORE
+    claiming a version — once per store per process (cached; no per-commit
+    round trip). A marker this code doesn't understand means the store is
+    owned by a newer layout, and writing format-2 version files into it is
+    exactly the mixed-version corruption the marker exists to fence — so
+    refuse, pre-claim, when nothing has been committed yet. A MISSING
+    marker is a legacy or mid-migration store (supported: the first
+    versioned commit declares format 2 via _declare_format); an unreadable
+    marker refuses too — better to fail a write that hasn't happened than
+    to commit into a store whose protocol can't be confirmed."""
+    if index_dir in _FORMAT_STATE:
+        return
+    try:
+        raw = fs.read_text(join(index_dir, _FORMAT_MARKER)).strip()
+    except Exception as e:
+        if not _is_missing_file(e):
+            raise
+        _FORMAT_STATE[index_dir] = False
+        return
+    if raw != "2":
+        raise ValueError(
+            f"ANN store {index_dir} declares manifest format {raw!r}; this "
+            "code writes format 2 — refusing to commit into a store owned "
+            "by a different protocol version."
+        )
+    _FORMAT_STATE[index_dir] = True
+
+
+def _declare_format(index_dir: str, fs) -> None:
+    """Write the format marker on a legacy store's first versioned commit
+    — post-claim, best-effort (a marker-write fault must not fail the
+    already-committed write), and once per process (cached)."""
+    if _FORMAT_STATE.get(index_dir):
+        return
+    try:
+        fs.write_text(join(index_dir, _FORMAT_MARKER), "2\n")
+        _FORMAT_STATE[index_dir] = True
+    except Exception:
+        pass
+
+
 def _load_manifest(index_dir: str, fs=None) -> dict:
     """The committed manifest = the HEAD of the version log
-    (`manifest.v{n}.json`, immutable once claimed). Version files are
-    published atomically complete (rename_exclusive), so any readable
-    head is internally consistent; the retry covers the only race — the
-    picked head getting pruned between listdir and read, which needs
-    more than _MANIFEST_V_KEEP commits inside that window.
+    (`manifest.v{n}.json`, immutable once claimed). On hardlink-capable
+    filesystems version files are published atomically complete
+    (rename_exclusive), so any readable head is internally consistent;
+    the retry covers two in-flight races — the picked head getting
+    pruned between listdir and read (needs more than _MANIFEST_V_KEEP
+    commits inside that window), and, on link-incapable filesystems
+    where rename_exclusive drops to its O_EXCL fallback, a head file
+    observed in the microseconds between its create and its content
+    write (torn JSON resolves on retry once the writer finishes; a
+    claimant HARD-KILLED in that window leaves the torn head
+    permanently, and after 10 attempts this raises loudly — delete the
+    torn manifest.v{n} file to recover, the claim was never committed).
 
     The `manifest.json` snapshot and the implicit build-only manifest
     are fallbacks for PRE-VERSIONED stores ONLY (no version files at
@@ -275,19 +329,24 @@ def _load_manifest(index_dir: str, fs=None) -> dict:
         try:
             return json.loads(fs.read_text(join(index_dir, _version_name(v))))
         except Exception as e:
-            # ONLY file-not-found is the pruned-head race worth retrying;
-            # a permission error, IO fault, or torn JSON is a real failure
-            # that must propagate as itself, not be retried ten times and
-            # then misreported as commit contention
-            if not _is_missing_file(e):
+            # ONLY the two in-flight races are worth retrying: a pruned
+            # head (file-not-found) and a torn head mid-publish on the
+            # O_EXCL fallback path (ValueError from json.loads). A
+            # permission error or IO fault is a real failure that must
+            # propagate as itself, not be retried ten times and then
+            # misreported as commit contention
+            if not (_is_missing_file(e) or isinstance(e, ValueError)):
                 raise
-            last_err = e  # head pruned between listdir and read — re-resolve
-            time.sleep(0.005 * attempt)  # yield to the pruning committer
+            last_err = e  # in-flight write — re-resolve and re-read
+            time.sleep(0.005 * attempt)  # yield to the in-flight committer
     if last_err is not None:
         raise ConcurrentWriteError(
-            f"ANN store {index_dir}: the manifest head kept vanishing "
-            "across 10 list/read attempts — commits are outrunning this "
-            "reader by more than the version-retention window."
+            f"ANN store {index_dir}: the manifest head stayed unreadable "
+            f"across 10 list/read attempts ({type(last_err).__name__}) — "
+            "either commits are outrunning this reader by more than the "
+            "version-retention window, or a claimant was killed mid-publish "
+            "on a no-hardlink filesystem and left a torn manifest.v{n} "
+            "file (delete it to recover; the claim never committed)."
         ) from last_err
     path = join(index_dir, _MANIFEST)
     if not fs.exists(path):
@@ -370,6 +429,7 @@ def _commit_manifest_merge(
     import time
     import uuid
 
+    _check_format(index_dir, fs)
     for attempt in range(retries):
         head = _load_manifest(index_dir, fs)
         new = merge_fn(head)
@@ -410,23 +470,28 @@ def _commit_manifest_merge(
         # claim's entries propagated through every later version, so its
         # re-merge aborts as already-applied; a forked claim's entries did
         # NOT propagate, and the re-merge is what commits them for real.
-        head_now = _head_version(index_dir, fs)
-        if head_now - _MANIFEST_V_KEEP >= version:
-            fs.delete(join(index_dir, _version_name(version)))
+        # The guard itself must not FAIL an already-committed write: the
+        # claim above IS the commit, so raising past it would make an
+        # untokened caller's retry commit the same rows twice. A transient
+        # listdir fault here therefore keeps the claim unverified (the
+        # exposure of the pre-guard code — never worse), and a failed
+        # withdraw leaves a below-head file that _prune_versions collects.
+        try:
+            head_now = _head_version(index_dir, fs)
+        except Exception:
+            head_now = None
+        if head_now is not None and head_now - _MANIFEST_V_KEEP >= version:
+            try:
+                fs.delete(join(index_dir, _version_name(version)))
+            except Exception:
+                pass
             continue
         # the commit IS the claim above; snapshot refresh + history prune
         # are housekeeping and must not fail an already-committed write
         # (a transient listdir failure inside pruning would otherwise make
         # a SUCCESSFUL append raise — and an untokened caller's retry
         # would then commit the same rows twice)
-        try:
-            if not fs.exists(join(index_dir, _FORMAT_MARKER)):
-                # first versioned commit on a pre-marker store: declare the
-                # commit protocol so deployment tooling can fence out
-                # pre-format-2 writers (see _FORMAT_MARKER)
-                fs.write_text(join(index_dir, _FORMAT_MARKER), "2\n")
-        except Exception:
-            pass
+        _declare_format(index_dir, fs)
         try:
             _refresh_pointer(index_dir, new, fs)
         except Exception:

@@ -101,16 +101,24 @@ class _LocalFS:
         surface that as EPERM/EACCES/EOPNOTSUPP/ENOSYS from link(2); those
         fall back to an O_EXCL create of the fully-buffered content —
         same exactly-one-winner guarantee (O_EXCL is atomic), with a
-        narrower crash contract: a claimant killed between create and
-        fsync can leave a TORN dst, which hard links can't. The store's
-        claim files are one small JSON write, so the window is a single
-        syscall; any other link error (quota, IO) propagates unchanged."""
+        WEAKER visibility contract: dst exists (empty/partial) between
+        the create and the final write — a concurrent reader can observe
+        a torn file for the microseconds the write takes (hard links
+        can't tear), and a claimant KILLED in that window leaves the torn
+        dst permanently. Readers of claim files must therefore treat
+        unparseable content as in-flight and retry briefly
+        (ann_index._load_manifest does). A recoverable write error
+        (ENOSPC, EIO) unlinks the created dst before propagating so a
+        surviving process doesn't poison the claim slot; any non-capability
+        link error (quota, IO) propagates unchanged."""
         import errno
 
         try:
             os.link(src, dst)
         except OSError as e:
-            if isinstance(e, FileExistsError) or e.errno not in (
+            # FileExistsError carries EEXIST, which is not a capability
+            # errno, so the tuple test alone re-raises the lost-claim case
+            if e.errno not in (
                 errno.EPERM, errno.EACCES, errno.EOPNOTSUPP,
                 errno.ENOTSUP, errno.ENOSYS,
             ):
@@ -119,10 +127,21 @@ class _LocalFS:
                 data = f.read()
             fd = os.open(dst, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
             try:
-                os.write(fd, data)
+                view = memoryview(data)
+                while view:  # os.write may write fewer bytes than asked
+                    view = view[os.write(fd, view):]
                 os.fsync(fd)
-            finally:
+            except BaseException:
                 os.close(fd)
+                # the claim slot must not be poisoned by a half-written
+                # file when this process survives to clean up (a hard
+                # kill in this window still leaves torn dst — documented)
+                try:
+                    os.unlink(dst)
+                except OSError:
+                    pass
+                raise
+            os.close(fd)
         os.unlink(src)
 
     def isdir(self, path: str) -> bool:

@@ -854,3 +854,121 @@ def test_format_marker_written_and_legacy_migration_folds_dirs(
     assert open(marker).read().strip() == "2"  # migration declared itself
     # the migrated store still serves every row
     assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0
+
+
+def test_stall_guard_fault_does_not_fail_committed_append(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Code-review r9: the stall guard's post-claim listdir runs AFTER the
+    claim (= the commit) — a transient fs fault there must keep the claim
+    instead of raising, or an untokened caller's retry would commit the
+    same rows twice (the exact regression the r8 housekeeping fix
+    prevented)."""
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.sources import fscommit
+
+    idx = str(tmp_path / "idx_guard_fault")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, m=8, num_centroids=16,
+        centroids="sample",
+    )
+    fs = fscommit.fs_for(idx)
+    real = ai._head_version
+    calls = {"n": 0}
+
+    def flaky(index_dir, fs_):
+        calls["n"] += 1
+        # call 1 resolves the head for the pre-claim read; call 2 is the
+        # post-claim stall guard — fail exactly that one
+        if calls["n"] == 2:
+            raise OSError("transient listdir fault")
+        return real(index_dir, fs_)
+
+    monkeypatch.setattr(ai, "_head_version", flaky)
+    ok = ai._commit_manifest_entry(
+        idx, {"name": "batch_guard_fault", "occupancy": {}}, fs
+    )
+    monkeypatch.undo()
+    assert ok is True
+    head = ai._load_manifest(idx, fs)
+    assert any(d["name"] == "batch_guard_fault" for d in head["dirs"])
+    # exactly one entry — the fault did not re-drive a duplicate
+    assert sum(d["name"] == "batch_guard_fault" for d in head["dirs"]) == 1
+
+
+def test_load_manifest_retries_torn_head(spark, emb, tmp_path):
+    """Code-review r9: on a no-hardlink filesystem the O_EXCL fallback can
+    expose a created-but-not-yet-written head for microseconds — torn
+    JSON must be retried like a pruned head (it resolves once the writer
+    finishes), and a PERMANENTLY torn head (claimant hard-killed in the
+    window) must end in the loud ConcurrentWriteError naming the torn
+    file, not a raw JSONDecodeError."""
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.operators.ann_index import ConcurrentWriteError
+    from schemamap_spark.sources import fscommit
+
+    idx = str(tmp_path / "idx_torn")
+    ann_index_build(
+        emb.filter(F.col("vec_id") % 2 == 0), idx, m=8, num_centroids=16,
+        centroids="sample",
+    )
+    fs = fscommit.fs_for(idx)
+    head_v = ai._head_version(idx, fs)
+    torn = os.path.join(idx, ai._version_name(head_v + 1))
+    with open(torn, "w"):
+        pass  # empty file = claim created, content never written
+
+    # transient case: the "writer" finishes after two reader attempts
+    inner = fscommit.fs_for(idx)
+
+    class HealingFS:
+        def __init__(self):
+            self.reads = 0
+
+        def listdir(self, p):
+            return inner.listdir(p)
+
+        def exists(self, p):
+            return inner.exists(p)
+
+        def read_text(self, p):
+            if p == torn:
+                self.reads += 1
+                if self.reads >= 3:
+                    return inner.read_text(
+                        os.path.join(idx, ai._version_name(head_v))
+                    )
+                return ""  # still torn
+            return inner.read_text(p)
+
+    healing = HealingFS()
+    m = ai._load_manifest(idx, healing)
+    assert healing.reads == 3 and "dirs" in m
+
+    # permanent case: loud, diagnosable, never a raw JSONDecodeError
+    with pytest.raises(ConcurrentWriteError, match="torn"):
+        ai._load_manifest(idx, fs)
+    os.unlink(torn)  # the documented recovery
+    assert ai._head_version(idx, fs) == head_v
+
+
+def test_commit_refuses_foreign_format_marker(spark, emb, tmp_path):
+    """Code-review r9: the format marker is ENFORCED, not advisory — a
+    store declaring a format this code doesn't understand refuses every
+    commit pre-claim (nothing is written), instead of silently writing
+    format-2 version files into a newer layout."""
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.sources import fscommit
+
+    idx = str(tmp_path / "idx_fmt3")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+    with open(f"{idx}/manifest.format", "w") as f:
+        f.write("3\n")
+    fs = fscommit.fs_for(idx)
+    head_before = ai._head_version(idx, fs)
+    with pytest.raises(ValueError, match="format '3'"):
+        ann_index_append(emb.subtract(b1), idx)
+    assert ai._head_version(idx, fs) == head_before  # nothing committed

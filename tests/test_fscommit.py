@@ -285,3 +285,46 @@ def test_rename_exclusive_hardlink_fallback(tmp_path, monkeypatch):
         fs.rename_exclusive(str(c), str(tmp_path / "other.json"))
     assert ei.value.errno == errno.EIO
     assert not (tmp_path / "other.json").exists()
+
+
+def test_hardlink_fallback_short_writes_and_enospc_cleanup(
+    tmp_path, monkeypatch
+):
+    """Code-review r9: os.write may write fewer bytes than asked — the
+    fallback must loop to publish FULL content; and a recoverable write
+    fault (ENOSPC) must unlink the created dst before propagating so the
+    claim slot isn't poisoned by a half-written file."""
+    import errno
+
+    fs = fscommit._LocalFS()
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "no hardlinks")
+
+    monkeypatch.setattr(fscommit.os, "link", no_link)
+
+    # short writes: 1 byte per os.write call
+    real_write = os.write
+
+    def one_byte(fd, data):
+        return real_write(fd, bytes(data[:1]))
+
+    monkeypatch.setattr(fscommit.os, "write", one_byte)
+    a = tmp_path / "a.tmp"
+    a.write_text('{"payload": "0123456789"}')
+    dst = str(tmp_path / "full.json")
+    fs.rename_exclusive(str(a), dst)
+    assert open(dst).read() == '{"payload": "0123456789"}'
+
+    # ENOSPC mid-write: dst must not survive as a torn claim
+    def fails_midway(fd, data):
+        raise OSError(errno.ENOSPC, "disk full")
+
+    monkeypatch.setattr(fscommit.os, "write", fails_midway)
+    b = tmp_path / "b.tmp"
+    b.write_text("content")
+    with pytest.raises(OSError) as ei:
+        fs.rename_exclusive(str(b), str(tmp_path / "poisoned.json"))
+    assert ei.value.errno == errno.ENOSPC
+    assert not (tmp_path / "poisoned.json").exists()  # slot not poisoned
+    assert b.exists()  # src kept — the caller's retry re-publishes it
