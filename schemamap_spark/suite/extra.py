@@ -630,6 +630,26 @@ def retrieval_eval_q(spark, sf):
     )
 
 
+def training_shards_q(spark, sf):
+    """Training-shard export assignment (sources/shards.py): every document
+    lands in a deterministic shard (Knuth multiplicative hash of doc_id,
+    the sampling.py arithmetic) — the oracle recomputes the assignment and
+    the per-shard row/char totals exactly, which pins both the hash
+    portability and the balance the exporter's manifest reports."""
+    from schemamap_spark.sources.shards import assign_shards
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        assign_shards(docs, 16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+        .orderBy("shard")
+    )
+
+
 EXTRA_SPARK_QUERIES = {
     "q33_cube": q33_cube,
     "incremental_dedup": incremental_dedup,
@@ -662,6 +682,7 @@ EXTRA_SPARK_QUERIES = {
     "sample_exact_n": sample_exact_n_q,
     "quantize": quantize_q,
     "matryoshka": matryoshka_q,
+    "training_shards": training_shards_q,
 }
 
 # replays scd2_merge as unions: unchanged keys stay open at T0; changed keys
@@ -1370,5 +1391,17 @@ EXTRA_ORACLE_SQL = {
         join plan p on p.source = d.source
         where (((d.doc_id % 2147483648) * 2654435761) % 2147483648) % 1000 < p.cutoff
         order by d.doc_id
+    """,
+    # the exporter's shard assignment replayed in pure integer arithmetic
+    # (doc_id >= 0, so % == pmod; the mod-2^31 reduction keeps the product
+    # inside bigint on both engines)
+    "training_shards": """
+        select cast((((doc_id % 2147483648) * 2654435761) % 2147483648) % 16
+                    as int) as shard,
+               count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as sum_chars
+        from documents
+        group by 1
+        order by 1
     """,
 }

@@ -1,0 +1,148 @@
+"""Training-shard exporter (sources/shards.py): deterministic assignment,
+reproducible within-shard order, atomic layout, manifest contract."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from schemamap_spark.session import load_table
+from schemamap_spark.sources.shards import (
+    assign_shards,
+    shard_stats,
+    write_training_shards,
+)
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def test_assignment_is_deterministic_and_partitioning_free(spark, docs):
+    a = assign_shards(docs, 16).select("doc_id", "shard")
+    b = assign_shards(docs.repartition(7), 16).select("doc_id", "shard")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    # every shard in range, none out
+    mm = a.agg(F.min("shard"), F.max("shard")).first()
+    assert mm[0] >= 0 and mm[1] <= 15
+
+
+def test_salt_selects_an_independent_permutation(spark, docs):
+    a = assign_shards(docs, 16, salt=0).select("doc_id", "shard")
+    b = assign_shards(docs, 16, salt=1).select("doc_id", "shard")
+    moved = a.join(b.withColumnRenamed("shard", "shard2"), "doc_id").filter(
+        F.col("shard") != F.col("shard2")
+    )
+    assert moved.count() > 0  # different salt, different assignment
+    # same salt twice: identical
+    c = assign_shards(docs, 16, salt=1).select("doc_id", "shard")
+    assert b.subtract(c).count() == 0
+
+
+def test_balance_is_hash_uniform(spark, docs):
+    n = docs.count()
+    sizes = [
+        r["c"]
+        for r in assign_shards(docs, 8)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert len(sizes) == 8  # no empty shard at 8 shards on this corpus
+    assert sum(sizes) == n
+    assert max(sizes) < 3 * min(sizes)  # multinomial around n/8
+
+
+def test_export_layout_manifest_and_reproducibility(spark, docs, tmp_path):
+    d1 = str(tmp_path / "exp1")
+    d2 = str(tmp_path / "exp2")
+    write_training_shards(docs, d1, num_shards=4, token_col="n_chars")
+    write_training_shards(docs, d2, num_shards=4, token_col="n_chars")
+
+    # layout: one parquet file per shard dir (each shard wholly in one task)
+    for k in range(4):
+        files = [
+            f
+            for f in os.listdir(os.path.join(d1, f"shard={k}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+
+    # manifest totals match the data and the direct aggregation
+    m = json.loads(open(os.path.join(d1, "_SHARDS.json")).read())
+    assert m["num_shards"] == 4 and m["salt"] == 0
+    expect = {
+        r["shard"]: (r["n"], r["s"])
+        for r in assign_shards(docs, 4)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    }
+    for s in m["shards"]:
+        assert (s["rows"], s["tokens"]) == expect[s["shard"]]
+
+    # reproducibility: same corpus + salt -> byte-equal shard CONTENT AND
+    # ORDER (parquet preserves row order; one file per shard makes the
+    # per-shard sequence well-defined)
+    for k in range(4):
+        r1 = spark.read.parquet(os.path.join(d1, f"shard={k}")).collect()
+        r2 = spark.read.parquet(os.path.join(d2, f"shard={k}")).collect()
+        assert r1 == r2
+        assert len(r1) == expect[k][0]
+
+    # the shuffle order interleaves: not simply sorted by doc_id
+    ids0 = [r["doc_id"] for r in r1]
+    assert ids0 != sorted(ids0)
+
+    # shard_stats reads the manifest back
+    st = {r["shard"]: r["rows"] for r in shard_stats(spark, d1).collect()}
+    assert st == {k: v[0] for k, v in expect.items()}
+
+
+def test_empty_shards_live_in_manifest_not_on_disk(spark, docs, tmp_path):
+    d = str(tmp_path / "tiny")
+    tiny = docs.limit(5)
+    write_training_shards(tiny, d, num_shards=64)
+    m = json.loads(open(os.path.join(d, "_SHARDS.json")).read())
+    assert len(m["shards"]) == 64
+    assert sum(s["rows"] for s in m["shards"]) == 5
+    on_disk = [n for n in os.listdir(d) if n.startswith("shard=")]
+    assert len(on_disk) <= 5  # empty shards have no directory
+    st = shard_stats(spark, d)
+    assert st.count() == 64 and st.agg(F.sum("rows")).first()[0] == 5
+
+
+def test_shard_stats_recomputes_when_manifest_missing(spark, docs, tmp_path):
+    d = str(tmp_path / "nomanifest")
+    write_training_shards(docs, d, num_shards=4)
+    os.unlink(os.path.join(d, "_SHARDS.json"))  # the documented crash window
+    st = {r["shard"]: r["rows"] for r in shard_stats(spark, d).collect()}
+    expect = {
+        r["shard"]: r["n"]
+        for r in assign_shards(docs, 4)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert st == expect
+
+
+def test_bounds_and_unshuffled_mode(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="num_shards"):
+        assign_shards(docs, 0)
+    with pytest.raises(ValueError, match="num_shards"):
+        assign_shards(docs, 10_000_001)
+    # shuffle=False still exports a valid tree with the same membership
+    d = str(tmp_path / "noshuf")
+    write_training_shards(docs, d, num_shards=4, shuffle=False)
+    back = spark.read.parquet(d)
+    assert back.count() == docs.count()
+    pairs = back.select("doc_id", "shard")
+    direct = assign_shards(docs, 4).select("doc_id", "shard")
+    assert pairs.subtract(direct).count() == 0
