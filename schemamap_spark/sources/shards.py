@@ -46,11 +46,18 @@ _MAX_SHARDS = 1_000_000  # repartition bookkeeping is O(num_shards) on the
 
 def _knuth(id_col: str, salt: int) -> F.Column:
     """Full-resolution Knuth hash of (id, salt) in [0, 2^31): the id is
-    reduced mod 2^31 FIRST (keeps the product < 2^62 — ANSI-safe for any
-    64-bit id), the salt shifts the input before the multiply so each salt
-    selects a different permutation (an affine pre-shift composed with an
-    odd-multiplier bijection is itself a bijection mod 2^31)."""
-    reduced = F.pmod(F.col(id_col).cast("long") + F.lit(int(salt)), F.lit(MOD))
+    reduced mod 2^31 FIRST — before the salt add AND before the multiply —
+    so no intermediate exceeds 2^32 + 2^31 on the add or ~5.7e18 < 2^63 on
+    the product (ANSI-safe for any 64-bit id; adding the salt to the RAW
+    id would overflow long for ids near 2^63, e.g. hash-derived ones).
+    The salt shifts the reduced input, so each salt selects a different
+    permutation (an affine pre-shift composed with an odd-multiplier
+    bijection is itself a bijection mod 2^31)."""
+    reduced = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
+        + F.lit(int(salt) % MOD),
+        F.lit(MOD),
+    )
     return F.pmod(reduced * F.lit(KNUTH), F.lit(MOD))
 
 
@@ -65,6 +72,14 @@ def assign_shards(
     if not 1 <= num_shards <= _MAX_SHARDS:
         raise ValueError(
             f"num_shards must be in [1, {_MAX_SHARDS}], got {num_shards}"
+        )
+    if id_col not in df.columns:
+        raise ValueError(f"id_col {id_col!r} is not a column of df")
+    if "shard" in df.columns:
+        raise ValueError(
+            "df already has a 'shard' column (re-sharding a previously "
+            "exported tree?) — drop or rename it first; silently "
+            "overwriting it would lose data"
         )
     return df.withColumn(
         "shard", F.pmod(_knuth(id_col, salt), F.lit(num_shards)).cast("int")
@@ -100,7 +115,21 @@ def write_training_shards(
     have no directory on disk but DO appear in the manifest with zero
     rows — loaders should schedule from the manifest, not from listdir."""
     spark = df.sparkSession
+    if token_col is not None and token_col not in df.columns:
+        raise ValueError(f"token_col {token_col!r} is not a column of df")
+    if "__ord" in df.columns:
+        raise ValueError("'__ord' is reserved by the exporter — rename it")
     sharded = assign_shards(df, num_shards, id_col, salt)
+    if df.isEmpty():
+        # an empty export would swap an UNREADABLE tree (only _SUCCESS)
+        # over a previous valid one and then fail computing stats — fail
+        # fast before any I/O instead (checked after the cheap validations
+        # above; isEmpty is a limit-1 job)
+        raise ValueError(
+            "refusing to export an empty DataFrame — it would replace any "
+            "existing export with an unreadable tree (upstream curation "
+            "probably filtered everything out)"
+        )
     out = sharded.repartition(num_shards, "shard")
     if shuffle:
         out = (
@@ -111,9 +140,14 @@ def write_training_shards(
     fs, tmp = _stage(target_dir, spark)
     out.write.partitionBy("shard").mode("overwrite").parquet(tmp)
     _swap_into_place(tmp, target_dir, fs)
-    stats = _compute_stats(spark, target_dir, num_shards, token_col)
+    written = spark.read.parquet(target_dir)
+    stats = _compute_stats(written, num_shards, token_col)
+    # manifest publish is atomic (tmp + replace_file) so a reader or a
+    # crash mid-write can never observe a TORN manifest — only the
+    # documented missing-manifest window, which shard_stats self-heals
+    mtmp = fscommit.join(target_dir, "._SHARDS_" + str(salt) + ".tmp")
     fs.write_text(
-        fscommit.join(target_dir, _MANIFEST),
+        mtmp,
         json.dumps(
             {
                 "num_shards": num_shards,
@@ -124,11 +158,11 @@ def write_training_shards(
             }
         ),
     )
+    fs.replace_file(mtmp, fscommit.join(target_dir, _MANIFEST))
 
 
 def _compute_stats(
-    spark: SparkSession,
-    target_dir: str,
+    written: DataFrame,
     num_shards: int,
     token_col: str | None,
 ) -> list[dict]:
@@ -138,7 +172,7 @@ def _compute_stats(
     Missing shard dirs (empty shards) are filled with zero rows via an
     outer join against range(num_shards) — bounded driver collect of
     exactly num_shards rows."""
-    written = spark.read.parquet(target_dir)
+    spark = written.sparkSession
     aggs = [F.count(F.lit(1)).alias("rows")]
     if token_col is not None:
         aggs.append(F.sum(F.col(token_col)).cast("long").alias("tokens"))
@@ -155,27 +189,34 @@ def _compute_stats(
 
 def shard_stats(spark: SparkSession, target_dir: str) -> DataFrame:
     """The export's per-shard manifest as a DataFrame. Reads
-    `_SHARDS.json` when present; recomputes from the parquet tree when the
-    manifest is missing (the documented crash window between data swap and
-    manifest write) — in that case num_shards is taken as max(shard)+1,
-    which cannot see trailing empty shards; re-export to restore them."""
+    `_SHARDS.json` when present and parseable; recomputes from the parquet
+    tree when the manifest is missing (the documented crash window between
+    data swap and manifest publish) OR unparseable (a pre-atomic-publish
+    torn write; the publish is atomic now, but self-healing beats raising
+    on stores written by older code) — in the recompute case num_shards is
+    taken as max(shard)+1, which cannot see trailing empty shards;
+    re-export to restore them."""
     fs = fscommit.fs_for(target_dir, spark)
     path = fscommit.join(target_dir, _MANIFEST)
     if fs.exists(path):
-        m = json.loads(fs.read_text(path))
-        rows = [
-            (int(s["shard"]), int(s["rows"]), int(s.get("tokens", 0)))
-            for s in m["shards"]
-        ]
-        return spark.createDataFrame(
-            rows, "shard int, rows long, tokens long"
-        ).orderBy("shard")
+        try:
+            m = json.loads(fs.read_text(path))
+        except ValueError:
+            m = None  # torn legacy manifest — fall through to recompute
+        if m is not None:
+            rows = [
+                (int(s["shard"]), int(s["rows"]), int(s.get("tokens", 0)))
+                for s in m["shards"]
+            ]
+            return spark.createDataFrame(
+                rows, "shard int, rows long, tokens long"
+            ).orderBy("shard")
     written = spark.read.parquet(target_dir)
-    n = written.agg(F.max("shard")).first()[0] + 1
+    n = int(written.agg(F.max("shard")).first()[0]) + 1
     return spark.createDataFrame(
         [
             (int(s["shard"]), int(s["rows"]), 0)
-            for s in _compute_stats(spark, target_dir, n, None)
+            for s in _compute_stats(written, n, None)
         ],
         "shard int, rows long, tokens long",
     ).orderBy("shard")

@@ -146,3 +146,52 @@ def test_bounds_and_unshuffled_mode(spark, docs, tmp_path):
     pairs = back.select("doc_id", "shard")
     direct = assign_shards(docs, 4).select("doc_id", "shard")
     assert pairs.subtract(direct).count() == 0
+
+
+def test_review_guards(spark, docs, tmp_path):
+    """Code-review r9 findings on the exporter, pinned: empty-df refusal
+    (an empty export would destroy a previous valid tree), fail-fast
+    column validation (before the expensive job, not after the swap),
+    reserved-name collisions, torn-manifest self-heal, and salt overflow
+    safety for hash-derived ids near 2^63."""
+    d = str(tmp_path / "exp")
+    write_training_shards(docs, d, num_shards=4, token_col="n_chars")
+
+    # empty df: refused BEFORE any I/O — the existing export survives
+    with pytest.raises(ValueError, match="empty"):
+        write_training_shards(
+            docs.filter(F.lit(False)), d, num_shards=4
+        )
+    assert shard_stats(spark, d).agg(F.sum("rows")).first()[0] == docs.count()
+
+    # typo'd columns: fail fast, export untouched
+    with pytest.raises(ValueError, match="token_col"):
+        write_training_shards(docs, d, num_shards=4, token_col="n_token")
+    with pytest.raises(ValueError, match="id_col"):
+        write_training_shards(docs, d, num_shards=4, id_col="docid")
+
+    # reserved names: no silent overwrite-and-drop
+    with pytest.raises(ValueError, match="shard"):
+        assign_shards(docs.withColumn("shard", F.lit(0)), 4)
+    with pytest.raises(ValueError, match="__ord"):
+        write_training_shards(
+            docs.withColumn("__ord", F.lit(0)), d, num_shards=4
+        )
+
+    # torn manifest (pre-atomic-publish legacy): self-heals by recompute
+    with open(os.path.join(d, "_SHARDS.json"), "w") as f:
+        f.write('{"num_shards": 4, "sh')  # truncated mid-write
+    st = shard_stats(spark, d)
+    assert st.agg(F.sum("rows")).first()[0] == docs.count()
+
+
+def test_salt_safe_for_hash_derived_ids(spark):
+    """Adding the salt to the RAW id would overflow long under ANSI for
+    ids near 2^63 — the reduce-first arithmetic must not."""
+    from schemamap_spark.sources.shards import assign_shards
+
+    big = spark.createDataFrame(
+        [(2**63 - 1,), (2**63 - 2,), (2**62 + 17,)], "doc_id long"
+    )
+    out = assign_shards(big, 16, salt=12345).collect()
+    assert all(0 <= r["shard"] < 16 for r in out)
