@@ -21,13 +21,28 @@ MOD = 2_147_483_648  # 2^31
 BUCKETS = 1000
 
 
-def deterministic_bucket(id_col: str, buckets: int = BUCKETS) -> Column:
-    """Stable pseudo-uniform bucket in [0, buckets) from a bigint id column.
-    Reduces the id mod 2^31 before multiplying: ids >= ~3.5e9 (snowflake /
-    hash-derived) would otherwise overflow bigint — a runtime error under
-    ANSI mode, silent engine-divergent wraparound without it."""
+def knuth_hash(id_col: str, salt: int = 0) -> Column:
+    """Full-resolution Knuth hash of (id, salt) in [0, 2^31) — the ONE
+    portable hash every deterministic operator derives from (buckets,
+    splits, mixture cutoffs, shard assignment, training order). The id is
+    reduced mod 2^31 FIRST — before the salt add AND before the multiply —
+    so no intermediate overflows bigint for ANY 64-bit id (the product is
+    < 2^31 · KNUTH ≈ 5.7e18 < 2^63; adding a salt to the RAW id would
+    overflow for hash-derived ids near 2^63): ANSI-safe, and
+    engine-portable enough that the DuckDB oracles replay it exactly.
+    A nonzero salt shifts the reduced input, selecting an independent
+    permutation (an affine pre-shift composed with an odd-multiplier
+    bijection is itself a bijection mod 2^31)."""
     reduced = F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
-    return F.pmod(F.pmod(reduced * F.lit(KNUTH), F.lit(MOD)), F.lit(buckets))
+    if salt:
+        reduced = F.pmod(reduced + F.lit(int(salt) % MOD), F.lit(MOD))
+    return F.pmod(reduced * F.lit(KNUTH), F.lit(MOD))
+
+
+def deterministic_bucket(id_col: str, buckets: int = BUCKETS) -> Column:
+    """Stable pseudo-uniform bucket in [0, buckets) from a bigint id column
+    (knuth_hash mod buckets — see its portability/overflow contract)."""
+    return F.pmod(knuth_hash(id_col), F.lit(buckets))
 
 
 def assign_splits(

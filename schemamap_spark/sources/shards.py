@@ -35,30 +35,13 @@ import json
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from schemamap_spark.operators.sampling import KNUTH, MOD
+from schemamap_spark.operators.sampling import knuth_hash
 from schemamap_spark.sources import fscommit
 from schemamap_spark.sources.sinks import _stage, _swap_into_place
 
 _MANIFEST = "_SHARDS.json"
 _MAX_SHARDS = 1_000_000  # repartition bookkeeping is O(num_shards) on the
 # driver; past this you are misusing shards as rows
-
-
-def _knuth(id_col: str, salt: int) -> F.Column:
-    """Full-resolution Knuth hash of (id, salt) in [0, 2^31): the id is
-    reduced mod 2^31 FIRST — before the salt add AND before the multiply —
-    so no intermediate exceeds 2^32 + 2^31 on the add or ~5.7e18 < 2^63 on
-    the product (ANSI-safe for any 64-bit id; adding the salt to the RAW
-    id would overflow long for ids near 2^63, e.g. hash-derived ones).
-    The salt shifts the reduced input, so each salt selects a different
-    permutation (an affine pre-shift composed with an odd-multiplier
-    bijection is itself a bijection mod 2^31)."""
-    reduced = F.pmod(
-        F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
-        + F.lit(int(salt) % MOD),
-        F.lit(MOD),
-    )
-    return F.pmod(reduced * F.lit(KNUTH), F.lit(MOD))
 
 
 def assign_shards(
@@ -82,7 +65,7 @@ def assign_shards(
             "overwriting it would lose data"
         )
     return df.withColumn(
-        "shard", F.pmod(_knuth(id_col, salt), F.lit(num_shards)).cast("int")
+        "shard", F.pmod(knuth_hash(id_col, salt), F.lit(num_shards)).cast("int")
     )
 
 
@@ -133,7 +116,7 @@ def write_training_shards(
     out = sharded.repartition(num_shards, "shard")
     if shuffle:
         out = (
-            out.withColumn("__ord", _knuth(id_col, salt + 1))
+            out.withColumn("__ord", knuth_hash(id_col, salt + 1))
             .sortWithinPartitions("shard", "__ord", id_col)
             .drop("__ord")
         )

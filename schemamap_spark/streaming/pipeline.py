@@ -322,7 +322,7 @@ def mixture_fill_stream(
     Returns the StreamingQuery (availableNow — call .awaitTermination())."""
     from pyspark.sql import Window
 
-    from schemamap_spark.operators.sampling import KNUTH, MOD
+    from schemamap_spark.operators.sampling import knuth_hash
     from schemamap_spark.sources.sinks import write_parquet_atomic
 
     def _batch(batch_df, _batch_id):
@@ -340,8 +340,7 @@ def mixture_fill_stream(
         budget_map = F.create_map(
             *[F.lit(x) for s, b in budgets.items() for x in (s, int(b))]
         )
-        reduced = F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
-        h = F.pmod(reduced * F.lit(KNUTH), F.lit(MOD))
+        h = knuth_hash(id_col)
         w = (
             Window.partitionBy(source_col)
             .orderBy(h, F.col(id_col))
