@@ -194,6 +194,10 @@ def ann_index_build(
     fs.write_text(join(tmp_dir, _MANIFEST), json.dumps(manifest0))
     fs.write_text(join(tmp_dir, _FORMAT_MARKER), "2\n")
     _swap_into_place(tmp_dir, index_dir, fs)
+    # this process just recreated the store: any cached format verdict or
+    # head watermark describes the PREVIOUS store at this path
+    _FORMAT_STATE.pop(index_dir, None)
+    _HEAD_SEEN.pop(index_dir, None)
 
 
 def _fs_for(index_dir: str, spark=None):
@@ -242,24 +246,54 @@ def _head_version(index_dir: str, fs) -> int:
 def _is_missing_file(e: BaseException) -> bool:
     """True when `e` means 'the file is gone' on EITHER fs implementation:
     a Python FileNotFoundError from _LocalFS, or a py4j-wrapped
-    java.io.FileNotFoundException from _HadoopFS (py4j surfaces the Java
-    class name in the error string; there is no shared exception type to
+    java.io.FileNotFoundException from _HadoopFS. When the wrapper exposes
+    the Java exception object (py4j's Py4JJavaError does), the TOP-LEVEL
+    class name is compared exactly — a different Java failure whose
+    rendered stack merely CONTAINS 'FileNotFoundException' somewhere in
+    its cause chain must not be misclassified as 'file missing' (in
+    _check_format that would silently downgrade an unreadable marker to
+    'legacy store' and commit anyway; ADVICE r9). The substring check
+    survives only as the last resort for wrappers that surface nothing
+    but a rendered message (there is no shared exception type to
     isinstance against without importing py4j here)."""
-    return isinstance(e, FileNotFoundError) or (
-        "FileNotFoundException" in str(e)
-    )
+    if isinstance(e, FileNotFoundError):
+        return True
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        try:
+            return (
+                je.getClass().getName() == "java.io.FileNotFoundException"
+            )
+        except Exception:
+            return False  # unreadable wrapper: treat as a real failure
+    return "FileNotFoundException" in str(e)
 
 
-_FORMAT_STATE: dict[str, bool] = {}  # index_dir -> marker known present
+# index_dir -> marker verdict (True = marker present and '2'; False =
+# marker absent, legacy store). Cache limits, by design: a verdict is held
+# until something observable contradicts it — False self-corrects on EVERY
+# commit (_declare_format's exclusive create collides with any marker a
+# concurrent writer has since published, and the collision re-reads it);
+# True is dropped when the head version REGRESSES (the store was rebuilt
+# or replaced at the same path — _commit_manifest_merge watches via
+# _HEAD_SEEN) and by ann_index_build on the path it just rebuilt. The one
+# residual hole: a store deleted and recreated at the same path by ANOTHER
+# process, with no commit from this process observing the regression,
+# keeps a stale True until this process commits once (and sees version 1 <
+# seen). That first commit is the earliest observable contradiction.
+_FORMAT_STATE: dict[str, bool] = {}
+_HEAD_SEEN: dict[str, int] = {}  # index_dir -> highest head version seen
 
 
 def _check_format(index_dir: str, fs) -> None:
     """Enforce the protocol the manifest.format marker declares BEFORE
     claiming a version — once per store per process (cached; no per-commit
-    round trip). A marker this code doesn't understand means the store is
-    owned by a newer layout, and writing format-2 version files into it is
-    exactly the mixed-version corruption the marker exists to fence — so
-    refuse, pre-claim, when nothing has been committed yet. A MISSING
+    round trip — see the cache-limits note on _FORMAT_STATE). A marker
+    this code doesn't understand means the store is owned by a newer
+    layout, and writing format-2 version files into it is exactly the
+    mixed-version corruption the marker exists to fence — so refuse,
+    pre-claim, when nothing has been committed yet (the refusal caches
+    NOTHING, so a fixed marker is honored on the next call). A MISSING
     marker is a legacy or mid-migration store (supported: the first
     versioned commit declares format 2 via _declare_format); an unreadable
     marker refuses too — better to fail a write that hasn't happened than
@@ -277,7 +311,10 @@ def _check_format(index_dir: str, fs) -> None:
         raise ValueError(
             f"ANN store {index_dir} declares manifest format {raw!r}; this "
             "code writes format 2 — refusing to commit into a store owned "
-            "by a different protocol version."
+            "by a different protocol version. (A marker torn by a claimant "
+            "hard-killed mid-declare on a no-hardlink filesystem reads as "
+            "gibberish: verify no newer writer owns the store, then delete "
+            "manifest.format to recover — the next commit re-declares it.)"
         )
     _FORMAT_STATE[index_dir] = True
 
@@ -285,14 +322,54 @@ def _check_format(index_dir: str, fs) -> None:
 def _declare_format(index_dir: str, fs) -> None:
     """Write the format marker on a legacy store's first versioned commit
     — post-claim, best-effort (a marker-write fault must not fail the
-    already-committed write), and once per process (cached)."""
+    already-committed write). Published EXCLUSIVELY and atomically via
+    tmp + rename_exclusive (the store's own claim primitive; VERDICT r9):
+    a crash mid-declare leaves tmp debris for GC, never a torn marker
+    that would brick every later commit, and a marker some other writer
+    published meanwhile is never clobbered — on FileExistsError the
+    existing marker is read and HONORED: '2' just refreshes the cache;
+    anything else drops this process's cached verdict and WARNS, so the
+    NEXT commit's pre-claim _check_format refuses loudly. (It must not
+    raise here: the claim this call trails already committed, and raising
+    past a commit makes an untokened caller's retry double-commit — the
+    standing post-claim invariant. One commit already raced the foreign
+    writer either way; the refusal lands at the first boundary where
+    nothing is half-done.)"""
     if _FORMAT_STATE.get(index_dir):
         return
+    import uuid
+
+    tmp = join(index_dir, ".manifest_" + uuid.uuid4().hex[:12])
     try:
-        fs.write_text(join(index_dir, _FORMAT_MARKER), "2\n")
+        fs.write_text(tmp, "2\n")
+        fs.rename_exclusive(tmp, join(index_dir, _FORMAT_MARKER))
         _FORMAT_STATE[index_dir] = True
+    except FileExistsError:
+        try:
+            fs.delete(tmp)
+        except Exception:
+            pass
+        try:
+            raw = fs.read_text(join(index_dir, _FORMAT_MARKER)).strip()
+        except Exception:
+            return  # unreadable right now; the next _check_format decides
+        if raw == "2":
+            _FORMAT_STATE[index_dir] = True
+        else:
+            _FORMAT_STATE.pop(index_dir, None)
+            warnings.warn(
+                f"ANN store {index_dir}: a concurrent writer declared "
+                f"manifest format {raw!r} while this process held a "
+                "format-2 verdict; this commit predates the marker and "
+                "stands, but further format-2 commits here will refuse — "
+                "drain one side (see the manifest.format note).",
+                stacklevel=2,
+            )
     except Exception:
-        pass
+        try:  # marker write is best-effort; the commit already happened
+            fs.delete(tmp)
+        except Exception:
+            pass
 
 
 def _load_manifest(index_dir: str, fs=None) -> dict:
@@ -419,7 +496,14 @@ def _commit_manifest_merge(
     merge_fns must be IDEMPOTENT against a head that already reflects
     their work (return None or identical content): the stall guard below
     withdraws an ambiguous claim and re-merges, so a merge that is not
-    idempotent would double-apply.
+    idempotent would double-apply. "Already reflects" must be judged
+    through COMPACTION (ADVICE r9): a compact running concurrently with
+    the stall can FOLD a committed entry out of `dirs` (its name moves to
+    the `superseded` ledger, its dir is later collected), so a merge_fn
+    keyed on dir names alone would re-apply folded work —
+    _commit_manifest_entry checks name-in-dirs, name-in-superseded, and
+    dir-exists-on-disk; compact's folded output is keyed by its own
+    unique dir name, which nothing folds away before it commits.
 
     Lost claims back off briefly (bounded, jittered) before re-reading:
     under a writer storm every loser otherwise re-reads and re-claims in
@@ -432,6 +516,15 @@ def _commit_manifest_merge(
     _check_format(index_dir, fs)
     for attempt in range(retries):
         head = _load_manifest(index_dir, fs)
+        # a head version LOWER than one this process already saw means the
+        # store was rebuilt/replaced at this path — the cached format
+        # verdict describes the OLD store, so drop it and re-check the
+        # marker pre-claim (the _FORMAT_STATE cache-limits note)
+        head_v = int(head.get("version", 0))
+        if head_v < _HEAD_SEEN.get(index_dir, 0):
+            _FORMAT_STATE.pop(index_dir, None)
+            _check_format(index_dir, fs)
+        _HEAD_SEEN[index_dir] = head_v
         new = merge_fn(head)
         if new is None:
             return None
@@ -467,9 +560,12 @@ def _commit_manifest_merge(
         # there), and in BOTH cases the same move is correct: withdraw the
         # file (it is deep history or a fork — no reader resolves it as
         # head either way) and re-merge against the fresh head. A genuine
-        # claim's entries propagated through every later version, so its
-        # re-merge aborts as already-applied; a forked claim's entries did
-        # NOT propagate, and the re-merge is what commits them for real.
+        # claim's entries propagated through every later version — possibly
+        # FOLDED by a concurrent compact, which is why merge_fns recognize
+        # already-applied work through the superseded ledger and disk
+        # presence, not dir names alone (the idempotency note above) — so
+        # its re-merge aborts as already-applied; a forked claim's entries
+        # did NOT propagate, and the re-merge commits them for real.
         # The guard itself must not FAIL an already-committed write: the
         # claim above IS the commit, so raising past it would make an
         # untokened caller's retry commit the same rows twice. A transient
@@ -513,8 +609,24 @@ def _commit_manifest_entry(index_dir: str, entry: dict, fs) -> bool:
     when the entry is committed; False when a racing replay of the same
     batch (same batch_token, different dir) committed first — then this
     entry is the duplicate, its dir is deleted, and exactly-once store
-    contents hold across the race."""
+    contents hold across the race.
+
+    The already-applied check must recognize a committed entry through
+    COMPACTION, not just by name-in-dirs (ADVICE r9 medium): the stall
+    guard can re-merge an entry that committed long ago, and a compact —
+    documented safe concurrent with appends — FOLDS committed entries
+    away, moving the dir name from `dirs` to the `superseded` grace
+    ledger (and deleting the dir one cycle later). A name-only check
+    would re-add that entry: duplicate rows now (the folded dir already
+    carries them), and a dangling manifest reference once the superseded
+    dir is collected. So an entry is already-applied when its name is in
+    `dirs` OR in `superseded` (folded, dir still on disk for grace
+    readers) OR its dir is GONE from disk (folded and collected — a
+    grace=False compact or a later cycle; a dir that was never committed
+    cannot be gone, because GC is writer-exclusive by contract and
+    nothing else deletes unreferenced dirs)."""
     tok = entry.get("batch_token")
+    entry_path = join(index_dir, entry["name"])
 
     def merge(head: dict):
         if tok is not None and any(
@@ -525,15 +637,26 @@ def _commit_manifest_entry(index_dir: str, entry: dict, fs) -> bool:
             return None  # a same-token twin is already committed
         if any(d["name"] == entry["name"] for d in head["dirs"]):
             return None  # already committed (idempotent re-drive)
+        if entry["name"] in head.get("superseded", []):
+            return None  # committed, then folded away by a compact
+        if not fs.exists(entry_path):
+            return None  # committed, folded, and grace-collected
         return {**head, "dirs": head["dirs"] + [entry]}
 
     if _commit_manifest_merge(index_dir, merge, fs) is not None:
         return True
-    # merge aborted: committed-already vs lost-to-twin — distinguish
+    # merge aborted: committed-already vs lost-to-twin — distinguish.
+    # Mirror the merge's folded-identity checks: a folded entry's dir must
+    # NOT be deleted here (it is the superseded ledger's grace copy that
+    # old-manifest readers may still be scanning; compact/GC collect it)
     head = _load_manifest(index_dir, fs)
     if any(d["name"] == entry["name"] for d in head["dirs"]):
         return True
-    fs.delete(join(index_dir, entry["name"]))
+    if entry["name"] in head.get("superseded", []):
+        return True
+    if not fs.exists(entry_path):
+        return True
+    fs.delete(entry_path)
     return False
 
 

@@ -186,6 +186,84 @@ class _LocalFS:
             f.write(data)
 
 
+class _CondPutFS(_LocalFS):
+    """IN-CONTAINER PROTOCOL DOUBLE — never selected by fs_for (the honest
+    raise for s3a/gs/abfss stands until a real connector can run the same
+    battery end-to-end). Models an object store whose ONLY exclusive
+    publish primitive is a CONDITIONAL PUT of complete content (S3
+    `If-None-Match: *`, GCS `ifGenerationMatch=0`, ABFS ETag
+    preconditions — the SCALE.md r9 design note): `rename_exclusive` uses
+    no hardlink and no rename — the claim object materializes whole-or-
+    not-at-all in an in-process blob overlay under one lock, with
+    exactly-one-winner on the if-absent check. That is the store
+    semantics being proven: no torn window exists, so the O_EXCL-fallback
+    caveats don't apply here.
+
+    Everything else inherits the local implementation as a stand-in for
+    the store's data plane: batch-dir renames would be direct-to-final
+    writes on a real store (invisible until the manifest references
+    them), and `replace_file` (the advisory manifest.json pointer) would
+    be a plain unconditional PUT — the commit protocol's correctness
+    never depends on either, which is exactly what running the ANN
+    commit-log battery over this double demonstrates.
+
+    Claim objects are also WRITTEN THROUGH to disk (best-effort, after
+    the atomic overlay insert) purely so tests and humans can inspect the
+    store tree with plain file tools; protocol reads always consult the
+    overlay first, so the write-through's non-atomicity is unobservable
+    through this interface. `delete` removes both copies."""
+
+    def __init__(self):
+        import threading
+
+        self._blobs: dict[str, str] = {}
+        self._lock = threading.Lock()
+
+    def rename_exclusive(self, src: str, dst: str) -> None:
+        with open(src) as f:
+            data = f.read()
+        key = os.path.abspath(dst)
+        with self._lock:
+            if key in self._blobs or os.path.exists(dst):
+                raise FileExistsError(dst)
+            self._blobs[key] = data  # the conditional PUT: all-or-nothing
+        try:  # observability shadow only — see class docstring
+            with open(dst, "w") as f:
+                f.write(data)
+        except OSError:
+            pass
+        os.unlink(src)
+
+    def exists(self, path: str) -> bool:
+        with self._lock:
+            if os.path.abspath(path) in self._blobs:
+                return True
+        return super().exists(path)
+
+    def read_text(self, path: str) -> str:
+        with self._lock:
+            data = self._blobs.get(os.path.abspath(path))
+        if data is not None:
+            return data
+        return super().read_text(path)
+
+    def delete(self, path: str) -> None:
+        with self._lock:
+            self._blobs.pop(os.path.abspath(path), None)
+        super().delete(path)
+
+    def listdir(self, path: str) -> list[str]:
+        d = os.path.abspath(path)
+        names = set(super().listdir(path))
+        with self._lock:
+            names.update(
+                os.path.basename(k)
+                for k in self._blobs
+                if os.path.dirname(k) == d
+            )
+        return sorted(names)
+
+
 class _HadoopFS:
     """Hadoop FileSystem implementation for scheme paths, via spark._jvm.
     Each operation resolves the FileSystem from the path itself, so one

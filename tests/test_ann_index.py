@@ -755,6 +755,10 @@ def test_stalled_writer_claim_on_pruned_slot_is_withdrawn_and_remerged(
         return real(index_dir, fs_)
 
     monkeypatch.setattr(ai, "_load_manifest", stale_once)
+    # the dir a real append renames into place before committing (the
+    # merge proves an entry was folded-and-collected by its dir's ABSENCE,
+    # so a synthetic entry must have one like every real entry does)
+    os.makedirs(os.path.join(idx, "batch_stalled"))
     ok = ai._commit_manifest_entry(
         idx, {"name": "batch_stalled", "occupancy": {}}, fs
     )
@@ -885,6 +889,9 @@ def test_stall_guard_fault_does_not_fail_committed_append(
         return real(index_dir, fs_)
 
     monkeypatch.setattr(ai, "_head_version", flaky)
+    import os
+
+    os.makedirs(os.path.join(idx, "batch_guard_fault"))  # as a real append
     ok = ai._commit_manifest_entry(
         idx, {"name": "batch_guard_fault", "occupancy": {}}, fs
     )
@@ -972,3 +979,202 @@ def test_commit_refuses_foreign_format_marker(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="format '3'"):
         ann_index_append(emb.subtract(b1), idx)
     assert ai._head_version(idx, fs) == head_before  # nothing committed
+
+
+def test_remerge_recognizes_folded_entry(spark, emb, tmp_path):
+    """ADVICE r9 (medium): a re-drive of an entry that a concurrent
+    compact FOLDED must abort as already-applied. Pre-fix the check was
+    dir-NAME-based, and compact moves the name out of `dirs` into the
+    `superseded` grace ledger — the re-merge re-added the entry:
+    duplicate rows immediately, and a dangling manifest reference once
+    the grace dir was collected. Now folded identity is recognized via
+    the superseded ledger AND, after the grace dir is collected, via the
+    dir's absence from disk (nothing else deletes unreferenced dirs —
+    GC is writer-exclusive by contract)."""
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.operators.ann_index import ann_index_compact
+    from schemamap_spark.sources import fscommit
+
+    idx = str(tmp_path / "idx_fold_remerge")
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+    ann_index_append(emb.filter(F.col("vec_id") % 3 == 1), idx)
+    ann_index_append(emb.filter(F.col("vec_id") % 3 == 2), idx)
+    fs = fscommit.fs_for(idx)
+
+    def store_rows():
+        head = ai._load_manifest(idx, fs)
+        paths = [os.path.join(idx, d["name"]) for d in head["dirs"]]
+        return spark.read.parquet(*paths).count()
+
+    head = ai._load_manifest(idx, fs)
+    batch_entries = [d for d in head["dirs"] if d["name"] != "codes"]
+    assert len(batch_entries) == 2
+    entry = dict(batch_entries[0])  # what a stalled writer would re-merge
+    rows_committed = store_rows()
+    assert rows_committed == emb.count()
+
+    # phase 1: folded, grace ledger still lists the dir — the re-drive
+    # must abort as already-applied AND keep the grace copy on disk (an
+    # old-manifest reader may still be scanning it)
+    assert ann_index_compact(spark, idx) == 2
+    assert ai._commit_manifest_entry(idx, entry, fs) is True
+    head = ai._load_manifest(idx, fs)
+    assert entry["name"] not in [d["name"] for d in head["dirs"]]
+    assert entry["name"] in head["superseded"]
+    assert fs.exists(os.path.join(idx, entry["name"]))
+    assert store_rows() == rows_committed  # no duplicate rows
+
+    # phase 2: a further append+compact cycle collects the grace dir and
+    # drops it from the ledger — the re-drive must STILL abort (the dir's
+    # absence from disk proves it was committed and folded)
+    extra = emb.limit(100).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    assert ann_index_append(extra, idx) is True
+    assert ann_index_compact(spark, idx) == 2
+    head = ai._load_manifest(idx, fs)
+    assert entry["name"] not in head["superseded"]
+    assert not fs.exists(os.path.join(idx, entry["name"]))
+    rows_with_extra = store_rows()
+    assert rows_with_extra == rows_committed + 100
+    assert ai._commit_manifest_entry(idx, entry, fs) is True
+    head = ai._load_manifest(idx, fs)
+    assert entry["name"] not in [d["name"] for d in head["dirs"]]
+    for d in head["dirs"]:  # every manifest dir resolves on disk
+        assert fs.exists(os.path.join(idx, d["name"]))
+    assert store_rows() == rows_with_extra  # still no duplicates
+
+
+def test_declare_format_never_clobbers_and_crash_leaves_no_torn_marker(
+    spark, emb, tmp_path, monkeypatch
+):
+    """VERDICT r9 #1: the format marker publishes via tmp +
+    rename_exclusive — (a) a writer holding a stale cached 'no marker'
+    verdict can never CLOBBER a marker a newer writer published meanwhile
+    (the exclusive create collides; the foreign marker is read and
+    honored: warn now, refuse from the next commit), and (b) a fault
+    mid-declare leaves no torn marker that would brick every later
+    commit — the marker is simply absent and the next commit declares
+    it."""
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.sources import fscommit
+
+    # (a) never clobber a foreign marker
+    idx = str(tmp_path / "idx_marker")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    b2 = emb.subtract(b1)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+    marker = os.path.join(idx, "manifest.format")
+    os.unlink(marker)
+    ai._FORMAT_STATE[idx] = False  # this process concluded 'legacy store'
+    with open(marker, "w") as f:
+        f.write("3\n")  # a newer writer declares its format meanwhile
+    with pytest.warns(UserWarning, match="format '3'"):
+        # this commit raced the foreign declare and predates the marker —
+        # it stands (raising post-claim would double-commit on retry)
+        assert ann_index_append(b2, idx) is True
+    assert open(marker).read().strip() == "3"  # never clobbered
+    with pytest.raises(ValueError, match="format '3'"):
+        ann_index_append(b2.limit(10), idx)  # the NEXT commit refuses
+
+    # (b) crash mid-declare leaves no torn marker
+    idx2 = str(tmp_path / "idx_marker_crash")
+    ann_index_build(b1, idx2, m=8, num_centroids=16, centroids="sample")
+    marker2 = os.path.join(idx2, "manifest.format")
+    os.unlink(marker2)
+    real_write = fscommit._LocalFS.write_text
+
+    def failing(self, path, data):
+        if ".manifest_" in path and data == "2\n":
+            raise OSError("disk fault mid-declare")
+        return real_write(self, path, data)
+
+    monkeypatch.setattr(fscommit._LocalFS, "write_text", failing)
+    assert ann_index_append(b2.limit(20), idx2) is True  # commit unaffected
+    monkeypatch.undo()
+    assert not os.path.exists(marker2)  # absent, not torn
+    assert not any(n.startswith(".manifest_") for n in os.listdir(idx2))
+    assert ann_index_append(b2.limit(30), idx2) is True
+    assert open(marker2).read().strip() == "2"  # next commit declared it
+
+
+def test_head_regression_invalidates_cached_format_verdict(
+    spark, emb, tmp_path
+):
+    """ADVICE r9 (low): the cached format verdict must not outlive the
+    store it described — when the head version REGRESSES (the store was
+    replaced at the same path by another process), the cache is dropped
+    and the marker re-checked pre-claim."""
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+
+    idx = str(tmp_path / "idx_regress")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+    for _ in range(3):  # advance the head; cache the format-2 verdict
+        assert ann_index_append(b1.limit(20), idx) is True
+    assert ai._FORMAT_STATE.get(idx) is True
+    assert ai._HEAD_SEEN[idx] >= 3
+
+    # another process replaces the store at this path with a newer
+    # layout: head rewinds to version 1, marker declares format 3
+    for n in os.listdir(idx):
+        if n.startswith("manifest.v") and not n.endswith("00000001.json"):
+            os.unlink(os.path.join(idx, n))
+    with open(os.path.join(idx, "manifest.format"), "w") as f:
+        f.write("3\n")
+    with pytest.raises(ValueError, match="format '3'"):
+        ann_index_append(b1.limit(10), idx)
+    assert idx not in ai._FORMAT_STATE  # verdict dropped, not re-cached
+
+
+def test_is_missing_file_compares_java_class():
+    """ADVICE r9 (low): a py4j error whose rendered message merely
+    CONTAINS 'FileNotFoundException' (a different top-level failure with
+    it in the cause chain) must NOT classify as 'file missing' — in
+    _check_format that would silently downgrade an unreadable marker to
+    'legacy store' and commit anyway. When the wrapper exposes
+    java_exception, the top-level class name decides."""
+    import schemamap_spark.operators.ann_index as ai
+
+    class _JClass:
+        def __init__(self, name):
+            self._n = name
+
+        def getName(self):
+            return self._n
+
+    class _JExc:
+        def __init__(self, name):
+            self._c = _JClass(name)
+
+        def getClass(self):
+            return self._c
+
+    class FakePy4J(Exception):
+        def __init__(self, msg, jclass):
+            super().__init__(msg)
+            self.java_exception = _JExc(jclass)
+
+    assert ai._is_missing_file(FileNotFoundError("x")) is True
+    assert ai._is_missing_file(
+        FakePy4J("gone", "java.io.FileNotFoundException")
+    ) is True
+    # a permission failure whose CAUSE CHAIN mentions the class name:
+    # the top-level class decides — this is a real fault, not a race
+    assert ai._is_missing_file(FakePy4J(
+        "org.apache.hadoop.security.AccessControlException: denied; "
+        "caused by: java.io.FileNotFoundException: inner detail",
+        "org.apache.hadoop.security.AccessControlException",
+    )) is False
+    # wrappers exposing NO java object keep the substring fallback
+    assert ai._is_missing_file(
+        RuntimeError("java.io.FileNotFoundException: /x is gone")
+    ) is True
+    assert ai._is_missing_file(PermissionError("denied")) is False

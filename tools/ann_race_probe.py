@@ -21,8 +21,11 @@ with no coordination between them — and checks the invariant:
 Nothing in between: no append that returned True whose rows are gone,
 no committed-looking dir the manifest silently dropped.
 
-Run:  python tools/ann_race_probe.py [THREADS] [APPENDS_PER_THREAD] [compact]
-Defaults 4 x 4, 1,500 vectors per append, 64 dims.
+Run:  python tools/ann_race_probe.py [THREADS] [APPENDS_PER_THREAD] [compact] [condput]
+Defaults 4 x 4, 1,500 vectors per append, 64 dims. `condput` runs the
+whole probe over fscommit._CondPutFS — the conditional-PUT protocol
+double (no hardlink, no rename in the claim path) — proving the commit
+log holds on the primitive real object stores expose.
 
 With the optional third arg `compact`, ONE compactor thread races the
 appender pack for the probe's whole duration (the documented contract:
@@ -47,7 +50,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 T = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-COMPACT = len(sys.argv) > 3 and sys.argv[3] == "compact"
+_FLAGS = set(sys.argv[3:])
+COMPACT = "compact" in _FLAGS
+# `condput` routes every fscommit operation through _CondPutFS — the
+# conditional-PUT protocol double (no hardlink, no rename in
+# rename_exclusive) — proving the commit log needs only an if-absent PUT
+# of complete content, the primitive real object stores expose (SCALE.md
+# design note; VERDICT r9 #2)
+CONDPUT = "condput" in _FLAGS
 N_SEED = 20_000
 N_BATCH = 1_500
 DIMS = 64
@@ -81,6 +91,11 @@ def main() -> None:
 
     spark = get_spark("ann-race-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if CONDPUT:
+        from schemamap_spark.sources import fscommit
+
+        double = fscommit._CondPutFS()
+        fscommit.fs_for = lambda path, spark=None: double
     base = "/tmp/ann_race_probe"
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
@@ -182,6 +197,8 @@ def main() -> None:
     n_hits = ann_index_search(spark, idx, q, k=5, nprobe=8).count()
 
     mode = "append+compact" if COMPACT else "append"
+    if CONDPUT:
+        mode += " (conditional-PUT double)"
     print(f"\n=== ANN store concurrent-{mode} probe ===")
     print(f"{T} threads x {B} appends x {N_BATCH:,} vectors, wall {wall:.1f}s")
     print(f"committed: {n_committed}/{T * B}   loud failures: {n_loud}   "
