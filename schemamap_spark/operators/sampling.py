@@ -30,13 +30,39 @@ def knuth_hash(id_col: str, salt: int = 0) -> Column:
     < 2^31 · KNUTH ≈ 5.7e18 < 2^63; adding a salt to the RAW id would
     overflow for hash-derived ids near 2^63): ANSI-safe, and
     engine-portable enough that the DuckDB oracles replay it exactly.
-    A nonzero salt shifts the reduced input, selecting an independent
-    permutation (an affine pre-shift composed with an odd-multiplier
-    bijection is itself a bijection mod 2^31)."""
+    A nonzero salt shifts the reduced input, selecting a DIFFERENT
+    bijection (an affine pre-shift composed with an odd-multiplier
+    bijection is itself a bijection mod 2^31) — different enough for
+    membership/bucketing (rows land in different buckets), but NOT an
+    independent permutation: the whole family is affine in the id, so
+    hashes at two salts differ by a CONSTANT (h_{s+d} = (h_s + d·KNUTH)
+    mod 2^31) and the orders they induce are rotations of each other
+    (ADVICE r9). Callers needing decorrelated ORDERS across salts must
+    break the affinity — use scramble_hash."""
     reduced = F.pmod(F.col(id_col).cast("long"), F.lit(MOD))
     if salt:
         reduced = F.pmod(reduced + F.lit(int(salt) % MOD), F.lit(MOD))
     return F.pmod(reduced * F.lit(KNUTH), F.lit(MOD))
+
+
+def scramble_hash(id_col: str, salt: int = 0) -> Column:
+    """knuth_hash decorrelated across salts by a NON-AFFINE mix — the
+    ORDER-key companion (the shard exporter's within-shard training
+    order). knuth_hash alone is affine in the id, so two salts' orders
+    are rotations of each other at a single cut point (successive "epoch
+    re-shuffles" would see nearly identical relative row order; ADVICE
+    r9). The xorshift step x ⊕ (x >> 15) breaks the affinity: it is
+    invertible on 31-bit ints (the top 16 bits pass through, lower bits
+    recover iteratively), so composed with the odd-multiplier step the
+    whole map stays a bijection of [0, 2^31) — ties only where ids
+    collide mod 2^31, same as knuth_hash — while orders at different
+    salts are genuinely decorrelated (pinned in test_shards). Same
+    overflow envelope as knuth_hash: inputs < 2^31, product < 2^62,
+    ANSI-safe. NOT DuckDB-oracled (order keys never are — shard
+    MEMBERSHIP, which oracles replay, comes from knuth_hash alone)."""
+    h = knuth_hash(id_col, salt)
+    mixed = h.bitwiseXOR(F.shiftright(h, 15))
+    return F.pmod(mixed * F.lit(KNUTH), F.lit(MOD))
 
 
 def deterministic_bucket(id_col: str, buckets: int = BUCKETS) -> Column:

@@ -31,17 +31,21 @@ training-pipeline layer the engine adds on top (SURVEY.md §6).
 from __future__ import annotations
 
 import json
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from schemamap_spark.operators.sampling import knuth_hash
+from schemamap_spark.operators.sampling import knuth_hash, scramble_hash
 from schemamap_spark.sources import fscommit
 from schemamap_spark.sources.sinks import _stage, _swap_into_place
 
 _MANIFEST = "_SHARDS.json"
 _MAX_SHARDS = 1_000_000  # repartition bookkeeping is O(num_shards) on the
 # driver; past this you are misusing shards as rows
+_WARN_SHARDS = 10_000  # past this the manifest is multi-MB and the stats
+# collect is a num_shards-row driver pull — usually a mis-sized export
+# (training loaders want shards ~ data-parallel world size, not row count)
 
 
 def assign_shards(
@@ -77,31 +81,56 @@ def write_training_shards(
     salt: int = 0,
     token_col: str | None = None,
     shuffle: bool = True,
+    order_by: list[str] | None = None,
 ) -> None:
     """Export `df` as `target_dir/shard=K/` parquet (one file per shard —
     each shard's rows land wholly in one task) plus a `_SHARDS.json`
-    manifest (per-shard row/token counts, the salt, and the shard count).
+    manifest (per-shard row/token counts, the salt, the shard count, and
+    the order mode).
 
     Determinism contract: shard membership is the Knuth hash of
-    (id, salt); within-shard order is the hash at salt+1 (ties by id) —
-    a reproducible pseudo-random order that interleaves sources instead
-    of preserving crawl/scan clustering. `shuffle=False` keeps the scan
-    order within each task instead (cheaper by one sort; order then
-    depends on the input layout and is NOT reproducible).
+    (id, salt); within-shard order is scramble_hash(id, salt) (ties by
+    id) — a reproducible pseudo-random order that interleaves sources
+    instead of preserving crawl/scan clustering, and — because the
+    scramble is non-affine — orders at different salts are genuinely
+    decorrelated, not rotations of one another (epoch re-shuffles really
+    re-shuffle; ADVICE r9). `order_by=[cols...]` replaces the hash order
+    with an explicit CURRICULUM order within each shard (e.g. a
+    difficulty/quality score — easy-first schedules), ties broken by id
+    so the export stays byte-reproducible; membership and manifest are
+    unchanged (order never affects either). `shuffle=False` (ignored
+    when order_by is given) keeps the scan order within each task
+    instead — cheaper by one sort; order then depends on the input
+    layout and is NOT reproducible.
 
-    Crash contract: the parquet tree is staged and swapped into place
-    atomically (sinks._swap_into_place — the warehouse writers'
-    contract); the manifest is written AFTER the swap as a convenience
-    cache, so a crash between the two leaves valid data with no
-    manifest, and `shard_stats` recomputes from the data in that case.
+    Crash contract: stats are computed from the STAGED tree and
+    `_SHARDS.json` is written INTO the staging dir, so data + manifest
+    commit together in one atomic swap (sinks._swap_into_place — the
+    warehouse writers' contract): no window where valid data has no
+    manifest (VERDICT r9). `shard_stats`' recompute fallback remains for
+    exports written before this (and heals a hand-deleted manifest).
     Empty shards (possible when num_shards approaches the corpus size)
     have no directory on disk but DO appear in the manifest with zero
     rows — loaders should schedule from the manifest, not from listdir."""
     spark = df.sparkSession
     if token_col is not None and token_col not in df.columns:
         raise ValueError(f"token_col {token_col!r} is not a column of df")
+    for c in order_by or []:
+        # the reserved names can't sneak in here: a df carrying 'shard'
+        # or '__ord' is refused outright below / in assign_shards
+        if c not in df.columns:
+            raise ValueError(f"order_by column {c!r} is not a column of df")
     if "__ord" in df.columns:
         raise ValueError("'__ord' is reserved by the exporter — rename it")
+    if num_shards > _WARN_SHARDS:
+        warnings.warn(
+            f"num_shards={num_shards:,} is extreme: the manifest grows to "
+            f"one JSON entry per shard and its stats ride a {num_shards:,}"
+            "-row driver collect. Training loaders want shards on the "
+            "order of the data-parallel world size — are you sharding "
+            "rows, not the corpus?",
+            stacklevel=2,
+        )
     sharded = assign_shards(df, num_shards, id_col, salt)
     if df.isEmpty():
         # an empty export would swap an UNREADABLE tree (only _SUCCESS)
@@ -114,34 +143,37 @@ def write_training_shards(
             "probably filtered everything out)"
         )
     out = sharded.repartition(num_shards, "shard")
-    if shuffle:
+    if order_by:
+        out = out.sortWithinPartitions("shard", *order_by, id_col)
+    elif shuffle:
         out = (
-            out.withColumn("__ord", knuth_hash(id_col, salt + 1))
+            out.withColumn("__ord", scramble_hash(id_col, salt))
             .sortWithinPartitions("shard", "__ord", id_col)
             .drop("__ord")
         )
     fs, tmp = _stage(target_dir, spark)
     out.write.partitionBy("shard").mode("overwrite").parquet(tmp)
-    _swap_into_place(tmp, target_dir, fs)
-    written = spark.read.parquet(target_dir)
-    stats = _compute_stats(written, num_shards, token_col)
-    # manifest publish is atomic (tmp + replace_file) so a reader or a
-    # crash mid-write can never observe a TORN manifest — only the
-    # documented missing-manifest window, which shard_stats self-heals
-    mtmp = fscommit.join(target_dir, "._SHARDS_" + str(salt) + ".tmp")
+    # stats from the STAGED tree; the manifest joins it pre-swap so data
+    # and manifest become visible in the same atomic rename (a crash
+    # before the swap leaves only staging debris, never data-sans-manifest)
+    stats = _compute_stats(spark.read.parquet(tmp), num_shards, token_col)
     fs.write_text(
-        mtmp,
+        fscommit.join(tmp, _MANIFEST),
         json.dumps(
             {
                 "num_shards": num_shards,
                 "salt": salt,
                 "id_col": id_col,
                 "token_col": token_col,
+                "order": (
+                    list(order_by) if order_by
+                    else ("hash" if shuffle else "scan")
+                ),
                 "shards": stats,
             }
         ),
     )
-    fs.replace_file(mtmp, fscommit.join(target_dir, _MANIFEST))
+    _swap_into_place(tmp, target_dir, fs)
 
 
 def _compute_stats(
@@ -173,12 +205,13 @@ def _compute_stats(
 def shard_stats(spark: SparkSession, target_dir: str) -> DataFrame:
     """The export's per-shard manifest as a DataFrame. Reads
     `_SHARDS.json` when present and parseable; recomputes from the parquet
-    tree when the manifest is missing (the documented crash window between
-    data swap and manifest publish) OR unparseable (a pre-atomic-publish
-    torn write; the publish is atomic now, but self-healing beats raising
-    on stores written by older code) — in the recompute case num_shards is
-    taken as max(shard)+1, which cannot see trailing empty shards;
-    re-export to restore them."""
+    tree when the manifest is missing or unparseable — LEGACY-ONLY paths
+    now: the manifest rides the atomic swap with the data (no crash
+    window), so recompute covers exports written by pre-r10 code that
+    crashed between swap and publish, tore the pre-atomic publish, or a
+    hand-deleted manifest. The recompute cannot know token_col (tokens
+    report 0) and takes num_shards as max(shard)+1, which cannot see
+    trailing empty shards; re-export to restore both."""
     fs = fscommit.fs_for(target_dir, spark)
     path = fscommit.join(target_dir, _MANIFEST)
     if fs.exists(path):

@@ -195,3 +195,136 @@ def test_salt_safe_for_hash_derived_ids(spark):
     )
     out = assign_shards(big, 16, salt=12345).collect()
     assert all(0 <= r["shard"] < 16 for r in out)
+
+
+def test_manifest_rides_the_atomic_swap(spark, docs, tmp_path, monkeypatch):
+    """VERDICT r9 #3: stats come from the STAGED tree and _SHARDS.json
+    commits in the same atomic rename as the data — a crash anywhere
+    before the swap leaves the previous export (data AND manifest)
+    untouched, and new exports have no data-sans-manifest window (so the
+    recompute fallback's tokens=0 blindness is legacy-only)."""
+    import schemamap_spark.sources.shards as sh
+
+    d = str(tmp_path / "exp")
+    write_training_shards(docs, d, num_shards=4, token_col="n_chars")
+    before = open(os.path.join(d, "_SHARDS.json")).read()
+    m = json.loads(before)
+    assert m["order"] == "hash"
+    assert (
+        sum(s["tokens"] for s in m["shards"])
+        == docs.agg(F.sum("n_chars")).first()[0]
+    )
+
+    def crash(tmp, target, fs=None):
+        raise OSError("killed before the swap")
+
+    monkeypatch.setattr(sh, "_swap_into_place", crash)
+    with pytest.raises(OSError, match="killed"):
+        write_training_shards(docs.limit(3), d, num_shards=4, salt=9)
+    monkeypatch.undo()
+    # the previous export survives in full — data and manifest both
+    assert open(os.path.join(d, "_SHARDS.json")).read() == before
+    assert (
+        shard_stats(spark, d).agg(F.sum("rows")).first()[0] == docs.count()
+    )
+
+
+def test_epoch_orders_are_decorrelated_not_rotations(spark, docs, tmp_path):
+    """ADVICE r9: the old order key knuth_hash(id, salt+1) made two
+    salts' within-shard orders constant ROTATIONS of each other (the
+    hash family is affine in the id, so differences are constant mod
+    2^31) — successive epoch re-shuffles barely re-shuffled.
+    scramble_hash breaks the affinity."""
+    from schemamap_spark.operators.sampling import knuth_hash, scramble_hash
+
+    ids = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # the flaw being fixed: affine hashes at two salts differ by a constant
+    affine = (
+        ids.select(
+            F.pmod(
+                knuth_hash("doc_id", 1) - knuth_hash("doc_id", 2),
+                F.lit(2**31),
+            ).alias("d")
+        ).distinct().count()
+    )
+    assert affine == 1
+    # the scramble's differences spread — not a rotation of anything
+    spread = (
+        ids.select(
+            F.pmod(
+                scramble_hash("doc_id", 0) - scramble_hash("doc_id", 1),
+                F.lit(2**31),
+            ).alias("d")
+        ).distinct().count()
+    )
+    assert spread > 1000
+
+    # end-to-end: one shard (membership identical across salts), two
+    # epochs — the realized sequence at salt 1 must not be a rotation of
+    # the sequence at salt 0
+    d0, d1 = str(tmp_path / "e0"), str(tmp_path / "e1")
+    write_training_shards(docs, d0, num_shards=1, salt=0)
+    write_training_shards(docs, d1, num_shards=1, salt=1)
+    seq0 = [r["doc_id"] for r in spark.read.parquet(os.path.join(d0, "shard=0")).collect()]
+    seq1 = [r["doc_id"] for r in spark.read.parquet(os.path.join(d1, "shard=0")).collect()]
+    assert sorted(seq0) == sorted(seq1) and seq0 != seq1
+    doubled = seq0 + seq0  # a rotation of seq0 is a contiguous run in here
+    n = len(seq0)
+    is_rotation = any(
+        doubled[i:i + n] == seq1 for i in range(n)
+    )
+    assert not is_rotation
+
+
+def test_order_by_curriculum_export(spark, docs, tmp_path):
+    """VERDICT r9 #5: order_by replaces the hash order with an explicit
+    curriculum order within each shard (ties by id, so the export stays
+    byte-reproducible); membership and manifest totals are unchanged
+    (order never affects either — the extras oracle holds as-is)."""
+    d1, d2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    write_training_shards(
+        docs, d1, num_shards=4, token_col="n_chars", order_by=["n_chars"]
+    )
+    write_training_shards(
+        docs, d2, num_shards=4, token_col="n_chars", order_by=["n_chars"]
+    )
+    m = json.loads(open(os.path.join(d1, "_SHARDS.json")).read())
+    assert m["order"] == ["n_chars"]
+    for k in range(4):
+        r1 = spark.read.parquet(os.path.join(d1, f"shard={k}")).collect()
+        r2 = spark.read.parquet(os.path.join(d2, f"shard={k}")).collect()
+        assert r1 == r2  # byte-reproducible
+        toks = [r["n_chars"] for r in r1]
+        assert toks == sorted(toks)  # the curriculum schedule, per shard
+
+    # membership identical to a hash-ordered export of the same salt
+    dh = str(tmp_path / "h")
+    write_training_shards(docs, dh, num_shards=4)
+    a = spark.read.parquet(d1).select("doc_id", "shard")
+    b = spark.read.parquet(dh).select("doc_id", "shard")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+    # validation fails fast, before any job (ordering by the reserved
+    # names is unreachable — a df carrying 'shard'/'__ord' is refused
+    # outright, pinned in test_review_guards)
+    with pytest.raises(ValueError, match="order_by"):
+        write_training_shards(docs, d1, num_shards=4, order_by=["nope"])
+
+
+def test_extreme_shard_count_warns(spark, docs, tmp_path):
+    """VERDICT r9 #4: past 10k shards the manifest is multi-MB and the
+    stats collect is a num_shards-row driver pull — warn (the hard cap
+    at 1M stays). The warning fires before any job (paired here with the
+    empty-df refusal so no 10k-task export actually runs)."""
+    d = str(tmp_path / "many")
+    with pytest.warns(UserWarning, match="extreme"):
+        with pytest.raises(ValueError, match="empty"):
+            write_training_shards(
+                docs.filter(F.lit(False)), d, num_shards=10_001
+            )
+    # at or below the threshold: no warning
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        write_training_shards(docs.limit(5), str(tmp_path / "ok"), num_shards=8)
