@@ -188,8 +188,19 @@ def ann_index_build(
         "vec_col": vec_col,
         "cell_occupancy": _cell_occupancy(spark, codes_tmp),
     }
+    import uuid
+
     fs.write_text(join(tmp_dir, _META), json.dumps(meta))
-    manifest0 = {"dirs": [{"name": _CODES}], "version": 1}
+    # store_id names THIS build: every merge derives {**head, ...} so the
+    # id rides through all later versions, letting a committer detect that
+    # the store was REPLACED at the same path even when the replacement's
+    # version counter has already overtaken the old watermark (the format
+    # cache's invalidation hook — see _commit_manifest_merge)
+    manifest0 = {
+        "dirs": [{"name": _CODES}],
+        "version": 1,
+        "store_id": uuid.uuid4().hex,
+    }
     fs.write_text(join(tmp_dir, _version_name(1)), json.dumps(manifest0))
     fs.write_text(join(tmp_dir, _MANIFEST), json.dumps(manifest0))
     fs.write_text(join(tmp_dir, _FORMAT_MARKER), "2\n")
@@ -261,9 +272,22 @@ def _is_missing_file(e: BaseException) -> bool:
     je = getattr(e, "java_exception", None)
     if je is not None:
         try:
-            return (
-                je.getClass().getName() == "java.io.FileNotFoundException"
-            )
+            # walk the CLASS HIERARCHY, not just the top name: Hadoop
+            # throws FileNotFoundException SUBCLASSES for the same miss
+            # (org.apache.hadoop.fs.PathNotFoundException), and HDFS IPC
+            # wraps the server-side class in a RemoteException whose real
+            # name rides getClassName() (code-review r10 — an exact-name
+            # compare would turn the benign pruned-head race back into a
+            # hard reader failure on hdfs/viewfs)
+            cls = je.getClass()
+            while cls is not None:
+                name = cls.getName()
+                if name == "java.io.FileNotFoundException":
+                    return True
+                if name == "org.apache.hadoop.ipc.RemoteException":
+                    return "FileNotFoundException" in je.getClassName()
+                cls = cls.getSuperclass()
+            return False
         except Exception:
             return False  # unreadable wrapper: treat as a real failure
     return "FileNotFoundException" in str(e)
@@ -274,15 +298,17 @@ def _is_missing_file(e: BaseException) -> bool:
 # until something observable contradicts it — False self-corrects on EVERY
 # commit (_declare_format's exclusive create collides with any marker a
 # concurrent writer has since published, and the collision re-reads it);
-# True is dropped when the head version REGRESSES (the store was rebuilt
-# or replaced at the same path — _commit_manifest_merge watches via
-# _HEAD_SEEN) and by ann_index_build on the path it just rebuilt. The one
-# residual hole: a store deleted and recreated at the same path by ANOTHER
-# process, with no commit from this process observing the regression,
-# keeps a stale True until this process commits once (and sees version 1 <
-# seen). That first commit is the earliest observable contradiction.
+# True is dropped when the head version REGRESSES or the manifest's
+# store_id CHANGES (the store was rebuilt or replaced at the same path —
+# _commit_manifest_merge watches both via _HEAD_SEEN; the id catches
+# replacements whose version counter already overtook the old watermark,
+# code-review r10) and by ann_index_build on the path it just rebuilt.
+# Residual: a LEGACY store (no store_id) replaced by another legacy store
+# whose version caught up is indistinguishable — but legacy stores are
+# pre-format-2 by definition, so the marker fence isn't load-bearing there.
 _FORMAT_STATE: dict[str, bool] = {}
-_HEAD_SEEN: dict[str, int] = {}  # index_dir -> highest head version seen
+# index_dir -> (store_id, highest head version seen)
+_HEAD_SEEN: dict[str, tuple] = {}
 
 
 def _check_format(index_dir: str, fs) -> None:
@@ -516,15 +542,19 @@ def _commit_manifest_merge(
     _check_format(index_dir, fs)
     for attempt in range(retries):
         head = _load_manifest(index_dir, fs)
-        # a head version LOWER than one this process already saw means the
-        # store was rebuilt/replaced at this path — the cached format
-        # verdict describes the OLD store, so drop it and re-check the
-        # marker pre-claim (the _FORMAT_STATE cache-limits note)
+        # a head version LOWER than one this process already saw — or a
+        # CHANGED store_id — means the store was rebuilt/replaced at this
+        # path: the cached format verdict describes the OLD store, so drop
+        # it and re-check the marker pre-claim (the _FORMAT_STATE
+        # cache-limits note; the id check covers replacements whose
+        # version counter already overtook the watermark)
         head_v = int(head.get("version", 0))
-        if head_v < _HEAD_SEEN.get(index_dir, 0):
+        sid = head.get("store_id")
+        seen = _HEAD_SEEN.get(index_dir)
+        if seen is not None and (sid != seen[0] or head_v < seen[1]):
             _FORMAT_STATE.pop(index_dir, None)
             _check_format(index_dir, fs)
-        _HEAD_SEEN[index_dir] = head_v
+        _HEAD_SEEN[index_dir] = (sid, head_v)
         new = merge_fn(head)
         if new is None:
             return None
@@ -639,6 +669,11 @@ def _commit_manifest_entry(index_dir: str, entry: dict, fs) -> bool:
             return None  # already committed (idempotent re-drive)
         if entry["name"] in head.get("superseded", []):
             return None  # committed, then folded away by a compact
+        # one exists() per merge attempt, deliberately not cached across
+        # attempts: a compact can fold-and-collect this very entry BETWEEN
+        # attempts of the same claim loop (that is the stall-guard
+        # scenario), so a stale "was on disk" answer would re-add deleted
+        # work — and the stat is noise next to the claim's write+rename
         if not fs.exists(entry_path):
             return None  # committed, folded, and grace-collected
         return {**head, "dirs": head["dirs"] + [entry]}
@@ -879,8 +914,16 @@ def ann_index_compact(
         codes_entries = [d for d in head["dirs"] if d["name"] == _CODES]
         return {
             **head,
+            # the folded names enter the superseded ledger in BOTH modes:
+            # grace=False still needs them there for the eager-delete
+            # window below — a stalled writer's re-merge between this
+            # commit and the deletes finds its dir still on disk and, with
+            # an empty ledger, would re-add the folded entry right before
+            # its dir vanishes (committed manifest entry, no dir — every
+            # later search crashes; code-review r10). Eager mode deletes
+            # and then CLEARS the ledger in a second merge.
             "dirs": codes_entries + [folded] + kept,
-            "superseded": sorted(folded_names) if grace else [],
+            "superseded": sorted(folded_names),
             # when the grace period STARTED — lets ann_index_gc(
             # grace_max_age=...) reclaim by age on stores that compact
             # rarely, instead of pinning superseded dirs until the next
@@ -892,6 +935,20 @@ def ann_index_compact(
     if not grace:
         for p in paths:
             fs.delete(p)
+        # dirs gone: folded identity is now provable by absence, so the
+        # ledger entries can leave (a crash before this merge just leaves
+        # ghost names that the next compact's opening sweep clears)
+        _commit_manifest_merge(
+            index_dir,
+            lambda head: {
+                **head,
+                "superseded": [
+                    n for n in head.get("superseded", [])
+                    if n not in folded_names
+                ],
+            },
+            fs,
+        )
     return len(batches)
 
 

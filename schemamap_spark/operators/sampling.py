@@ -8,7 +8,8 @@ exactly.
 
 bucket(id) = ((id mod 2^31) * 2654435761) mod 2^31 mod 1000   (Knuth's
 golden-ratio multiplier; the id is reduced mod 2^31 FIRST so the product
-stays < 2^62 for any 64-bit id — ANSI-safe and overflow-free).
+stays < 2^31 · KNUTH ≈ 5.7e18 < 2^63 for any 64-bit id — ANSI-safe and
+overflow-free).
 """
 
 from __future__ import annotations
@@ -57,8 +58,8 @@ def scramble_hash(id_col: str, salt: int = 0) -> Column:
     whole map stays a bijection of [0, 2^31) — ties only where ids
     collide mod 2^31, same as knuth_hash — while orders at different
     salts are genuinely decorrelated (pinned in test_shards). Same
-    overflow envelope as knuth_hash: inputs < 2^31, product < 2^62,
-    ANSI-safe. NOT DuckDB-oracled (order keys never are — shard
+    overflow envelope as knuth_hash: inputs < 2^31, product < 2^31 ·
+    KNUTH ≈ 5.7e18 < 2^63, ANSI-safe. NOT DuckDB-oracled (order keys never are — shard
     MEMBERSHIP, which oracles replay, comes from knuth_hash alone)."""
     h = knuth_hash(id_col, salt)
     mixed = h.bitwiseXOR(F.shiftright(h, 15))

@@ -227,11 +227,15 @@ class _CondPutFS(_LocalFS):
             if key in self._blobs or os.path.exists(dst):
                 raise FileExistsError(dst)
             self._blobs[key] = data  # the conditional PUT: all-or-nothing
-        try:  # observability shadow only — see class docstring
-            with open(dst, "w") as f:
-                f.write(data)
-        except OSError:
-            pass
+            try:  # observability shadow only — see class docstring. Under
+                # the same lock as the insert: outside it, a concurrent
+                # delete() landing between insert and shadow-write would be
+                # UNDONE by the late shadow (a resurrected claim file the
+                # fallback reads serve; code-review r10)
+                with open(dst, "w") as f:
+                    f.write(data)
+            except OSError:
+                pass
         os.unlink(src)
 
     def exists(self, path: str) -> bool:
@@ -248,9 +252,9 @@ class _CondPutFS(_LocalFS):
         return super().read_text(path)
 
     def delete(self, path: str) -> None:
-        with self._lock:
+        with self._lock:  # pop + disk delete atomically vs rename_exclusive
             self._blobs.pop(os.path.abspath(path), None)
-        super().delete(path)
+            super().delete(path)
 
     def listdir(self, path: str) -> list[str]:
         d = os.path.abspath(path)

@@ -165,9 +165,14 @@ def write_training_shards(
                 "salt": salt,
                 "id_col": id_col,
                 "token_col": token_col,
+                # "hash-v2" = scramble_hash order (r10). The version tag
+                # exists so loaders/resumable runs can DETECT an order-key
+                # change across re-exports of the same (corpus, salt):
+                # membership is stable forever, but the schedule is only
+                # stable within one order-key version (code-review r10)
                 "order": (
                     list(order_by) if order_by
-                    else ("hash" if shuffle else "scan")
+                    else ("hash-v2" if shuffle else "scan")
                 ),
                 "shards": stats,
             }

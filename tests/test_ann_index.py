@@ -1120,7 +1120,7 @@ def test_head_regression_invalidates_cached_format_verdict(
     for _ in range(3):  # advance the head; cache the format-2 verdict
         assert ann_index_append(b1.limit(20), idx) is True
     assert ai._FORMAT_STATE.get(idx) is True
-    assert ai._HEAD_SEEN[idx] >= 3
+    assert ai._HEAD_SEEN[idx][1] >= 3
 
     # another process replaces the store at this path with a newer
     # layout: head rewinds to version 1, marker declares format 3
@@ -1140,41 +1140,164 @@ def test_is_missing_file_compares_java_class():
     it in the cause chain) must NOT classify as 'file missing' — in
     _check_format that would silently downgrade an unreadable marker to
     'legacy store' and commit anyway. When the wrapper exposes
-    java_exception, the top-level class name decides."""
+    java_exception, the CLASS HIERARCHY decides (code-review r10: Hadoop
+    throws FNF subclasses like PathNotFoundException for the same miss,
+    and HDFS IPC wraps the server-side class in a RemoteException — an
+    exact-name compare would turn the benign pruned-head race back into
+    a hard reader failure)."""
     import schemamap_spark.operators.ann_index as ai
 
     class _JClass:
-        def __init__(self, name):
-            self._n = name
+        def __init__(self, name, parent=None):
+            self._n, self._p = name, parent
 
         def getName(self):
             return self._n
 
+        def getSuperclass(self):
+            return self._p
+
+    _THROWABLE = _JClass("java.lang.Throwable")
+    _IOE = _JClass("java.io.IOException", _THROWABLE)
+    _FNF = _JClass("java.io.FileNotFoundException", _IOE)
+    _PNF = _JClass("org.apache.hadoop.fs.PathNotFoundException", _FNF)
+    _ACE = _JClass(
+        "org.apache.hadoop.security.AccessControlException", _IOE
+    )
+    _REMOTE = _JClass("org.apache.hadoop.ipc.RemoteException", _IOE)
+
     class _JExc:
-        def __init__(self, name):
-            self._c = _JClass(name)
+        def __init__(self, cls, remote_class=None):
+            self._c, self._r = cls, remote_class
 
         def getClass(self):
             return self._c
 
+        def getClassName(self):  # RemoteException's server-side class
+            return self._r
+
     class FakePy4J(Exception):
-        def __init__(self, msg, jclass):
+        def __init__(self, msg, jexc):
             super().__init__(msg)
-            self.java_exception = _JExc(jclass)
+            self.java_exception = jexc
 
     assert ai._is_missing_file(FileNotFoundError("x")) is True
-    assert ai._is_missing_file(
-        FakePy4J("gone", "java.io.FileNotFoundException")
-    ) is True
-    # a permission failure whose CAUSE CHAIN mentions the class name:
-    # the top-level class decides — this is a real fault, not a race
+    assert ai._is_missing_file(FakePy4J("gone", _JExc(_FNF))) is True
+    # an FNF SUBCLASS (PathNotFoundException) is still a missing file
+    assert ai._is_missing_file(FakePy4J("gone", _JExc(_PNF))) is True
+    # RemoteException carrying a server-side FNF is a missing file; one
+    # carrying anything else is not
+    assert ai._is_missing_file(FakePy4J(
+        "remote", _JExc(_REMOTE, "java.io.FileNotFoundException"))) is True
+    assert ai._is_missing_file(FakePy4J(
+        "remote", _JExc(_REMOTE,
+                        "org.apache.hadoop.security.AccessControlException"))
+    ) is False
+    # a permission failure whose rendered CAUSE CHAIN mentions the class
+    # name: the hierarchy decides — this is a real fault, not a race
     assert ai._is_missing_file(FakePy4J(
         "org.apache.hadoop.security.AccessControlException: denied; "
         "caused by: java.io.FileNotFoundException: inner detail",
-        "org.apache.hadoop.security.AccessControlException",
+        _JExc(_ACE),
     )) is False
     # wrappers exposing NO java object keep the substring fallback
     assert ai._is_missing_file(
         RuntimeError("java.io.FileNotFoundException: /x is gone")
     ) is True
     assert ai._is_missing_file(PermissionError("denied")) is False
+
+
+def test_grace_false_compact_window_cannot_double_commit(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Code-review r10: grace=False compaction deletes the folded dirs
+    AFTER its manifest commit — in that window the old code published a
+    head with an EMPTY superseded ledger, so a stalled writer's re-merge
+    (dir still on disk, name nowhere) re-added the folded entry right
+    before its dir vanished: a committed manifest entry with no dir, and
+    every later search crashes. The ledger now rides the commit in BOTH
+    modes; eager mode clears it in a second merge after the deletes."""
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.operators.ann_index import ann_index_compact
+    from schemamap_spark.sources import fscommit
+
+    idx = str(tmp_path / "idx_eager_window")
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+    ann_index_append(emb.filter(F.col("vec_id") % 3 == 1), idx)
+    ann_index_append(emb.filter(F.col("vec_id") % 3 == 2), idx)
+    fs = fscommit.fs_for(idx)
+    entry = dict(
+        next(
+            d for d in ai._load_manifest(idx, fs)["dirs"]
+            if d["name"] != "codes"
+        )
+    )
+    rows_before = emb.count()
+
+    real_delete = fscommit._LocalFS.delete
+    hit = {"done": False}
+
+    def hooked(self, path):
+        if path.endswith(entry["name"]) and not hit["done"]:
+            hit["done"] = True
+            # the stalled writer re-drives INSIDE the eager-delete window:
+            # the commit landed (ledger includes the folded names), this
+            # dir is about to vanish — the re-merge must abort as
+            # already-applied via the ledger, not re-add the entry
+            assert ai._commit_manifest_entry(idx, dict(entry), fs) is True
+            head = ai._load_manifest(idx, fs)
+            assert entry["name"] not in [d["name"] for d in head["dirs"]]
+            assert entry["name"] in head.get("superseded", [])
+        return real_delete(self, path)
+
+    monkeypatch.setattr(fscommit._LocalFS, "delete", hooked)
+    assert ann_index_compact(spark, idx, grace=False) == 2
+    monkeypatch.undo()
+    assert hit["done"]
+
+    head = ai._load_manifest(idx, fs)
+    assert head.get("superseded", []) == []  # eager mode cleared the ledger
+    names = [d["name"] for d in head["dirs"]]
+    assert entry["name"] not in names
+    for n in names:  # no dangling references
+        assert fs.exists(os.path.join(idx, n))
+    paths = [os.path.join(idx, n) for n in names]
+    assert spark.read.parquet(*paths).count() == rows_before  # no dupes
+    assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0
+
+
+def test_store_id_change_invalidates_cached_format_verdict(
+    spark, emb, tmp_path
+):
+    """Code-review r10: a store REPLACED at the same path whose version
+    counter already caught up past this process's watermark defeats the
+    version-regression check — the manifest's store_id (minted at build,
+    carried through every merge) catches exactly that."""
+    import json
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+
+    idx = str(tmp_path / "idx_sid")
+    b1 = emb.filter(F.col("vec_id") % 2 == 0)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+    assert ann_index_append(b1.limit(20), idx) is True  # caches verdict
+    assert ai._FORMAT_STATE.get(idx) is True
+    sid, seen_v = ai._HEAD_SEEN[idx]
+    assert sid  # build minted one and the append's merge carried it
+
+    # another process replaces the store and commits PAST the watermark
+    # (same path, higher version, different store_id, format-3 marker)
+    head = ai._load_manifest(idx)
+    fake = {**head, "version": seen_v + 5, "store_id": "replacement"}
+    with open(os.path.join(idx, ai._version_name(seen_v + 5)), "w") as f:
+        json.dump(fake, f)
+    with open(os.path.join(idx, "manifest.format"), "w") as f:
+        f.write("3\n")
+
+    with pytest.raises(ValueError, match="format '3'"):
+        ann_index_append(b1.limit(10), idx)
+    assert idx not in ai._FORMAT_STATE  # verdict dropped, not re-cached

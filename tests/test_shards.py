@@ -209,7 +209,7 @@ def test_manifest_rides_the_atomic_swap(spark, docs, tmp_path, monkeypatch):
     write_training_shards(docs, d, num_shards=4, token_col="n_chars")
     before = open(os.path.join(d, "_SHARDS.json")).read()
     m = json.loads(before)
-    assert m["order"] == "hash"
+    assert m["order"] == "hash-v2"
     assert (
         sum(s["tokens"] for s in m["shards"])
         == docs.agg(F.sum("n_chars")).first()[0]
