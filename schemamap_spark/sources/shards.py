@@ -97,10 +97,12 @@ def write_training_shards(
     re-shuffle; ADVICE r9). `order_by=[cols...]` replaces the hash order
     with an explicit CURRICULUM order within each shard (e.g. a
     difficulty/quality score — easy-first schedules), ties broken by id
-    so the export stays byte-reproducible; membership and manifest are
-    unchanged (order never affects either). `shuffle=False` (ignored
-    when order_by is given) keeps the scan order within each task
-    instead — cheaper by one sort; order then depends on the input
+    so the export stays byte-reproducible; a `"-"` prefix sorts that key
+    DESCENDING (`order_by=["-quality", "n_chars"]` = hardest-first by
+    quality, shortest-first within equal quality); membership and
+    manifest are unchanged (order never affects either). `shuffle=False`
+    (ignored when order_by is given) keeps the scan order within each
+    task instead — cheaper by one sort; order then depends on the input
     layout and is NOT reproducible.
 
     Crash contract: stats are computed from the STAGED tree and
@@ -115,11 +117,18 @@ def write_training_shards(
     spark = df.sparkSession
     if token_col is not None and token_col not in df.columns:
         raise ValueError(f"token_col {token_col!r} is not a column of df")
+    order_cols = []
     for c in order_by or []:
         # the reserved names can't sneak in here: a df carrying 'shard'
         # or '__ord' is refused outright below / in assign_shards
-        if c not in df.columns:
-            raise ValueError(f"order_by column {c!r} is not a column of df")
+        name = c[1:] if c.startswith("-") else c
+        if name not in df.columns:
+            raise ValueError(
+                f"order_by column {name!r} is not a column of df"
+            )
+        order_cols.append(
+            F.col(name).desc() if c.startswith("-") else F.col(name)
+        )
     if "__ord" in df.columns:
         raise ValueError("'__ord' is reserved by the exporter — rename it")
     if num_shards > _WARN_SHARDS:
@@ -144,7 +153,7 @@ def write_training_shards(
         )
     out = sharded.repartition(num_shards, "shard")
     if order_by:
-        out = out.sortWithinPartitions("shard", *order_by, id_col)
+        out = out.sortWithinPartitions("shard", *order_cols, id_col)
     elif shuffle:
         out = (
             out.withColumn("__ord", scramble_hash(id_col, salt))
@@ -179,6 +188,90 @@ def write_training_shards(
         ),
     )
     _swap_into_place(tmp, target_dir, fs)
+
+
+def read_training_shards(
+    spark: SparkSession,
+    target_dir: str,
+    shards: list[int] | None = None,
+    verify: str | None = "dirs",
+) -> DataFrame:
+    """The loader-side reader: a DataFrame over an export's committed
+    shards, validated against the manifest. `shards=[k, ...]` restricts
+    to those shards with a PARTITION-PRUNED filter — `shard` is the
+    partition column, so only the requested directories are ever scanned
+    (the plan's PartitionFilters carry the IN-list; pinned in test) —
+    how a data-parallel worker reads exactly its assignment.
+
+    verify='dirs' (default) cross-checks manifest vs tree without
+    touching data: every non-empty manifest shard must have its
+    directory, and an unknown `shard=K` directory refuses (a partial
+    overwrite or a stray copy — training on it would silently skew the
+    mixture). verify='counts' additionally recounts rows per shard
+    (footer arithmetic — `shard` is the partition column, zero data
+    columns scanned) and refuses on any mismatch. verify=None skips.
+
+    Requires the manifest: pre-r10 exports that crashed in the old
+    swap-then-publish window must be re-exported (shard_stats can still
+    recompute totals for them, but scheduling needs the manifest's
+    empty-shard entries and the order contract)."""
+    fs = fscommit.fs_for(target_dir, spark)
+    path = fscommit.join(target_dir, _MANIFEST)
+    if not fs.exists(path):
+        raise ValueError(
+            f"no {_MANIFEST} under {target_dir} — not a shard export (or a "
+            "pre-manifest-in-swap export that crashed mid-publish; "
+            "re-export it). shard_stats() can still recompute totals."
+        )
+    m = json.loads(fs.read_text(path))
+    num_shards = int(m["num_shards"])
+    by_shard = {int(s["shard"]): int(s["rows"]) for s in m["shards"]}
+    if shards is not None:
+        bad = sorted(set(shards) - set(range(num_shards)))
+        if bad:
+            raise ValueError(
+                f"requested shards {bad} outside [0, {num_shards}) — the "
+                "loader's world size disagrees with the export"
+            )
+    if verify not in (None, "dirs", "counts"):
+        raise ValueError(f"verify must be None|'dirs'|'counts', got {verify!r}")
+    if verify is not None:
+        on_disk = {
+            int(n.split("=", 1)[1])
+            for n in fs.listdir(target_dir)
+            if n.startswith("shard=")
+        }
+        missing = sorted(
+            k for k, rows in by_shard.items() if rows > 0 and k not in on_disk
+        )
+        unknown = sorted(on_disk - set(by_shard))
+        if missing or unknown:
+            raise ValueError(
+                f"export at {target_dir} disagrees with its manifest: "
+                f"missing shard dirs {missing[:10]}, unknown shard dirs "
+                f"{unknown[:10]} — a partial overwrite or stray copy; "
+                "re-export before training on it"
+            )
+    df = spark.read.parquet(target_dir)
+    if verify == "counts":
+        got = {
+            r["shard"]: r["n"]
+            for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        diffs = {
+            k: (by_shard.get(k, 0), got.get(k, 0))
+            for k in set(by_shard) | set(got)
+            if by_shard.get(k, 0) != got.get(k, 0)
+        }
+        if diffs:
+            raise ValueError(
+                f"per-shard row counts disagree with the manifest "
+                f"(shard: (manifest, on-disk)) {dict(sorted(diffs.items())[:10])} "
+                "— the tree was modified after export; re-export it"
+            )
+    if shards is not None:
+        df = df.filter(F.col("shard").isin([int(k) for k in shards]))
+    return df
 
 
 def _compute_stats(

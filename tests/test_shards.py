@@ -328,3 +328,91 @@ def test_extreme_shard_count_warns(spark, docs, tmp_path):
     with _warnings.catch_warnings():
         _warnings.simplefilter("error")
         write_training_shards(docs.limit(5), str(tmp_path / "ok"), num_shards=8)
+
+
+def test_descending_curriculum_keys(spark, docs, tmp_path):
+    """A '-' prefix sorts that curriculum key DESCENDING (hardest-first
+    schedules) — still byte-reproducible, membership unchanged."""
+    d1, d2 = str(tmp_path / "dsc1"), str(tmp_path / "dsc2")
+    write_training_shards(docs, d1, num_shards=4, order_by=["-n_chars"])
+    write_training_shards(docs, d2, num_shards=4, order_by=["-n_chars"])
+    m = json.loads(open(os.path.join(d1, "_SHARDS.json")).read())
+    assert m["order"] == ["-n_chars"]
+    for k in range(4):
+        r1 = spark.read.parquet(os.path.join(d1, f"shard={k}")).collect()
+        r2 = spark.read.parquet(os.path.join(d2, f"shard={k}")).collect()
+        assert r1 == r2
+        toks = [r["n_chars"] for r in r1]
+        assert toks == sorted(toks, reverse=True)
+    # validation sees through the prefix
+    with pytest.raises(ValueError, match="'nope'"):
+        write_training_shards(docs, d1, num_shards=4, order_by=["-nope"])
+
+
+def test_read_training_shards_validates_and_prunes(spark, docs, tmp_path):
+    """The loader-side reader: full roundtrip, partition-pruned shard
+    subsets (only the requested directories are scanned), manifest-vs-
+    tree validation catching missing/unknown/tampered shards, and the
+    out-of-range world-size guard."""
+    import shutil
+
+    from schemamap_spark.sources.shards import read_training_shards
+
+    d = str(tmp_path / "exp")
+    write_training_shards(docs, d, num_shards=4, token_col="n_chars")
+
+    # full read == corpus; empty-shard exports validate too
+    assert read_training_shards(spark, d).count() == docs.count()
+    tiny = str(tmp_path / "tiny")
+    write_training_shards(docs.limit(5), tiny, num_shards=64)
+    assert read_training_shards(spark, tiny, verify="counts").count() == 5
+
+    # shard subset: rows match the manifest, and the scan is PRUNED to
+    # the requested partitions (the IN-list rides PartitionFilters)
+    m = json.loads(open(os.path.join(d, "_SHARDS.json")).read())
+    want = {s["shard"]: s["rows"] for s in m["shards"]}
+    sub = read_training_shards(spark, d, shards=[1, 3])
+    assert sub.count() == want[1] + want[3]
+    assert set(r["shard"] for r in sub.select("shard").distinct().collect()) == {1, 3}
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # world-size disagreement is loud
+    with pytest.raises(ValueError, match="outside"):
+        read_training_shards(spark, d, shards=[0, 4])
+
+    # verify='counts' recounts from footers and matches the manifest
+    assert read_training_shards(spark, d, verify="counts").count() == docs.count()
+
+    # a MISSING shard dir refuses (partial overwrite)
+    broken = str(tmp_path / "broken")
+    shutil.copytree(d, broken)
+    shutil.rmtree(os.path.join(broken, "shard=2"))
+    with pytest.raises(ValueError, match="missing shard dirs \\[2\\]"):
+        read_training_shards(spark, broken)
+
+    # an UNKNOWN shard dir refuses (stray copy skewing the mixture)
+    stray = str(tmp_path / "stray")
+    shutil.copytree(d, stray)
+    shutil.copytree(os.path.join(stray, "shard=1"), os.path.join(stray, "shard=9"))
+    with pytest.raises(ValueError, match="unknown shard dirs \\[9\\]"):
+        read_training_shards(spark, stray)
+    # ... but only under verify; verify=None reads what's there
+    assert read_training_shards(spark, broken, verify=None).count() < docs.count()
+
+    # TAMPERED rows (dir present, counts off) escape 'dirs' but not 'counts'
+    tampered = str(tmp_path / "tampered")
+    shutil.copytree(d, tampered)
+    one = spark.read.parquet(os.path.join(tampered, "shard=2")).limit(1)
+    one.write.mode("overwrite").parquet(os.path.join(tampered, "shard=2"))
+    read_training_shards(spark, tampered)  # dirs-only: passes
+    with pytest.raises(ValueError, match="row counts disagree"):
+        read_training_shards(spark, tampered, verify="counts")
+
+    # no manifest -> loud, names the recovery
+    os.unlink(os.path.join(broken, "_SHARDS.json"))
+    with pytest.raises(ValueError, match="re-export"):
+        read_training_shards(spark, broken)
+
+    with pytest.raises(ValueError, match="verify"):
+        read_training_shards(spark, d, verify="paranoid")
