@@ -285,7 +285,15 @@ def _is_missing_file(e: BaseException) -> bool:
                 if name == "java.io.FileNotFoundException":
                     return True
                 if name == "org.apache.hadoop.ipc.RemoteException":
-                    return "FileNotFoundException" in je.getClassName()
+                    # the server-side class rides getClassName() as a
+                    # STRING — no hierarchy to walk, so accept the known
+                    # FNF family by name (PathNotFoundException is the
+                    # FNF subclass Hadoop actually throws for misses)
+                    cn = je.getClassName()
+                    return (
+                        cn.endswith("FileNotFoundException")
+                        or cn == "org.apache.hadoop.fs.PathNotFoundException"
+                    )
                 cls = cls.getSuperclass()
             return False
         except Exception:
@@ -829,6 +837,27 @@ def ann_index_search(
     )
 
 
+def _clear_superseded(index_dir: str, names, fs) -> None:
+    """Drop `names` from the manifest's superseded ledger through the
+    version-claim merge loop (a racing COMMIT is preserved, never
+    clobbered). The ONE definition behind all three clear sites —
+    compact's no-fold sweep, eager compact's post-delete clear, and gc's
+    reclaim — so ledger semantics can't silently diverge between them."""
+    gone = set(names)
+    if not gone:
+        return
+    _commit_manifest_merge(
+        index_dir,
+        lambda head: {
+            **head,
+            "superseded": [
+                n for n in head.get("superseded", []) if n not in gone
+            ],
+        },
+        fs,
+    )
+
+
 def ann_index_compact(
     spark: SparkSession, index_dir: str, grace: bool = True
 ) -> int:
@@ -866,18 +895,7 @@ def ann_index_compact(
         fs.delete(join(index_dir, name))
     batches = [d for d in manifest["dirs"] if d["name"] != _CODES]
     if len(batches) < 2:
-        if manifest.get("superseded"):
-            gone = set(manifest["superseded"])
-            _commit_manifest_merge(
-                index_dir,
-                lambda head: {
-                    **head,
-                    "superseded": [
-                        n for n in head.get("superseded", []) if n not in gone
-                    ],
-                },
-                fs,
-            )
+        _clear_superseded(index_dir, manifest.get("superseded", []), fs)
         return 0
     paths = [join(index_dir, d["name"]) for d in batches]
     tmp_dir = fs.mktempdir(index_dir, ".batch_")
@@ -936,19 +954,16 @@ def ann_index_compact(
         for p in paths:
             fs.delete(p)
         # dirs gone: folded identity is now provable by absence, so the
-        # ledger entries can leave (a crash before this merge just leaves
-        # ghost names that the next compact's opening sweep clears)
-        _commit_manifest_merge(
-            index_dir,
-            lambda head: {
-                **head,
-                "superseded": [
-                    n for n in head.get("superseded", [])
-                    if n not in folded_names
-                ],
-            },
-            fs,
-        )
+        # ledger entries can leave. HOUSEKEEPING — the fold is already
+        # committed and the dirs already deleted, so a fault here (or the
+        # clear losing its claim under an append storm) must not fail the
+        # succeeded compact (code-review r10): the ghost names are
+        # harmless (re-drives abort on them) and the next compact's
+        # opening sweep clears them
+        try:
+            _clear_superseded(index_dir, folded_names, fs)
+        except Exception:
+            pass
     return len(batches)
 
 
@@ -1015,18 +1030,7 @@ def ann_index_gc(
             fs.delete(join(index_dir, name))
             deleted.append(name)
     if delete_superseded and superseded:
-        # the clearing rewrite rides the version-claim merge loop, so a
-        # commit landing while GC was deleting debris is preserved, not
-        # clobbered; only the names GC actually deleted leave the ledger
-        gone = set(deleted)
-        _commit_manifest_merge(
-            index_dir,
-            lambda head: {
-                **head,
-                "superseded": [
-                    n for n in head.get("superseded", []) if n not in gone
-                ],
-            },
-            fs,
-        )
+        # only the names GC actually deleted leave the ledger (a racing
+        # commit is preserved by the merge loop inside _clear_superseded)
+        _clear_superseded(index_dir, deleted, fs)
     return sorted(deleted)

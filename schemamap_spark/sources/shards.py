@@ -205,11 +205,14 @@ def read_training_shards(
 
     verify='dirs' (default) cross-checks manifest vs tree without
     touching data: every non-empty manifest shard must have its
-    directory, and an unknown `shard=K` directory refuses (a partial
-    overwrite or a stray copy — training on it would silently skew the
-    mixture). verify='counts' additionally recounts rows per shard
-    (footer arithmetic — `shard` is the partition column, zero data
-    columns scanned) and refuses on any mismatch. verify=None skips.
+    directory, and an unknown `shard=K` directory refuses — including
+    non-numeric strays like `shard=2.bak` (a partial overwrite or a
+    stray copy — training on it would silently skew the mixture).
+    verify='counts' additionally recounts rows per shard (footer
+    arithmetic — `shard` is the partition column, zero data columns
+    scanned) and refuses on any mismatch; the recount is scoped to the
+    REQUESTED shards when `shards` is given, so an N-worker loader costs
+    N per-shard recounts, not N full-export scans. verify=None skips.
 
     Requires the manifest: pre-r10 exports that crashed in the old
     swap-then-publish window must be re-exported (shard_stats can still
@@ -236,31 +239,45 @@ def read_training_shards(
     if verify not in (None, "dirs", "counts"):
         raise ValueError(f"verify must be None|'dirs'|'counts', got {verify!r}")
     if verify is not None:
-        on_disk = {
-            int(n.split("=", 1)[1])
-            for n in fs.listdir(target_dir)
-            if n.startswith("shard=")
-        }
+        on_disk: set[int] = set()
+        unknown: list = []
+        for n in fs.listdir(target_dir):
+            if not n.startswith("shard="):
+                continue
+            try:
+                k = int(n.split("=", 1)[1])
+            except ValueError:
+                unknown.append(n)  # 'shard=2.bak' etc. — a stray, refuse
+                continue
+            if k in by_shard:
+                on_disk.add(k)
+            else:
+                unknown.append(n)
         missing = sorted(
             k for k, rows in by_shard.items() if rows > 0 and k not in on_disk
         )
-        unknown = sorted(on_disk - set(by_shard))
         if missing or unknown:
             raise ValueError(
                 f"export at {target_dir} disagrees with its manifest: "
                 f"missing shard dirs {missing[:10]}, unknown shard dirs "
-                f"{unknown[:10]} — a partial overwrite or stray copy; "
-                "re-export before training on it"
+                f"{sorted(map(str, unknown))[:10]} — a partial overwrite "
+                "or stray copy; re-export before training on it"
             )
     df = spark.read.parquet(target_dir)
+    if shards is not None:
+        # partition-column filter: Catalyst prunes to the requested dirs
+        df = df.filter(F.col("shard").isin([int(k) for k in shards]))
     if verify == "counts":
+        # scoped to the (possibly filtered) read: an N-worker loader does
+        # N per-shard recounts, not N full-export scans
+        scope = set(by_shard) if shards is None else set(map(int, shards))
         got = {
             r["shard"]: r["n"]
             for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
         }
         diffs = {
             k: (by_shard.get(k, 0), got.get(k, 0))
-            for k in set(by_shard) | set(got)
+            for k in scope
             if by_shard.get(k, 0) != got.get(k, 0)
         }
         if diffs:
@@ -269,8 +286,6 @@ def read_training_shards(
                 f"(shard: (manifest, on-disk)) {dict(sorted(diffs.items())[:10])} "
                 "— the tree was modified after export; re-export it"
             )
-    if shards is not None:
-        df = df.filter(F.col("shard").isin([int(k) for k in shards]))
     return df
 
 

@@ -1301,3 +1301,48 @@ def test_store_id_change_invalidates_cached_format_verdict(
     with pytest.raises(ValueError, match="format '3'"):
         ann_index_append(b1.limit(10), idx)
     assert idx not in ai._FORMAT_STATE  # verdict dropped, not re-cached
+
+
+def test_eager_ledger_clear_fault_cannot_fail_committed_compact(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Code-review r10 (pass 2): grace=False's post-delete ledger clear is
+    HOUSEKEEPING — the fold already committed and the dirs are already
+    gone, so a fault there (or losing the clear's claim under an append
+    storm) must not fail the succeeded compact. The ghost ledger names
+    are harmless (re-drives abort on them) and the next compact's opening
+    sweep clears them."""
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.operators.ann_index import ann_index_compact
+
+    idx = str(tmp_path / "idx_clear_fault")
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+    ann_index_append(emb.filter(F.col("vec_id") % 3 == 1), idx)
+    ann_index_append(emb.filter(F.col("vec_id") % 3 == 2), idx)
+
+    real = ai._clear_superseded
+    calls = {"n": 0}
+
+    def flaky(index_dir, names, fs):
+        calls["n"] += 1
+        raise ai.ConcurrentWriteError("claim lost every retry")
+
+    monkeypatch.setattr(ai, "_clear_superseded", flaky)
+    assert ann_index_compact(spark, idx, grace=False) == 2  # not an error
+    monkeypatch.undo()
+    assert calls["n"] == 1
+    head = ai._load_manifest(idx)
+    ghosts = head.get("superseded", [])
+    assert len(ghosts) == 2  # the clear never landed — ghost names remain
+    # a re-drive of a ghost entry still aborts (ledger check), and the
+    # next compact's opening sweep clears the ghosts
+    entry = {"name": ghosts[0], "occupancy": {}}
+    from schemamap_spark.sources import fscommit
+
+    fs = fscommit.fs_for(idx)
+    assert ai._commit_manifest_entry(idx, entry, fs) is True
+    assert ghosts[0] not in [d["name"] for d in ai._load_manifest(idx)["dirs"]]
+    assert ann_index_compact(spark, idx) == 0  # no fold needed
+    assert ai._load_manifest(idx).get("superseded", []) == []
+    assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0

@@ -391,11 +391,15 @@ def test_read_training_shards_validates_and_prunes(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="missing shard dirs \\[2\\]"):
         read_training_shards(spark, broken)
 
-    # an UNKNOWN shard dir refuses (stray copy skewing the mixture)
+    # an UNKNOWN shard dir refuses (stray copy skewing the mixture) —
+    # numeric out-of-range and non-numeric ('shard=1.bak') strays both
     stray = str(tmp_path / "stray")
     shutil.copytree(d, stray)
     shutil.copytree(os.path.join(stray, "shard=1"), os.path.join(stray, "shard=9"))
-    with pytest.raises(ValueError, match="unknown shard dirs \\[9\\]"):
+    with pytest.raises(ValueError, match="unknown shard dirs \\['shard=9'\\]"):
+        read_training_shards(spark, stray)
+    shutil.move(os.path.join(stray, "shard=9"), os.path.join(stray, "shard=1.bak"))
+    with pytest.raises(ValueError, match="shard=1.bak"):
         read_training_shards(spark, stray)
     # ... but only under verify; verify=None reads what's there
     assert read_training_shards(spark, broken, verify=None).count() < docs.count()
@@ -408,6 +412,10 @@ def test_read_training_shards_validates_and_prunes(spark, docs, tmp_path):
     read_training_shards(spark, tampered)  # dirs-only: passes
     with pytest.raises(ValueError, match="row counts disagree"):
         read_training_shards(spark, tampered, verify="counts")
+    # the recount is SCOPED to the requested shards: a worker reading
+    # shards [0,1] doesn't pay for (or fail on) the tampered shard 2
+    sub = read_training_shards(spark, tampered, shards=[0, 1], verify="counts")
+    assert sub.count() == want[0] + want[1]
 
     # no manifest -> loud, names the recovery
     os.unlink(os.path.join(broken, "_SHARDS.json"))
