@@ -133,11 +133,11 @@ def write_training_shards(
         raise ValueError("'__ord' is reserved by the exporter — rename it")
     if num_shards > _WARN_SHARDS:
         warnings.warn(
-            f"num_shards={num_shards:,} is extreme: the manifest grows to "
-            f"one JSON entry per shard and its stats ride a {num_shards:,}"
-            "-row driver collect. Training loaders want shards on the "
-            "order of the data-parallel world size — are you sharding "
-            "rows, not the corpus?",
+            f"num_shards={num_shards:,}: the manifest grows to one JSON "
+            f"entry per shard and its stats ride a {num_shards:,}-row "
+            "driver collect. Legitimate for very large corpora (size "
+            "shards at ~1-4 GB each — see SCALE.md); for small corpora "
+            "this usually means sharding rows instead of the corpus.",
             stacklevel=2,
         )
     sharded = assign_shards(df, num_shards, id_col, salt)

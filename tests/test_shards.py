@@ -317,7 +317,7 @@ def test_extreme_shard_count_warns(spark, docs, tmp_path):
     at 1M stays). The warning fires before any job (paired here with the
     empty-df refusal so no 10k-task export actually runs)."""
     d = str(tmp_path / "many")
-    with pytest.warns(UserWarning, match="extreme"):
+    with pytest.warns(UserWarning, match="driver collect"):
         with pytest.raises(ValueError, match="empty"):
             write_training_shards(
                 docs.filter(F.lit(False)), d, num_shards=10_001
