@@ -371,9 +371,7 @@ def _declare_format(index_dir: str, fs) -> None:
     nothing is half-done.)"""
     if _FORMAT_STATE.get(index_dir):
         return
-    import uuid
-
-    tmp = join(index_dir, ".manifest_" + uuid.uuid4().hex[:12])
+    tmp = _manifest_tmp(index_dir)
     try:
         fs.write_text(tmp, "2\n")
         fs.rename_exclusive(tmp, join(index_dir, _FORMAT_MARKER))
@@ -466,15 +464,22 @@ def _load_manifest(index_dir: str, fs=None) -> dict:
     return json.loads(fs.read_text(path))
 
 
+def _manifest_tmp(index_dir: str) -> str:
+    """A fresh `.manifest_*` scratch name inside the store — the prefix
+    GC recognizes as debris, shared by every manifest-adjacent write
+    (version-claim buffer, pointer refresh, marker declare)."""
+    import uuid
+
+    return join(index_dir, ".manifest_" + uuid.uuid4().hex[:12])
+
+
 def _refresh_pointer(index_dir: str, manifest: dict, fs) -> None:
     """`manifest.json` is a convenience SNAPSHOT of the newest committed
     version — for humans, tests, and pre-versioned tooling. Writers and
     readers resolve the true head from the version files, so the
     pointer's last-writer-wins refresh is harmless: any committed version
     it shows is internally consistent, at worst a commit or two stale."""
-    import uuid
-
-    tmp = join(index_dir, ".manifest_" + uuid.uuid4().hex[:12])
+    tmp = _manifest_tmp(index_dir)
     try:
         fs.write_text(tmp, json.dumps(manifest))
         fs.replace_file(tmp, join(index_dir, _MANIFEST))
@@ -545,7 +550,6 @@ def _commit_manifest_merge(
     (seen once at 24 uncoordinated threads — ann_race_probe)."""
     import random
     import time
-    import uuid
 
     _check_format(index_dir, fs)
     for attempt in range(retries):
@@ -568,7 +572,7 @@ def _commit_manifest_merge(
             return None
         version = int(head.get("version", 0)) + 1
         new = {**new, "version": version}
-        tmp = join(index_dir, ".manifest_" + uuid.uuid4().hex[:12])
+        tmp = _manifest_tmp(index_dir)
         try:
             fs.write_text(tmp, json.dumps(new))
             fs.rename_exclusive(tmp, join(index_dir, _version_name(version)))

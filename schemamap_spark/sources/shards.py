@@ -190,6 +190,19 @@ def write_training_shards(
     _swap_into_place(tmp, target_dir, fs)
 
 
+def _read_manifest(fs, target_dir: str) -> dict | None:
+    """Parse `_SHARDS.json`, or None when it is missing or torn — the ONE
+    read both consumers share (shard_stats falls back to recompute;
+    read_training_shards refuses loudly with the re-export remedy)."""
+    path = fscommit.join(target_dir, _MANIFEST)
+    if not fs.exists(path):
+        return None
+    try:
+        return json.loads(fs.read_text(path))
+    except ValueError:
+        return None  # torn pre-atomic-publish legacy manifest
+
+
 def read_training_shards(
     spark: SparkSession,
     target_dir: str,
@@ -219,14 +232,14 @@ def read_training_shards(
     recompute totals for them, but scheduling needs the manifest's
     empty-shard entries and the order contract)."""
     fs = fscommit.fs_for(target_dir, spark)
-    path = fscommit.join(target_dir, _MANIFEST)
-    if not fs.exists(path):
+    m = _read_manifest(fs, target_dir)
+    if m is None:
         raise ValueError(
-            f"no {_MANIFEST} under {target_dir} — not a shard export (or a "
-            "pre-manifest-in-swap export that crashed mid-publish; "
-            "re-export it). shard_stats() can still recompute totals."
+            f"no readable {_MANIFEST} under {target_dir} — not a shard "
+            "export, or a pre-r10 export that crashed mid-publish or tore "
+            "the manifest; re-export it. shard_stats() can still "
+            "recompute totals."
         )
-    m = json.loads(fs.read_text(path))
     num_shards = int(m["num_shards"])
     by_shard = {int(s["shard"]): int(s["rows"]) for s in m["shards"]}
     if shards is not None:
@@ -326,20 +339,15 @@ def shard_stats(spark: SparkSession, target_dir: str) -> DataFrame:
     report 0) and takes num_shards as max(shard)+1, which cannot see
     trailing empty shards; re-export to restore both."""
     fs = fscommit.fs_for(target_dir, spark)
-    path = fscommit.join(target_dir, _MANIFEST)
-    if fs.exists(path):
-        try:
-            m = json.loads(fs.read_text(path))
-        except ValueError:
-            m = None  # torn legacy manifest — fall through to recompute
-        if m is not None:
-            rows = [
-                (int(s["shard"]), int(s["rows"]), int(s.get("tokens", 0)))
-                for s in m["shards"]
-            ]
-            return spark.createDataFrame(
-                rows, "shard int, rows long, tokens long"
-            ).orderBy("shard")
+    m = _read_manifest(fs, target_dir)
+    if m is not None:
+        rows = [
+            (int(s["shard"]), int(s["rows"]), int(s.get("tokens", 0)))
+            for s in m["shards"]
+        ]
+        return spark.createDataFrame(
+            rows, "shard int, rows long, tokens long"
+        ).orderBy("shard")
     written = spark.read.parquet(target_dir)
     n = int(written.agg(F.max("shard")).first()[0]) + 1
     return spark.createDataFrame(

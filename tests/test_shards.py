@@ -417,8 +417,13 @@ def test_read_training_shards_validates_and_prunes(spark, docs, tmp_path):
     sub = read_training_shards(spark, tampered, shards=[0, 1], verify="counts")
     assert sub.count() == want[0] + want[1]
 
-    # no manifest -> loud, names the recovery
+    # no manifest -> loud, names the recovery; a TORN legacy manifest gets
+    # the same designed refusal, not a raw JSONDecodeError
     os.unlink(os.path.join(broken, "_SHARDS.json"))
+    with pytest.raises(ValueError, match="re-export"):
+        read_training_shards(spark, broken)
+    with open(os.path.join(broken, "_SHARDS.json"), "w") as f:
+        f.write('{"num_shards": 4, "sh')
     with pytest.raises(ValueError, match="re-export"):
         read_training_shards(spark, broken)
 
