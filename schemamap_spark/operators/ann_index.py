@@ -272,28 +272,31 @@ def _is_missing_file(e: BaseException) -> bool:
     je = getattr(e, "java_exception", None)
     if je is not None:
         try:
-            # walk the CLASS HIERARCHY, not just the top name: Hadoop
-            # throws FileNotFoundException SUBCLASSES for the same miss
-            # (org.apache.hadoop.fs.PathNotFoundException), and HDFS IPC
-            # wraps the server-side class in a RemoteException whose real
-            # name rides getClassName() (code-review r10 — an exact-name
+            # walk the CLASS HIERARCHY, not just the top name: FNF
+            # subclasses mean the same miss, and HDFS IPC wraps the
+            # server-side class in a RemoteException whose real name
+            # rides getClassName() (code-review r10 — an exact-name
             # compare would turn the benign pruned-head race back into a
-            # hard reader failure on hdfs/viewfs)
+            # hard reader failure on hdfs/viewfs). Hadoop's
+            # PathNotFoundException ("the path is gone") is accepted BY
+            # NAME at any level: it is NOT an FNF subclass (verified:
+            # PathNotFoundException -> PathIOException -> IOException),
+            # so the hierarchy walk alone would miss it
+            _MISS = (
+                "java.io.FileNotFoundException",
+                "org.apache.hadoop.fs.PathNotFoundException",
+            )
             cls = je.getClass()
             while cls is not None:
                 name = cls.getName()
-                if name == "java.io.FileNotFoundException":
+                if name in _MISS:
                     return True
                 if name == "org.apache.hadoop.ipc.RemoteException":
                     # the server-side class rides getClassName() as a
                     # STRING — no hierarchy to walk, so accept the known
-                    # FNF family by name (PathNotFoundException is the
-                    # FNF subclass Hadoop actually throws for misses)
+                    # missing-file family by name
                     cn = je.getClassName()
-                    return (
-                        cn.endswith("FileNotFoundException")
-                        or cn == "org.apache.hadoop.fs.PathNotFoundException"
-                    )
+                    return cn.endswith("FileNotFoundException") or cn in _MISS
                 cls = cls.getSuperclass()
             return False
         except Exception:
@@ -899,7 +902,15 @@ def ann_index_compact(
         fs.delete(join(index_dir, name))
     batches = [d for d in manifest["dirs"] if d["name"] != _CODES]
     if len(batches) < 2:
-        _clear_superseded(index_dir, manifest.get("superseded", []), fs)
+        # housekeeping, same invariant as the eager-path clear below: the
+        # opening sweep already deleted the expired grace dirs, so a clear
+        # that loses its claim under an append storm must not fail a
+        # compact whose deletions succeeded — ghost names are harmless
+        # and the next compact sweeps them (code-review r10 pass 3)
+        try:
+            _clear_superseded(index_dir, manifest.get("superseded", []), fs)
+        except Exception:
+            pass
         return 0
     paths = [join(index_dir, d["name"]) for d in batches]
     tmp_dir = fs.mktempdir(index_dir, ".batch_")

@@ -198,9 +198,13 @@ def _read_manifest(fs, target_dir: str) -> dict | None:
     if not fs.exists(path):
         return None
     try:
-        return json.loads(fs.read_text(path))
-    except ValueError:
-        return None  # torn pre-atomic-publish legacy manifest
+        m = json.loads(fs.read_text(path))
+    except (OSError, ValueError):
+        # torn pre-atomic-publish legacy manifest, or the exists/read race
+        # against a concurrent re-export's swap — both read as "no
+        # readable manifest", never a raw JSONDecodeError/FileNotFoundError
+        return None
+    return m if isinstance(m, dict) else None  # scalar = torn, not a manifest
 
 
 def read_training_shards(
@@ -257,12 +261,17 @@ def read_training_shards(
         for n in fs.listdir(target_dir):
             if not n.startswith("shard="):
                 continue
+            suffix = n.split("=", 1)[1]
             try:
-                k = int(n.split("=", 1)[1])
+                k = int(suffix)
             except ValueError:
                 unknown.append(n)  # 'shard=2.bak' etc. — a stray, refuse
                 continue
-            if k in by_shard:
+            # ALIAS spellings ('shard=01', 'shard=+1') are strays too:
+            # int() would canonicalize them onto a known shard and the
+            # read would silently double those rows (code-review r10
+            # pass 3, verified live) — only the canonical name counts
+            if k in by_shard and str(k) == suffix:
                 on_disk.add(k)
             else:
                 unknown.append(n)
@@ -273,7 +282,7 @@ def read_training_shards(
             raise ValueError(
                 f"export at {target_dir} disagrees with its manifest: "
                 f"missing shard dirs {missing[:10]}, unknown shard dirs "
-                f"{sorted(map(str, unknown))[:10]} — a partial overwrite "
+                f"{sorted(unknown)[:10]} — a partial overwrite "
                 "or stray copy; re-export before training on it"
             )
     df = spark.read.parquet(target_dir)

@@ -1160,7 +1160,11 @@ def test_is_missing_file_compares_java_class():
     _THROWABLE = _JClass("java.lang.Throwable")
     _IOE = _JClass("java.io.IOException", _THROWABLE)
     _FNF = _JClass("java.io.FileNotFoundException", _IOE)
-    _PNF = _JClass("org.apache.hadoop.fs.PathNotFoundException", _FNF)
+    # PathNotFoundException is NOT an FNF subclass — the real hierarchy
+    # (verified against the JVM, code-review r10 pass 3) goes through
+    # PathIOException -> IOException, so it must be accepted BY NAME
+    _PIOE = _JClass("org.apache.hadoop.fs.PathIOException", _IOE)
+    _PNF = _JClass("org.apache.hadoop.fs.PathNotFoundException", _PIOE)
     _ACE = _JClass(
         "org.apache.hadoop.security.AccessControlException", _IOE
     )
@@ -1183,12 +1187,19 @@ def test_is_missing_file_compares_java_class():
 
     assert ai._is_missing_file(FileNotFoundError("x")) is True
     assert ai._is_missing_file(FakePy4J("gone", _JExc(_FNF))) is True
-    # an FNF SUBCLASS (PathNotFoundException) is still a missing file
+    # a direct (non-IPC) PathNotFoundException is a missing file even
+    # though it is NOT in the FNF hierarchy
     assert ai._is_missing_file(FakePy4J("gone", _JExc(_PNF))) is True
-    # RemoteException carrying a server-side FNF is a missing file; one
-    # carrying anything else is not
+    # a true FNF subclass resolves through the hierarchy walk
+    _FNF_SUB = _JClass("org.example.CustomNotFound", _FNF)
+    assert ai._is_missing_file(FakePy4J("gone", _JExc(_FNF_SUB))) is True
+    # RemoteException carrying a server-side FNF (or PathNotFound) is a
+    # missing file; one carrying anything else is not
     assert ai._is_missing_file(FakePy4J(
         "remote", _JExc(_REMOTE, "java.io.FileNotFoundException"))) is True
+    assert ai._is_missing_file(FakePy4J(
+        "remote",
+        _JExc(_REMOTE, "org.apache.hadoop.fs.PathNotFoundException"))) is True
     assert ai._is_missing_file(FakePy4J(
         "remote", _JExc(_REMOTE,
                         "org.apache.hadoop.security.AccessControlException"))
@@ -1344,5 +1355,40 @@ def test_eager_ledger_clear_fault_cannot_fail_committed_compact(
     assert ai._commit_manifest_entry(idx, entry, fs) is True
     assert ghosts[0] not in [d["name"] for d in ai._load_manifest(idx)["dirs"]]
     assert ann_index_compact(spark, idx) == 0  # no fold needed
+    assert ai._load_manifest(idx).get("superseded", []) == []
+    assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0
+
+
+def test_no_fold_sweep_clear_fault_cannot_fail_compact(
+    spark, emb, tmp_path, monkeypatch
+):
+    """Code-review r10 (pass 3): the no-fold path's ledger clear is
+    housekeeping too — the opening sweep already deleted the expired
+    grace dirs, so a clear losing its claim must not fail a compact
+    whose deletions succeeded."""
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.operators.ann_index import ann_index_compact
+
+    idx = str(tmp_path / "idx_sweep_fault")
+    b1 = emb.filter(F.col("vec_id") % 3 == 0)
+    ann_index_build(b1, idx, m=8, num_centroids=16, centroids="sample")
+    ann_index_append(emb.filter(F.col("vec_id") % 3 == 1), idx)
+    ann_index_append(emb.filter(F.col("vec_id") % 3 == 2), idx)
+    assert ann_index_compact(spark, idx) == 2  # grace ledger populated
+
+    def boom(index_dir, names, fs):
+        raise ai.ConcurrentWriteError("claim lost every retry")
+
+    monkeypatch.setattr(ai, "_clear_superseded", boom)
+    assert ann_index_compact(spark, idx) == 0  # sweep ran; no error
+    monkeypatch.undo()
+    # the grace dirs were collected by the sweep even though the clear
+    # failed; ghosts remain and the next compact clears them
+    head = ai._load_manifest(idx)
+    import os
+
+    for n in head["superseded"]:
+        assert not os.path.exists(os.path.join(idx, n))
+    assert ann_index_compact(spark, idx) == 0
     assert ai._load_manifest(idx).get("superseded", []) == []
     assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0

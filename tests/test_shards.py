@@ -429,3 +429,35 @@ def test_read_training_shards_validates_and_prunes(spark, docs, tmp_path):
 
     with pytest.raises(ValueError, match="verify"):
         read_training_shards(spark, d, verify="paranoid")
+
+
+def test_alias_stray_dirs_and_scalar_manifest_refused(spark, docs, tmp_path):
+    """Code-review r10 (pass 3, verified live): an ALIAS spelling of a
+    known shard ('shard=01') canonicalizes onto shard 1 through int() and
+    silently doubles its rows — verify='dirs' must refuse it like any
+    other stray. A manifest torn down to a bare JSON scalar is 'no
+    readable manifest', not a TypeError."""
+    import shutil
+
+    from schemamap_spark.sources.shards import read_training_shards
+
+    d = str(tmp_path / "exp")
+    write_training_shards(docs, d, num_shards=4)
+    n_docs = docs.count()
+
+    alias = str(tmp_path / "alias")
+    shutil.copytree(d, alias)
+    shutil.copytree(os.path.join(alias, "shard=1"), os.path.join(alias, "shard=01"))
+    with pytest.raises(ValueError, match="shard=01"):
+        read_training_shards(spark, alias)
+    # without the refusal the read would inflate past the corpus
+    assert read_training_shards(spark, alias, verify=None).count() > n_docs
+
+    scalar = str(tmp_path / "scalar")
+    shutil.copytree(d, scalar)
+    with open(os.path.join(scalar, "_SHARDS.json"), "w") as f:
+        f.write("42")  # parses, but is not a manifest
+    with pytest.raises(ValueError, match="re-export"):
+        read_training_shards(spark, scalar)
+    # shard_stats falls back to recompute on the same input
+    assert shard_stats(spark, scalar).agg(F.sum("rows")).first()[0] == n_docs
