@@ -51,6 +51,7 @@ real-rename filesystems (``hdfs://``, ``file://``); copy+delete schemes
 from __future__ import annotations
 
 import json
+import threading
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -207,8 +208,9 @@ def ann_index_build(
     _swap_into_place(tmp_dir, index_dir, fs)
     # this process just recreated the store: any cached format verdict or
     # head watermark describes the PREVIOUS store at this path
-    _FORMAT_STATE.pop(index_dir, None)
-    _HEAD_SEEN.pop(index_dir, None)
+    with _CACHE_LOCK:
+        _FORMAT_STATE.pop(index_dir, None)
+        _HEAD_SEEN.pop(index_dir, None)
 
 
 def _fs_for(index_dir: str, spark=None):
@@ -254,54 +256,11 @@ def _head_version(index_dir: str, fs) -> int:
     return best
 
 
-def _is_missing_file(e: BaseException) -> bool:
-    """True when `e` means 'the file is gone' on EITHER fs implementation:
-    a Python FileNotFoundError from _LocalFS, or a py4j-wrapped
-    java.io.FileNotFoundException from _HadoopFS. When the wrapper exposes
-    the Java exception object (py4j's Py4JJavaError does), the TOP-LEVEL
-    class name is compared exactly — a different Java failure whose
-    rendered stack merely CONTAINS 'FileNotFoundException' somewhere in
-    its cause chain must not be misclassified as 'file missing' (in
-    _check_format that would silently downgrade an unreadable marker to
-    'legacy store' and commit anyway; ADVICE r9). The substring check
-    survives only as the last resort for wrappers that surface nothing
-    but a rendered message (there is no shared exception type to
-    isinstance against without importing py4j here)."""
-    if isinstance(e, FileNotFoundError):
-        return True
-    je = getattr(e, "java_exception", None)
-    if je is not None:
-        try:
-            # walk the CLASS HIERARCHY, not just the top name: FNF
-            # subclasses mean the same miss, and HDFS IPC wraps the
-            # server-side class in a RemoteException whose real name
-            # rides getClassName() (code-review r10 — an exact-name
-            # compare would turn the benign pruned-head race back into a
-            # hard reader failure on hdfs/viewfs). Hadoop's
-            # PathNotFoundException ("the path is gone") is accepted BY
-            # NAME at any level: it is NOT an FNF subclass (verified:
-            # PathNotFoundException -> PathIOException -> IOException),
-            # so the hierarchy walk alone would miss it
-            _MISS = (
-                "java.io.FileNotFoundException",
-                "org.apache.hadoop.fs.PathNotFoundException",
-            )
-            cls = je.getClass()
-            while cls is not None:
-                name = cls.getName()
-                if name in _MISS:
-                    return True
-                if name == "org.apache.hadoop.ipc.RemoteException":
-                    # the server-side class rides getClassName() as a
-                    # STRING — no hierarchy to walk, so accept the known
-                    # missing-file family by name
-                    cn = je.getClassName()
-                    return cn.endswith("FileNotFoundException") or cn in _MISS
-                cls = cls.getSuperclass()
-            return False
-        except Exception:
-            return False  # unreadable wrapper: treat as a real failure
-    return "FileNotFoundException" in str(e)
+# moved to the fs seam in r11 (the shard-manifest reader needs the same
+# py4j classification); the alias keeps this module's call sites and the
+# pinning tests (test_ann_index.test_is_missing_file_compares_java_class)
+# addressing it where the behavior is exercised
+_is_missing_file = fscommit.is_missing_file
 
 
 # index_dir -> marker verdict (True = marker present and '2'; False =
@@ -320,6 +279,16 @@ def _is_missing_file(e: BaseException) -> bool:
 _FORMAT_STATE: dict[str, bool] = {}
 # index_dir -> (store_id, highest head version seen)
 _HEAD_SEEN: dict[str, tuple] = {}
+# guards every pop/re-check/update sequence on the two caches: in-process
+# concurrent appenders are a supported mode (probed at 24-48 threads), and
+# without the lock a thread could re-cache a verdict it read BEFORE another
+# thread's store-replacement invalidation popped it (ADVICE r10). RLock
+# because the claim loop's regression branch re-enters _check_format under
+# the same guard. Residual (unfixable in-process): a marker read that
+# races a CROSS-PROCESS store replacement can still cache the old store's
+# verdict for one commit — the watermark/store_id regression check catches
+# it at that next commit, as documented above.
+_CACHE_LOCK = threading.RLock()
 
 
 def _check_format(index_dir: str, fs) -> None:
@@ -335,25 +304,27 @@ def _check_format(index_dir: str, fs) -> None:
     versioned commit declares format 2 via _declare_format); an unreadable
     marker refuses too — better to fail a write that hasn't happened than
     to commit into a store whose protocol can't be confirmed."""
-    if index_dir in _FORMAT_STATE:
-        return
-    try:
-        raw = fs.read_text(join(index_dir, _FORMAT_MARKER)).strip()
-    except Exception as e:
-        if not _is_missing_file(e):
-            raise
-        _FORMAT_STATE[index_dir] = False
-        return
-    if raw != "2":
-        raise ValueError(
-            f"ANN store {index_dir} declares manifest format {raw!r}; this "
-            "code writes format 2 — refusing to commit into a store owned "
-            "by a different protocol version. (A marker torn by a claimant "
-            "hard-killed mid-declare on a no-hardlink filesystem reads as "
-            "gibberish: verify no newer writer owns the store, then delete "
-            "manifest.format to recover — the next commit re-declares it.)"
-        )
-    _FORMAT_STATE[index_dir] = True
+    with _CACHE_LOCK:
+        if index_dir in _FORMAT_STATE:
+            return
+        try:
+            raw = fs.read_text(join(index_dir, _FORMAT_MARKER)).strip()
+        except Exception as e:
+            if not _is_missing_file(e):
+                raise
+            _FORMAT_STATE[index_dir] = False
+            return
+        if raw != "2":
+            raise ValueError(
+                f"ANN store {index_dir} declares manifest format {raw!r}; "
+                "this code writes format 2 — refusing to commit into a "
+                "store owned by a different protocol version. (A marker "
+                "torn by a claimant hard-killed mid-declare on a "
+                "no-hardlink filesystem reads as gibberish: verify no "
+                "newer writer owns the store, then delete manifest.format "
+                "to recover — the next commit re-declares it.)"
+            )
+        _FORMAT_STATE[index_dir] = True
 
 
 def _declare_format(index_dir: str, fs) -> None:
@@ -378,7 +349,8 @@ def _declare_format(index_dir: str, fs) -> None:
     try:
         fs.write_text(tmp, "2\n")
         fs.rename_exclusive(tmp, join(index_dir, _FORMAT_MARKER))
-        _FORMAT_STATE[index_dir] = True
+        with _CACHE_LOCK:
+            _FORMAT_STATE[index_dir] = True
     except FileExistsError:
         try:
             fs.delete(tmp)
@@ -389,9 +361,11 @@ def _declare_format(index_dir: str, fs) -> None:
         except Exception:
             return  # unreadable right now; the next _check_format decides
         if raw == "2":
-            _FORMAT_STATE[index_dir] = True
+            with _CACHE_LOCK:
+                _FORMAT_STATE[index_dir] = True
         else:
-            _FORMAT_STATE.pop(index_dir, None)
+            with _CACHE_LOCK:
+                _FORMAT_STATE.pop(index_dir, None)
             warnings.warn(
                 f"ANN store {index_dir}: a concurrent writer declared "
                 f"manifest format {raw!r} while this process held a "
@@ -565,11 +539,17 @@ def _commit_manifest_merge(
         # version counter already overtook the watermark)
         head_v = int(head.get("version", 0))
         sid = head.get("store_id")
-        seen = _HEAD_SEEN.get(index_dir)
-        if seen is not None and (sid != seen[0] or head_v < seen[1]):
-            _FORMAT_STATE.pop(index_dir, None)
-            _check_format(index_dir, fs)
-        _HEAD_SEEN[index_dir] = (sid, head_v)
+        # the pop / re-check / watermark-update must be ONE atomic
+        # sequence: without the lock a concurrent thread could re-cache a
+        # verdict it read before the pop, deferring the foreign-format
+        # refusal by one commit (ADVICE r10; RLock — _check_format
+        # re-enters the same guard)
+        with _CACHE_LOCK:
+            seen = _HEAD_SEEN.get(index_dir)
+            if seen is not None and (sid != seen[0] or head_v < seen[1]):
+                _FORMAT_STATE.pop(index_dir, None)
+                _check_format(index_dir, fs)
+            _HEAD_SEEN[index_dir] = (sid, head_v)
         new = merge_fn(head)
         if new is None:
             return None
@@ -672,8 +652,10 @@ def _commit_manifest_entry(index_dir: str, entry: dict, fs) -> bool:
     nothing else deletes unreferenced dirs)."""
     tok = entry.get("batch_token")
     entry_path = join(index_dir, entry["name"])
+    attempts = [0]
 
     def merge(head: dict):
+        attempts[0] += 1
         if tok is not None and any(
             d["name"] != entry["name"]
             and (tok == d.get("batch_token") or tok in d.get("batch_tokens", ()))
@@ -690,6 +672,23 @@ def _commit_manifest_entry(index_dir: str, entry: dict, fs) -> bool:
         # scenario), so a stale "was on disk" answer would re-add deleted
         # work — and the stat is noise next to the claim's write+rename
         if not fs.exists(entry_path):
+            if attempts[0] == 1:
+                # absence on the FIRST attempt is suspicious: a freshly
+                # renamed dir cannot have been committed, folded by a
+                # compact, AND grace-collected before this writer's very
+                # first claim try. Under the writer-exclusive GC contract
+                # the conclusion (already applied) still holds — but an
+                # external deletion (manual cleanup, a GC run violating
+                # the contract) produces the same observation, so say so
+                # instead of silently reporting success (ADVICE r10)
+                warnings.warn(
+                    f"ann_index: append dir {entry['name']!r} was already "
+                    "absent on the first commit attempt — treated as "
+                    "committed-and-folded per the writer-exclusive GC "
+                    "contract, but a contract-violating external deletion "
+                    "would look identical (and would have lost this batch)",
+                    stacklevel=2,
+                )
             return None  # committed, folded, and grace-collected
         return {**head, "dirs": head["dirs"] + [entry]}
 

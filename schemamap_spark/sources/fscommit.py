@@ -443,6 +443,58 @@ class _HadoopFS:
             out.close()
 
 
+def is_missing_file(e: BaseException) -> bool:
+    """True when `e` means 'the file is gone' on EITHER fs implementation:
+    a Python FileNotFoundError from _LocalFS, or a py4j-wrapped
+    java.io.FileNotFoundException from _HadoopFS. When the wrapper exposes
+    the Java exception object (py4j's Py4JJavaError does), the TOP-LEVEL
+    class name is compared exactly — a different Java failure whose
+    rendered stack merely CONTAINS 'FileNotFoundException' somewhere in
+    its cause chain must not be misclassified as 'file missing' (in
+    ann_index._check_format that would silently downgrade an unreadable
+    marker to 'legacy store' and commit anyway; ADVICE r9). The substring
+    check survives only as the last resort for wrappers that surface
+    nothing but a rendered message (there is no shared exception type to
+    isinstance against without importing py4j here). Lives on the fs seam
+    because every consumer of fs_for's read paths needs the same
+    classification (ann_index head reads, the shard-manifest read)."""
+    if isinstance(e, FileNotFoundError):
+        return True
+    je = getattr(e, "java_exception", None)
+    if je is not None:
+        try:
+            # walk the CLASS HIERARCHY, not just the top name: FNF
+            # subclasses mean the same miss, and HDFS IPC wraps the
+            # server-side class in a RemoteException whose real name
+            # rides getClassName() (code-review r10 — an exact-name
+            # compare would turn the benign pruned-head race back into a
+            # hard reader failure on hdfs/viewfs). Hadoop's
+            # PathNotFoundException ("the path is gone") is accepted BY
+            # NAME at any level: it is NOT an FNF subclass (verified:
+            # PathNotFoundException -> PathIOException -> IOException),
+            # so the hierarchy walk alone would miss it
+            _MISS = (
+                "java.io.FileNotFoundException",
+                "org.apache.hadoop.fs.PathNotFoundException",
+            )
+            cls = je.getClass()
+            while cls is not None:
+                name = cls.getName()
+                if name in _MISS:
+                    return True
+                if name == "org.apache.hadoop.ipc.RemoteException":
+                    # the server-side class rides getClassName() as a
+                    # STRING — no hierarchy to walk, so accept the known
+                    # missing-file family by name
+                    cn = je.getClassName()
+                    return cn.endswith("FileNotFoundException") or cn in _MISS
+                cls = cls.getSuperclass()
+            return False
+        except Exception:
+            return False  # unreadable wrapper: treat as a real failure
+    return "FileNotFoundException" in str(e)
+
+
 def join(parent: str, *names: str) -> str:
     """Path join that works for both plain paths and URIs (os.path.join
     would be fine for both on POSIX, but keep URI separators explicit)."""

@@ -204,6 +204,14 @@ def _read_manifest(fs, target_dir: str) -> dict | None:
         # against a concurrent re-export's swap — both read as "no
         # readable manifest", never a raw JSONDecodeError/FileNotFoundError
         return None
+    except Exception as e:  # scheme paths: _HadoopFS surfaces py4j errors
+        # the same exists/read race on hdfs:// arrives as a py4j-wrapped
+        # FileNotFoundException, not an OSError — classify it like the
+        # ANN head reads do; anything else (permissions, IO faults)
+        # propagates as itself (ADVICE r10)
+        if fscommit.is_missing_file(e):
+            return None
+        raise
     return m if isinstance(m, dict) else None  # scalar = torn, not a manifest
 
 

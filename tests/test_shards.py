@@ -306,7 +306,8 @@ def test_order_by_curriculum_export(spark, docs, tmp_path):
 
     # validation fails fast, before any job (ordering by the reserved
     # names is unreachable — a df carrying 'shard'/'__ord' is refused
-    # outright, pinned in test_review_guards)
+    # outright by assign_shards/write_training_shards' ValueError,
+    # pinned by the reserved-name cases in test_review_guards above)
     with pytest.raises(ValueError, match="order_by"):
         write_training_shards(docs, d1, num_shards=4, order_by=["nope"])
 
