@@ -208,7 +208,7 @@ def ann_index_build(
     _swap_into_place(tmp_dir, index_dir, fs)
     # this process just recreated the store: any cached format verdict or
     # head watermark describes the PREVIOUS store at this path
-    with _CACHE_LOCK:
+    with _store_lock(index_dir):
         _FORMAT_STATE.pop(index_dir, None)
         _HEAD_SEEN.pop(index_dir, None)
 
@@ -282,13 +282,33 @@ _HEAD_SEEN: dict[str, tuple] = {}
 # guards every pop/re-check/update sequence on the two caches: in-process
 # concurrent appenders are a supported mode (probed at 24-48 threads), and
 # without the lock a thread could re-cache a verdict it read BEFORE another
-# thread's store-replacement invalidation popped it (ADVICE r10). RLock
-# because the claim loop's regression branch re-enters _check_format under
-# the same guard. Residual (unfixable in-process): a marker read that
-# races a CROSS-PROCESS store replacement can still cache the old store's
-# verdict for one commit — the watermark/store_id regression check catches
-# it at that next commit, as documented above.
-_CACHE_LOCK = threading.RLock()
+# thread's store-replacement invalidation popped it (ADVICE r10). One lock
+# PER index_dir (ADVICE r11): _check_format holds its lock across a remote
+# marker read, and a single global lock would let one slow/hung hdfs://
+# store serialize format checks and watermark updates for every OTHER
+# store in the process. RLock because the claim loop's regression branch
+# re-enters _check_format under the same guard. Residual (unfixable
+# in-process): a marker read that races a CROSS-PROCESS store replacement
+# can still cache the old store's verdict for one commit — the
+# watermark/store_id regression check catches it at that next commit, as
+# documented above.
+_STORE_LOCKS: dict[str, threading.RLock] = {}
+_LOCKS_GUARD = threading.Lock()  # short-lived: dict probe/insert only
+
+
+def _store_lock(index_dir: str) -> threading.RLock:
+    """The cache lock for ONE store path — created on first use, never
+    collected (a lock is ~100 bytes and store paths per process are few;
+    collecting one while a thread holds it would fork the mutual
+    exclusion). Keyed by the exact string: the caches themselves are
+    keyed the same way, so alias spellings that would miss the cache also
+    take a different lock — consistent, and the caches' own documented
+    limitation."""
+    lock = _STORE_LOCKS.get(index_dir)
+    if lock is None:
+        with _LOCKS_GUARD:
+            lock = _STORE_LOCKS.setdefault(index_dir, threading.RLock())
+    return lock
 
 
 def _check_format(index_dir: str, fs) -> None:
@@ -304,7 +324,7 @@ def _check_format(index_dir: str, fs) -> None:
     versioned commit declares format 2 via _declare_format); an unreadable
     marker refuses too — better to fail a write that hasn't happened than
     to commit into a store whose protocol can't be confirmed."""
-    with _CACHE_LOCK:
+    with _store_lock(index_dir):
         if index_dir in _FORMAT_STATE:
             return
         try:
@@ -349,7 +369,7 @@ def _declare_format(index_dir: str, fs) -> None:
     try:
         fs.write_text(tmp, "2\n")
         fs.rename_exclusive(tmp, join(index_dir, _FORMAT_MARKER))
-        with _CACHE_LOCK:
+        with _store_lock(index_dir):
             _FORMAT_STATE[index_dir] = True
     except FileExistsError:
         try:
@@ -361,10 +381,10 @@ def _declare_format(index_dir: str, fs) -> None:
         except Exception:
             return  # unreadable right now; the next _check_format decides
         if raw == "2":
-            with _CACHE_LOCK:
+            with _store_lock(index_dir):
                 _FORMAT_STATE[index_dir] = True
         else:
-            with _CACHE_LOCK:
+            with _store_lock(index_dir):
                 _FORMAT_STATE.pop(index_dir, None)
             warnings.warn(
                 f"ANN store {index_dir}: a concurrent writer declared "
@@ -544,7 +564,7 @@ def _commit_manifest_merge(
         # verdict it read before the pop, deferring the foreign-format
         # refusal by one commit (ADVICE r10; RLock — _check_format
         # re-enters the same guard)
-        with _CACHE_LOCK:
+        with _store_lock(index_dir):
             seen = _HEAD_SEEN.get(index_dir)
             if seen is not None and (sid != seen[0] or head_v < seen[1]):
                 _FORMAT_STATE.pop(index_dir, None)
@@ -680,7 +700,15 @@ def _commit_manifest_entry(index_dir: str, entry: dict, fs) -> bool:
                 # the conclusion (already applied) still holds — but an
                 # external deletion (manual cleanup, a GC run violating
                 # the contract) produces the same observation, so say so
-                # instead of silently reporting success (ADVICE r10)
+                # instead of silently reporting success (ADVICE r10).
+                # Deliberately warnings.warn, not a logger (ADVICE r11
+                # weighed both): under -W error / simplefilter('error')
+                # this benign-by-contract path becomes a raise — which is
+                # the DESIRED strictness there, because the observation is
+                # also the signature of a lost batch; error-filtered
+                # environments opt into loud over silent. Escapes
+                # _commit_manifest_entry pre-claim (no commit happened on
+                # this path), so the post-claim no-raise invariant holds.
                 warnings.warn(
                     f"ann_index: append dir {entry['name']!r} was already "
                     "absent on the first commit attempt — treated as "

@@ -1392,3 +1392,119 @@ def test_no_fold_sweep_clear_fault_cannot_fail_compact(
     assert ann_index_compact(spark, idx) == 0
     assert ai._load_manifest(idx).get("superseded", []) == []
     assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0
+
+
+def _skeleton_store(idx):
+    """A minimal format-2 store on disk — just the manifest machinery
+    (_commit_manifest_entry never touches codes/meta), so the warning
+    pins below run without a Spark build."""
+    import json
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+
+    os.makedirs(idx)
+    head = {"dirs": [{"name": "codes"}], "version": 1, "store_id": "pin"}
+    with open(os.path.join(idx, ai._version_name(1)), "w") as f:
+        json.dump(head, f)
+    with open(os.path.join(idx, ai._MANIFEST), "w") as f:
+        json.dump(head, f)
+    with open(os.path.join(idx, ai._FORMAT_MARKER), "w") as f:
+        f.write("2\n")
+
+
+def test_first_attempt_absence_warns(tmp_path):
+    """VERDICT r11 #1a: an entry whose dir is ALREADY absent on the very
+    first merge attempt is treated as committed-and-folded (the
+    writer-exclusive GC contract allows no other explanation), but the
+    observation is also the signature of a contract-violating external
+    deletion that lost the batch — so the treated-as-success path must
+    SAY so. Pins the warning's category, match text, and that the entry
+    is NOT added to the head."""
+    import os
+
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.sources import fscommit
+
+    idx = str(tmp_path / "idx_ghost")
+    _skeleton_store(idx)
+    fs = fscommit.fs_for(idx)
+    # NOTE: no dir on disk for this entry — the external-deletion shape
+    with pytest.warns(UserWarning, match="already absent"):
+        ok = ai._commit_manifest_entry(
+            idx, {"name": "batch_ghost", "occupancy": {}}, fs
+        )
+    assert ok is True  # documented outcome: treated as already applied
+    head = ai._load_manifest(idx, fs)
+    assert "batch_ghost" not in [d["name"] for d in head["dirs"]]
+    assert int(head["version"]) == 1  # no version was claimed
+
+
+def test_stalled_remerge_absence_stays_warning_free(tmp_path):
+    """The twin pin (VERDICT r11 #1a): absence discovered on a LATER
+    attempt — the dir was on disk at attempt 1, the claim was lost, and
+    a concurrent fold-and-collect removed it before the re-merge — is
+    the documented benign stall-guard scenario and must NOT warn (run
+    under simplefilter('error') so any warning is a hard failure)."""
+    import os
+    import warnings as _warnings
+
+    import schemamap_spark.operators.ann_index as ai
+    from schemamap_spark.sources import fscommit
+
+    idx = str(tmp_path / "idx_late")
+    _skeleton_store(idx)
+    os.makedirs(os.path.join(idx, "batch_late"))  # present at attempt 1
+    inner = fscommit.fs_for(idx)
+
+    class LoseFirstClaimFS:
+        """Delegates to the real fs; the FIRST version-file claim 'loses'
+        (FileExistsError) after simulating a concurrent fold-and-collect
+        of the entry dir — so attempt 2's exists() check sees absence."""
+
+        def __init__(self):
+            self.lost = False
+
+        def rename_exclusive(self, src, dst):
+            if not self.lost and ai._MANIFEST_V_PREFIX in os.path.basename(dst):
+                self.lost = True
+                import shutil
+
+                shutil.rmtree(os.path.join(idx, "batch_late"))
+                raise FileExistsError(dst)
+            return inner.rename_exclusive(src, dst)
+
+        def __getattr__(self, name):
+            return getattr(inner, name)
+
+    fs = LoseFirstClaimFS()
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # any warning -> test failure
+        ok = ai._commit_manifest_entry(
+            idx, {"name": "batch_late", "occupancy": {}}, fs
+        )
+    assert fs.lost  # the lost-claim path actually ran
+    assert ok is True
+    head = ai._load_manifest(idx, inner)
+    assert "batch_late" not in [d["name"] for d in head["dirs"]]
+
+
+def test_cache_locks_are_per_store():
+    """ADVICE r11 (low): _check_format holds its cache lock across a
+    remote marker read, so the lock must be PER index_dir — one slow
+    hdfs:// store must not serialize format checks for every other store
+    in the process. Pins the granularity (distinct dirs, distinct locks;
+    same dir, the same lock object) and re-entrancy (the claim loop's
+    regression branch re-enters _check_format under the held lock)."""
+    import schemamap_spark.operators.ann_index as ai
+
+    a = ai._store_lock("/tmp/pin_store_a")
+    b = ai._store_lock("/tmp/pin_store_b")
+    assert a is not b
+    assert ai._store_lock("/tmp/pin_store_a") is a
+    with a:
+        assert a.acquire(blocking=False)  # RLock: re-entrant
+        a.release()
+        # b is untouched by holding a — another thread could take it
+        assert b.acquire(blocking=False)
+        b.release()
