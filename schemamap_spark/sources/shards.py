@@ -374,3 +374,109 @@ def shard_stats(spark: SparkSession, target_dir: str) -> DataFrame:
         ],
         "shard int, rows long, tokens long",
     ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# Epoch scheduling — the loader-side walk contract on top of
+# read_training_shards (VERDICT r11 #4). Training runs visit every shard
+# once per epoch in an order that (a) is byte-reproducible (resumable runs
+# and A/B trains re-derive it from (num_shards, epoch, seed) alone — no
+# state file), (b) differs per epoch by more than a rotation
+# (scramble_hash's non-affine mix; knuth_hash alone would make epoch 2's
+# schedule a constant rotation of epoch 1's — the ADVICE r9 flaw, same
+# fix as the within-shard order), and (c) stripes across data-parallel
+# workers by POSITION, so rank assignments need no coordination either.
+
+# folds the user seed and the epoch into one scramble salt; odd prime so
+# distinct (seed, epoch) pairs stay distinct salts for any epoch count a
+# training run reaches (a cross-seed collision just shares a permutation —
+# harmless, seeds are a convenience axis, epochs are the real schedule)
+_EPOCH_SEED_MIX = 1_000_003
+
+
+def _scramble_py(x: int, salt: int = 0) -> int:
+    """Driver-side twin of sampling.scramble_hash (same constants, same
+    reduce-add-multiply-xorshift-multiply pipeline) — epoch schedules are
+    num_shards-sized driver lists, so launching a Spark job to hash a few
+    hundred ints would be absurd. The twin is pinned EXACTLY equal to the
+    Column version in test_shards (drift here would silently fork the
+    loader's schedule from anything derived Spark-side). Bijective on
+    [0, 2^31) like its twin, so distinct shard ids never tie."""
+    from schemamap_spark.operators.sampling import KNUTH, MOD
+
+    reduced = (x % MOD + salt % MOD) % MOD
+    h = (reduced * KNUTH) % MOD
+    mixed = h ^ (h >> 15)
+    return (mixed * KNUTH) % MOD
+
+
+def epoch_shard_order(num_shards: int, epoch: int, seed: int = 0) -> list[int]:
+    """The epoch's shard visit order: the permutation of
+    [0, num_shards) sorted by scramble_py(shard, salt(seed, epoch)).
+    Pure arithmetic on the driver — deterministic across processes,
+    clusters, and Python versions (no random module, no hash()
+    randomization). The hash is a bijection, so the sort key is already
+    total; no tie-break needed."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    if epoch < 0 or seed < 0:
+        raise ValueError(f"epoch and seed must be >= 0, got {epoch}, {seed}")
+    salt = seed * _EPOCH_SEED_MIX + epoch
+    return sorted(range(num_shards), key=lambda s: _scramble_py(s, salt))
+
+
+def iter_training_epoch(
+    spark: SparkSession,
+    target_dir: str,
+    epoch: int,
+    start: int = 0,
+    seed: int = 0,
+    rank: int | None = None,
+    world_size: int | None = None,
+    verify: str | None = "dirs",
+):
+    """Walk one training epoch over an export: yields
+    ``(pos, shard, DataFrame)`` for each shard this caller owns, in the
+    epoch's deterministic order. ``pos`` is the GLOBAL epoch position
+    (0..num_shards-1) — the resume token: a run that last completed
+    position k restarts with ``start=k+1`` and sees exactly the
+    remainder, byte-identical to what an uninterrupted walk would have
+    yielded (pinned in test). A data-parallel worker passes
+    (rank, world_size) and owns positions ≡ rank (mod world_size) —
+    ranks partition every epoch exactly, again with no coordination.
+
+    Each yielded DataFrame is a partition-pruned single-shard read
+    (read_training_shards' IN-list pruning), so a worker's tasks scan
+    only its own directories. Validation (manifest + tree strays, or
+    per-shard recounts with verify='counts') runs ONCE per walk, scoped
+    to the shards this walk will visit, at first iteration — a generator,
+    so schedules can be built cheaply without touching storage."""
+    if (rank is None) != (world_size is None):
+        raise ValueError("pass both rank and world_size, or neither")
+    if rank is not None and not 0 <= rank < world_size:
+        raise ValueError(f"rank {rank} outside [0, {world_size})")
+    if start < 0:
+        raise ValueError(f"start must be >= 0, got {start}")
+    fs = fscommit.fs_for(target_dir, spark)
+    m = _read_manifest(fs, target_dir)
+    if m is None:
+        raise ValueError(
+            f"no readable {_MANIFEST} under {target_dir} — epoch "
+            "scheduling needs the manifest's num_shards; re-export"
+        )
+    order = epoch_shard_order(int(m["num_shards"]), epoch, seed)
+    walk = [
+        (pos, s)
+        for pos, s in enumerate(order)
+        if pos >= start and (rank is None or pos % world_size == rank)
+    ]
+    if walk:
+        # one scoped validation for the whole walk (counts recount only
+        # these shards); per-shard reads below skip re-verifying
+        read_training_shards(
+            spark, target_dir, shards=[s for _, s in walk], verify=verify
+        )
+    for pos, s in walk:
+        yield pos, s, read_training_shards(
+            spark, target_dir, shards=[s], verify=None
+        )

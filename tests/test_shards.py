@@ -527,3 +527,93 @@ def test_read_manifest_classifies_py4j_missing_file():
     )
     with pytest.raises(FakePy4J, match="denied"):
         _read_manifest(RacingFS(denied), "/x/exp")
+
+
+def test_scramble_py_twin_matches_column(spark):
+    """_scramble_py must equal sampling.scramble_hash EXACTLY — the
+    loader derives epoch schedules driver-side from the twin, and any
+    drift would silently fork them from Spark-derived orders."""
+    from schemamap_spark.operators.sampling import scramble_hash
+    from schemamap_spark.sources.shards import _scramble_py
+
+    ids = spark.range(2000).select(F.col("id").alias("doc_id"))
+    for salt in (0, 1, 7, 1_000_003, 5 * 1_000_003 + 123):
+        got = [
+            r["h"]
+            for r in ids.select(scramble_hash("doc_id", salt).alias("h"))
+            .orderBy("doc_id")
+            .collect()
+        ]
+        assert got == [_scramble_py(i, salt) for i in range(2000)]
+
+
+def test_epoch_shard_order_permutes_without_rotations():
+    """VERDICT r11 #4: the epoch schedule is a deterministic permutation,
+    and successive epochs are NOT rotations of each other (the r10
+    within-shard-order pin pattern, applied to the shard walk)."""
+    from schemamap_spark.sources.shards import epoch_shard_order
+
+    n = 16
+    e0 = epoch_shard_order(n, 0)
+    assert sorted(e0) == list(range(n))
+    assert epoch_shard_order(n, 0) == e0  # re-derivable, no state
+    for other in (
+        epoch_shard_order(n, 1),
+        epoch_shard_order(n, 2),
+        epoch_shard_order(n, 0, seed=1),
+    ):
+        assert sorted(other) == list(range(n)) and other != e0
+        doubled = other + other
+        assert not any(doubled[i:i + n] == e0 for i in range(n))
+
+    with pytest.raises(ValueError, match="positive"):
+        epoch_shard_order(0, 0)
+    with pytest.raises(ValueError, match=">= 0"):
+        epoch_shard_order(4, -1)
+
+
+def test_iter_training_epoch_walk_resume_and_ranks(spark, docs, tmp_path):
+    """The loader walk contract: two walks of the same epoch are
+    byte-identical; start=k+1 resumes with exactly the suffix; ranks
+    stripe every epoch into disjoint covers; validation errors surface
+    at first iteration (generator) and refuse mutated exports."""
+    from schemamap_spark.sources.shards import (
+        epoch_shard_order,
+        iter_training_epoch,
+    )
+
+    d = str(tmp_path / "exp")
+    write_training_shards(docs, d, num_shards=6)
+
+    def walk(**kw):
+        return [
+            (pos, s, [r["doc_id"] for r in df.select("doc_id").collect()])
+            for pos, s, df in iter_training_epoch(spark, d, 3, **kw)
+        ]
+
+    w1, w2 = walk(), walk()
+    assert w1 == w2  # byte-identical re-walk
+    assert [(p, s) for p, s, _ in w1] == list(enumerate(epoch_shard_order(6, 3)))
+    assert sorted(s for _, s, _ in w1) == list(range(6))
+
+    # resume: positions >= 4 only, content identical to the full walk
+    assert walk(start=4) == w1[4:]
+
+    # rank striping: disjoint, position-interleaved, covers the epoch
+    r0, r1 = walk(rank=0, world_size=2), walk(rank=1, world_size=2)
+    assert [p for p, _, _ in r0] == [0, 2, 4]
+    assert [p for p, _, _ in r1] == [1, 3, 5]
+    assert sorted(r0 + r1) == w1
+    # resume composes with striping: global position still the token
+    assert walk(start=3, rank=0, world_size=2) == r0[2:]
+
+    with pytest.raises(ValueError, match="both rank and world_size"):
+        next(iter_training_epoch(spark, d, 0, rank=0))
+    with pytest.raises(ValueError, match="outside"):
+        next(iter_training_epoch(spark, d, 0, rank=2, world_size=2))
+
+    # a mutated export refuses at first iteration, not silently mid-walk
+    os.rename(os.path.join(d, "shard=5"), os.path.join(d, "shard=5.bak"))
+    gen = iter_training_epoch(spark, d, 3)
+    with pytest.raises(ValueError, match="shard=5.bak"):
+        next(gen)
