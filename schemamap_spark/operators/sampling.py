@@ -66,6 +66,20 @@ def scramble_hash(id_col: str, salt: int = 0) -> Column:
     return F.pmod(mixed * F.lit(KNUTH), F.lit(MOD))
 
 
+def scramble_py(x: int, salt: int = 0) -> int:
+    """Driver-side twin of scramble_hash — same constants, same
+    reduce-add-multiply-xorshift-multiply pipeline, kept BESIDE the
+    Column version so an edit to the mix changes both or fails the
+    exact-equality pin (test_shards). Exists because some schedules are
+    tiny driver lists (the shard-epoch walk hashes num_shards ints;
+    launching a Spark job for that would be absurd). Bijective on
+    [0, 2^31) like its twin, so distinct inputs never tie."""
+    reduced = (x % MOD + salt % MOD) % MOD
+    h = (reduced * KNUTH) % MOD
+    mixed = h ^ (h >> 15)
+    return (mixed * KNUTH) % MOD
+
+
 def deterministic_bucket(id_col: str, buckets: int = BUCKETS) -> Column:
     """Stable pseudo-uniform bucket in [0, buckets) from a bigint id column
     (knuth_hash mod buckets — see its portability/overflow contract)."""

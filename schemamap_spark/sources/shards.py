@@ -36,7 +36,11 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from schemamap_spark.operators.sampling import knuth_hash, scramble_hash
+from schemamap_spark.operators.sampling import (
+    knuth_hash,
+    scramble_hash,
+    scramble_py,
+)
 from schemamap_spark.sources import fscommit
 from schemamap_spark.sources.sinks import _stage, _swap_into_place
 
@@ -394,35 +398,21 @@ def shard_stats(spark: SparkSession, target_dir: str) -> DataFrame:
 _EPOCH_SEED_MIX = 1_000_003
 
 
-def _scramble_py(x: int, salt: int = 0) -> int:
-    """Driver-side twin of sampling.scramble_hash (same constants, same
-    reduce-add-multiply-xorshift-multiply pipeline) — epoch schedules are
-    num_shards-sized driver lists, so launching a Spark job to hash a few
-    hundred ints would be absurd. The twin is pinned EXACTLY equal to the
-    Column version in test_shards (drift here would silently fork the
-    loader's schedule from anything derived Spark-side). Bijective on
-    [0, 2^31) like its twin, so distinct shard ids never tie."""
-    from schemamap_spark.operators.sampling import KNUTH, MOD
-
-    reduced = (x % MOD + salt % MOD) % MOD
-    h = (reduced * KNUTH) % MOD
-    mixed = h ^ (h >> 15)
-    return (mixed * KNUTH) % MOD
-
-
 def epoch_shard_order(num_shards: int, epoch: int, seed: int = 0) -> list[int]:
     """The epoch's shard visit order: the permutation of
-    [0, num_shards) sorted by scramble_py(shard, salt(seed, epoch)).
-    Pure arithmetic on the driver — deterministic across processes,
-    clusters, and Python versions (no random module, no hash()
-    randomization). The hash is a bijection, so the sort key is already
-    total; no tie-break needed."""
+    [0, num_shards) sorted by scramble_py(shard, salt(seed, epoch)) —
+    the driver-side twin of the scramble hash (operators/sampling.py),
+    pinned exactly equal to the Column version so driver- and
+    Spark-derived schedules can never fork. Pure arithmetic on the
+    driver — deterministic across processes, clusters, and Python
+    versions (no random module, no hash() randomization). The hash is a
+    bijection, so the sort key is already total; no tie-break needed."""
     if num_shards <= 0:
         raise ValueError(f"num_shards must be positive, got {num_shards}")
     if epoch < 0 or seed < 0:
         raise ValueError(f"epoch and seed must be >= 0, got {epoch}, {seed}")
     salt = seed * _EPOCH_SEED_MIX + epoch
-    return sorted(range(num_shards), key=lambda s: _scramble_py(s, salt))
+    return sorted(range(num_shards), key=lambda s: scramble_py(s, salt))
 
 
 def iter_training_epoch(
@@ -445,12 +435,16 @@ def iter_training_epoch(
     (rank, world_size) and owns positions ≡ rank (mod world_size) —
     ranks partition every epoch exactly, again with no coordination.
 
-    Each yielded DataFrame is a partition-pruned single-shard read
-    (read_training_shards' IN-list pruning), so a worker's tasks scan
-    only its own directories. Validation (manifest + tree strays, or
-    per-shard recounts with verify='counts') runs ONCE per walk, scoped
-    to the shards this walk will visit, at first iteration — a generator,
-    so schedules can be built cheaply without touching storage."""
+    Each yielded DataFrame is a partition-pruned single-shard read —
+    one `spark.read.parquet` resolution per WALK, one partition-column
+    equality filter per shard — so a worker's tasks scan only its own
+    directories. Validation (manifest + tree strays, or per-shard
+    recounts with verify='counts') also runs once per walk, scoped to
+    the shards this walk will visit. Argument and manifest problems
+    raise HERE, eagerly (code-review r12: a generator would defer them
+    to the first next(), deep inside the training loop — or past a
+    zip() that never calls it); storage is touched at first iteration
+    of the returned generator."""
     if (rank is None) != (world_size is None):
         raise ValueError("pass both rank and world_size, or neither")
     if rank is not None and not 0 <= rank < world_size:
@@ -470,13 +464,21 @@ def iter_training_epoch(
         for pos, s in enumerate(order)
         if pos >= start and (rank is None or pos % world_size == rank)
     ]
-    if walk:
-        # one scoped validation for the whole walk (counts recount only
-        # these shards); per-shard reads below skip re-verifying
-        read_training_shards(
-            spark, target_dir, shards=[s for _, s in walk], verify=verify
-        )
-    for pos, s in walk:
-        yield pos, s, read_training_shards(
-            spark, target_dir, shards=[s], verify=None
-        )
+
+    def _walk():
+        if not walk:
+            return
+        if verify is not None:
+            # one scoped validation for the whole walk (counts recount
+            # only these shards); the per-shard slices below reuse it
+            read_training_shards(
+                spark, target_dir, shards=[s for _, s in walk], verify=verify
+            )
+        df = spark.read.parquet(target_dir)
+        for pos, s in walk:
+            # partition-column equality: Catalyst prunes to shard=s, the
+            # same plan read_training_shards(shards=[s]) would produce,
+            # without re-reading the manifest per shard (code-review r12)
+            yield pos, s, df.filter(F.col("shard") == F.lit(int(s)))
+
+    return _walk()

@@ -530,11 +530,10 @@ def test_read_manifest_classifies_py4j_missing_file():
 
 
 def test_scramble_py_twin_matches_column(spark):
-    """_scramble_py must equal sampling.scramble_hash EXACTLY — the
+    """scramble_py must equal scramble_hash EXACTLY — the
     loader derives epoch schedules driver-side from the twin, and any
     drift would silently fork them from Spark-derived orders."""
-    from schemamap_spark.operators.sampling import scramble_hash
-    from schemamap_spark.sources.shards import _scramble_py
+    from schemamap_spark.operators.sampling import scramble_hash, scramble_py
 
     ids = spark.range(2000).select(F.col("id").alias("doc_id"))
     for salt in (0, 1, 7, 1_000_003, 5 * 1_000_003 + 123):
@@ -544,7 +543,7 @@ def test_scramble_py_twin_matches_column(spark):
             .orderBy("doc_id")
             .collect()
         ]
-        assert got == [_scramble_py(i, salt) for i in range(2000)]
+        assert got == [scramble_py(i, salt) for i in range(2000)]
 
 
 def test_epoch_shard_order_permutes_without_rotations():
@@ -575,8 +574,10 @@ def test_epoch_shard_order_permutes_without_rotations():
 def test_iter_training_epoch_walk_resume_and_ranks(spark, docs, tmp_path):
     """The loader walk contract: two walks of the same epoch are
     byte-identical; start=k+1 resumes with exactly the suffix; ranks
-    stripe every epoch into disjoint covers; validation errors surface
-    at first iteration (generator) and refuse mutated exports."""
+    stripe every epoch into disjoint covers; argument/manifest errors
+    raise EAGERLY at the call (code-review r12 — not deep in the
+    training loop at first next()), and a mutated export refuses at
+    first iteration."""
     from schemamap_spark.sources.shards import (
         epoch_shard_order,
         iter_training_epoch,
@@ -593,6 +594,11 @@ def test_iter_training_epoch_walk_resume_and_ranks(spark, docs, tmp_path):
 
     w1, w2 = walk(), walk()
     assert w1 == w2  # byte-identical re-walk
+    # each yielded slice partition-prunes to its one shard directory
+    _, _, df0 = next(iter_training_epoch(spark, d, 3))
+    plan = df0._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "shard" in plan.split("PartitionFilters", 1)[1][:200]
     assert [(p, s) for p, s, _ in w1] == list(enumerate(epoch_shard_order(6, 3)))
     assert sorted(s for _, s, _ in w1) == list(range(6))
 
@@ -607,10 +613,11 @@ def test_iter_training_epoch_walk_resume_and_ranks(spark, docs, tmp_path):
     # resume composes with striping: global position still the token
     assert walk(start=3, rank=0, world_size=2) == r0[2:]
 
+    # eager: the bad call itself raises — no next() needed
     with pytest.raises(ValueError, match="both rank and world_size"):
-        next(iter_training_epoch(spark, d, 0, rank=0))
+        iter_training_epoch(spark, d, 0, rank=0)
     with pytest.raises(ValueError, match="outside"):
-        next(iter_training_epoch(spark, d, 0, rank=2, world_size=2))
+        iter_training_epoch(spark, d, 0, rank=2, world_size=2)
 
     # a mutated export refuses at first iteration, not silently mid-walk
     os.rename(os.path.join(d, "shard=5"), os.path.join(d, "shard=5.bak"))
