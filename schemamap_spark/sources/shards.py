@@ -482,3 +482,117 @@ def iter_training_epoch(
             yield pos, s, df.filter(F.col("shard") == F.lit(int(s)))
 
     return _walk()
+
+
+def interleave_epoch_walks(
+    spark: SparkSession,
+    exports: dict[str, tuple[str, float]],
+    epoch: int,
+    start: int = 0,
+    seed: int = 0,
+    rank: int | None = None,
+    world_size: int | None = None,
+    verify: str | None = "dirs",
+):
+    """One training epoch over a MIXTURE of exports — the schedule-level
+    companion to the row-level mixture ops (operators/sampling.py):
+    mixture_sample budgets each corpus BEFORE export; this interleaves
+    the exports' epoch walks so the mixture ratio holds over TIME, not
+    just in aggregate (a run that reads all of web then all of code has
+    the right totals and the wrong training dynamics).
+
+    ``exports`` maps a source name to (target_dir, weight). Each export
+    gets its own epoch order (per-export decorrelated salt), and shards
+    are interleaved by greedy deficit scheduling on manifest sizes: the
+    next shard comes from the live export with the smallest
+    emitted/weight ratio (ties by name), so after every prefix each
+    source's emitted share tracks its weight to within one shard's size
+    — the scheduling analogue of the per-mille cutoffs. Sizes are
+    manifest token counts when the export recorded a token_col, rows
+    otherwise (per export). When an export exhausts its shards the rest
+    continue — every shard is visited exactly once per epoch; callers
+    wanting ratios to hold to the END should budget the exports to
+    match the weights (mixture_sample) before exporting.
+
+    Yields ``(pos, name, shard, DataFrame)``. Positions number the
+    interleaved sequence, so ``start`` (resume) and (rank, world_size)
+    (position striping) compose exactly as in iter_training_epoch. The
+    whole schedule is driver arithmetic over the manifests — every
+    worker re-derives it with no coordination; validation and dataset
+    resolution happen once per export per walk, at first iteration."""
+    if not exports:
+        raise ValueError("exports must name at least one (dir, weight)")
+    if any(w <= 0 for _, w in exports.values()):
+        raise ValueError("every export weight must be > 0")
+    if (rank is None) != (world_size is None):
+        raise ValueError("pass both rank and world_size, or neither")
+    if rank is not None and not 0 <= rank < world_size:
+        raise ValueError(f"rank {rank} outside [0, {world_size})")
+    if start < 0:
+        raise ValueError(f"start must be >= 0, got {start}")
+    sizes: dict[str, list[tuple[int, int]]] = {}  # name -> [(shard, size)]
+    for i, (name, (d, _w)) in enumerate(sorted(exports.items())):
+        fs = fscommit.fs_for(d, spark)
+        m = _read_manifest(fs, d)
+        if m is None:
+            raise ValueError(
+                f"no readable {_MANIFEST} under {d} (export {name!r}) — "
+                "epoch scheduling needs the manifest; re-export"
+            )
+        by_shard = {int(s["shard"]): s for s in m["shards"]}
+        # tokens when the export recorded them, rows otherwise — and
+        # never zero (an empty shard must still advance the deficit)
+        use_tokens = any(int(s.get("tokens", 0)) > 0 for s in m["shards"])
+        order = epoch_shard_order(
+            int(m["num_shards"]), epoch, seed * len(exports) + i
+        )
+        sizes[name] = [
+            (
+                s,
+                max(
+                    1,
+                    int(by_shard[s].get("tokens", 0))
+                    if use_tokens
+                    else int(by_shard[s]["rows"]),
+                ),
+            )
+            for s in order
+        ]
+    # greedy deficit schedule: next = live export minimizing emitted/w
+    weights = {n: float(w) for n, (_, w) in exports.items()}
+    emitted = {n: 0 for n in exports}
+    nxt = {n: 0 for n in exports}
+    schedule: list[tuple[str, int]] = []
+    live = sorted(exports)
+    while live:
+        pick = min(live, key=lambda n: (emitted[n] / weights[n], n))
+        shard, size = sizes[pick][nxt[pick]]
+        schedule.append((pick, shard))
+        emitted[pick] += size
+        nxt[pick] += 1
+        if nxt[pick] == len(sizes[pick]):
+            live.remove(pick)
+    walk = [
+        (pos, n, s)
+        for pos, (n, s) in enumerate(schedule)
+        if pos >= start and (rank is None or pos % world_size == rank)
+    ]
+
+    def _walk():
+        dfs: dict[str, DataFrame] = {}
+        for name in sorted({n for _, n, _ in walk}):
+            d = exports[name][0]
+            if verify is not None:
+                read_training_shards(
+                    spark,
+                    d,
+                    shards=sorted({s for _, n, s in walk if n == name}),
+                    verify=verify,
+                )
+            dfs[name] = spark.read.parquet(d)
+        for pos, name, s in walk:
+            yield pos, name, s, dfs[name].filter(
+                F.col("shard") == F.lit(int(s))
+            )
+
+    return _walk()

@@ -624,3 +624,81 @@ def test_iter_training_epoch_walk_resume_and_ranks(spark, docs, tmp_path):
     gen = iter_training_epoch(spark, d, 3)
     with pytest.raises(ValueError, match="shard=5.bak"):
         next(gen)
+
+
+def test_interleave_epoch_walks_mixture_contract(spark, docs, tmp_path):
+    """Schedule-level mixture: the interleaved walk visits every shard of
+    every export exactly once, in an order satisfying the greedy deficit
+    invariant — at each step the picked export had the MINIMAL
+    emitted/weight among live exports (checked black-box from the
+    yielded order + manifest sizes), so each source's emitted share
+    tracks its weight to within one shard. Determinism, resume, and
+    rank striping compose as in iter_training_epoch."""
+    from schemamap_spark.sources.shards import (
+        interleave_epoch_walks,
+        shard_stats,
+    )
+
+    web = str(tmp_path / "web")
+    code = str(tmp_path / "code")
+    write_training_shards(docs, web, num_shards=8, token_col="n_chars")
+    write_training_shards(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+        code,
+        num_shards=4,
+        token_col="n_chars",
+    )
+    exports = {"web": (web, 3.0), "code": (code, 1.0)}
+
+    def walk(**kw):
+        return [
+            (pos, n, s)
+            for pos, n, s, _df in interleave_epoch_walks(
+                spark, exports, epoch=1, **kw
+            )
+        ]
+
+    w1 = walk()
+    assert w1 == walk()  # deterministic re-derivation
+    assert [p for p, _, _ in w1] == list(range(12))
+    assert sorted((n, s) for _, n, s in w1) == sorted(
+        [("web", s) for s in range(8)] + [("code", s) for s in range(4)]
+    )
+
+    # greedy deficit invariant, from manifests alone
+    sizes = {
+        n: {
+            r["shard"]: max(1, r["tokens"])
+            for r in shard_stats(spark, d).collect()
+        }
+        for n, (d, _w) in exports.items()
+    }
+    weights = {n: w for n, (_d, w) in exports.items()}
+    emitted = {n: 0 for n in exports}
+    remaining = {n: len(sizes[n]) for n in exports}
+    for _pos, name, s in w1:
+        live = [n for n in exports if remaining[n] > 0]
+        best = min(emitted[n] / weights[n] for n in live)
+        assert emitted[name] / weights[name] == best
+        emitted[name] += sizes[name][s]
+        remaining[name] -= 1
+
+    # rows actually ride the schedule: every doc of both corpora, once
+    n_docs = docs.count()
+    total = sum(
+        df.count() for _, _, _, df in interleave_epoch_walks(spark, exports, 1)
+    )
+    assert total == 2 * n_docs
+
+    # resume + striping over interleaved positions
+    assert walk(start=5) == w1[5:]
+    r0, r1 = walk(rank=0, world_size=2), walk(rank=1, world_size=2)
+    assert sorted(r0 + r1) == w1
+    assert [p % 2 for p, _, _ in r0] == [0] * len(r0)
+
+    with pytest.raises(ValueError, match="weight"):
+        interleave_epoch_walks(spark, {"w": (web, 0.0)}, 0)
+    with pytest.raises(ValueError, match="'ghost'"):
+        interleave_epoch_walks(
+            spark, {"ghost": (str(tmp_path / "nope"), 1.0)}, 0
+        )
