@@ -415,6 +415,36 @@ def epoch_shard_order(num_shards: int, epoch: int, seed: int = 0) -> list[int]:
     return sorted(range(num_shards), key=lambda s: scramble_py(s, salt))
 
 
+def _validate_walk_args(
+    start: int, rank: int | None, world_size: int | None, verify: str | None
+) -> None:
+    """The eager argument checks every epoch walk shares (code-review
+    r12 ×2: a generator defers everything to first next(), and an
+    invalid `verify` must not wait for — or be swallowed by — an empty
+    stripe)."""
+    if (rank is None) != (world_size is None):
+        raise ValueError("pass both rank and world_size, or neither")
+    if rank is not None and not 0 <= rank < world_size:
+        raise ValueError(f"rank {rank} outside [0, {world_size})")
+    if start < 0:
+        raise ValueError(f"start must be >= 0, got {start}")
+    if verify not in (None, "dirs", "counts"):
+        raise ValueError(
+            f"verify must be None|'dirs'|'counts', got {verify!r}"
+        )
+
+
+def _stripe(items: list, start: int, rank: int | None, world_size: int | None):
+    """The one position-ownership rule: positions number `items`, resume
+    drops positions < start, a worker owns pos ≡ rank (mod world_size).
+    Shared by both walks so resume/striping can never diverge."""
+    return [
+        (pos, it)
+        for pos, it in enumerate(items)
+        if pos >= start and (rank is None or pos % world_size == rank)
+    ]
+
+
 def iter_training_epoch(
     spark: SparkSession,
     target_dir: str,
@@ -445,12 +475,7 @@ def iter_training_epoch(
     to the first next(), deep inside the training loop — or past a
     zip() that never calls it); storage is touched at first iteration
     of the returned generator."""
-    if (rank is None) != (world_size is None):
-        raise ValueError("pass both rank and world_size, or neither")
-    if rank is not None and not 0 <= rank < world_size:
-        raise ValueError(f"rank {rank} outside [0, {world_size})")
-    if start < 0:
-        raise ValueError(f"start must be >= 0, got {start}")
+    _validate_walk_args(start, rank, world_size, verify)
     fs = fscommit.fs_for(target_dir, spark)
     m = _read_manifest(fs, target_dir)
     if m is None:
@@ -459,11 +484,7 @@ def iter_training_epoch(
             "scheduling needs the manifest's num_shards; re-export"
         )
     order = epoch_shard_order(int(m["num_shards"]), epoch, seed)
-    walk = [
-        (pos, s)
-        for pos, s in enumerate(order)
-        if pos >= start and (rank is None or pos % world_size == rank)
-    ]
+    walk = _stripe(order, start, rank, world_size)
 
     def _walk():
         if not walk:
@@ -508,8 +529,12 @@ def interleave_epoch_walks(
     emitted/weight ratio (ties by name), so after every prefix each
     source's emitted share tracks its weight to within one shard's size
     — the scheduling analogue of the per-mille cutoffs. Sizes are
-    manifest token counts when the export recorded a token_col, rows
-    otherwise (per export). When an export exhausts its shards the rest
+    manifest token counts when EVERY export recorded a token_col, rows
+    for all otherwise — one unit across the whole mixture (code-review
+    r12: per-export units would compare tokens against rows and quietly
+    destroy the very invariant above; re-export the odd one out with
+    token_col to get token-weighted mixing). When an export exhausts
+    its shards the rest
     continue — every shard is visited exactly once per epoch; callers
     wanting ratios to hold to the END should budget the exports to
     match the weights (mixture_sample) before exporting.
@@ -520,32 +545,47 @@ def interleave_epoch_walks(
     whole schedule is driver arithmetic over the manifests — every
     worker re-derives it with no coordination; validation and dataset
     resolution happen once per export per walk, at first iteration."""
+    import math as _math
+
     if not exports:
         raise ValueError("exports must name at least one (dir, weight)")
-    if any(w <= 0 for _, w in exports.values()):
-        raise ValueError("every export weight must be > 0")
-    if (rank is None) != (world_size is None):
-        raise ValueError("pass both rank and world_size, or neither")
-    if rank is not None and not 0 <= rank < world_size:
-        raise ValueError(f"rank {rank} outside [0, {world_size})")
-    if start < 0:
-        raise ValueError(f"start must be >= 0, got {start}")
-    sizes: dict[str, list[tuple[int, int]]] = {}  # name -> [(shard, size)]
-    for i, (name, (d, _w)) in enumerate(sorted(exports.items())):
-        fs = fscommit.fs_for(d, spark)
-        m = _read_manifest(fs, d)
+    # NaN passes `w <= 0` and then poisons every min() comparison,
+    # degenerating the schedule to sequential exhaustion (code-review
+    # r12) — demand a finite positive weight outright
+    if any(
+        not (_math.isfinite(w) and w > 0) for _, w in exports.values()
+    ):
+        raise ValueError("every export weight must be finite and > 0")
+    _validate_walk_args(start, rank, world_size, verify)
+    manifests: dict[str, dict] = {}
+    for name, (d, _w) in sorted(exports.items()):
+        m = _read_manifest(fscommit.fs_for(d, spark), d)
         if m is None:
             raise ValueError(
                 f"no readable {_MANIFEST} under {d} (export {name!r}) — "
                 "epoch scheduling needs the manifest; re-export"
             )
+        manifests[name] = m
+    # ONE size unit for the whole mixture: tokens only when every export
+    # recorded a token_col (the manifest field, not a tokens>0 probe — a
+    # token-counted export whose sums are zero still speaks tokens)
+    use_tokens = all(
+        m.get("token_col") is not None for m in manifests.values()
+    )
+    sizes: dict[str, list[tuple[int, int]]] = {}  # name -> [(shard, size)]
+    for i, name in enumerate(sorted(exports)):
+        m = manifests[name]
+        n_shards = int(m["num_shards"])
         by_shard = {int(s["shard"]): s for s in m["shards"]}
-        # tokens when the export recorded them, rows otherwise — and
-        # never zero (an empty shard must still advance the deficit)
-        use_tokens = any(int(s.get("tokens", 0)) > 0 for s in m["shards"])
-        order = epoch_shard_order(
-            int(m["num_shards"]), epoch, seed * len(exports) + i
-        )
+        if set(by_shard) != set(range(n_shards)):
+            raise ValueError(
+                f"manifest for export {name!r} ({exports[name][0]}) lists "
+                f"shards {sorted(by_shard)[:10]}… but declares "
+                f"num_shards={n_shards} — a hand-edited or torn manifest; "
+                "re-export it"
+            )
+        order = epoch_shard_order(n_shards, epoch, seed * len(exports) + i)
+        # never size zero: an empty shard must still advance the deficit
         sizes[name] = [
             (
                 s,
@@ -573,9 +613,7 @@ def interleave_epoch_walks(
         if nxt[pick] == len(sizes[pick]):
             live.remove(pick)
     walk = [
-        (pos, n, s)
-        for pos, (n, s) in enumerate(schedule)
-        if pos >= start and (rank is None or pos % world_size == rank)
+        (pos, n, s) for pos, (n, s) in _stripe(schedule, start, rank, world_size)
     ]
 
     def _walk():

@@ -636,6 +636,7 @@ def test_interleave_epoch_walks_mixture_contract(spark, docs, tmp_path):
     rank striping compose as in iter_training_epoch."""
     from schemamap_spark.sources.shards import (
         interleave_epoch_walks,
+        iter_training_epoch,
         shard_stats,
     )
 
@@ -698,7 +699,50 @@ def test_interleave_epoch_walks_mixture_contract(spark, docs, tmp_path):
 
     with pytest.raises(ValueError, match="weight"):
         interleave_epoch_walks(spark, {"w": (web, 0.0)}, 0)
+    # NaN passes `w <= 0` but poisons min() — must refuse eagerly
+    with pytest.raises(ValueError, match="finite"):
+        interleave_epoch_walks(spark, {"w": (web, float("nan"))}, 0)
     with pytest.raises(ValueError, match="'ghost'"):
         interleave_epoch_walks(
             spark, {"ghost": (str(tmp_path / "nope"), 1.0)}, 0
         )
+    # a typo'd verify raises at the CALL, even when the stripe is empty
+    with pytest.raises(ValueError, match="verify"):
+        interleave_epoch_walks(spark, exports, 0, verify="count")
+    with pytest.raises(ValueError, match="verify"):
+        iter_training_epoch(spark, web, 0, verify="count", start=10**6)
+
+    # ONE size unit across the mixture: an export without token_col
+    # flips the WHOLE schedule to rows (tokens vs rows would quietly
+    # destroy the deficit invariant); re-check the invariant in rows
+    plain = str(tmp_path / "plain")
+    write_training_shards(docs, plain, num_shards=4)  # no token_col
+    mixed = {"web": (web, 1.0), "plain": (plain, 1.0)}
+    seq = [
+        (n, s)
+        for _, n, s, _df in interleave_epoch_walks(spark, mixed, epoch=0)
+    ]
+    row_sizes = {
+        n: {
+            r["shard"]: max(1, r["rows"])
+            for r in shard_stats(spark, d).collect()
+        }
+        for n, (d, _w) in mixed.items()
+    }
+    em = {n: 0 for n in mixed}
+    rem = {n: len(row_sizes[n]) for n in mixed}
+    for name, s in seq:
+        live = [n for n in mixed if rem[n] > 0]
+        assert em[name] == min(em[n] for n in live)  # equal weights
+        em[name] += row_sizes[name][s]
+        rem[name] -= 1
+
+    # a parseable manifest missing a shard entry refuses loudly
+    torn = str(tmp_path / "torn")
+    write_training_shards(docs, torn, num_shards=4, token_col="n_chars")
+    mpath = os.path.join(torn, "_SHARDS.json")
+    m = json.loads(open(mpath).read())
+    m["shards"] = m["shards"][:-1]
+    open(mpath, "w").write(json.dumps(m))
+    with pytest.raises(ValueError, match="'torn_x'"):
+        interleave_epoch_walks(spark, {"torn_x": (torn, 1.0)}, 0)
