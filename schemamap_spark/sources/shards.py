@@ -31,6 +31,7 @@ training-pipeline layer the engine adds on top (SURVEY.md §6).
 from __future__ import annotations
 
 import json
+import math
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,8 @@ from schemamap_spark.sources import fscommit
 from schemamap_spark.sources.sinks import _stage, _swap_into_place
 
 _MANIFEST = "_SHARDS.json"
+_VERIFY_MODES = (None, "dirs", "counts")  # the one whitelist, shared by
+# read_training_shards and the epoch walks' eager check
 _MAX_SHARDS = 1_000_000  # repartition bookkeeping is O(num_shards) on the
 # driver; past this you are misusing shards as rows
 _WARN_SHARDS = 10_000  # past this the manifest is multi-MB and the stats
@@ -265,7 +268,7 @@ def read_training_shards(
                 f"requested shards {bad} outside [0, {num_shards}) — the "
                 "loader's world size disagrees with the export"
             )
-    if verify not in (None, "dirs", "counts"):
+    if verify not in _VERIFY_MODES:
         raise ValueError(f"verify must be None|'dirs'|'counts', got {verify!r}")
     if verify is not None:
         on_disk: set[int] = set()
@@ -428,7 +431,7 @@ def _validate_walk_args(
         raise ValueError(f"rank {rank} outside [0, {world_size})")
     if start < 0:
         raise ValueError(f"start must be >= 0, got {start}")
-    if verify not in (None, "dirs", "counts"):
+    if verify not in _VERIFY_MODES:
         raise ValueError(
             f"verify must be None|'dirs'|'counts', got {verify!r}"
         )
@@ -545,15 +548,13 @@ def interleave_epoch_walks(
     whole schedule is driver arithmetic over the manifests — every
     worker re-derives it with no coordination; validation and dataset
     resolution happen once per export per walk, at first iteration."""
-    import math as _math
-
     if not exports:
         raise ValueError("exports must name at least one (dir, weight)")
     # NaN passes `w <= 0` and then poisons every min() comparison,
     # degenerating the schedule to sequential exhaustion (code-review
     # r12) — demand a finite positive weight outright
     if any(
-        not (_math.isfinite(w) and w > 0) for _, w in exports.values()
+        not (math.isfinite(w) and w > 0) for _, w in exports.values()
     ):
         raise ValueError("every export weight must be finite and > 0")
     _validate_walk_args(start, rank, world_size, verify)
@@ -577,12 +578,16 @@ def interleave_epoch_walks(
         m = manifests[name]
         n_shards = int(m["num_shards"])
         by_shard = {int(s["shard"]): s for s in m["shards"]}
-        if set(by_shard) != set(range(n_shards)):
+        # duplicates collapse in the dict, so compare the raw length too
+        if set(by_shard) != set(range(n_shards)) or len(m["shards"]) != n_shards:
+            missing = sorted(set(range(n_shards)) - set(by_shard))
+            extra = sorted(set(by_shard) - set(range(n_shards)))
             raise ValueError(
-                f"manifest for export {name!r} ({exports[name][0]}) lists "
-                f"shards {sorted(by_shard)[:10]}… but declares "
-                f"num_shards={n_shards} — a hand-edited or torn manifest; "
-                "re-export it"
+                f"manifest for export {name!r} ({exports[name][0]}) "
+                f"declares num_shards={n_shards} but its shard list "
+                f"disagrees (missing {missing[:10]}, out-of-range "
+                f"{extra[:10]}, {len(m['shards'])} entries) — a "
+                "hand-edited or torn manifest; re-export it"
             )
         order = epoch_shard_order(n_shards, epoch, seed * len(exports) + i)
         # never size zero: an empty shard must still advance the deficit

@@ -746,3 +746,14 @@ def test_interleave_epoch_walks_mixture_contract(spark, docs, tmp_path):
     open(mpath, "w").write(json.dumps(m))
     with pytest.raises(ValueError, match="'torn_x'"):
         interleave_epoch_walks(spark, {"torn_x": (torn, 1.0)}, 0)
+    # a DUPLICATE entry collapses in the dict, leaving the shard SET
+    # complete — only the raw length check catches it (review pass 2)
+    m2 = json.loads(open(os.path.join(web, "_SHARDS.json")).read())
+    m2["shards"] = m2["shards"] + [dict(m2["shards"][-1])]
+    dup = str(tmp_path / "dup")
+    import shutil as _sh
+
+    _sh.copytree(web, dup)
+    open(os.path.join(dup, "_SHARDS.json"), "w").write(json.dumps(m2))
+    with pytest.raises(ValueError, match="9 entries"):
+        interleave_epoch_walks(spark, {"dup_x": (dup, 1.0)}, 0)
