@@ -85,12 +85,60 @@ def main() -> None:
     print(f"manifests identical: {m1 == m2}")
     print(f"largest shard ({k}: {len(r1):,} rows) byte-equal order across "
           f"exports: {r1 == r2}")
+
+    # r12: the loader-side walk — a full epoch of per-shard pruned reads
+    # (the per-yield cost a training worker pays), schedule reproducible,
+    # and a 3:1 interleave across both exports holding the deficit
+    # invariant at probe scale
+    from schemamap_spark.sources.shards import (
+        epoch_shard_order,
+        interleave_epoch_walks,
+        iter_training_epoch,
+    )
+
+    t0 = time.monotonic()
+    walked = [
+        (s, df.count()) for _, s, df in iter_training_epoch(
+            spark, f"{base}/exp1", epoch=1
+        )
+    ]
+    walk_wall = time.monotonic() - t0
+    walk_rows = sum(c for _, c in walked)
+    order_ok = [s for s, _ in walked] == epoch_shard_order(SHARDS, 1)
+    print(f"epoch walk: {SHARDS} pruned reads in {walk_wall:.1f}s "
+          f"({walk_wall/SHARDS*1000:.0f} ms/shard), rows {walk_rows:,} "
+          f"(match: {walk_rows == N}; schedule reproducible: {order_ok})")
+
+    mix = {"a": (f"{base}/exp1", 3.0), "b": (f"{base}/exp2", 1.0)}
+    t0 = time.monotonic()
+    seq = [(n_, s) for _, n_, s, _df in interleave_epoch_walks(
+        spark, mix, epoch=0, verify=None
+    )]
+    mix_wall = time.monotonic() - t0
+    tok = {n_: {s["shard"]: max(1, s["tokens"]) for s in m["shards"]}
+           for n_, m in (("a", m1), ("b", m2))}
+    em = {"a": 0, "b": 0}
+    rem = {"a": SHARDS, "b": SHARDS}
+    deficit_ok = True
+    for n_, s in seq:
+        live = [x for x in em if rem[x] > 0]
+        best = min(em[x] / mix[x][1] for x in live)
+        deficit_ok &= em[n_] / mix[n_][1] == best
+        em[n_] += tok[n_][s]
+        rem[n_] -= 1
+    print(f"3:1 interleave: {len(seq)} shards scheduled in {mix_wall:.2f}s; "
+          f"deficit invariant at every step: {deficit_ok}")
+
     ok = (
         sum(sizes) == N
         and tokens == expect_tokens
         and m1 == m2
         and r1 == r2
         and max(sizes) < 1.5 * min(sizes)
+        and walk_rows == N
+        and order_ok
+        and len(seq) == 2 * SHARDS
+        and deficit_ok
     )
     print("PASS" if ok else "FAIL")
     if not ok:
