@@ -66,16 +66,24 @@ def scramble_hash(id_col: str, salt: int = 0) -> Column:
     return F.pmod(mixed * F.lit(KNUTH), F.lit(MOD))
 
 
-def scramble_py(x: int, salt: int = 0) -> int:
-    """Driver-side twin of scramble_hash — same constants, same
-    reduce-add-multiply-xorshift-multiply pipeline, kept BESIDE the
-    Column version so an edit to the mix changes both or fails the
-    exact-equality pin (test_shards). Exists because some schedules are
-    tiny driver lists (the shard-epoch walk hashes num_shards ints;
-    launching a Spark job for that would be absurd). Bijective on
-    [0, 2^31) like its twin, so distinct inputs never tie."""
+def knuth_py(x: int, salt: int = 0) -> int:
+    """Driver-side twin of knuth_hash — same reduce-add-multiply, kept
+    BESIDE the Column version so an edit changes both or fails the
+    exact-equality pin (test_shards). For single driver-side values
+    (e.g. checking a resume token's shard membership) where a Spark job
+    would be absurd. Python's % is pmod for any sign, matching pmod."""
     reduced = (x % MOD + salt % MOD) % MOD
-    h = (reduced * KNUTH) % MOD
+    return (reduced * KNUTH) % MOD
+
+
+def scramble_py(x: int, salt: int = 0) -> int:
+    """Driver-side twin of scramble_hash — knuth_py + the same
+    xorshift-multiply mix, beside the Column version for the same
+    change-together reason (exact equality pinned in test_shards).
+    Exists because some schedules are tiny driver lists (the shard-epoch
+    walk hashes num_shards ints; a resume token is one int). Bijective
+    on [0, 2^31) like its twin, so distinct inputs never tie."""
+    h = knuth_py(x, salt)
     mixed = h ^ (h >> 15)
     return (mixed * KNUTH) % MOD
 

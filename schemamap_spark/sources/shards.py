@@ -639,3 +639,118 @@ def interleave_epoch_walks(
             )
 
     return _walk()
+
+
+def read_shard_after(
+    spark: SparkSession,
+    target_dir: str,
+    shard: int,
+    after_id: int,
+    ordered: bool = True,
+):
+    """Mid-SHARD resume: the rows of one shard STRICTLY AFTER `after_id`
+    in the export's recorded within-shard order — the finer-grained
+    companion to the epoch walk's position token. A worker that crashed
+    inside shard k resumes with (k, last_fully_processed_id) and sees
+    exactly the suffix an uninterrupted read would have produced.
+
+    Works because the order is re-derivable from the manifest alone:
+    for "hash-v2" exports the cut point is pure driver arithmetic
+    (scramble_py of the token) and the suffix is a FILTER on the
+    recorded (scramble_hash, id) key, not a window function over the
+    shard — the only job besides the read is a one-shard existence
+    probe for the token; for curriculum exports (`order`=[cols...])
+    one single-row lookup fetches the token row's key values and the
+    suffix is a lexicographic strictly-after filter honoring the
+    recorded ascending/descending directions and Spark's default null
+    placement (asc = nulls first, desc = nulls last). `order`="scan"
+    exports refuse — their order was never reproducible. The resume
+    token is validated against shard membership (driver arithmetic) and
+    existence, so a token from the wrong shard or a different corpus
+    fails loudly instead of resuming at the wrong place.
+
+    ordered=True (default) returns the suffix sorted by the recorded
+    keys — a one-shard sort, the same per-shard cost the exporter paid;
+    ordered=False returns the unsorted suffix set (cheaper when the
+    caller re-sorts or doesn't care)."""
+    from schemamap_spark.operators.sampling import knuth_py, scramble_py
+
+    fs = fscommit.fs_for(target_dir, spark)
+    m = _read_manifest(fs, target_dir)
+    if m is None:
+        raise ValueError(
+            f"no readable {_MANIFEST} under {target_dir} — mid-shard "
+            "resume needs the manifest's order contract; re-export"
+        )
+    num_shards = int(m["num_shards"])
+    if not 0 <= shard < num_shards:
+        raise ValueError(f"shard {shard} outside [0, {num_shards})")
+    order = m.get("order")
+    if order == "scan":
+        raise ValueError(
+            f"export at {target_dir} was written with shuffle=False — its "
+            "within-shard order is scan order, not reproducible, so a "
+            "mid-shard resume point is meaningless; re-export with the "
+            "hash order or an order_by curriculum"
+        )
+    id_col = m.get("id_col", "doc_id")
+    salt = int(m.get("salt", 0))
+    home = knuth_py(int(after_id), salt) % num_shards
+    if home != shard:
+        raise ValueError(
+            f"resume token id={after_id} belongs to shard {home}, not "
+            f"shard {shard} (salt {salt}) — a token from another shard, "
+            "salt, or corpus; resuming here would skip or repeat rows"
+        )
+    df = read_training_shards(spark, target_dir, shards=[shard], verify=None)
+    ic = F.col(id_col)
+    if order == "hash-v2":
+        # the cut point is driver arithmetic: h0 = scramble of the token
+        # (the Python twin is pinned exactly equal to the Column hash),
+        # ties — ids colliding mod 2^31 — break by id like the exporter
+        if df.filter(ic == F.lit(int(after_id))).limit(1).count() == 0:
+            raise ValueError(
+                f"resume token id={after_id} is not in shard {shard} of "
+                f"{target_dir} — a token from another corpus or a "
+                "re-export with different contents"
+            )
+        h = scramble_hash(id_col, salt)
+        h0 = scramble_py(int(after_id), salt)
+        suffix = df.filter(
+            (h > F.lit(h0))
+            | ((h == F.lit(h0)) & (ic > F.lit(int(after_id))))
+        )
+        keys = [h.asc(), ic.asc()]
+    else:  # curriculum: [cols...], "-" prefix = descending
+        names = [(c[1:], True) if c.startswith("-") else (c, False)
+                 for c in order]
+        rows = df.filter(ic == F.lit(int(after_id))).select(
+            *[n for n, _ in names]
+        ).collect()
+        if not rows:
+            raise ValueError(
+                f"resume token id={after_id} is not in shard {shard} of "
+                f"{target_dir} — a token from another corpus or a "
+                "re-export with different contents"
+            )
+        row = rows[0]
+        # lexicographic strictly-after under the exporter's sort: asc
+        # places nulls FIRST (a null key is before every value), desc
+        # places them LAST (after every value) — Spark's defaults
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for name, desc in names:
+            v = row[name]
+            c = F.col(name)
+            if desc:
+                gt = F.lit(False) if v is None else c.isNull() | (c < F.lit(v))
+            else:
+                gt = c.isNotNull() if v is None else c.isNotNull() & (c > F.lit(v))
+            cond = cond | (eq & gt)
+            eq = eq & c.eqNullSafe(F.lit(v))
+        cond = cond | (eq & (ic > F.lit(int(after_id))))
+        suffix = df.filter(cond)
+        keys = [
+            (F.col(n).desc() if d else F.col(n).asc()) for n, d in names
+        ] + [ic.asc()]
+    return suffix.orderBy(*keys) if ordered else suffix

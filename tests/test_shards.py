@@ -533,7 +533,12 @@ def test_scramble_py_twin_matches_column(spark):
     """scramble_py must equal scramble_hash EXACTLY — the
     loader derives epoch schedules driver-side from the twin, and any
     drift would silently fork them from Spark-derived orders."""
-    from schemamap_spark.operators.sampling import scramble_hash, scramble_py
+    from schemamap_spark.operators.sampling import (
+        knuth_hash,
+        knuth_py,
+        scramble_hash,
+        scramble_py,
+    )
 
     ids = spark.range(2000).select(F.col("id").alias("doc_id"))
     for salt in (0, 1, 7, 1_000_003, 5 * 1_000_003 + 123):
@@ -544,6 +549,13 @@ def test_scramble_py_twin_matches_column(spark):
             .collect()
         ]
         assert got == [scramble_py(i, salt) for i in range(2000)]
+        gotk = [
+            r["h"]
+            for r in ids.select(knuth_hash("doc_id", salt).alias("h"))
+            .orderBy("doc_id")
+            .collect()
+        ]
+        assert gotk == [knuth_py(i, salt) for i in range(2000)]
 
 
 def test_epoch_shard_order_permutes_without_rotations():
@@ -757,3 +769,88 @@ def test_interleave_epoch_walks_mixture_contract(spark, docs, tmp_path):
     open(os.path.join(dup, "_SHARDS.json"), "w").write(json.dumps(m2))
     with pytest.raises(ValueError, match="9 entries"):
         interleave_epoch_walks(spark, {"dup_x": (dup, 1.0)}, 0)
+
+
+def test_read_shard_after_mid_shard_resume(spark, docs, tmp_path):
+    """Mid-shard resume: for both order modes the returned rows are
+    EXACTLY the suffix after the token in the export's recorded order
+    (expected order re-derived independently — scramble_py for hash-v2,
+    Python sort for the curriculum), and invalid tokens (wrong shard,
+    unknown id, scan-order export) refuse loudly."""
+    from schemamap_spark.operators.sampling import knuth_py, scramble_py
+    from schemamap_spark.sources.shards import read_shard_after
+
+    # hash-v2 export
+    d = str(tmp_path / "hash")
+    write_training_shards(docs, d, num_shards=4, salt=7)
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(d, "shard=2")).collect()
+    ]
+    assert all(knuth_py(i, 7) % 4 == 2 for i in ids)  # twin sanity
+    expect = sorted(ids, key=lambda i: (scramble_py(i, 7), i))
+    mid = expect[len(expect) // 2]
+    got = [
+        r["doc_id"]
+        for r in read_shard_after(spark, d, 2, mid).select("doc_id").collect()
+    ]
+    assert got == expect[len(expect) // 2 + 1:]  # exact ORDERED suffix
+    # unordered variant returns the same SET
+    got_set = {
+        r["doc_id"]
+        for r in read_shard_after(spark, d, 2, mid, ordered=False).collect()
+    }
+    assert got_set == set(got)
+    assert read_shard_after(spark, d, 2, expect[-1]).count() == 0
+
+    # curriculum export with a DESCENDING key
+    dc = str(tmp_path / "curr")
+    write_training_shards(docs, dc, num_shards=4, order_by=["-n_chars"])
+    rows = spark.read.parquet(os.path.join(dc, "shard=1")).collect()
+    seq = sorted(rows, key=lambda r: (-r["n_chars"], r["doc_id"]))
+    mid = seq[len(seq) // 3]
+    got = [
+        (r["n_chars"], r["doc_id"])
+        for r in read_shard_after(spark, dc, 1, mid["doc_id"])
+        .select("n_chars", "doc_id")
+        .collect()
+    ]
+    assert got == [
+        (r["n_chars"], r["doc_id"]) for r in seq[len(seq) // 3 + 1:]
+    ]
+
+    # null curriculum keys: desc places nulls LAST — resuming from a
+    # non-null row must include the null-key tail
+    nd = str(tmp_path / "nulls")
+    ndf = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else i * 10) for i in range(40)],
+        "doc_id long, score long",
+    )
+    write_training_shards(ndf, nd, num_shards=1, order_by=["-score"])
+    nrows = spark.read.parquet(os.path.join(nd, "shard=0")).collect()
+    nseq = [r["doc_id"] for r in nrows]  # exporter's materialized order
+    assert [r["doc_id"] for r in nrows if r["score"] is None] == nseq[-8:]
+    tok = nseq[len(nseq) // 2]
+    got = [
+        r["doc_id"]
+        for r in read_shard_after(spark, nd, 0, tok).select("doc_id").collect()
+    ]
+    assert got == nseq[nseq.index(tok) + 1:]
+
+    # token validation
+    wrong = next(i for i in ids if True)  # an id of shard 2
+    with pytest.raises(ValueError, match="belongs to shard"):
+        read_shard_after(spark, d, 3, wrong)
+    ghost = next(
+        i for i in range(10**7, 10**7 + 10**4) if knuth_py(i, 7) % 4 == 2
+    )
+    with pytest.raises(ValueError, match="not in shard"):
+        read_shard_after(spark, d, 2, ghost)
+    ds = str(tmp_path / "scan")
+    write_training_shards(docs, ds, num_shards=2, shuffle=False)
+    sid = next(iter(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(ds, "shard=0")).limit(1).collect()
+    ))
+    with pytest.raises(ValueError, match="scan"):
+        read_shard_after(spark, ds, 0, sid)
