@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from schemamap_spark.operators.sampling import (
     knuth_hash,
+    knuth_py,
     scramble_hash,
     scramble_py,
 )
@@ -673,8 +674,6 @@ def read_shard_after(
     keys — a one-shard sort, the same per-shard cost the exporter paid;
     ordered=False returns the unsorted suffix set (cheaper when the
     caller re-sorts or doesn't care)."""
-    from schemamap_spark.operators.sampling import knuth_py, scramble_py
-
     fs = fscommit.fs_for(target_dir, spark)
     m = _read_manifest(fs, target_dir)
     if m is None:
@@ -702,13 +701,19 @@ def read_shard_after(
             f"shard {shard} (salt {salt}) — a token from another shard, "
             "salt, or corpus; resuming here would skip or repeat rows"
         )
-    df = read_training_shards(spark, target_dir, shards=[shard], verify=None)
+    # one manifest read total: the pruned read is the same
+    # partition-column equality the epoch walk uses (re-calling
+    # read_training_shards would re-read and re-validate the manifest —
+    # review pass on this function)
+    df = spark.read.parquet(target_dir).filter(
+        F.col("shard") == F.lit(int(shard))
+    )
     ic = F.col(id_col)
     if order == "hash-v2":
         # the cut point is driver arithmetic: h0 = scramble of the token
         # (the Python twin is pinned exactly equal to the Column hash),
         # ties — ids colliding mod 2^31 — break by id like the exporter
-        if df.filter(ic == F.lit(int(after_id))).limit(1).count() == 0:
+        if df.filter(ic == F.lit(int(after_id))).isEmpty():
             raise ValueError(
                 f"resume token id={after_id} is not in shard {shard} of "
                 f"{target_dir} — a token from another corpus or a "
@@ -721,17 +726,25 @@ def read_shard_after(
             | ((h == F.lit(h0)) & (ic > F.lit(int(after_id))))
         )
         keys = [h.asc(), ic.asc()]
-    else:  # curriculum: [cols...], "-" prefix = descending
+    elif isinstance(order, list) and order:
+        # curriculum: [cols...], "-" prefix = descending
         names = [(c[1:], True) if c.startswith("-") else (c, False)
                  for c in order]
         rows = df.filter(ic == F.lit(int(after_id))).select(
             *[n for n, _ in names]
-        ).collect()
+        ).limit(2).collect()
         if not rows:
             raise ValueError(
                 f"resume token id={after_id} is not in shard {shard} of "
                 f"{target_dir} — a token from another corpus or a "
                 "re-export with different contents"
+            )
+        if len(rows) > 1:
+            raise ValueError(
+                f"id {after_id} appears more than once in shard {shard} "
+                f"of {target_dir} — duplicate ids make the resume point "
+                "ambiguous (and the export itself suspect); deduplicate "
+                "and re-export"
             )
         row = rows[0]
         # lexicographic strictly-after under the exporter's sort: asc
@@ -753,4 +766,16 @@ def read_shard_after(
         keys = [
             (F.col(n).desc() if d else F.col(n).asc()) for n, d in names
         ] + [ic.asc()]
+    else:
+        # a manifest with no order tag (pre-r10 legacy export) or a tag
+        # this code doesn't know (a future order-key revision) must NOT
+        # fall through into the curriculum branch — iterating a foreign
+        # tag as column names could compute a silently WRONG suffix
+        # (review pass on this function)
+        raise ValueError(
+            f"export at {target_dir} records order={order!r}, which this "
+            "loader cannot reproduce (legacy pre-manifest-order export, "
+            "or a newer order-key revision) — re-export to resume "
+            "mid-shard"
+        )
     return suffix.orderBy(*keys) if ordered else suffix

@@ -789,7 +789,7 @@ def test_read_shard_after_mid_shard_resume(spark, docs, tmp_path):
     ]
     assert all(knuth_py(i, 7) % 4 == 2 for i in ids)  # twin sanity
     expect = sorted(ids, key=lambda i: (scramble_py(i, 7), i))
-    mid = expect[len(expect) // 2]
+    mid_hash = mid = expect[len(expect) // 2]
     got = [
         r["doc_id"]
         for r in read_shard_after(spark, d, 2, mid).select("doc_id").collect()
@@ -838,7 +838,7 @@ def test_read_shard_after_mid_shard_resume(spark, docs, tmp_path):
     assert got == nseq[nseq.index(tok) + 1:]
 
     # token validation
-    wrong = next(i for i in ids if True)  # an id of shard 2
+    wrong = ids[0]  # an id of shard 2
     with pytest.raises(ValueError, match="belongs to shard"):
         read_shard_after(spark, d, 3, wrong)
     ghost = next(
@@ -854,3 +854,20 @@ def test_read_shard_after_mid_shard_resume(spark, docs, tmp_path):
     ))
     with pytest.raises(ValueError, match="scan"):
         read_shard_after(spark, ds, 0, sid)
+
+    # an unknown/missing order tag refuses instead of falling into the
+    # curriculum branch (legacy pre-order manifests, future revisions)
+    import shutil as _sh
+
+    leg = str(tmp_path / "legacy")
+    _sh.copytree(d, leg)
+    mp = os.path.join(leg, "_SHARDS.json")
+    lm = json.loads(open(mp).read())
+    del lm["order"]
+    open(mp, "w").write(json.dumps(lm))
+    with pytest.raises(ValueError, match="order=None"):
+        read_shard_after(spark, leg, 2, mid_hash)
+    lm["order"] = "hash-v3"
+    open(mp, "w").write(json.dumps(lm))
+    with pytest.raises(ValueError, match="hash-v3"):
+        read_shard_after(spark, leg, 2, mid_hash)
