@@ -692,6 +692,19 @@ def read_shard_after(
             "mid-shard resume point is meaningless; re-export with the "
             "hash order or an order_by curriculum"
         )
+    if order != "hash-v2" and not (isinstance(order, list) and order):
+        # a manifest with no order tag (pre-r10 legacy export) or a tag
+        # this code doesn't know (a future order-key revision) must NOT
+        # fall through into the curriculum branch — iterating a foreign
+        # tag as column names could compute a silently WRONG suffix.
+        # Checked HERE, before any data I/O: the refusal depends only on
+        # the already-parsed manifest (review pass 2 on this function)
+        raise ValueError(
+            f"export at {target_dir} records order={order!r}, which this "
+            "loader cannot reproduce (legacy pre-manifest-order export, "
+            "or a newer order-key revision) — re-export to resume "
+            "mid-shard"
+        )
     id_col = m.get("id_col", "doc_id")
     salt = int(m.get("salt", 0))
     home = knuth_py(int(after_id), salt) % num_shards
@@ -712,12 +725,24 @@ def read_shard_after(
     if order == "hash-v2":
         # the cut point is driver arithmetic: h0 = scramble of the token
         # (the Python twin is pinned exactly equal to the Column hash),
-        # ties — ids colliding mod 2^31 — break by id like the exporter
-        if df.filter(ic == F.lit(int(after_id))).isEmpty():
+        # ties — ids colliding mod 2^31 — break by id like the exporter.
+        # The probe counts to 2, not isEmpty: duplicate copies of the
+        # token share the SAME (hash, id) sort key, so the strictly-after
+        # filter would silently drop the unprocessed second copy — refuse
+        # like the curriculum branch does (review pass 2)
+        n_tok = df.filter(ic == F.lit(int(after_id))).limit(2).count()
+        if n_tok == 0:
             raise ValueError(
                 f"resume token id={after_id} is not in shard {shard} of "
                 f"{target_dir} — a token from another corpus or a "
                 "re-export with different contents"
+            )
+        if n_tok > 1:
+            raise ValueError(
+                f"id {after_id} appears more than once in shard {shard} "
+                f"of {target_dir} — duplicate ids make the resume point "
+                "ambiguous (and the export itself suspect); deduplicate "
+                "and re-export"
             )
         h = scramble_hash(id_col, salt)
         h0 = scramble_py(int(after_id), salt)
@@ -726,8 +751,9 @@ def read_shard_after(
             | ((h == F.lit(h0)) & (ic > F.lit(int(after_id))))
         )
         keys = [h.asc(), ic.asc()]
-    elif isinstance(order, list) and order:
-        # curriculum: [cols...], "-" prefix = descending
+    else:
+        # curriculum: [cols...] (the upfront tag check guarantees a
+        # non-empty list here), "-" prefix = descending
         names = [(c[1:], True) if c.startswith("-") else (c, False)
                  for c in order]
         rows = df.filter(ic == F.lit(int(after_id))).select(
@@ -766,16 +792,4 @@ def read_shard_after(
         keys = [
             (F.col(n).desc() if d else F.col(n).asc()) for n, d in names
         ] + [ic.asc()]
-    else:
-        # a manifest with no order tag (pre-r10 legacy export) or a tag
-        # this code doesn't know (a future order-key revision) must NOT
-        # fall through into the curriculum branch — iterating a foreign
-        # tag as column names could compute a silently WRONG suffix
-        # (review pass on this function)
-        raise ValueError(
-            f"export at {target_dir} records order={order!r}, which this "
-            "loader cannot reproduce (legacy pre-manifest-order export, "
-            "or a newer order-key revision) — re-export to resume "
-            "mid-shard"
-        )
     return suffix.orderBy(*keys) if ordered else suffix
