@@ -722,28 +722,40 @@ def read_shard_after(
         F.col("shard") == F.lit(int(shard))
     )
     ic = F.col(id_col)
+    # "-" prefix = descending; the upfront tag check guarantees order is
+    # "hash-v2" or a non-empty curriculum list
+    names = (
+        []
+        if order == "hash-v2"
+        else [(c[1:], True) if c.startswith("-") else (c, False)
+              for c in order]
+    )
+    # ONE token probe for both order modes (it fetches the curriculum
+    # key values when there are any). limit(2), not a bare existence
+    # check: duplicate copies of the token share the SAME sort key in
+    # either mode (the hash is a function of the id; curriculum ties
+    # break by id), so the strictly-after filter would silently drop the
+    # unprocessed second copy — refuse instead (review passes 2-3)
+    rows = df.filter(ic == F.lit(int(after_id))).select(
+        *[n for n, _ in names]
+    ).limit(2).collect()
+    if not rows:
+        raise ValueError(
+            f"resume token id={after_id} is not in shard {shard} of "
+            f"{target_dir} — a token from another corpus or a "
+            "re-export with different contents"
+        )
+    if len(rows) > 1:
+        raise ValueError(
+            f"id {after_id} appears more than once in shard {shard} "
+            f"of {target_dir} — duplicate ids make the resume point "
+            "ambiguous (and the export itself suspect); deduplicate "
+            "and re-export"
+        )
     if order == "hash-v2":
         # the cut point is driver arithmetic: h0 = scramble of the token
         # (the Python twin is pinned exactly equal to the Column hash),
-        # ties — ids colliding mod 2^31 — break by id like the exporter.
-        # The probe counts to 2, not isEmpty: duplicate copies of the
-        # token share the SAME (hash, id) sort key, so the strictly-after
-        # filter would silently drop the unprocessed second copy — refuse
-        # like the curriculum branch does (review pass 2)
-        n_tok = df.filter(ic == F.lit(int(after_id))).limit(2).count()
-        if n_tok == 0:
-            raise ValueError(
-                f"resume token id={after_id} is not in shard {shard} of "
-                f"{target_dir} — a token from another corpus or a "
-                "re-export with different contents"
-            )
-        if n_tok > 1:
-            raise ValueError(
-                f"id {after_id} appears more than once in shard {shard} "
-                f"of {target_dir} — duplicate ids make the resume point "
-                "ambiguous (and the export itself suspect); deduplicate "
-                "and re-export"
-            )
+        # ties — ids colliding mod 2^31 — break by id like the exporter
         h = scramble_hash(id_col, salt)
         h0 = scramble_py(int(after_id), salt)
         suffix = df.filter(
@@ -752,26 +764,6 @@ def read_shard_after(
         )
         keys = [h.asc(), ic.asc()]
     else:
-        # curriculum: [cols...] (the upfront tag check guarantees a
-        # non-empty list here), "-" prefix = descending
-        names = [(c[1:], True) if c.startswith("-") else (c, False)
-                 for c in order]
-        rows = df.filter(ic == F.lit(int(after_id))).select(
-            *[n for n, _ in names]
-        ).limit(2).collect()
-        if not rows:
-            raise ValueError(
-                f"resume token id={after_id} is not in shard {shard} of "
-                f"{target_dir} — a token from another corpus or a "
-                "re-export with different contents"
-            )
-        if len(rows) > 1:
-            raise ValueError(
-                f"id {after_id} appears more than once in shard {shard} "
-                f"of {target_dir} — duplicate ids make the resume point "
-                "ambiguous (and the export itself suspect); deduplicate "
-                "and re-export"
-            )
         row = rows[0]
         # lexicographic strictly-after under the exporter's sort: asc
         # places nulls FIRST (a null key is before every value), desc

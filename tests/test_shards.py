@@ -855,15 +855,22 @@ def test_read_shard_after_mid_shard_resume(spark, docs, tmp_path):
     with pytest.raises(ValueError, match="scan"):
         read_shard_after(spark, ds, 0, sid)
 
-    # duplicate copies of a hash-order token share one sort key — the
-    # strictly-after filter would silently DROP the unprocessed second
-    # copy; both order modes refuse (review pass 3)
+    # duplicate copies of a token share one sort key in EITHER order
+    # mode — the strictly-after filter would silently DROP the
+    # unprocessed second copy; both modes refuse (review passes 3-4).
+    # The duplicated row is pinned by explicit id (limit() without
+    # orderBy is not deterministic across plans)
+    dup_id = min(r["doc_id"] for r in docs.select("doc_id").collect())
+    small = docs.filter(F.col("doc_id") < dup_id + 50)
+    ddf = small.union(small.filter(F.col("doc_id") == dup_id))
     dupd = str(tmp_path / "dup_hash")
-    ddf = docs.limit(20).union(docs.limit(1))  # doc_id of row 0 twice
     write_training_shards(ddf, dupd, num_shards=1, salt=7)
-    dup_id = docs.limit(1).collect()[0]["doc_id"]
     with pytest.raises(ValueError, match="more than once"):
         read_shard_after(spark, dupd, 0, dup_id)
+    dupc = str(tmp_path / "dup_curr")
+    write_training_shards(ddf, dupc, num_shards=1, order_by=["n_chars"])
+    with pytest.raises(ValueError, match="more than once"):
+        read_shard_after(spark, dupc, 0, dup_id)
 
     # an unknown/missing order tag refuses instead of falling into the
     # curriculum branch (legacy pre-order manifests, future revisions)
