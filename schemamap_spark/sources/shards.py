@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import math
 import warnings
+from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -260,6 +261,30 @@ def read_training_shards(
             "the manifest; re-export it. shard_stats() can still "
             "recompute totals."
         )
+    return _validated_read(spark, fs, target_dir, m, shards, verify)[1]
+
+
+def _validated_read(
+    spark: SparkSession,
+    fs,
+    target_dir: str,
+    m: dict,
+    shards: list[int] | None,
+    verify: str | None,
+):
+    """The one validation + dataset-resolution step read_training_shards
+    and the epoch walks share (VERDICT r12 #1: the walks used to pay the
+    manifest read and the file-tree resolution TWICE per walk — once
+    inside read_training_shards' validation, once for their own reads;
+    at the 25k+-shard regime the driver-side tree listing is the cost).
+    Callers own the manifest read; this owns everything after it:
+    shard-range and verify-mode checks, the manifest-vs-tree dirs check
+    (one fs.listdir), exactly ONE `spark.read.parquet` resolution, and
+    the scoped recount (verify='counts'). Returns `(base, scoped)`:
+    the unfiltered dataset (the walks filter it per shard by
+    partition-column equality, preserving their single resolution) and
+    the shards-restricted view (what read_training_shards returns —
+    the IN-list rides PartitionFilters)."""
     num_shards = int(m["num_shards"])
     by_shard = {int(s["shard"]): int(s["rows"]) for s in m["shards"]}
     if shards is not None:
@@ -301,17 +326,20 @@ def read_training_shards(
                 f"{sorted(unknown)[:10]} — a partial overwrite "
                 "or stray copy; re-export before training on it"
             )
-    df = spark.read.parquet(target_dir)
+    base = spark.read.parquet(target_dir)
+    scoped = base
     if shards is not None:
         # partition-column filter: Catalyst prunes to the requested dirs
-        df = df.filter(F.col("shard").isin([int(k) for k in shards]))
+        scoped = base.filter(F.col("shard").isin([int(k) for k in shards]))
     if verify == "counts":
         # scoped to the (possibly filtered) read: an N-worker loader does
         # N per-shard recounts, not N full-export scans
         scope = set(by_shard) if shards is None else set(map(int, shards))
         got = {
             r["shard"]: r["n"]
-            for r in df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+            for r in scoped.groupBy("shard").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
         }
         diffs = {
             k: (by_shard.get(k, 0), got.get(k, 0))
@@ -324,7 +352,7 @@ def read_training_shards(
                 f"(shard: (manifest, on-disk)) {dict(sorted(diffs.items())[:10])} "
                 "— the tree was modified after export; re-export it"
             )
-    return df
+    return base, scoped
 
 
 def _compute_stats(
@@ -470,15 +498,17 @@ def iter_training_epoch(
     ranks partition every epoch exactly, again with no coordination.
 
     Each yielded DataFrame is a partition-pruned single-shard read —
-    one `spark.read.parquet` resolution per WALK, one partition-column
-    equality filter per shard — so a worker's tasks scan only its own
-    directories. Validation (manifest + tree strays, or per-shard
-    recounts with verify='counts') also runs once per walk, scoped to
-    the shards this walk will visit. Argument and manifest problems
-    raise HERE, eagerly (code-review r12: a generator would defer them
-    to the first next(), deep inside the training loop — or past a
-    zip() that never calls it); storage is touched at first iteration
-    of the returned generator."""
+    ONE manifest read (here, eagerly) and ONE `spark.read.parquet`
+    resolution per WALK, one partition-column equality filter per shard
+    — so a worker's tasks scan only its own directories. Validation
+    (tree strays, or per-shard recounts with verify='counts') shares
+    that single resolution, scoped to the shards this walk will visit
+    (VERDICT r12 #1: validation used to resolve the tree a second
+    time). Argument and manifest problems raise HERE, eagerly
+    (code-review r12: a generator would defer them to the first
+    next(), deep inside the training loop — or past a zip() that never
+    calls it); storage is touched at first iteration of the returned
+    generator."""
     _validate_walk_args(start, rank, world_size, verify)
     fs = fscommit.fs_for(target_dir, spark)
     m = _read_manifest(fs, target_dir)
@@ -493,18 +523,17 @@ def iter_training_epoch(
     def _walk():
         if not walk:
             return
-        if verify is not None:
-            # one scoped validation for the whole walk (counts recount
-            # only these shards); the per-shard slices below reuse it
-            read_training_shards(
-                spark, target_dir, shards=[s for _, s in walk], verify=verify
-            )
-        df = spark.read.parquet(target_dir)
+        # one resolution + one scoped validation for the whole walk
+        # (counts recount only these shards); the per-shard slices
+        # below reuse the SAME resolved dataset
+        base, _ = _validated_read(
+            spark, fs, target_dir, m, [s for _, s in walk], verify
+        )
         for pos, s in walk:
             # partition-column equality: Catalyst prunes to shard=s, the
             # same plan read_training_shards(shards=[s]) would produce,
             # without re-reading the manifest per shard (code-review r12)
-            yield pos, s, df.filter(F.col("shard") == F.lit(int(s)))
+            yield pos, s, base.filter(F.col("shard") == F.lit(int(s)))
 
     return _walk()
 
@@ -548,7 +577,17 @@ def interleave_epoch_walks(
     (position striping) compose exactly as in iter_training_epoch. The
     whole schedule is driver arithmetic over the manifests — every
     worker re-derives it with no coordination; validation and dataset
-    resolution happen once per export per walk, at first iteration."""
+    resolution happen once per export per walk, at first iteration.
+
+    The schedule depends on the WHOLE mixture, not just each export:
+    per-export epoch salts are seed*len(exports) + sorted-position, so
+    adding or removing one export generally re-permutes the OTHER
+    exports' shard orders too (always for exports sorted after the
+    edit point, and for every export when seed > 0). That is deliberate
+    — a new mixture is a new schedule — but it means resume tokens
+    (positions) do NOT survive mixture edits: after changing
+    ``exports``, restart the epoch from start=0 rather than resuming a
+    pre-edit position (pinned in test)."""
     if not exports:
         raise ValueError("exports must name at least one (dir, weight)")
     # NaN passes `w <= 0` and then poisons every min() comparison,
@@ -560,8 +599,11 @@ def interleave_epoch_walks(
         raise ValueError("every export weight must be finite and > 0")
     _validate_walk_args(start, rank, world_size, verify)
     manifests: dict[str, dict] = {}
+    fss: dict[str, object] = {}  # kept for _walk: one fs (and one
+    # manifest read, above) per export per walk — never re-resolved
     for name, (d, _w) in sorted(exports.items()):
-        m = _read_manifest(fscommit.fs_for(d, spark), d)
+        fss[name] = fscommit.fs_for(d, spark)
+        m = _read_manifest(fss[name], d)
         if m is None:
             raise ValueError(
                 f"no readable {_MANIFEST} under {d} (export {name!r}) — "
@@ -604,20 +646,9 @@ def interleave_epoch_walks(
             )
             for s in order
         ]
-    # greedy deficit schedule: next = live export minimizing emitted/w
-    weights = {n: float(w) for n, (_, w) in exports.items()}
-    emitted = {n: 0 for n in exports}
-    nxt = {n: 0 for n in exports}
-    schedule: list[tuple[str, int]] = []
-    live = sorted(exports)
-    while live:
-        pick = min(live, key=lambda n: (emitted[n] / weights[n], n))
-        shard, size = sizes[pick][nxt[pick]]
-        schedule.append((pick, shard))
-        emitted[pick] += size
-        nxt[pick] += 1
-        if nxt[pick] == len(sizes[pick]):
-            live.remove(pick)
+    schedule = _deficit_schedule(
+        sizes, {n: w for n, (_, w) in exports.items()}
+    )
     walk = [
         (pos, n, s) for pos, (n, s) in _stripe(schedule, start, rank, world_size)
     ]
@@ -626,20 +657,53 @@ def interleave_epoch_walks(
         dfs: dict[str, DataFrame] = {}
         for name in sorted({n for _, n, _ in walk}):
             d = exports[name][0]
-            if verify is not None:
-                read_training_shards(
-                    spark,
-                    d,
-                    shards=sorted({s for _, n, s in walk if n == name}),
-                    verify=verify,
-                )
-            dfs[name] = spark.read.parquet(d)
+            # one resolution + one scoped validation per export per
+            # walk, sharing the fs and manifest already read above —
+            # the per-shard slices reuse the SAME resolved dataset
+            # (VERDICT r12 #1)
+            dfs[name], _ = _validated_read(
+                spark,
+                fss[name],
+                d,
+                manifests[name],
+                sorted({s for _, n2, s in walk if n2 == name}),
+                verify,
+            )
         for pos, name, s in walk:
             yield pos, name, s, dfs[name].filter(
                 F.col("shard") == F.lit(int(s))
             )
 
     return _walk()
+
+
+def _deficit_schedule(
+    sizes: dict[str, list[tuple[int, int]]], weights: dict[str, float]
+) -> list[tuple[str, int]]:
+    """Greedy deficit scheduling: the next shard comes from the live
+    export with the smallest emitted/weight ratio (ties by name), so
+    after every prefix each source's emitted share tracks its weight to
+    within one shard's size. Deficits compare EXACTLY: emitted sizes
+    are integers and each weight becomes the Fraction equal to its
+    float value, so the comparison is integer cross-multiplication
+    under the hood — float division would lose the minimal-deficit
+    invariant once emitted totals pass 2^53 (plausible for
+    trillion-token corpora; ADVICE r12, pinned in test with a >2^53
+    mixture where the float pick deviates)."""
+    wfrac = {n: Fraction(w) for n, w in weights.items()}
+    emitted = {n: 0 for n in sizes}
+    nxt = {n: 0 for n in sizes}
+    schedule: list[tuple[str, int]] = []
+    live = sorted(sizes)
+    while live:
+        pick = min(live, key=lambda n: (emitted[n] / wfrac[n], n))
+        shard, size = sizes[pick][nxt[pick]]
+        schedule.append((pick, shard))
+        emitted[pick] += size
+        nxt[pick] += 1
+        if nxt[pick] == len(sizes[pick]):
+            live.remove(pick)
+    return schedule
 
 
 def read_shard_after(

@@ -540,7 +540,10 @@ def test_scramble_py_twin_matches_column(spark):
         scramble_py,
     )
 
-    ids = spark.range(2000).select(F.col("id").alias("doc_id"))
+    # NEGATIVE ids included (VERDICT r12 #3): read_shard_after feeds
+    # int(after_id) straight into knuth_py — Python % ≡ pmod for any
+    # sign by construction, pinned here in practice, not argued
+    ids = spark.range(-2000, 2000).select(F.col("id").alias("doc_id"))
     for salt in (0, 1, 7, 1_000_003, 5 * 1_000_003 + 123):
         got = [
             r["h"]
@@ -548,14 +551,14 @@ def test_scramble_py_twin_matches_column(spark):
             .orderBy("doc_id")
             .collect()
         ]
-        assert got == [scramble_py(i, salt) for i in range(2000)]
+        assert got == [scramble_py(i, salt) for i in range(-2000, 2000)]
         gotk = [
             r["h"]
             for r in ids.select(knuth_hash("doc_id", salt).alias("h"))
             .orderBy("doc_id")
             .collect()
         ]
-        assert gotk == [knuth_py(i, salt) for i in range(2000)]
+        assert gotk == [knuth_py(i, salt) for i in range(-2000, 2000)]
 
 
 def test_epoch_shard_order_permutes_without_rotations():
@@ -888,3 +891,253 @@ def test_read_shard_after_mid_shard_resume(spark, docs, tmp_path):
     open(mp, "w").write(json.dumps(lm))
     with pytest.raises(ValueError, match="hash-v3"):
         read_shard_after(spark, leg, 2, mid_hash)
+
+
+def test_read_shard_after_negative_ids(spark, tmp_path):
+    """VERDICT r12 #3, second half: the resume-token path feeds
+    int(after_id) into knuth_py and the cut point into scramble_py — a
+    wholly NEGATIVE-id export must round-trip membership and resume
+    exactly (Python % ≡ pmod in practice, on the real code path, not
+    just in the hash twin pin)."""
+    from schemamap_spark.operators.sampling import knuth_py, scramble_py
+    from schemamap_spark.sources.shards import read_shard_after
+
+    ndf = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(-120, -20)],
+        "doc_id long, n_chars long",
+    )
+    d = str(tmp_path / "neg")
+    write_training_shards(ndf, d, num_shards=3, salt=5)
+    k = knuth_py(-120, 5) % 3  # a shard known non-empty, twin-derived
+    ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(d, f"shard={k}")).collect()
+    ]
+    assert ids and all(i < 0 for i in ids)
+    assert all(knuth_py(i, 5) % 3 == k for i in ids)  # twin membership
+    expect = sorted(ids, key=lambda i: (scramble_py(i, 5), i))
+    mid = expect[len(expect) // 2]
+    got = [
+        r["doc_id"]
+        for r in read_shard_after(spark, d, k, mid).select("doc_id").collect()
+    ]
+    assert got == expect[len(expect) // 2 + 1:]
+    # a negative token from the WRONG shard still refuses
+    other = next(i for i in range(-120, -20) if knuth_py(i, 5) % 3 != k)
+    with pytest.raises(ValueError, match="belongs to shard"):
+        read_shard_after(spark, d, k, other)
+
+
+def test_walks_resolve_tree_and_manifest_once(spark, docs, tmp_path, monkeypatch):
+    """VERDICT r12 #1 pin: with verify enabled, an epoch walk reads the
+    manifest EXACTLY once and resolves the parquet tree EXACTLY once
+    (per export, for the mixture walk) — validation shares the walk's
+    own resolution instead of paying a second tree listing, which at
+    the 25k+-shard regime is the expensive driver step. Counted through
+    an fs double (manifest read / tree strays listing) and a counting
+    DataFrameReader.parquet (dataset resolution)."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from schemamap_spark.sources import fscommit
+    from schemamap_spark.sources.shards import (
+        interleave_epoch_walks,
+        iter_training_epoch,
+        read_training_shards,
+    )
+
+    d = str(tmp_path / "exp")
+    d2 = str(tmp_path / "exp2")
+    write_training_shards(docs, d, num_shards=4, token_col="n_chars")
+    write_training_shards(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+        d2,
+        num_shards=2,
+        token_col="n_chars",
+    )
+
+    fs_counts: dict[str, int] = {}
+
+    class CountingFS:
+        """Delegating double over the real fs, counting every call."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            attr = getattr(self._inner, name)
+            if not callable(attr):
+                return attr
+
+            def wrapped(*a, **k):
+                fs_counts[name] = fs_counts.get(name, 0) + 1
+                return attr(*a, **k)
+
+            return wrapped
+
+    real_fs_for = fscommit.fs_for
+    monkeypatch.setattr(
+        fscommit, "fs_for", lambda p, s=None: CountingFS(real_fs_for(p, s))
+    )
+    parquet_calls: list = []
+    orig_parquet = DataFrameReader.parquet
+
+    def counting_parquet(self, *paths, **kw):
+        parquet_calls.append(paths)
+        return orig_parquet(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", counting_parquet)
+
+    # single-export walk, both verify modes: 1 manifest read, 1 strays
+    # listing, 1 tree resolution — consuming every yielded slice adds none
+    for mode in ("dirs", "counts"):
+        fs_counts.clear()
+        parquet_calls.clear()
+        out = list(iter_training_epoch(spark, d, epoch=1, verify=mode))
+        assert len(out) == 4
+        assert sum(df.count() for *_, df in out) == docs.count()
+        assert fs_counts.get("read_text", 0) == 1, (mode, fs_counts)
+        assert fs_counts.get("listdir", 0) == 1, (mode, fs_counts)
+        assert len(parquet_calls) == 1, (mode, parquet_calls)
+
+    # mixture walk over two exports: one of each PER EXPORT
+    fs_counts.clear()
+    parquet_calls.clear()
+    exports = {"web": (d, 3.0), "code": (d2, 1.0)}
+    out = list(interleave_epoch_walks(spark, exports, epoch=1))
+    assert len(out) == 6
+    assert sum(df.count() for *_, df in out) == 2 * docs.count()
+    assert fs_counts.get("read_text", 0) == 2
+    assert fs_counts.get("listdir", 0) == 2
+    assert len(parquet_calls) == 2
+
+    # the plain reader is unchanged: 1 + 1 + 1
+    fs_counts.clear()
+    parquet_calls.clear()
+    assert read_training_shards(spark, d, shards=[1]).count() > 0
+    assert fs_counts.get("read_text", 0) == 1
+    assert fs_counts.get("listdir", 0) == 1
+    assert len(parquet_calls) == 1
+
+
+def test_mixture_edit_reshuffles_schedule(spark, docs, tmp_path):
+    """VERDICT r12 #4 pin: per-export epoch salts are
+    seed*len(exports)+i over the sorted names, so editing the mixture
+    re-salts the schedule — same exports → same schedule, but adding
+    one export generally re-permutes the OTHER exports' shard orders
+    too (always: any export sorted after the insertion point, and every
+    export when seed > 0). Resume tokens do not survive mixture edits;
+    restart the epoch at start=0 after editing `exports`."""
+    from schemamap_spark.sources.shards import interleave_epoch_walks
+
+    web = str(tmp_path / "web")
+    code = str(tmp_path / "code")
+    extra = str(tmp_path / "extra")
+    write_training_shards(docs, web, num_shards=8, token_col="n_chars")
+    write_training_shards(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+        code,
+        num_shards=4,
+        token_col="n_chars",
+    )
+    write_training_shards(
+        docs.withColumn("doc_id", F.col("doc_id") + 2_000_000),
+        extra,
+        num_shards=2,
+        token_col="n_chars",
+    )
+
+    def order_of(exports, name, seed):
+        return [
+            s
+            for _, n, s, _df in interleave_epoch_walks(
+                spark, exports, epoch=2, seed=seed, verify=None
+            )
+            if n == name
+        ]
+
+    two = {"web": (web, 1.0), "code": (code, 1.0)}
+    three = {**two, "extra": (extra, 1.0)}
+    # same mixture → same schedule (re-derivable, no state)
+    assert order_of(two, "web", 1) == order_of(two, "web", 1)
+    # seed > 0: adding an export re-permutes EVERY existing export
+    assert order_of(two, "web", 1) != order_of(three, "web", 1)
+    assert order_of(two, "code", 1) != order_of(three, "code", 1)
+    # the documented seed=0 subtlety: salts collapse to the sorted
+    # position alone, so an export sorted BEFORE the insertion point
+    # ('code' < 'extra') keeps its order while one after ('web') moves
+    assert order_of(two, "web", 0) != order_of(three, "web", 0)
+    assert order_of(two, "code", 0) == order_of(three, "code", 0)
+
+
+def test_rank_striped_mixture_share(spark, docs, tmp_path):
+    """VERDICT r12 #5 pin: position striping at world_size 4 hands each
+    rank a subsequence that still tracks the mixture weights while both
+    exports are live — no rank is source-starved, and each rank's
+    token share stays within the striping-lag tolerance
+    (world_size·max_shard_size over the rank's emitted total) of the
+    weight share. Checked over a 48/24-shard mixture so each rank owns
+    ~14 live-prefix picks (the 8/4 mixture in the contract test is too
+    short: a rank can legitimately see one source only)."""
+    from schemamap_spark.sources.shards import (
+        interleave_epoch_walks,
+        shard_stats,
+    )
+
+    web = str(tmp_path / "web48")
+    code = str(tmp_path / "code24")
+    write_training_shards(docs, web, num_shards=48, token_col="n_chars")
+    write_training_shards(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+        code,
+        num_shards=24,
+        token_col="n_chars",
+    )
+    exports = {"web": (web, 3.0), "code": (code, 1.0)}
+    w1 = [
+        (p, n, s)
+        for p, n, s, _df in interleave_epoch_walks(
+            spark, exports, epoch=1, verify=None
+        )
+    ]
+    sizes = {
+        n: {
+            r["shard"]: max(1, r["tokens"])
+            for r in shard_stats(spark, d).collect()
+        }
+        for n, (d, _w) in exports.items()
+    }
+    # the weighted regime holds only while BOTH exports are live: cut
+    # the schedule at the first exhaustion
+    last = {n: max(p for p, n2, _ in w1 if n2 == n) for n in exports}
+    prefix = [t for t in w1 if t[0] <= min(last.values())]
+    max_sz = max(max(d.values()) for d in sizes.values())
+    target = 3.0 / 4.0  # web weight share
+    ws = 4
+    for rank in range(ws):
+        sub = [(n, s) for p, n, s in prefix if p % ws == rank]
+        tok = {
+            n: sum(sizes[n][s] for n2, s in sub if n2 == n) for n in exports
+        }
+        # never source-starved within the live prefix
+        assert tok["web"] > 0 and tok["code"] > 0, (rank, sub)
+        tot = sum(tok.values())
+        assert abs(tok["web"] / tot - target) <= ws * max_sz / tot, (
+            rank,
+            tok,
+        )
+
+
+def test_deficit_schedule_exact_past_2_53():
+    """ADVICE r12: the greedy pick compares deficits EXACTLY (integer
+    emitted over Fraction weight), so the minimal-deficit invariant
+    holds past 2^53 where float division collapses adjacent totals. At
+    step 3 the exact deficits are a=2^53+1 vs x=2^53 (pick x); under
+    float division a's ratio rounds down to 2^53, ties, and the name
+    tiebreak would wrongly pick 'a'."""
+    from schemamap_spark.sources.shards import _deficit_schedule
+
+    big = 2 ** 53
+    assert float(big + 1) == float(big)  # the collapse being guarded
+    sizes = {"a": [(0, big + 1), (1, 5)], "x": [(0, big), (1, 5)]}
+    sched = _deficit_schedule(sizes, {"a": 1.0, "x": 1.0})
+    assert sched == [("a", 0), ("x", 0), ("x", 1), ("a", 1)]
