@@ -587,7 +587,9 @@ def interleave_epoch_walks(
     — a new mixture is a new schedule — but it means resume tokens
     (positions) do NOT survive mixture edits: after changing
     ``exports``, restart the epoch from start=0 rather than resuming a
-    pre-edit position (pinned in test)."""
+    pre-edit position (pinned in test). The same restart applies across
+    scheduler-algorithm revisions (see _deficit_schedule's contract
+    note)."""
     if not exports:
         raise ValueError("exports must name at least one (dir, weight)")
     # NaN passes `w <= 0` and then poisons every min() comparison,
@@ -685,21 +687,33 @@ def _deficit_schedule(
     after every prefix each source's emitted share tracks its weight to
     within one shard's size. Deficits compare EXACTLY: emitted sizes
     are integers and each weight becomes the Fraction equal to its
-    float value, so the comparison is integer cross-multiplication
-    under the hood — float division would lose the minimal-deficit
-    invariant once emitted totals pass 2^53 (plausible for
-    trillion-token corpora; ADVICE r12, pinned in test with a >2^53
-    mixture where the float pick deviates)."""
+    float value, so comparisons are integer cross-multiplication under
+    the hood (ADVICE r12). Exactness matters in two regimes, both
+    pinned in test: emitted totals past 2^53 (float division collapses
+    adjacent totals — plausible for trillion-token corpora), and
+    ordinary weights whose ratios falsely TIE in binary64 (e.g.
+    1/0.1 == 5/0.5 == 10.0 exactly in floats while the true rationals
+    differ), where the float tiebreak picked the wrong export.
+
+    Contract note: the algorithm itself is part of the schedule — the
+    r13 switch to exact deficits can reorder schedules the r12 float
+    scheduler produced for such false-tie weights, so cross-version
+    interleave resume tokens are not durable; after upgrading, restart
+    the epoch at start=0 (the same advice as mixture edits). Per-export
+    deficits are CACHED and updated only on emission (one exact
+    division per emitted shard, not one per live export per pick —
+    review r13): Fraction arithmetic is exact, so the running sum
+    equals emitted/weight identically."""
     wfrac = {n: Fraction(w) for n, w in weights.items()}
-    emitted = {n: 0 for n in sizes}
+    deficit = {n: Fraction(0) for n in sizes}
     nxt = {n: 0 for n in sizes}
     schedule: list[tuple[str, int]] = []
     live = sorted(sizes)
     while live:
-        pick = min(live, key=lambda n: (emitted[n] / wfrac[n], n))
+        pick = min(live, key=lambda n: (deficit[n], n))
         shard, size = sizes[pick][nxt[pick]]
         schedule.append((pick, shard))
-        emitted[pick] += size
+        deficit[pick] += size / wfrac[pick]
         nxt[pick] += 1
         if nxt[pick] == len(sizes[pick]):
             live.remove(pick)

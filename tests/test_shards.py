@@ -1141,3 +1141,33 @@ def test_deficit_schedule_exact_past_2_53():
     sizes = {"a": [(0, big + 1), (1, 5)], "x": [(0, big), (1, 5)]}
     sched = _deficit_schedule(sizes, {"a": 1.0, "x": 1.0})
     assert sched == [("a", 0), ("x", 0), ("x", 1), ("a", 1)]
+
+
+def test_deficit_schedule_exact_at_ordinary_weights():
+    """Review r13: exactness is NOT only a >2^53 concern — ordinary
+    weights whose ratios falsely tie in binary64 also diverge from the
+    float scheduler. Here 1/0.1 == 5/0.5 == 10.0 exactly in floats,
+    but as exact rationals 1/Fraction(0.1) < 5/Fraction(0.5) (0.1's
+    float value is slightly above 1/10), so after [a0, x0] the exact
+    scheduler picks x again where float's false tie fell to the name
+    break ('a'). Pins the documented contract that the r13 scheduler
+    may reorder r12 float schedules — cross-version interleave resume
+    tokens require a start=0 restart."""
+    from fractions import Fraction
+
+    from schemamap_spark.sources.shards import _deficit_schedule
+
+    sizes = {
+        "a": [(0, 5), (1, 5), (2, 5)],
+        "x": [(0, 1), (1, 1), (2, 1)],
+    }
+    weights = {"a": 0.5, "x": 0.1}
+    # the float false tie this guards against (and the true rationals)
+    assert 5 / 0.5 == 1 / 0.1
+    assert 1 / Fraction(0.1) < 5 / Fraction(0.5)
+    sched = _deficit_schedule(sizes, weights)
+    assert sched[:3] == [("a", 0), ("x", 0), ("x", 1)]
+    # every shard still visited exactly once
+    assert sorted(sched) == sorted(
+        [("a", s) for s in range(3)] + [("x", s) for s in range(3)]
+    )

@@ -60,7 +60,7 @@ def _run_one(name: str, reps: int, sf_dir: str) -> dict:
     }
 
 
-def _run_suite(reps: int, sf_dir: str, out: str | None) -> None:
+def _run_suite(reps: int, sf_dir: str, out: str) -> None:
     # the headline list lives in bench.py — one source of truth, so the
     # isolated artifact stays 1:1 comparable with the driver's BENCH_rNN
     import bench
@@ -76,20 +76,40 @@ def _run_suite(reps: int, sf_dir: str, out: str | None) -> None:
             cwd=_REPO,
         )
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-        try:
-            results[name] = json.loads(line)
-        except ValueError:
+        # a result is ONLY a zero-exit dict carrying warm_median — a
+        # stray JSON-parseable log line ('null', a number, a structured
+        # log) must land in the error map, not crash the doc build after
+        # every query has already run (review r13)
+        parsed = None
+        if proc.returncode == 0 and line:
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                parsed = None
+        if isinstance(parsed, dict) and "warm_median" in parsed:
+            results[name] = parsed
+            print(line, file=sys.stderr)
+        else:
             results[name] = {
                 "query": name,
-                "error": (proc.stderr or "no output")[-2000:],
+                "error": (proc.stderr or line or "no output")[-2000:],
             }
-        print(line or f"# {name}: FAILED", file=sys.stderr)
-    ok = [r for r in results.values() if "warm_median" in r]
+            # the progress stream must agree with the classification: a
+            # nonzero-exit query can still have printed a plausible JSON
+            # line (review r13)
+            print(f"# {name}: FAILED (exit {proc.returncode})", file=sys.stderr)
+    ok = {n: r for n, r in results.items() if "warm_median" in r}
+    errors = sorted(set(results) - set(ok))
     doc = {
         "metric": "bench_isolated_suite",
         "sf_dir": sf_dir,
         "reps": reps,
-        "total_warm_median": round(sum(r["warm_median"] for r in ok), 3),
+        # the total covers ONLY the queries that ran; `errors` sits
+        # beside it so a partial run can never read as a speedup when
+        # diffed against the driver's BENCH_rNN total (review r13)
+        "total_warm_median": round(sum(r["warm_median"] for r in ok.values()), 3),
+        "complete": not errors,
+        "errors": errors,
         "queries": {
             n: (
                 {"cold": r["cold"], "warm": r["warm"], "warm_median": r["warm_median"]}
@@ -99,9 +119,8 @@ def _run_suite(reps: int, sf_dir: str, out: str | None) -> None:
             for n, r in results.items()
         },
     }
-    if out:
-        with open(out, "w") as f:
-            f.write(json.dumps(doc, indent=1) + "\n")
+    with open(out, "w") as f:
+        f.write(json.dumps(doc, indent=1) + "\n")
     print(json.dumps(doc))
 
 
@@ -110,21 +129,32 @@ def main() -> None:
     out = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            raise SystemExit("--out needs a file path")
         out = args[i + 1]
         del args[i : i + 2]
-    if args and args[0] == "--suite":
-        reps = int(args[1]) if len(args) > 1 else 3
-        sf_dir = args[2] if len(args) > 2 else os.environ.get(
-            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    if not args:
+        # __doc__ is None under -OO; never exit 0 on a usage error
+        raise SystemExit(
+            __doc__ or "usage: bench_isolated.py QUERY|--suite [reps] [sf_dir] [--out FILE]"
         )
-        _run_suite(reps, sf_dir, out or os.path.join(_REPO, "BENCH_ISOLATED.json"))
-        return
-    name = args[0]
-    reps = int(args[1]) if len(args) > 1 else 3
-    sf_dir = args[2] if len(args) > 2 else os.environ.get(
+    suite = args[0] == "--suite"
+    # operands after the mode token: [reps] [sf_dir] in both modes
+    operands = args[1:]
+    reps = int(operands[0]) if operands else 3
+    if reps < 1:
+        raise SystemExit("reps must be >= 1 (warm stats need a warm run)")
+    sf_dir = operands[1] if len(operands) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    print(json.dumps(_run_one(name, reps, sf_dir)))
+    if suite:
+        _run_suite(reps, sf_dir, out or os.path.join(_REPO, "BENCH_ISOLATED.json"))
+        return
+    result = _run_one(args[0], reps, sf_dir)
+    if out:  # honor --out in single-query mode too (review r13)
+        with open(out, "w") as f:
+            f.write(json.dumps(result) + "\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
