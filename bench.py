@@ -38,29 +38,39 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+def headline_registry() -> dict:
+    """Name → query callable for every HEADLINE entry — the ONE merge
+    both this bench and tools/bench_isolated.py resolve names through,
+    so the shared-session and isolated series can never silently time
+    different implementations under one name (review r13).
 
-    from schemamap_spark.session import get_spark
+    q12_topk left the 50-slot driver registry (round 4, swapped for
+    text_ngram_stats) but stays in the bench for round-over-round
+    comparability of the top-k timing. dsir_select entered the driver
+    registry in round 6, so it arrives via the registry; bm25 (round 6)
+    joined the bench when its inverted index gained the
+    single-tokenization persist; hybrid_rerank (round 6) is the
+    retrieval flagship (BM25 + dense candidate union + exact rerank) —
+    both tracked round-over-round from the extras registry."""
     from schemamap_spark.suite import SPARK_QUERIES as _REGISTRY
-    # q12_topk left the 50-slot driver registry (round 4, swapped for
-    # text_ngram_stats) but stays in the bench for round-over-round
-    # comparability of the top-k timing
     from schemamap_spark.suite.extra import EXTRA_SPARK_QUERIES
     from schemamap_spark.suite.relational import q12_topk
 
-    # dsir_select entered the driver registry in round 6, so it now arrives
-    # via _REGISTRY; bm25 (round 6) joined the bench when its inverted index
-    # gained the single-tokenization persist; hybrid_rerank (round 6) is the
-    # new retrieval flagship (BM25 + dense candidate union + exact rerank) —
-    # both tracked round-over-round from the extras registry
-    SPARK_QUERIES = {
+    return {
         **_REGISTRY,
         "q12_topk": q12_topk,
         "bm25": EXTRA_SPARK_QUERIES["bm25"],
         "hybrid_rerank": EXTRA_SPARK_QUERIES["hybrid_rerank"],
     }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from schemamap_spark.session import get_spark
+
+    SPARK_QUERIES = headline_registry()
 
     spark = get_spark("schemamap-bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -987,21 +987,51 @@ def test_walks_resolve_tree_and_manifest_once(spark, docs, tmp_path, monkeypatch
 
     monkeypatch.setattr(DataFrameReader, "parquet", counting_parquet)
 
-    # single-export walk, both verify modes: 1 manifest read, 1 strays
-    # listing, 1 tree resolution — consuming every yielded slice adds none
-    for mode in ("dirs", "counts"):
+    # isin() pays one py4j literal per element — the walks must never
+    # build the walk-wide IN-list Column (review r13: ~43s of discarded
+    # construction at a 100k-shard walk); count isin calls too. Patch
+    # the CONCRETE Column class (type of a real Column): PySpark 4's
+    # classic implementation overrides the abstract base's isin, so a
+    # base-class patch never fires (verified — it counted 0 everywhere)
+    ColumnCls = type(F.col("shard"))
+    isin_calls: list = []
+    orig_isin = ColumnCls.isin
+
+    def counting_isin(self, *a, **k):
+        isin_calls.append(a)
+        return orig_isin(self, *a, **k)
+
+    monkeypatch.setattr(ColumnCls, "isin", counting_isin)
+
+    def _reset():
         fs_counts.clear()
         parquet_calls.clear()
+        isin_calls.clear()
+
+    # single-export walk, both verify modes: 1 manifest read, 1 strays
+    # listing, 1 tree resolution, ZERO IN-list Columns (the full-epoch
+    # counts recount covers every shard — full coverage skips the
+    # no-op filter) — consuming every yielded slice adds none
+    for mode in ("dirs", "counts"):
+        _reset()
         out = list(iter_training_epoch(spark, d, epoch=1, verify=mode))
         assert len(out) == 4
         assert sum(df.count() for *_, df in out) == docs.count()
         assert fs_counts.get("read_text", 0) == 1, (mode, fs_counts)
         assert fs_counts.get("listdir", 0) == 1, (mode, fs_counts)
         assert len(parquet_calls) == 1, (mode, parquet_calls)
+        assert len(isin_calls) == 0, (mode, isin_calls)
 
-    # mixture walk over two exports: one of each PER EXPORT
-    fs_counts.clear()
-    parquet_calls.clear()
+    # a STRIPED counts walk still scopes its recount with one IN-list
+    _reset()
+    out = list(
+        iter_training_epoch(spark, d, epoch=1, verify="counts", rank=0, world_size=2)
+    )
+    assert len(out) == 2 and len(parquet_calls) == 1
+    assert len(isin_calls) == 1
+
+    # mixture walk over two exports: one of each PER EXPORT, no IN-lists
+    _reset()
     exports = {"web": (d, 3.0), "code": (d2, 1.0)}
     out = list(interleave_epoch_walks(spark, exports, epoch=1))
     assert len(out) == 6
@@ -1009,14 +1039,17 @@ def test_walks_resolve_tree_and_manifest_once(spark, docs, tmp_path, monkeypatch
     assert fs_counts.get("read_text", 0) == 2
     assert fs_counts.get("listdir", 0) == 2
     assert len(parquet_calls) == 2
+    assert len(isin_calls) == 0
 
-    # the plain reader is unchanged: 1 + 1 + 1
-    fs_counts.clear()
-    parquet_calls.clear()
+    # the plain reader is unchanged: 1 + 1 + 1, and its partial-shards
+    # restriction still rides one IN-list (the PartitionFilters pin in
+    # test_read_training_shards_validates_and_prunes covers the plan)
+    _reset()
     assert read_training_shards(spark, d, shards=[1]).count() > 0
     assert fs_counts.get("read_text", 0) == 1
     assert fs_counts.get("listdir", 0) == 1
     assert len(parquet_calls) == 1
+    assert len(isin_calls) == 1
 
 
 def test_mixture_edit_reshuffles_schedule(spark, docs, tmp_path):

@@ -33,12 +33,17 @@ sys.path.insert(0, _REPO)
 
 
 def _run_one(name: str, reps: int, sf_dir: str) -> dict:
-    from schemamap_spark.session import get_spark
-    from schemamap_spark.suite import SPARK_QUERIES
-    from schemamap_spark.suite.extra import EXTRA_SPARK_QUERIES
-    from schemamap_spark.suite.relational import q12_topk
+    import bench
 
-    registry = {**SPARK_QUERIES, **EXTRA_SPARK_QUERIES, "q12_topk": q12_topk}
+    from schemamap_spark.session import get_spark
+    from schemamap_spark.suite.extra import EXTRA_SPARK_QUERIES
+
+    # every extras query stays reachable for ad-hoc isolation, but any
+    # headline name resolves through bench.headline_registry() — the
+    # SAME merge the shared-session bench uses, so the two series can
+    # never silently time different implementations under one name
+    # (review r13)
+    registry = {**EXTRA_SPARK_QUERIES, **bench.headline_registry()}
     fn = registry[name]
 
     spark = get_spark("bench-isolated")
@@ -68,13 +73,23 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
     results: dict[str, dict] = {}
     for name in bench.HEADLINE:
         # one fresh PROCESS per query: a new JVM, new codegen cache, new
-        # GC state — the strongest isolation this host offers
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), name, str(reps), sf_dir],
-            capture_output=True,
-            text=True,
-            cwd=_REPO,
-        )
+        # GC state — the strongest isolation this host offers. The
+        # per-query timeout keeps one hung/GC-thrashing child (the very
+        # pathology this arbiter diagnoses) from losing the other
+        # queries' results (review r13): a timeout lands in the error
+        # map and the loop continues
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), name, str(reps), sf_dir],
+                capture_output=True,
+                text=True,
+                cwd=_REPO,
+                timeout=600 * max(1, (reps + 1) // 4),
+            )
+        except subprocess.TimeoutExpired:
+            results[name] = {"query": name, "error": "timeout"}
+            print(f"# {name}: FAILED (timeout)", file=sys.stderr)
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         # a result is ONLY a zero-exit dict carrying warm_median — a
         # stray JSON-parseable log line ('null', a number, a structured
@@ -147,6 +162,10 @@ def main() -> None:
     sf_dir = operands[1] if len(operands) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    if len(operands) > 2:
+        # a misplaced output path (forgotten --out) must not silently
+        # write the artifact to the default file (review r13)
+        raise SystemExit(f"unexpected extra arguments: {operands[2:]}")
     if suite:
         _run_suite(reps, sf_dir, out or os.path.join(_REPO, "BENCH_ISOLATED.json"))
         return
