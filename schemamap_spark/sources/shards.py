@@ -291,8 +291,14 @@ def _validated_read(
     (`want_scoped`, or the counts recount needs its scope): isin() pays
     one py4j literal per element — ~43s at a 100k-shard full walk,
     measured — so the walks pass want_scoped=False and `scoped` falls
-    back to `base` (review r13). A full-coverage list also skips the
-    filter outright: restricting to every shard is a no-op."""
+    back to `base` (review r13). want_scoped=True ALWAYS filters: the
+    reader's `shards` contract restricts even against stray
+    out-of-range dirs that verify=None never checks for (review r13
+    pass 4 — a full-coverage skip here leaked a planted shard=9's rows,
+    live-confirmed). The walks' internal counts scope MAY skip a
+    full-coverage list: verify='counts' implies the strays check
+    already refused any unknown dir, so restricting to every manifest
+    shard really is a no-op there."""
     num_shards = int(m["num_shards"])
     by_shard = {int(s["shard"]): int(s["rows"]) for s in m["shards"]}
     if shards is not None:
@@ -338,9 +344,11 @@ def _validated_read(
     scoped = base
     if shards is not None and (want_scoped or verify == "counts"):
         wanted = sorted({int(k) for k in shards})
-        if wanted != list(range(num_shards)):
-            # partition-column filter: Catalyst prunes to the requested
-            # dirs (full coverage skips the no-op filter — see docstring)
+        # partition-column filter: Catalyst prunes to the requested
+        # dirs. wanted is deduped and range-checked above, so
+        # len(wanted) == num_shards IS full coverage — skippable only
+        # for the internal counts scope (see docstring)
+        if want_scoped or len(wanted) != num_shards:
             scoped = base.filter(F.col("shard").isin(wanted))
     if verify == "counts":
         # scoped to the (possibly filtered) read: an N-worker loader does

@@ -418,6 +418,18 @@ def test_read_training_shards_validates_and_prunes(spark, docs, tmp_path):
     sub = read_training_shards(spark, tampered, shards=[0, 1], verify="counts")
     assert sub.count() == want[0] + want[1]
 
+    # review r13 pass 4 (live-confirmed leak): shards= at FULL coverage
+    # with verify=None must STILL restrict — stray out-of-range rows
+    # must not ride in (the full-coverage IN-list skip is legal only on
+    # the walks' counts scope, where the strays check already refused)
+    leak = str(tmp_path / "leak")
+    shutil.copytree(d, leak)
+    shutil.copytree(os.path.join(leak, "shard=1"), os.path.join(leak, "shard=9"))
+    full = read_training_shards(spark, leak, shards=[0, 1, 2, 3], verify=None)
+    assert set(
+        r["shard"] for r in full.select("shard").distinct().collect()
+    ) == {0, 1, 2, 3}
+
     # no manifest -> loud, names the recovery; a TORN legacy manifest gets
     # the same designed refusal, not a raw JSONDecodeError
     os.unlink(os.path.join(broken, "_SHARDS.json"))

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -71,26 +72,46 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
     import bench
 
     results: dict[str, dict] = {}
+    # per-run allowance + JVM startup, scaled to the rep count;
+    # BENCH_ISOLATED_TIMEOUT (total seconds per query) overrides for
+    # bigger scale factors where 300s/run is too tight (review r13)
+    tmo = float(os.environ.get("BENCH_ISOLATED_TIMEOUT", 0)) or (
+        120 + 300 * (1 + reps)
+    )
     for name in bench.HEADLINE:
         # one fresh PROCESS per query: a new JVM, new codegen cache, new
         # GC state — the strongest isolation this host offers. The
         # per-query timeout keeps one hung/GC-thrashing child (the very
         # pathology this arbiter diagnoses) from losing the other
         # queries' results (review r13): a timeout lands in the error
-        # map and the loop continues
+        # map WITH the child's output tail, and the whole process GROUP
+        # is killed — proc.kill() alone reaches only the Python child,
+        # and a JVM wedged in a GC death spiral may never notice its
+        # stdin watchdog, contaminating every later "isolated" timing
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), name, str(reps), sf_dir],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=_REPO,
+            start_new_session=True,
+        )
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), name, str(reps), sf_dir],
-                capture_output=True,
-                text=True,
-                cwd=_REPO,
-                timeout=600 * max(1, (reps + 1) // 4),
-            )
+            out_s, err_s = proc.communicate(timeout=tmo)
         except subprocess.TimeoutExpired:
-            results[name] = {"query": name, "error": "timeout"}
-            print(f"# {name}: FAILED (timeout)", file=sys.stderr)
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                pass
+            out_s, err_s = proc.communicate()
+            results[name] = {
+                "query": name,
+                "error": f"timeout after {tmo:.0f}s; output tail: "
+                + ((err_s or out_s or "")[-1500:]),
+            }
+            print(f"# {name}: FAILED (timeout {tmo:.0f}s)", file=sys.stderr)
             continue
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        line = out_s.strip().splitlines()[-1] if out_s.strip() else ""
         # a result is ONLY a zero-exit dict carrying warm_median — a
         # stray JSON-parseable log line ('null', a number, a structured
         # log) must land in the error map, not crash the doc build after
@@ -107,7 +128,7 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
         else:
             results[name] = {
                 "query": name,
-                "error": (proc.stderr or line or "no output")[-2000:],
+                "error": (err_s or line or "no output")[-2000:],
             }
             # the progress stream must agree with the classification: a
             # nonzero-exit query can still have printed a plausible JSON
