@@ -347,8 +347,18 @@ def _validated_read(
         # partition-column filter: Catalyst prunes to the requested
         # dirs. wanted is deduped and range-checked above, so
         # len(wanted) == num_shards IS full coverage — skippable only
-        # for the internal counts scope (see docstring)
-        if want_scoped or len(wanted) != num_shards:
+        # for the internal counts scope (see docstring). A want_scoped
+        # full-coverage restriction still FILTERS (stray out-of-range
+        # dirs must not leak) but as the equivalent O(1) range
+        # predicate: membership in the contiguous {0..n-1} is exactly
+        # between(0, n-1), vs one py4j literal per isin element
+        # (review r13 pass 5)
+        if len(wanted) == num_shards:
+            if want_scoped:
+                scoped = base.filter(
+                    F.col("shard").between(0, num_shards - 1)
+                )
+        else:
             scoped = base.filter(F.col("shard").isin(wanted))
     if verify == "counts":
         # scoped to the (possibly filtered) read: an N-worker loader does

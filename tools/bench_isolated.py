@@ -66,6 +66,16 @@ def _run_one(name: str, reps: int, sf_dir: str) -> dict:
     }
 
 
+def _killpg(proc: subprocess.Popen) -> None:
+    """Kill a child's whole process GROUP: proc.kill() reaches only the
+    Python child, and a GC-wedged JVM may never notice its stdin
+    watchdog."""
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        pass
+
+
 def _run_suite(reps: int, sf_dir: str, out: str) -> None:
     # the headline list lives in bench.py — one source of truth, so the
     # isolated artifact stays 1:1 comparable with the driver's BENCH_rNN
@@ -74,10 +84,22 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
     results: dict[str, dict] = {}
     # per-run allowance + JVM startup, scaled to the rep count;
     # BENCH_ISOLATED_TIMEOUT (total seconds per query) overrides for
-    # bigger scale factors where 300s/run is too tight (review r13)
-    tmo = float(os.environ.get("BENCH_ISOLATED_TIMEOUT", 0)) or (
-        120 + 300 * (1 + reps)
-    )
+    # bigger scale factors where 300s/run is too tight; 0 or negative
+    # disables the timeout entirely, and a malformed value refuses
+    # loudly before any query runs (review r13 pass 5)
+    raw = os.environ.get("BENCH_ISOLATED_TIMEOUT")
+    if raw is None or raw.strip() == "":
+        tmo = 120.0 + 300.0 * (1 + reps)
+    else:
+        try:
+            tmo = float(raw)
+        except ValueError:
+            raise SystemExit(
+                f"BENCH_ISOLATED_TIMEOUT must be a number of seconds "
+                f"(0 disables), got {raw!r}"
+            )
+        if tmo <= 0:
+            tmo = None
     for name in bench.HEADLINE:
         # one fresh PROCESS per query: a new JVM, new codegen cache, new
         # GC state — the strongest isolation this host offers. The
@@ -96,14 +118,24 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
             cwd=_REPO,
             start_new_session=True,
         )
+        timed_out = False
         try:
-            out_s, err_s = proc.communicate(timeout=tmo)
-        except subprocess.TimeoutExpired:
             try:
-                os.killpg(proc.pid, signal.SIGKILL)
-            except (ProcessLookupError, PermissionError):
-                pass
-            out_s, err_s = proc.communicate()
+                out_s, err_s = proc.communicate(timeout=tmo)
+            except subprocess.TimeoutExpired:
+                timed_out = True
+                _killpg(proc)
+                out_s, err_s = proc.communicate()
+        finally:
+            # start_new_session detaches the child from the terminal's
+            # SIGINT, and a bare Popen has no run()-style cleanup — on
+            # ANY abnormal exit from communicate (Ctrl-C, MemoryError)
+            # the whole tree must die with us, or the orphaned JVM
+            # contaminates the next run's "isolated" timings
+            # (review r13 pass 5)
+            if proc.returncode is None:
+                _killpg(proc)
+        if timed_out:
             results[name] = {
                 "query": name,
                 "error": f"timeout after {tmo:.0f}s; output tail: "
