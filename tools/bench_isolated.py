@@ -94,6 +94,8 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
         try:
             tmo = float(raw)
         except ValueError:
+            tmo = float("nan")
+        if tmo != tmo:  # NaN parses but crashes communicate() mid-run
             raise SystemExit(
                 f"BENCH_ISOLATED_TIMEOUT must be a number of seconds "
                 f"(0 disables), got {raw!r}"
