@@ -625,3 +625,62 @@ def test_sample_exact_n_model(spark, ids, n):
 
     want = sorted((s for (s,) in rows), key=key)[:n]
     assert sorted(got) == sorted(want)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    exports=st.dictionaries(
+        st.text(alphabet="abcdxyz", min_size=1, max_size=4),
+        st.tuples(
+            st.lists(
+                st.integers(min_value=1, max_value=2**60),
+                min_size=1,
+                max_size=8,
+            ),
+            st.floats(
+                min_value=1e-6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_deficit_schedule_model(exports):
+    """The mixture scheduler's whole contract, replayed independently
+    (min over explicit tuples, not the implementation's cached running
+    sums): every shard exactly once per export, each export's given
+    order preserved, and at EVERY step the pick had the minimal exact
+    emitted/weight among live exports (ties by name) — at any
+    magnitude (sizes up to 2^60, where float deficits collapse). Pure
+    Python, no Spark, so hypothesis gets real volume here."""
+    from fractions import Fraction
+
+    from schemamap_spark.sources.shards import _deficit_schedule
+
+    sizes = {
+        n: [(i, s) for i, s in enumerate(szs)]
+        for n, (szs, _w) in exports.items()
+    }
+    weights = {n: w for n, (_szs, w) in exports.items()}
+    sched = _deficit_schedule(sizes, weights)
+
+    # completeness + per-export order preservation
+    assert len(sched) == sum(len(v) for v in sizes.values())
+    for n in sizes:
+        assert [s for n2, s in sched if n2 == n] == [i for i, _ in sizes[n]]
+
+    # exact minimal-deficit invariant at every step
+    wfrac = {n: Fraction(w) for n, w in weights.items()}
+    emitted = {n: 0 for n in sizes}
+    nxt = {n: 0 for n in sizes}
+    for name, shard in sched:
+        live = [n for n in sizes if nxt[n] < len(sizes[n])]
+        best = min((Fraction(emitted[n]) / wfrac[n], n) for n in live)
+        assert (Fraction(emitted[name]) / wfrac[name], name) == best
+        assert sizes[name][nxt[name]][0] == shard
+        emitted[name] += sizes[name][nxt[name]][1]
+        nxt[name] += 1
+    assert all(nxt[n] == len(sizes[n]) for n in sizes)
