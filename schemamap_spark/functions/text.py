@@ -7,6 +7,7 @@ document fingerprinting (min-hash-of-shingles, a winnowing-lite scheme).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -252,14 +253,17 @@ def nfc_normalize(col: str = "text") -> Column:
     """Unicode NFC composition via an Arrow-batched pandas UDF (Spark exposes
     no JVM normalizer). Use when sources mix composed/decomposed forms —
     otherwise visually identical texts hash as distinct documents. Kept
-    separate from normalize_text so the pure-Column fast path stays UDF-free."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.pandas.functions import PandasUDFType
+    separate from normalize_text so the pure-Column fast path stays UDF-free.
 
-    # no annotations on purpose: the module's `from __future__ import
-    # annotations` turns them into strings pyspark can't resolve
-    @pandas_udf("string", PandasUDFType.SCALAR)
-    def _nfc(s):
+    Type-hint form (VERDICT r13 #1): the legacy PandasUDFType.SCALAR
+    spelling draws a SPARK-28264 deprecation warning. The module's
+    `from __future__ import annotations` stringifies the hints, which
+    pyspark resolves via typing.get_type_hints against the module
+    globals — hence the module-level `import pandas as pd`."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
         import unicodedata
 
         return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)

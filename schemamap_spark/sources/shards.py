@@ -301,6 +301,19 @@ def _validated_read(
     shard really is a no-op there."""
     num_shards = int(m["num_shards"])
     by_shard = {int(s["shard"]): int(s["rows"]) for s in m["shards"]}
+    if shards is not None and not list(shards):
+        # an empty assignment passes every range check and would yield a
+        # silent zero-row read — far more likely a world-size arithmetic
+        # bug in the caller (a stripe that owns nothing) than an
+        # intentional empty read; every other misconfiguration here
+        # refuses loudly, so this one does too (VERDICT r13 #3). The
+        # walks never hit this: they return before reading when their
+        # stripe is empty
+        raise ValueError(
+            "shards=[] would read zero rows — an empty shard assignment "
+            "is almost always a world-size arithmetic bug in the caller; "
+            "pass shards=None to read the whole export"
+        )
     if shards is not None:
         bad = sorted(set(shards) - set(range(num_shards)))
         if bad:

@@ -684,3 +684,97 @@ def test_deficit_schedule_model(exports):
         emitted[name] += sizes[name][nxt[name]][1]
         nxt[name] += 1
     assert all(nxt[n] == len(sizes[n]) for n in sizes)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    num_shards=st.integers(1, 64),
+    epoch=st.integers(0, 6),
+    seed=st.integers(0, 4),
+    world_size=st.integers(1, 9),
+    start=st.integers(0, 70),
+)
+def test_stripe_epoch_order_model(num_shards, epoch, seed, world_size, start):
+    """The striping/resume contract (VERDICT r13 #1), replayed at
+    hypothesis volume on the real driver functions (pure Python, no
+    Spark): epoch_shard_order is a permutation equal to the brute-force
+    scramble_py sort; ranks partition every epoch exactly (disjoint,
+    union == the unstriped walk, each rank's positions ≡ rank mod
+    world_size in increasing order); and resume-at-start yields exactly
+    the suffix of the from-0 walk — for ANY (num_shards, epoch, seed,
+    world_size, start), including start past the end and world sizes
+    larger than the shard count (some ranks own nothing). These were
+    previously pinned only at example points (test_shards.py:601,908)."""
+    from schemamap_spark.operators.sampling import scramble_py
+    from schemamap_spark.sources.shards import (
+        _EPOCH_SEED_MIX,
+        _stripe,
+        epoch_shard_order,
+    )
+
+    order = epoch_shard_order(num_shards, epoch, seed)
+    assert sorted(order) == list(range(num_shards))  # a permutation
+    salt = seed * _EPOCH_SEED_MIX + epoch
+    assert order == sorted(range(num_shards), key=lambda s: scramble_py(s, salt))
+
+    # the unstriped walk: positions number the order, resume drops < start
+    full = _stripe(order, start, None, None)
+    assert full == [(p, order[p]) for p in range(start, num_shards)]
+
+    # ranks partition the (resumed) walk exactly
+    per_rank = [_stripe(order, start, r, world_size) for r in range(world_size)]
+    assert sorted(e for chunk in per_rank for e in chunk) == sorted(full)
+    for r, chunk in enumerate(per_rank):
+        assert all(p % world_size == r for p, _ in chunk)
+        assert [p for p, _ in chunk] == sorted(p for p, _ in chunk)
+        # resume composes with striping: start=k is exactly the suffix
+        # of the rank's from-0 walk — byte-identical remainder
+        from_zero = _stripe(order, 0, r, world_size)
+        assert chunk == [e for e in from_zero if e[0] >= start]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    parts=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(-4, 4)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    salt=st.integers(0, 2**31 - 1),
+    num_shards=st.integers(1, 8),
+    cut_frac=st.floats(0.0, 1.0),
+)
+def test_hash_cut_suffix_model(parts, salt, num_shards, cut_frac):
+    """read_shard_after's hash-v2 cut arithmetic (shards.py:866-876),
+    replayed at hypothesis volume: the strictly-after predicate on the
+    recorded (scramble_py, id) key — `h > h0 OR (h == h0 AND id >
+    after_id)` — selects EXACTLY the suffix of the brute-force sort of
+    the shard's members, for any cut point. Ids are built as
+    lo + hi·2^31 so distinct ids that collide mod 2^31 (identical hash,
+    tie broken by id — the exporter's rule) occur constantly, and
+    negative ids (hi < 0) exercise the pmod twin. Membership itself
+    uses knuth_py % num_shards exactly as the exporter does, so the
+    modeled universe is a real shard's."""
+    from schemamap_spark.operators.sampling import knuth_py, scramble_py
+
+    ids = sorted({lo + hi * 2**31 for lo, hi in parts})
+    shard = knuth_py(ids[0], salt) % num_shards
+    members = [i for i in ids if knuth_py(i, salt) % num_shards == shard]
+    order = sorted(members, key=lambda i: (scramble_py(i, salt), i))
+    k = min(int(cut_frac * len(order)), len(order) - 1)
+    token = order[k]
+    h0 = scramble_py(token, salt)
+    suffix = [
+        i
+        for i in members
+        if scramble_py(i, salt) > h0
+        or (scramble_py(i, salt) == h0 and i > token)
+    ]
+    assert sorted(suffix, key=lambda i: (scramble_py(i, salt), i)) == order[k + 1:]
+    # when the cut lands on the SMALLER id of a hash-tied pair, the
+    # larger twin is unprocessed and must be in the suffix — the exact
+    # row the tie-break clause exists to keep (ids colliding mod 2^31)
+    twins = [i for i in members if i != token and scramble_py(i, salt) == h0]
+    for t in twins:
+        assert (t in suffix) == (t > token)
