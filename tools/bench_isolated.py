@@ -145,24 +145,32 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
             }
             print(f"# {name}: FAILED (timeout {tmo:.0f}s)", file=sys.stderr)
             continue
-        line = out_s.strip().splitlines()[-1] if out_s.strip() else ""
-        # a result is ONLY a zero-exit dict carrying warm_median — a
+        lines = out_s.strip().splitlines() if out_s.strip() else []
+        # a result is ONLY a zero-exit dict carrying warm_median; scan
+        # stdout in REVERSE for it — trailing non-JSON noise (a stray
+        # JVM shutdown message after the result line) must not demote a
+        # completed multi-minute run to the error map (ADVICE r13). A
         # stray JSON-parseable log line ('null', a number, a structured
-        # log) must land in the error map, not crash the doc build after
-        # every query has already run (review r13)
+        # log) still never counts as a result (review r13)
         parsed = None
-        if proc.returncode == 0 and line:
-            try:
-                parsed = json.loads(line)
-            except ValueError:
-                parsed = None
-        if isinstance(parsed, dict) and "warm_median" in parsed:
+        line = ""
+        if proc.returncode == 0:
+            for cand in reversed(lines):
+                try:
+                    obj = json.loads(cand)
+                except ValueError:
+                    continue
+                if isinstance(obj, dict) and "warm_median" in obj:
+                    parsed, line = obj, cand
+                    break
+        if parsed is not None:
             results[name] = parsed
             print(line, file=sys.stderr)
         else:
+            tail = lines[-1] if lines else ""
             results[name] = {
                 "query": name,
-                "error": (err_s or line or "no output")[-2000:],
+                "error": (err_s or tail or "no output")[-2000:],
             }
             # the progress stream must agree with the classification: a
             # nonzero-exit query can still have printed a plausible JSON
@@ -211,7 +219,19 @@ def main() -> None:
     suite = args[0] == "--suite"
     # operands after the mode token: [reps] [sf_dir] in both modes
     operands = args[1:]
-    reps = int(operands[0]) if operands else 3
+    if operands:
+        # a non-numeric reps operand refuses with the usage string like
+        # every other argument error here — not a raw traceback
+        # (ADVICE r13)
+        try:
+            reps = int(operands[0])
+        except ValueError:
+            raise SystemExit(
+                f"reps must be an integer, got {operands[0]!r} — usage: "
+                "bench_isolated.py QUERY|--suite [reps] [sf_dir] [--out FILE]"
+            )
+    else:
+        reps = 3
     if reps < 1:
         raise SystemExit("reps must be >= 1 (warm stats need a warm run)")
     sf_dir = operands[1] if len(operands) > 1 else os.environ.get(

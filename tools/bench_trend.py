@@ -1,0 +1,125 @@
+"""Diff two bench artifacts query-by-query (VERDICT r13 #5): make the
+round-over-round arbitration one command instead of a by-hand JSON read.
+
+    python tools/bench_trend.py OLD.json NEW.json [--threshold 0.20]
+
+Accepts either artifact shape and any mix of the two:
+  - isolated-suite files (tools/bench_isolated.py --suite):
+    {"queries": {name: {"warm_median": s, ...}}, "total_warm_median": s,
+     "errors": [...]}
+  - driver / bench.py files: {"queries": {name: s}, "value": s}
+
+Prints per-query old/new/delta rows sorted by |drift|, flagging drifts
+past the threshold (default ±20% — the documented host-noise band at the
+~1s query scale; see SCALE.md "Bench variance audit": a drift inside the
+band on untouched code is environment, and even past-band drifts are
+arbitrated by the ISOLATED series, not the shared-session one). Also
+reports queries present on only one side and either side's error rows, so
+a partial run can never read as a speedup. Exit code is always 0 on a
+successful diff — this is an arbitration aid, not a gate; the gates are
+correctness and the suite total.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> tuple[dict[str, float], float | None, list[str]]:
+    """(per-query seconds, total, error-query names) from either shape."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError) as e:
+        raise SystemExit(f"cannot read bench artifact {path!r}: {e}")
+    # the driver's BENCH_rNN.json wraps the bench line under "parsed"
+    if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
+    if not isinstance(doc, dict) or not isinstance(doc.get("queries"), dict):
+        raise SystemExit(
+            f"{path!r} is not a bench artifact (no 'queries' map)"
+        )
+    qs: dict[str, float] = {}
+    errors = [str(e) for e in doc.get("errors", [])]
+    for n, v in doc["queries"].items():
+        if isinstance(v, dict):
+            if "warm_median" in v:
+                qs[n] = float(v["warm_median"])
+            elif n not in errors:  # error row not already in the list
+                errors.append(n)
+        else:
+            qs[n] = float(v)
+    total = doc.get("total_warm_median", doc.get("value"))
+    return qs, (float(total) if total is not None else None), sorted(errors)
+
+
+def main() -> None:
+    args = list(sys.argv[1:])
+    threshold = 0.20
+    if "--threshold" in args:
+        i = args.index("--threshold")
+        if i + 1 >= len(args):
+            raise SystemExit("--threshold needs a fraction (e.g. 0.20)")
+        try:
+            threshold = float(args[i + 1])
+        except ValueError:
+            raise SystemExit(
+                f"--threshold must be a fraction, got {args[i + 1]!r}"
+            )
+        del args[i : i + 2]
+    if len(args) != 2:
+        raise SystemExit(
+            __doc__
+            or "usage: bench_trend.py OLD.json NEW.json [--threshold 0.20]"
+        )
+    old_qs, old_total, old_errs = load(args[0])
+    new_qs, new_total, new_errs = load(args[1])
+
+    shared = sorted(set(old_qs) & set(new_qs))
+    rows = []
+    for n in shared:
+        o, w = old_qs[n], new_qs[n]
+        pct = (w - o) / o if o else float("inf")
+        rows.append((n, o, w, w - o, pct))
+    rows.sort(key=lambda r: -abs(r[4]))
+
+    name_w = max([len(n) for n in shared] or [5])
+    print(f"{'query':<{name_w}}  {'old':>8}  {'new':>8}  {'delta':>8}  {'drift':>7}")
+    flagged = 0
+    for n, o, w, d, pct in rows:
+        flag = ""
+        if abs(pct) > threshold:
+            flagged += 1
+            flag = "  <-- past band" if d > 0 else "  (faster)"
+        print(f"{n:<{name_w}}  {o:>8.3f}  {w:>8.3f}  {d:>+8.3f}  {pct:>+6.1%}{flag}")
+
+    if old_total is not None and new_total is not None:
+        tp = (new_total - old_total) / old_total if old_total else float("inf")
+        print(
+            f"{'TOTAL':<{name_w}}  {old_total:>8.3f}  {new_total:>8.3f}  "
+            f"{new_total - old_total:>+8.3f}  {tp:>+6.1%}"
+        )
+    for label, names in (
+        ("only in old", sorted(set(old_qs) - set(new_qs))),
+        ("only in new", sorted(set(new_qs) - set(old_qs))),
+        ("errors in old", old_errs),
+        ("errors in new", new_errs),
+    ):
+        if names:
+            print(f"# {label}: {names}")
+    slow = sum(1 for *_, pct in rows if pct > threshold)
+    print(
+        f"# {flagged} of {len(shared)} shared queries drifted past "
+        f"±{threshold:.0%} ({slow} slower); drifts inside the band on "
+        "untouched code are host noise — arbitrate past-band SLOWER rows "
+        "with tools/bench_isolated.py before believing a regression"
+    )
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except BrokenPipeError:
+        # piped into head/less and the reader closed first — not an error
+        sys.exit(0)
