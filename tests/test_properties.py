@@ -778,3 +778,67 @@ def test_hash_cut_suffix_model(parts, salt, num_shards, cut_frac):
     twins = [i for i in members if i != token and scramble_py(i, salt) == h0]
     for t in twins:
         assert (t in suffix) == (t > token)
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 3)),
+            st.one_of(st.none(), st.integers(0, 2)),
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    desc1=st.booleans(),
+    desc2=st.booleans(),
+    cut_frac=st.floats(0.0, 1.0),
+)
+def test_curriculum_resume_suffix_model(
+    spark, tmp_path_factory, rows, desc1, desc2, cut_frac
+):
+    """read_shard_after's CURRICULUM branch (shards.py:877-897) vs a
+    pure-Python model of the exporter's order: the lexicographic
+    strictly-after filter — honoring per-key asc/desc directions,
+    Spark's null placement (asc = nulls FIRST, desc = nulls LAST), and
+    the id tie-break — returns exactly the suffix of the recorded
+    order, for random null patterns, tied key values, directions, and
+    cut points. The example-point pins (test_shards.py) cover single
+    keys; this drives BOTH keys with heavy ties so the eq-chain
+    (null-safe equality on key1 before comparing key2) is load-bearing
+    in most examples."""
+    from schemamap_spark.sources.shards import (
+        read_shard_after,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, k1, k2) for i, (k1, k2) in enumerate(rows)],
+        "doc_id long, k1 long, k2 long",
+    )
+    d = str(tmp_path_factory.mktemp("curr") / "exp")
+    order_by = [("-" if desc1 else "") + "k1", ("-" if desc2 else "") + "k2"]
+    write_training_shards(df, d, num_shards=1, order_by=order_by)
+
+    # the exporter's order, modeled independently: per-key (asc nulls
+    # first, desc nulls last), then doc_id asc
+    def key(row):
+        i, (k1, k2) = row
+        parts = []
+        for v, desc in ((k1, desc1), (k2, desc2)):
+            if desc:
+                parts.append((1 if v is None else 0, 0 if v is None else -v))
+            else:
+                parts.append((0 if v is None else 1, 0 if v is None else v))
+        parts.append(i)
+        return tuple(parts)
+
+    expect = [i for i, _ in sorted(enumerate(rows), key=key)]
+    k = min(int(cut_frac * len(expect)), len(expect) - 1)
+    got = [
+        r["doc_id"]
+        for r in read_shard_after(spark, d, 0, expect[k])
+        .select("doc_id")
+        .collect()
+    ]
+    assert got == expect[k + 1:]
