@@ -704,7 +704,7 @@ def test_stripe_epoch_order_model(num_shards, epoch, seed, world_size, start):
     the suffix of the from-0 walk — for ANY (num_shards, epoch, seed,
     world_size, start), including start past the end and world sizes
     larger than the shard count (some ranks own nothing). These were
-    previously pinned only at example points (test_shards.py:601,908)."""
+    previously pinned only at example points (test_shards.py:583,915)."""
     from schemamap_spark.operators.sampling import scramble_py
     from schemamap_spark.sources.shards import (
         _EPOCH_SEED_MIX,
@@ -746,7 +746,7 @@ def test_stripe_epoch_order_model(num_shards, epoch, seed, world_size, start):
     cut_frac=st.floats(0.0, 1.0),
 )
 def test_hash_cut_suffix_model(parts, salt, num_shards, cut_frac):
-    """read_shard_after's hash-v2 cut arithmetic (shards.py:866-876),
+    """read_shard_after's hash-v2 cut arithmetic (shards.py:879-889),
     replayed at hypothesis volume: the strictly-after predicate on the
     recorded (scramble_py, id) key — `h > h0 OR (h == h0 AND id >
     after_id)` — selects EXACTLY the suffix of the brute-force sort of
@@ -797,7 +797,7 @@ def test_hash_cut_suffix_model(parts, salt, num_shards, cut_frac):
 def test_curriculum_resume_suffix_model(
     spark, tmp_path_factory, rows, desc1, desc2, cut_frac
 ):
-    """read_shard_after's CURRICULUM branch (shards.py:877-897) vs a
+    """read_shard_after's CURRICULUM branch (shards.py:890-910) vs a
     pure-Python model of the exporter's order: the lexicographic
     strictly-after filter — honoring per-key asc/desc directions,
     Spark's null placement (asc = nulls FIRST, desc = nulls LAST), and
