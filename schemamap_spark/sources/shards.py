@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import math
 import warnings
+from collections.abc import Iterable
 from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession
@@ -227,7 +228,7 @@ def _read_manifest(fs, target_dir: str) -> dict | None:
 def read_training_shards(
     spark: SparkSession,
     target_dir: str,
-    shards: list[int] | None = None,
+    shards: Iterable[int] | None = None,
     verify: str | None = "dirs",
 ) -> DataFrame:
     """The loader-side reader: a DataFrame over an export's committed
@@ -235,7 +236,11 @@ def read_training_shards(
     to those shards with a PARTITION-PRUNED filter — `shard` is the
     partition column, so only the requested directories are ever scanned
     (the plan's PartitionFilters carry the IN-list; pinned in test) —
-    how a data-parallel worker reads exactly its assignment.
+    how a data-parallel worker reads exactly its assignment. Any
+    iterable works (one-shot generators included — the assignment is
+    materialized exactly once up front); an EMPTY assignment refuses
+    loudly, since it is almost always a world-size arithmetic bug
+    upstream — `shards=None` is the whole-export spelling.
 
     verify='dirs' (default) cross-checks manifest vs tree without
     touching data: every non-empty manifest shard must have its
@@ -269,7 +274,7 @@ def _validated_read(
     fs,
     target_dir: str,
     m: dict,
-    shards: list[int] | None,
+    shards: Iterable[int] | None,
     verify: str | None,
     want_scoped: bool = True,
 ):
@@ -301,20 +306,26 @@ def _validated_read(
     shard really is a no-op there."""
     num_shards = int(m["num_shards"])
     by_shard = {int(s["shard"]): int(s["rows"]) for s in m["shards"]}
-    if shards is not None and not list(shards):
-        # an empty assignment passes every range check and would yield a
-        # silent zero-row read — far more likely a world-size arithmetic
-        # bug in the caller (a stripe that owns nothing) than an
-        # intentional empty read; every other misconfiguration here
-        # refuses loudly, so this one does too (VERDICT r13 #3). The
-        # walks never hit this: they return before reading when their
-        # stripe is empty
-        raise ValueError(
-            "shards=[] would read zero rows — an empty shard assignment "
-            "is almost always a world-size arithmetic bug in the caller; "
-            "pass shards=None to read the whole export"
-        )
     if shards is not None:
+        # normalize ONCE: a one-shot iterable (a generator assignment)
+        # would otherwise be drained by the first membership check and
+        # read as empty everywhere after it — the silent zero-row read
+        # this function exists to refuse (review r14)
+        shards = list(shards)
+        if not shards:
+            # an empty assignment passes every range check and would
+            # yield a silent zero-row read — far more likely a
+            # world-size arithmetic bug in the caller (a stripe that
+            # owns nothing) than an intentional empty read; every other
+            # misconfiguration here refuses loudly, so this one does
+            # too (VERDICT r13 #3). The walks never hit this: they
+            # return before reading when their stripe is empty
+            raise ValueError(
+                "shards=[] would read zero rows — an empty shard "
+                "assignment is almost always a world-size arithmetic "
+                "bug in the caller; pass shards=None to read the whole "
+                "export"
+            )
         bad = sorted(set(shards) - set(range(num_shards)))
         if bad:
             raise ValueError(

@@ -143,6 +143,13 @@ def test_trend_loads_both_artifact_shapes(bench_trend, tmp_path):
     qs, total, errs = bench_trend.load(p2)
     assert qs == {"a": 0.5, "b": 1.0} and total == 1.5 and errs == []
 
+    # a FAILED driver run with a stale/partial parsed payload must not
+    # diff as healthy: the wrapper's rc surfaces in the errors list
+    p4 = str(tmp_path / "failed_drv.json")
+    open(p4, "w").write(json.dumps({**drv, "rc": 1}))
+    qs, total, errs = bench_trend.load(p4)
+    assert qs == {"a": 0.5, "b": 1.0} and errs == ["(driver run exited rc=1)"]
+
     # not-a-bench-artifact and unreadable files refuse loudly
     p3 = str(tmp_path / "bad.json")
     open(p3, "w").write(json.dumps({"rows": 3}))
@@ -155,8 +162,11 @@ def test_trend_loads_both_artifact_shapes(bench_trend, tmp_path):
 def test_trend_diff_output(bench_trend, tmp_path, monkeypatch, capsys):
     """End-to-end diff: shared queries sorted by |drift|, past-band rows
     flagged, one-sided queries reported, totals row present."""
+    # a drifts +50% (past band), b -18% (unambiguously inside — NOT a
+    # value that lands exactly at the band edge, where which side it
+    # falls on would be a float-representation accident; review r14)
     old = {"value": 2.0, "queries": {"a": 1.0, "b": 0.5, "gone": 0.5}}
-    new = {"value": 1.9, "queries": {"a": 1.5, "b": 0.4, "fresh": 0.1}}
+    new = {"value": 1.9, "queries": {"a": 1.5, "b": 0.41, "fresh": 0.1}}
     p1, p2 = str(tmp_path / "o.json"), str(tmp_path / "n.json")
     open(p1, "w").write(json.dumps(old))
     open(p2, "w").write(json.dumps(new))
@@ -166,8 +176,7 @@ def test_trend_diff_output(bench_trend, tmp_path, monkeypatch, capsys):
     bench_trend.main()
     out = capsys.readouterr().out
     lines = out.splitlines()
-    # a (+50%) sorts before b (-20%); a flagged slower, b exactly at the
-    # default band edge (not past it)
+    # a (+50%) sorts before b (-18%); a flagged slower, b inside the band
     assert lines[1].startswith("a ") and "past band" in lines[1]
     assert lines[2].startswith("b ") and "past band" not in lines[2]
     assert any(line.startswith("TOTAL") and "-0.100" in line for line in lines)

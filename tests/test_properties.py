@@ -733,51 +733,56 @@ def test_stripe_epoch_order_model(num_shards, epoch, seed, world_size, start):
         assert chunk == [e for e in from_zero if e[0] >= start]
 
 
-@settings(max_examples=200, deadline=None)
+@SET
 @given(
     parts=st.lists(
-        st.tuples(st.integers(0, 40), st.integers(-4, 4)),
+        st.tuples(st.integers(0, 25), st.integers(-3, 3)),
         min_size=1,
-        max_size=40,
+        max_size=24,
         unique=True,
     ),
     salt=st.integers(0, 2**31 - 1),
-    num_shards=st.integers(1, 8),
+    num_shards=st.integers(1, 4),
     cut_frac=st.floats(0.0, 1.0),
 )
-def test_hash_cut_suffix_model(parts, salt, num_shards, cut_frac):
-    """read_shard_after's hash-v2 cut arithmetic (shards.py:879-889),
-    replayed at hypothesis volume: the strictly-after predicate on the
-    recorded (scramble_py, id) key — `h > h0 OR (h == h0 AND id >
-    after_id)` — selects EXACTLY the suffix of the brute-force sort of
-    the shard's members, for any cut point. Ids are built as
-    lo + hi·2^31 so distinct ids that collide mod 2^31 (identical hash,
-    tie broken by id — the exporter's rule) occur constantly, and
-    negative ids (hi < 0) exercise the pmod twin. Membership itself
-    uses knuth_py % num_shards exactly as the exporter does, so the
-    modeled universe is a real shard's."""
+def test_hash_cut_suffix_model(
+    spark, tmp_path_factory, parts, salt, num_shards, cut_frac
+):
+    """read_shard_after's hash-v2 cut (shards.py:879-889) end-to-end vs
+    the brute-force model: export random ids, pick a random shard and
+    cut point, and the REAL loader's suffix must equal the brute-force
+    sort of the shard's members by (scramble_py, id) cut strictly after
+    the token. This drives write_training_shards + read_shard_after —
+    the exporter's recorded order and the resume filter must agree with
+    each other AND the driver-side twin, so a one-sided drift (a salt
+    mishandled on either side, >= for >, a dropped tie-break) fails
+    here; a pure-Python restatement of the predicate could not see
+    either side's Column code (review r14 — it was a tautology). Ids
+    are lo + hi·2^31, so distinct ids colliding mod 2^31 (identical
+    hash, tie broken by id) are common, and hi < 0 keeps negative ids
+    on the pmod path."""
     from schemamap_spark.operators.sampling import knuth_py, scramble_py
+    from schemamap_spark.sources.shards import (
+        read_shard_after,
+        write_training_shards,
+    )
 
     ids = sorted({lo + hi * 2**31 for lo, hi in parts})
-    shard = knuth_py(ids[0], salt) % num_shards
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    d = str(tmp_path_factory.mktemp("hashcut") / "exp")
+    write_training_shards(df, d, num_shards=num_shards, salt=salt)
+
+    shard = knuth_py(ids[0], salt) % num_shards  # known non-empty
     members = [i for i in ids if knuth_py(i, salt) % num_shards == shard]
     order = sorted(members, key=lambda i: (scramble_py(i, salt), i))
     k = min(int(cut_frac * len(order)), len(order) - 1)
-    token = order[k]
-    h0 = scramble_py(token, salt)
-    suffix = [
-        i
-        for i in members
-        if scramble_py(i, salt) > h0
-        or (scramble_py(i, salt) == h0 and i > token)
+    got = [
+        r["doc_id"]
+        for r in read_shard_after(spark, d, shard, order[k])
+        .select("doc_id")
+        .collect()
     ]
-    assert sorted(suffix, key=lambda i: (scramble_py(i, salt), i)) == order[k + 1:]
-    # when the cut lands on the SMALLER id of a hash-tied pair, the
-    # larger twin is unprocessed and must be in the suffix — the exact
-    # row the tie-break clause exists to keep (ids colliding mod 2^31)
-    twins = [i for i in members if i != token and scramble_py(i, salt) == h0]
-    for t in twins:
-        assert (t in suffix) == (t > token)
+    assert got == order[k + 1:]
 
 
 @SET

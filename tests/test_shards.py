@@ -388,6 +388,13 @@ def test_read_training_shards_validates_and_prunes(spark, docs, tmp_path):
     # shards=None stays the whole-export spelling
     with pytest.raises(ValueError, match="shards=\\[\\]"):
         read_training_shards(spark, d, shards=[])
+    # ... and the emptiness check must not DRAIN a one-shot iterable
+    # assignment (review r14): a generator reads like the equivalent
+    # list, and an empty generator still refuses
+    gen = read_training_shards(spark, d, shards=(s for s in (1, 3)))
+    assert gen.count() == want[1] + want[3]
+    with pytest.raises(ValueError, match="shards=\\[\\]"):
+        read_training_shards(spark, d, shards=(s for s in ()))
 
     # verify='counts' recounts from footers and matches the manifest
     assert read_training_shards(spark, d, verify="counts").count() == docs.count()
@@ -893,6 +900,37 @@ def test_read_shard_after_mid_shard_resume(spark, docs, tmp_path):
     write_training_shards(ddf, dupc, num_shards=1, order_by=["n_chars"])
     with pytest.raises(ValueError, match="more than once"):
         read_shard_after(spark, dupc, 0, dup_id)
+
+    # DETERMINISTIC hash-tie pin (review r14): ids B and B + 2^31 share
+    # the scramble hash exactly (knuth reduces mod 2^31 first), so the
+    # strictly-after filter's tie-break clause — id > token at equal
+    # hash — is the ONLY thing separating them. Cutting on the smaller
+    # twin must keep the unprocessed larger twin; cutting on the larger
+    # must drop the smaller. Dropping the tie-break term from
+    # read_shard_after would fail HERE every run, not probabilistically
+    from schemamap_spark.operators.sampling import scramble_py as _spy
+
+    B = 42
+    tie_ids = [B, B + 2**31, 7, 9000, 123456]
+    tdf = spark.createDataFrame([(i,) for i in tie_ids], "doc_id long")
+    td = str(tmp_path / "tied")
+    write_training_shards(tdf, td, num_shards=1)
+    assert _spy(B, 0) == _spy(B + 2**31, 0)  # the tie is real
+    torder = sorted(tie_ids, key=lambda i: (_spy(i, 0), i))
+    kq = torder.index(B)
+    assert torder[kq + 1] == B + 2**31  # twins adjacent, smaller first
+    got = [
+        r["doc_id"]
+        for r in read_shard_after(spark, td, 0, B).select("doc_id").collect()
+    ]
+    assert got == torder[kq + 1:] and got[0] == B + 2**31
+    got2 = [
+        r["doc_id"]
+        for r in read_shard_after(spark, td, 0, B + 2**31)
+        .select("doc_id")
+        .collect()
+    ]
+    assert got2 == torder[kq + 2:] and B not in got2
 
     # an unknown/missing order tag refuses instead of falling into the
     # curriculum branch (legacy pre-order manifests, future revisions)

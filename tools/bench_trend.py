@@ -33,8 +33,13 @@ def load(path: str) -> tuple[dict[str, float], float | None, list[str]]:
             doc = json.load(f)
     except (OSError, ValueError) as e:
         raise SystemExit(f"cannot read bench artifact {path!r}: {e}")
-    # the driver's BENCH_rNN.json wraps the bench line under "parsed"
+    # the driver's BENCH_rNN.json wraps the bench line under "parsed" —
+    # and carries the run's exit code beside it: a failed run with a
+    # stale/partial parsed payload must surface, not diff as healthy
+    # (review r14)
+    wrapper_rc = None
     if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+        wrapper_rc = doc.get("rc")
         doc = doc["parsed"]
     if not isinstance(doc, dict) or not isinstance(doc.get("queries"), dict):
         raise SystemExit(
@@ -42,6 +47,8 @@ def load(path: str) -> tuple[dict[str, float], float | None, list[str]]:
         )
     qs: dict[str, float] = {}
     errors = [str(e) for e in doc.get("errors", [])]
+    if wrapper_rc not in (None, 0):
+        errors.append(f"(driver run exited rc={wrapper_rc})")
     for n, v in doc["queries"].items():
         if isinstance(v, dict):
             if "warm_median" in v:
@@ -80,7 +87,10 @@ def main() -> None:
     rows = []
     for n in shared:
         o, w = old_qs[n], new_qs[n]
-        pct = (w - o) / o if o else float("inf")
+        # timings round to 3 decimals, so old == 0.0 is representable:
+        # unchanged-at-zero is 0% drift, grown-from-zero is inf (flagged
+        # slower), never a self-contradictory "(faster)" row (review r14)
+        pct = (w - o) / o if o else (0.0 if w == o else float("inf"))
         rows.append((n, o, w, w - o, pct))
     rows.sort(key=lambda r: -abs(r[4]))
 
@@ -95,7 +105,11 @@ def main() -> None:
         print(f"{n:<{name_w}}  {o:>8.3f}  {w:>8.3f}  {d:>+8.3f}  {pct:>+6.1%}{flag}")
 
     if old_total is not None and new_total is not None:
-        tp = (new_total - old_total) / old_total if old_total else float("inf")
+        tp = (
+            (new_total - old_total) / old_total
+            if old_total
+            else (0.0 if new_total == old_total else float("inf"))
+        )
         print(
             f"{'TOTAL':<{name_w}}  {old_total:>8.3f}  {new_total:>8.3f}  "
             f"{new_total - old_total:>+8.3f}  {tp:>+6.1%}"
