@@ -704,7 +704,8 @@ def test_stripe_epoch_order_model(num_shards, epoch, seed, world_size, start):
     the suffix of the from-0 walk — for ANY (num_shards, epoch, seed,
     world_size, start), including start past the end and world sizes
     larger than the shard count (some ranks own nothing). These were
-    previously pinned only at example points (test_shards.py:583,915)."""
+    previously pinned only at example points (test_epoch_shard_order_permutes_without_rotations,
+    test_read_shard_after_negative_ids)."""
     from schemamap_spark.operators.sampling import scramble_py
     from schemamap_spark.sources.shards import (
         _EPOCH_SEED_MIX,
@@ -748,7 +749,8 @@ def test_stripe_epoch_order_model(num_shards, epoch, seed, world_size, start):
 def test_hash_cut_suffix_model(
     spark, tmp_path_factory, parts, salt, num_shards, cut_frac
 ):
-    """read_shard_after's hash-v2 cut (shards.py:879-889) end-to-end vs
+    """read_shard_after's hash-v2 cut (the `order == "hash-v2"` branch;
+    line numbers churn, so anchor by name) end-to-end vs
     the brute-force model: export random ids, pick a random shard and
     cut point, and the REAL loader's suffix must equal the brute-force
     sort of the shard's members by (scramble_py, id) cut strictly after
@@ -802,14 +804,15 @@ def test_hash_cut_suffix_model(
 def test_curriculum_resume_suffix_model(
     spark, tmp_path_factory, rows, desc1, desc2, cut_frac
 ):
-    """read_shard_after's CURRICULUM branch (shards.py:890-910) vs a
+    """read_shard_after's CURRICULUM branch (the `order == [cols...]`
+    else-arm — anchored by name, line numbers churn) vs a
     pure-Python model of the exporter's order: the lexicographic
     strictly-after filter — honoring per-key asc/desc directions,
     Spark's null placement (asc = nulls FIRST, desc = nulls LAST), and
     the id tie-break — returns exactly the suffix of the recorded
     order, for random null patterns, tied key values, directions, and
-    cut points. The example-point pins (test_shards.py) cover single
-    keys; this drives BOTH keys with heavy ties so the eq-chain
+    cut points. The example-point pins (test_read_shard_after_mid_shard_resume)
+    cover single keys; this drives BOTH keys with heavy ties so the eq-chain
     (null-safe equality on key1 before comparing key2) is load-bearing
     in most examples."""
     from schemamap_spark.sources.shards import (

@@ -61,6 +61,17 @@ def load(path: str) -> tuple[dict[str, float], float | None, list[str]]:
     return qs, (float(total) if total is not None else None), sorted(errors)
 
 
+def drift(old: float, new: float) -> float:
+    """Fractional drift new-vs-old. Timings round to 3 decimals, so
+    old == 0.0 is representable: unchanged-at-zero is 0% drift,
+    grown-from-zero is inf (flagged slower) — one rule for per-query
+    rows AND the TOTAL row (review r14), never a self-contradictory
+    "(faster)" inf row."""
+    if old:
+        return (new - old) / old
+    return 0.0 if new == old else float("inf")
+
+
 def main() -> None:
     args = list(sys.argv[1:])
     threshold = 0.20
@@ -84,14 +95,10 @@ def main() -> None:
     new_qs, new_total, new_errs = load(args[1])
 
     shared = sorted(set(old_qs) & set(new_qs))
-    rows = []
-    for n in shared:
-        o, w = old_qs[n], new_qs[n]
-        # timings round to 3 decimals, so old == 0.0 is representable:
-        # unchanged-at-zero is 0% drift, grown-from-zero is inf (flagged
-        # slower), never a self-contradictory "(faster)" row (review r14)
-        pct = (w - o) / o if o else (0.0 if w == o else float("inf"))
-        rows.append((n, o, w, w - o, pct))
+    rows = [
+        (n, old_qs[n], new_qs[n], new_qs[n] - old_qs[n], drift(old_qs[n], new_qs[n]))
+        for n in shared
+    ]
     rows.sort(key=lambda r: -abs(r[4]))
 
     name_w = max([len(n) for n in shared] or [5])
@@ -105,11 +112,7 @@ def main() -> None:
         print(f"{n:<{name_w}}  {o:>8.3f}  {w:>8.3f}  {d:>+8.3f}  {pct:>+6.1%}{flag}")
 
     if old_total is not None and new_total is not None:
-        tp = (
-            (new_total - old_total) / old_total
-            if old_total
-            else (0.0 if new_total == old_total else float("inf"))
-        )
+        tp = drift(old_total, new_total)
         print(
             f"{'TOTAL':<{name_w}}  {old_total:>8.3f}  {new_total:>8.3f}  "
             f"{new_total - old_total:>+8.3f}  {tp:>+6.1%}"
