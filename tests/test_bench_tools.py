@@ -122,6 +122,30 @@ def test_arg_errors_exit_with_usage(bench_isolated, monkeypatch):
         assert needle in str(ei.value)
 
 
+def test_trend_drift_rule(bench_trend, monkeypatch):
+    """The one drift rule both per-query rows and the TOTAL row share:
+    ordinary ratios, and the zero-baseline edges (timings round to 3
+    decimals, so 0.0 is representable) — unchanged-at-zero is 0%,
+    grown-from-zero is inf, never a contradictory row (review r14)."""
+    d = bench_trend.drift
+    assert d(1.0, 1.5) == 0.5
+    assert d(2.0, 1.0) == -0.5
+    assert d(0.0, 0.0) == 0.0
+    assert d(0.0, 0.1) == float("inf")
+
+    # --threshold operand errors refuse with a message, like every other
+    # argument error
+    for argv, needle in (
+        (["bench_trend.py", "a.json", "b.json", "--threshold"], "needs a fraction"),
+        (["bench_trend.py", "a.json", "b.json", "--threshold", "wide"], "must be a fraction"),
+        (["bench_trend.py", "one.json"], ""),  # usage
+    ):
+        monkeypatch.setattr(bench_trend.sys, "argv", argv)
+        with pytest.raises(SystemExit) as ei:
+            bench_trend.main()
+        assert needle in str(ei.value)
+
+
 def test_trend_loads_both_artifact_shapes(bench_trend, tmp_path):
     """load() reads isolated-suite files, raw bench lines, AND the
     driver's BENCH_rNN wrapper (bench line under 'parsed'); error rows
