@@ -122,7 +122,7 @@ def test_arg_errors_exit_with_usage(bench_isolated, monkeypatch):
         assert needle in str(ei.value)
 
 
-def test_trend_drift_rule(bench_trend, monkeypatch):
+def test_trend_drift_rule(bench_trend):
     """The one drift rule both per-query rows and the TOTAL row share:
     ordinary ratios, and the zero-baseline edges (timings round to 3
     decimals, so 0.0 is representable) — unchanged-at-zero is 0%,
@@ -133,8 +133,12 @@ def test_trend_drift_rule(bench_trend, monkeypatch):
     assert d(0.0, 0.0) == 0.0
     assert d(0.0, 0.1) == float("inf")
 
-    # --threshold operand errors refuse with a message, like every other
-    # argument error
+
+def test_trend_arg_errors_exit_with_usage(bench_trend, monkeypatch):
+    """--threshold operand errors and a missing operand refuse via
+    SystemExit with a message — the bench_isolated arg battery's twin,
+    named separately so a parsing regression doesn't report as a drift
+    failure (review r14)."""
     for argv, needle in (
         (["bench_trend.py", "a.json", "b.json", "--threshold"], "needs a fraction"),
         (["bench_trend.py", "a.json", "b.json", "--threshold", "wide"], "must be a fraction"),
