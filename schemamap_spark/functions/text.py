@@ -7,7 +7,6 @@ document fingerprinting (min-hash-of-shingles, a winnowing-lite scheme).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -256,19 +255,24 @@ def nfc_normalize(col: str = "text") -> Column:
     separate from normalize_text so the pure-Column fast path stays UDF-free.
 
     Type-hint form (VERDICT r13 #1): the legacy PandasUDFType.SCALAR
-    spelling draws a SPARK-28264 deprecation warning. The module's
-    `from __future__ import annotations` stringifies the hints, which
-    pyspark resolves via typing.get_type_hints against the module
-    globals — hence the module-level `import pandas as pd`."""
+    spelling draws a SPARK-28264 deprecation warning. The hints are
+    assigned as REAL class objects via __annotations__ rather than
+    written at the def site: this module's `from __future__ import
+    annotations` would stringify def-site hints, and resolving the
+    strings would force a module-level pandas import that every
+    consumer of the pure-Column helpers here would pay (review r14);
+    typing.get_type_hints passes non-string annotation objects through
+    untouched, so pandas stays function-local."""
+    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def _nfc(s: pd.Series) -> pd.Series:
+    def _nfc(s):
         import unicodedata
 
         return s.map(lambda t: unicodedata.normalize("NFC", t) if t is not None else None)
 
-    return _nfc(F.col(col))
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf("string")(_nfc)(F.col(col))
 
 
 _HTML_ENTITIES = [

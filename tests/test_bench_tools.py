@@ -88,12 +88,15 @@ def test_suite_survives_trailing_stdout_noise(
 def test_suite_stray_json_is_not_a_result(
     bench_isolated, monkeypatch, tmp_path
 ):
-    """'null', numbers, and dicts WITHOUT warm_median are log noise, not
-    results (review r13) — even as the only stdout; and a nonzero exit
+    """'null', numbers, and dicts missing any of cold/warm/warm_median
+    are log noise, not results (review r13/r14 — a warm_median-only dict
+    would crash the artifact build's cold/warm projection AFTER every
+    query already ran) — even as the only stdout; and a nonzero exit
     demotes a plausible result line to the error map."""
     for proc in (
         _FakeProc("null\n17\n"),
         _FakeProc(json.dumps({"query": "fake_q"}) + "\n"),
+        _FakeProc(json.dumps({"query": "fake_q", "warm_median": 0.5}) + "\n"),
         _FakeProc(RESULT_LINE + "\n", returncode=1),
     ):
         doc = _suite_result(bench_isolated, monkeypatch, tmp_path, proc)

@@ -160,7 +160,14 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
                     obj = json.loads(cand)
                 except ValueError:
                     continue
-                if isinstance(obj, dict) and "warm_median" in obj:
+                # the acceptance predicate must match what the artifact
+                # build BELOW projects (cold/warm/warm_median) — a dict
+                # carrying only warm_median would crash the doc build
+                # with a KeyError after every query already ran
+                # (review r14)
+                if isinstance(obj, dict) and all(
+                    k in obj for k in ("warm_median", "cold", "warm")
+                ):
                     parsed, line = obj, cand
                     break
         if parsed is not None:

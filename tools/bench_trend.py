@@ -101,7 +101,9 @@ def main() -> None:
     ]
     rows.sort(key=lambda r: -abs(r[4]))
 
-    name_w = max([len(n) for n in shared] or [5])
+    # floor of 5 so the 'query' header and 'TOTAL' row never overflow
+    # their column even when every shared name is shorter (review r14)
+    name_w = max([len(n) for n in shared] + [5])
     print(f"{'query':<{name_w}}  {'old':>8}  {'new':>8}  {'delta':>8}  {'drift':>7}")
     flagged = 0
     for n, o, w, d, pct in rows:
