@@ -97,6 +97,15 @@ def test_suite_stray_json_is_not_a_result(
         _FakeProc("null\n17\n"),
         _FakeProc(json.dumps({"query": "fake_q"}) + "\n"),
         _FakeProc(json.dumps({"query": "fake_q", "warm_median": 0.5}) + "\n"),
+        # right keys, non-numeric values: a structured-log lookalike
+        # printed AFTER the real result would win the reverse scan and
+        # crash the summing doc build — refuse it too (review r14)
+        _FakeProc(
+            json.dumps(
+                {"cold": "n/a", "warm": "n/a", "warm_median": "n/a"}
+            )
+            + "\n"
+        ),
         _FakeProc(RESULT_LINE + "\n", returncode=1),
     ):
         doc = _suite_result(bench_isolated, monkeypatch, tmp_path, proc)

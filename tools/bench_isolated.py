@@ -161,12 +161,15 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
                 except ValueError:
                     continue
                 # the acceptance predicate must match what the artifact
-                # build BELOW projects (cold/warm/warm_median) — a dict
-                # carrying only warm_median would crash the doc build
-                # with a KeyError after every query already ran
-                # (review r14)
-                if isinstance(obj, dict) and all(
-                    k in obj for k in ("warm_median", "cold", "warm")
+                # build BELOW projects AND sums (cold/warm/warm_median,
+                # numeric) — a dict merely carrying the keys with
+                # non-numeric values would still crash the doc build
+                # after every query already ran (review r14 ×2)
+                if (
+                    isinstance(obj, dict)
+                    and isinstance(obj.get("warm_median"), (int, float))
+                    and isinstance(obj.get("cold"), (int, float))
+                    and isinstance(obj.get("warm"), list)
                 ):
                     parsed, line = obj, cand
                     break
