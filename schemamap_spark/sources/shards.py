@@ -561,7 +561,14 @@ def iter_training_epoch(
     (code-review r12: a generator would defer them to the first
     next(), deep inside the training loop — or past a zip() that never
     calls it); storage is touched at first iteration of the returned
-    generator."""
+    generator. The manifest read here and the tree validation at first
+    iteration straddle that seam deliberately: an export REPLACED in
+    between (a re-export into the same dir) is caught at first
+    iteration — verify='dirs' refuses a changed shard layout,
+    verify='counts' refuses even a same-shape re-export whose row
+    counts moved (pinned in test). Like mixture edits, resume tokens
+    never survive a re-export: restart the epoch at start=0 against
+    the new manifest."""
     _validate_walk_args(start, rank, world_size, verify)
     fs = fscommit.fs_for(target_dir, spark)
     m = _read_manifest(fs, target_dir)

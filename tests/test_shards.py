@@ -1112,6 +1112,37 @@ def test_walks_resolve_tree_and_manifest_once(spark, docs, tmp_path, monkeypatch
     assert len(isin_calls) == 1
 
 
+def test_walk_refuses_reexport_across_creation_seam(spark, docs, tmp_path):
+    """The walk's eager-manifest / lazy-validation seam: an export
+    REPLACED between iter_training_epoch() and the first next() — an
+    ops mistake a long-running training loop can realistically make —
+    refuses at first iteration instead of silently walking the new tree
+    with the old schedule. verify='dirs' catches a changed shard
+    layout; verify='counts' catches even a same-shape re-export whose
+    per-shard row counts moved. (A re-export with IDENTICAL counts is
+    indistinguishable by design — the manifest is the contract.)"""
+    from schemamap_spark.sources.shards import iter_training_epoch
+
+    d = str(tmp_path / "exp")
+    write_training_shards(docs, d, num_shards=4, token_col="n_chars")
+
+    # same shard count, different corpus: counts mode refuses. NOT a
+    # doc_id % 2 filter: knuth_hash preserves id mod 4 (KNUTH ≡ 1 mod
+    # 4), so even-only ids would EMPTY shards 1 and 3 and trip the dirs
+    # check instead of the counts check this case exists to pin
+    walk = iter_training_epoch(spark, d, epoch=0, verify="counts")
+    most = docs.filter(F.col("doc_id") % 7 != 0)
+    write_training_shards(most, d, num_shards=4, token_col="n_chars")
+    with pytest.raises(ValueError, match="row counts disagree"):
+        next(walk)
+
+    # changed shard count: even dirs mode refuses (manifest/tree drift)
+    walk2 = iter_training_epoch(spark, d, epoch=0, verify="dirs")
+    write_training_shards(docs, d, num_shards=2, token_col="n_chars")
+    with pytest.raises(ValueError, match="disagrees with its manifest"):
+        next(walk2)
+
+
 def test_mixture_edit_reshuffles_schedule(spark, docs, tmp_path):
     """VERDICT r12 #4 pin: per-export epoch salts are
     seed*len(exports)+i over the sorted names, so editing the mixture
