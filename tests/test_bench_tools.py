@@ -223,3 +223,76 @@ def test_trend_diff_output(bench_trend, tmp_path, monkeypatch, capsys):
     assert "# only in old: ['gone']" in out
     assert "# only in new: ['fresh']" in out
     assert "1 of 2 shared queries drifted past ±20% (1 slower)" in out
+
+
+def test_trend_non_numeric_timing_refuses_cleanly(bench_trend, tmp_path):
+    """A non-numeric timing (hand-edited or driver-degraded artifact)
+    exits via SystemExit naming the file and query — the tool's refusal
+    style — never a raw ValueError traceback (ADVICE r14)."""
+    cases = [
+        # scalar driver-shape value
+        {"value": 1.0, "queries": {"a": "n/a"}},
+        # isolated-shape warm_median
+        {"total_warm_median": 1.0, "queries": {"a": {"warm_median": "n/a"}}},
+        # the TOTAL itself
+        {"value": "n/a", "queries": {"a": 0.5}},
+    ]
+    for i, doc in enumerate(cases):
+        p = str(tmp_path / f"bad{i}.json")
+        open(p, "w").write(json.dumps(doc))
+        with pytest.raises(SystemExit) as ei:
+            bench_trend.load(p)
+        msg = str(ei.value)
+        assert "non-numeric timing" in msg and p in msg and "n/a" in msg
+
+
+def test_trend_gate_flag(bench_trend, tmp_path, monkeypatch, capsys):
+    """--gate (VERDICT r14 #4): exit 1 on error rows or a TOTAL slower
+    past the band; exit 0 (GATE PASS) otherwise. Without --gate the same
+    inputs keep the always-0 advisory behavior."""
+    ok_old = {"value": 2.0, "queries": {"a": 1.0, "b": 1.0}}
+    ok_new = {"value": 2.1, "queries": {"a": 1.1, "b": 1.0}}  # +5% total
+    slow_new = {"value": 2.6, "queries": {"a": 1.6, "b": 1.0}}  # +30% total
+    err_new = {
+        "total_warm_median": 2.0,
+        "queries": {"a": {"warm_median": 1.0}, "b": {"error": "boom"}},
+        "errors": ["b"],
+    }
+    paths = {}
+    for name, doc in [
+        ("ok_old", ok_old), ("ok_new", ok_new),
+        ("slow_new", slow_new), ("err_new", err_new),
+    ]:
+        p = str(tmp_path / f"{name}.json")
+        open(p, "w").write(json.dumps(doc))
+        paths[name] = p
+
+    def run(old, new, *extra):
+        monkeypatch.setattr(
+            bench_trend.sys, "argv",
+            ["bench_trend.py", paths[old], paths[new], *extra],
+        )
+        try:
+            bench_trend.main()
+        except SystemExit as e:
+            return e.code
+        return 0
+
+    # inside the band, no errors -> PASS
+    assert run("ok_old", "ok_new", "--gate") == 0
+    assert "# GATE PASS" in capsys.readouterr().out
+    # TOTAL slower past band -> FAIL
+    assert run("ok_old", "slow_new", "--gate") == 1
+    assert "TOTAL slower past band" in capsys.readouterr().out
+    # error rows on the new side -> FAIL even with a healthy total
+    assert run("ok_old", "err_new", "--gate") == 1
+    assert "error rows" in capsys.readouterr().out
+    # a FASTER past-band total is advisory, not a failure
+    assert run("slow_new", "ok_old", "--gate") == 0
+    assert "# GATE PASS" in capsys.readouterr().out
+    # default behavior unchanged: same slow input, no --gate, exit 0 and
+    # no gate verdict line
+    assert run("ok_old", "slow_new") == 0
+    assert "GATE" not in capsys.readouterr().out
+    # --gate composes with --threshold: +30% passes a 40% band
+    assert run("ok_old", "slow_new", "--gate", "--threshold", "0.40") == 0

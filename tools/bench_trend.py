@@ -15,9 +15,12 @@ past the threshold (default ±20% — the documented host-noise band at the
 band on untouched code is environment, and even past-band drifts are
 arbitrated by the ISOLATED series, not the shared-session one). Also
 reports queries present on only one side and either side's error rows, so
-a partial run can never read as a speedup. Exit code is always 0 on a
-successful diff — this is an arbitration aid, not a gate; the gates are
-correctness and the suite total.
+a partial run can never read as a speedup. Exit code is 0 on a successful
+diff — this is an arbitration aid, not a gate; the gates are correctness
+and the suite total. Pass --gate (VERDICT r14) to make it one anyway:
+exit 1 when either side carries error rows OR the TOTAL drifts slower
+past the threshold, so round automation can consume the verdict without
+parsing stdout. Default (no --gate) behavior is unchanged.
 """
 
 from __future__ import annotations
@@ -52,13 +55,25 @@ def load(path: str) -> tuple[dict[str, float], float | None, list[str]]:
     for n, v in doc["queries"].items():
         if isinstance(v, dict):
             if "warm_median" in v:
-                qs[n] = float(v["warm_median"])
+                qs[n] = _coerce(v["warm_median"], path, n)
             elif n not in errors:  # error row not already in the list
                 errors.append(n)
         else:
-            qs[n] = float(v)
+            qs[n] = _coerce(v, path, n)
     total = doc.get("total_warm_median", doc.get("value"))
-    return qs, (float(total) if total is not None else None), sorted(errors)
+    return qs, (_coerce(total, path, "TOTAL") if total is not None else None), sorted(errors)
+
+
+def _coerce(v: object, path: str, query: str) -> float:
+    """float(v) with the tool's refusal style: a non-numeric timing (e.g.
+    "n/a" in a hand-edited or driver-degraded artifact) must exit cleanly
+    naming the file and query, not raw-traceback (ADVICE r14)."""
+    try:
+        return float(v)  # type: ignore[arg-type]
+    except (TypeError, ValueError):
+        raise SystemExit(
+            f"non-numeric timing for query {query!r} in {path!r}: {v!r}"
+        )
 
 
 def drift(old: float, new: float) -> float:
@@ -75,6 +90,9 @@ def drift(old: float, new: float) -> float:
 def main() -> None:
     args = list(sys.argv[1:])
     threshold = 0.20
+    gate = "--gate" in args
+    if gate:
+        args.remove("--gate")
     if "--threshold" in args:
         i = args.index("--threshold")
         if i + 1 >= len(args):
@@ -113,11 +131,12 @@ def main() -> None:
             flag = "  <-- past band" if d > 0 else "  (faster)"
         print(f"{n:<{name_w}}  {o:>8.3f}  {w:>8.3f}  {d:>+8.3f}  {pct:>+6.1%}{flag}")
 
+    total_drift = None
     if old_total is not None and new_total is not None:
-        tp = drift(old_total, new_total)
+        total_drift = drift(old_total, new_total)
         print(
             f"{'TOTAL':<{name_w}}  {old_total:>8.3f}  {new_total:>8.3f}  "
-            f"{new_total - old_total:>+8.3f}  {tp:>+6.1%}"
+            f"{new_total - old_total:>+8.3f}  {total_drift:>+6.1%}"
         )
     for label, names in (
         ("only in old", sorted(set(old_qs) - set(new_qs))),
@@ -134,6 +153,23 @@ def main() -> None:
         "untouched code are host noise — arbitrate past-band SLOWER rows "
         "with tools/bench_isolated.py before believing a regression"
     )
+    if gate:
+        # gate verdict (VERDICT r14 #4): error rows on either side, or a
+        # TOTAL that got SLOWER past the band, fail the run. Per-query
+        # drift and faster totals stay advisory — the band is host noise
+        # per-query but a past-band suite TOTAL regression is the one
+        # signal worth breaking automation over.
+        reasons = []
+        if old_errs or new_errs:
+            reasons.append(f"error rows (old={old_errs}, new={new_errs})")
+        if total_drift is not None and total_drift > threshold:
+            reasons.append(
+                f"TOTAL slower past band ({total_drift:+.1%} > +{threshold:.0%})"
+            )
+        if reasons:
+            print(f"# GATE FAIL: {'; '.join(reasons)}")
+            sys.exit(1)
+        print("# GATE PASS")
 
 
 if __name__ == "__main__":
