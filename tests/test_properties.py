@@ -947,3 +947,97 @@ def test_curriculum_resume_suffix_model(
         .collect()
     ]
     assert got == expect[k + 1:]
+
+
+@SET
+@given(
+    parts=st.lists(
+        st.tuples(
+            st.integers(0, 25), st.integers(-3, 3), st.integers(0, 50)
+        ),
+        min_size=1,
+        max_size=24,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    salt=st.integers(0, 2**31 - 1),
+    num_shards=st.integers(1, 6),
+)
+def test_export_roundtrip_model(
+    spark, tmp_path_factory, parts, salt, num_shards
+):
+    """The EXPORT side of the loader seam (VERDICT r14 #5): r14 modeled
+    the read side (stripe/cut/interleave/curriculum); the exporter's
+    shard-assignment and manifest arithmetic were pinned at example
+    points only. This drives write_training_shards end-to-end for random
+    (rows, num_shards, salt) and checks the round-trip against the
+    pure-Python membership model:
+
+      - every input row lands in EXACTLY one shard, and that shard is
+        knuth_py(id, salt) % num_shards (the real partitionBy tree vs
+        the model — a drift on either side fails);
+      - the manifest has exactly num_shards entries, per-shard row and
+        token counts equal to the written data's (zero-row shards
+        INCLUDED in the manifest, ABSENT from disk — loaders schedule
+        from the manifest by contract);
+      - shard_stats (the DataFrame face) agrees with the raw
+        _SHARDS.json byte-for-value.
+
+    Ids are lo + hi·2^31 so negatives exercise the pmod path, same as
+    the hash-cut model above."""
+    import json as _json
+    import os
+
+    from schemamap_spark.operators.sampling import knuth_py
+    from schemamap_spark.sources import fscommit
+    from schemamap_spark.sources.shards import (
+        _MANIFEST,
+        shard_stats,
+        write_training_shards,
+    )
+
+    rows = sorted({lo + hi * 2**31: tok for lo, hi, tok in parts}.items())
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    d = str(tmp_path_factory.mktemp("roundtrip") / "exp")
+    write_training_shards(
+        df, d, num_shards=num_shards, salt=salt, token_col="n_tok"
+    )
+
+    # pure-Python membership model
+    want = {i: knuth_py(i, salt) % num_shards for i, _ in rows}
+    model_rows = {
+        k: sum(1 for s in want.values() if s == k) for k in range(num_shards)
+    }
+    model_toks = {
+        k: sum(t for i, t in rows if want[i] == k) for k in range(num_shards)
+    }
+
+    # round-trip: exactly-once per row, model-agreeing shard assignment
+    got = {
+        r.doc_id: int(r.shard)
+        for r in spark.read.parquet(d).select("doc_id", "shard").collect()
+    }
+    assert got == want  # dict equality: no dup ids, no losses, right shard
+
+    manifest = _json.loads(
+        fscommit.fs_for(d).read_text(fscommit.join(d, _MANIFEST))
+    )
+    assert manifest["num_shards"] == num_shards
+    assert manifest["salt"] == salt and manifest["token_col"] == "n_tok"
+    ent = {e["shard"]: e for e in manifest["shards"]}
+    assert sorted(ent) == list(range(num_shards))  # zero shards included
+    for k in range(num_shards):
+        assert ent[k]["rows"] == model_rows[k], f"shard {k} rows"
+        assert ent[k]["tokens"] == model_toks[k], f"shard {k} tokens"
+        # an empty shard has no dir on disk, by contract
+        assert os.path.isdir(os.path.join(d, f"shard={k}")) == (
+            model_rows[k] > 0
+        )
+    assert sum(e["rows"] for e in manifest["shards"]) == len(rows)
+
+    # the DataFrame face reads the same manifest
+    stats = {
+        r.shard: (r.rows, r.tokens) for r in shard_stats(spark, d).collect()
+    }
+    assert stats == {
+        k: (model_rows[k], model_toks[k]) for k in range(num_shards)
+    }
