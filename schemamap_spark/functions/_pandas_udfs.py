@@ -21,26 +21,36 @@ exists; cf. the reference's reliance on Postgres `normalize()`,
 rust/create_schemamap_schema.sql function bodies).
 """
 
-import functools
+import weakref
 
 import pandas as pd
 
+# SparkContext -> wrapped UDF. Weak-keyed and PER-CONTEXT, not a plain
+# lru_cache: pyspark's UserDefinedFunction memoizes its JVM-side _judf
+# (wrapped function + accumulator + broadcast refs) against the context
+# alive at FIRST USE, so a process-global cache would keep applying a UDF
+# bound to a dead JVM after spark.stop()/restart (review r15 — verified
+# against pyspark 4.1.2 UserDefinedFunction._judf). The weak key lets the
+# entry die with its context.
+_NFC_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
-@functools.lru_cache(maxsize=1)
-def nfc_udf():
-    """The wrapped NFC pandas UDF, built once (VERDICT r14: each
-    nfc_normalize() call was re-wrapping a fresh pandas_udf). The wrapped
-    object is session-independent — pandas_udf only records the eval type
-    and return schema — so one cache entry serves every SparkSession.
 
-    The UDF body is a NESTED def, deliberately: cloudpickle serializes a
-    module-level function by REFERENCE (executors would then need
-    schemamap_spark importable — false for a driver that only
-    sys.path-inserted the repo, the verify recipe's own consumer
-    pattern), but a closure by VALUE, which runs on any worker. Caught
-    live: the module-level spelling failed the package-boundary drive
-    with ModuleNotFoundError on every executor."""
+def _wrap_nfc():
+    """Build the NFC pandas UDF. The body is a NESTED def, deliberately:
+    cloudpickle serializes a module-level function by REFERENCE
+    (executors would then need schemamap_spark importable — false for a
+    driver that only sys.path-inserted the repo, the verify recipe's own
+    consumer pattern), but a closure by VALUE, which runs on any worker.
+    Caught live: the module-level spelling failed the package-boundary
+    drive with ModuleNotFoundError on every executor.
+
+    Return type is a StringType INSTANCE, not the "string" DDL literal:
+    the DDL spelling is parsed through the active SparkContext's JVM at
+    wrap time, so the instance form keeps wrapping JVM-free (it can run
+    before any session exists, and the cache-policy pin can drive it
+    without Spark)."""
     from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
 
     def _nfc(s: pd.Series) -> pd.Series:
         import unicodedata
@@ -49,4 +59,23 @@ def nfc_udf():
             lambda t: unicodedata.normalize("NFC", t) if t is not None else None
         )
 
-    return pandas_udf("string")(_nfc)
+    return pandas_udf(StringType())(_nfc)
+
+
+def nfc_udf():
+    """The wrapped NFC pandas UDF, built once per SparkContext (VERDICT
+    r14: each nfc_normalize() call was re-wrapping a fresh pandas_udf;
+    the wrap itself is cheap — the cache's real job is letting repeated
+    plans reuse the one _judf registration). With no active context the
+    wrapper is returned UNCACHED: caching it would memoize _judf against
+    whatever context appears first, recreating the stale-JVM bug for the
+    second context."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return _wrap_nfc()
+    udf = _NFC_CACHE.get(sc)
+    if udf is None:
+        udf = _NFC_CACHE[sc] = _wrap_nfc()
+    return udf

@@ -236,6 +236,10 @@ def test_trend_non_numeric_timing_refuses_cleanly(bench_trend, tmp_path):
         {"total_warm_median": 1.0, "queries": {"a": {"warm_median": "n/a"}}},
         # the TOTAL itself
         {"value": "n/a", "queries": {"a": 0.5}},
+        # NaN/inf PARSE as floats but poison every later comparison —
+        # `nan > threshold` is False, which would silently pass the gate
+        {"value": "NaN", "queries": {"a": 0.5}},
+        {"value": 1.0, "queries": {"a": "inf"}},
     ]
     for i, doc in enumerate(cases):
         p = str(tmp_path / f"bad{i}.json")
@@ -243,7 +247,7 @@ def test_trend_non_numeric_timing_refuses_cleanly(bench_trend, tmp_path):
         with pytest.raises(SystemExit) as ei:
             bench_trend.load(p)
         msg = str(ei.value)
-        assert "non-numeric timing" in msg and p in msg and "n/a" in msg
+        assert "non-numeric timing" in msg and p in msg
 
 
 def test_trend_gate_flag(bench_trend, tmp_path, monkeypatch, capsys):
@@ -296,3 +300,37 @@ def test_trend_gate_flag(bench_trend, tmp_path, monkeypatch, capsys):
     assert "GATE" not in capsys.readouterr().out
     # --gate composes with --threshold: +30% passes a 40% band
     assert run("ok_old", "slow_new", "--gate", "--threshold", "0.40") == 0
+
+
+def test_trend_gate_refuses_partial_runs(bench_trend, tmp_path, monkeypatch, capsys):
+    """--gate must not pass a partial/degraded run (review r15): an
+    artifact with no TOTAL can't be arbitrated, and queries that
+    vanished from the new side deflate its total — both are GATE FAIL,
+    while both stay advisory without --gate."""
+    old = {"value": 2.0, "queries": {"a": 1.0, "b": 1.0}}
+    no_total = {"queries": {"a": 1.0, "b": 1.0}}
+    truncated = {"value": 1.0, "queries": {"a": 1.0}}  # b vanished; total "faster"
+    paths = {}
+    for name, doc in [("old", old), ("no_total", no_total), ("trunc", truncated)]:
+        p = str(tmp_path / f"{name}.json")
+        open(p, "w").write(json.dumps(doc))
+        paths[name] = p
+
+    def run(old_k, new_k, *extra):
+        monkeypatch.setattr(
+            bench_trend.sys, "argv",
+            ["bench_trend.py", paths[old_k], paths[new_k], *extra],
+        )
+        try:
+            bench_trend.main()
+        except SystemExit as e:
+            return e.code
+        return 0
+
+    assert run("old", "no_total", "--gate") == 1
+    assert "gate cannot arbitrate" in capsys.readouterr().out
+    assert run("old", "trunc", "--gate") == 1
+    assert "queries vanished from new: ['b']" in capsys.readouterr().out
+    # without --gate both remain advisory exits 0
+    assert run("old", "no_total") == 0
+    assert run("old", "trunc") == 0

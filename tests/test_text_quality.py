@@ -153,6 +153,49 @@ class TestNormalization:
                 warnings.simplefilter("error", cls)
             assert _one(spark, "ok text", TX.nfc_normalize()) == "ok text"
 
+    def test_nfc_udf_cached_per_context(self, monkeypatch):
+        """The wrapped UDF is cached PER SparkContext, never globally
+        (review r15): pyspark memoizes _judf against the context alive at
+        first use, so a process-global cache would apply a dead-JVM UDF
+        after spark.stop()/restart. Policy pinned without Spark jobs —
+        nfc_udf only reads _active_spark_context as a cache key."""
+        from pyspark import SparkContext
+
+        from schemamap_spark.functions import _pandas_udfs as P
+
+        class _Ctx:  # stands in for a SparkContext: hashable, weakref-able
+            _jvm = object()  # pandas_udf's wrap-time liveness check reads it
+
+        a, b = _Ctx(), _Ctx()
+        monkeypatch.setattr(SparkContext, "_active_spark_context", a)
+        u1 = P.nfc_udf()
+        assert P.nfc_udf() is u1          # same context -> same wrapper
+        monkeypatch.setattr(SparkContext, "_active_spark_context", b)
+        u2 = P.nfc_udf()
+        assert u2 is not u1               # new context -> fresh wrapper
+        monkeypatch.setattr(SparkContext, "_active_spark_context", a)
+        assert P.nfc_udf() is u1          # the old entry survives for a
+        monkeypatch.setattr(SparkContext, "_active_spark_context", None)
+        u3, u4 = P.nfc_udf(), P.nfc_udf()
+        assert u3 is not u4               # no context -> never cached
+        # weak-death: a context nobody references anymore takes its cache
+        # entry with it. Direct assignment, NOT monkeypatch — monkeypatch
+        # keeps a strong ref to every value it replaces, which would pin
+        # the key alive and turn this into a flake
+        import gc
+
+        c = _Ctx()
+        prev = SparkContext._active_spark_context
+        SparkContext._active_spark_context = c
+        try:
+            P.nfc_udf()
+            n_before = len(P._NFC_CACHE)
+        finally:
+            SparkContext._active_spark_context = prev
+        del c
+        gc.collect()
+        assert len(P._NFC_CACHE) == n_before - 1
+
 
 class TestCleanHtml:
     def test_tags_scripts_entities(self, spark):

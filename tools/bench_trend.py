@@ -18,9 +18,12 @@ reports queries present on only one side and either side's error rows, so
 a partial run can never read as a speedup. Exit code is 0 on a successful
 diff — this is an arbitration aid, not a gate; the gates are correctness
 and the suite total. Pass --gate (VERDICT r14) to make it one anyway:
-exit 1 when either side carries error rows OR the TOTAL drifts slower
-past the threshold, so round automation can consume the verdict without
-parsing stdout. Default (no --gate) behavior is unchanged.
+exit 1 when either side carries error rows, the TOTAL drifts slower
+past the threshold, either side lacks a TOTAL (a partial run the gate
+cannot arbitrate), or queries vanished from the new side (a truncated
+run would otherwise read as a speedup) — so round automation can
+consume the verdict without parsing stdout. Default (no --gate)
+behavior is unchanged.
 """
 
 from __future__ import annotations
@@ -68,12 +71,20 @@ def _coerce(v: object, path: str, query: str) -> float:
     """float(v) with the tool's refusal style: a non-numeric timing (e.g.
     "n/a" in a hand-edited or driver-degraded artifact) must exit cleanly
     naming the file and query, not raw-traceback (ADVICE r14)."""
+    import math
+
     try:
-        return float(v)  # type: ignore[arg-type]
+        out = float(v)  # type: ignore[arg-type]
     except (TypeError, ValueError):
+        out = None
+    # NaN/inf parse as floats but poison every later comparison — in the
+    # gate, `nan > threshold` is False, which would PASS exactly the
+    # degraded-artifact class this refusal exists for (review r15)
+    if out is None or not math.isfinite(out):
         raise SystemExit(
             f"non-numeric timing for query {query!r} in {path!r}: {v!r}"
         )
+    return out
 
 
 def drift(old: float, new: float) -> float:
@@ -162,10 +173,24 @@ def main() -> None:
         reasons = []
         if old_errs or new_errs:
             reasons.append(f"error rows (old={old_errs}, new={new_errs})")
-        if total_drift is not None and total_drift > threshold:
+        if total_drift is None:
+            # an artifact without a TOTAL is a partial/degraded run — the
+            # gate's main check can't run, so it must refuse, not pass
+            # (review r15; the module contract: a partial run can never
+            # read as healthy)
+            sides = [p for p, t in ((args[0], old_total), (args[1], new_total))
+                     if t is None]
+            reasons.append(f"no TOTAL in {sides} — gate cannot arbitrate")
+        elif total_drift > threshold:
             reasons.append(
                 f"TOTAL slower past band ({total_drift:+.1%} > +{threshold:.0%})"
             )
+        vanished = sorted(set(old_qs) - set(new_qs))
+        if vanished:
+            # queries that disappeared = the new run is partial; their
+            # absence also deflates the new TOTAL, so passing on the
+            # total alone would read a truncated run as a speedup
+            reasons.append(f"queries vanished from new: {vanished}")
         if reasons:
             print(f"# GATE FAIL: {'; '.join(reasons)}")
             sys.exit(1)
