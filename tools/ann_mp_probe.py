@@ -133,7 +133,14 @@ def _worker(index_dir: str, results_dir: str, wid: int, tokens: list) -> None:
             })
         except ai.ConcurrentWriteError:
             out.append({"token": tok, "outcome": "loud-failure"})
-        except BaseException as e:  # any OTHER escape is a bug: record it
+        except (KeyboardInterrupt, SystemExit):
+            # an interrupt is the OPERATOR's signal, not a commit-log
+            # escape: recording it as "bug:KeyboardInterrupt" would make
+            # a Ctrl-C during an escalation run read as a silent-loss-
+            # class FAIL. Die without a results file — the parent's
+            # missing_results check names the dead worker (review r15)
+            raise
+        except Exception as e:  # any OTHER escape is a bug: record it
             out.append({
                 "token": tok, "outcome": f"bug:{type(e).__name__}:{e}"
             })
@@ -168,10 +175,13 @@ def run_probe(
     base: str | None = None,
 ) -> dict:
     """Drive the probe and return the verdict dict (importable by pytest;
-    __main__ prints and exits on it). Token plan: each worker owns
-    `commits` slots; the last ceil(share_frac*commits) slots of worker w
-    reuse the tokens of worker (w+1) % procs — every shared token has
-    exactly two contenders in different processes."""
+    __main__ prints and exits on it). Token plan: worker w owns `commits`
+    tokens, of which the last n_shared = max(1, round(share_frac *
+    commits)) are its SHARED slice; each worker additionally attempts
+    worker (w+1) % procs's shared slice, so every shared token has
+    exactly two contenders in different processes and every worker makes
+    commits + n_shared attempts (the verdict's `attempts` field counts
+    these, not procs x commits)."""
     from schemamap_spark.operators import ann_index as ai
     from schemamap_spark.sources import fscommit
 
@@ -205,13 +215,22 @@ def run_probe(
     ]
     reader = ctx.Process(target=_reader, args=(index_dir, results_dir, stop_path))
     t0 = time.monotonic()
-    reader.start()
-    for p in workers:
-        p.start()
-    for p in workers:
-        p.join()
-    open(stop_path, "w").close()
-    reader.join()
+    # the finally owns child cleanup: without it, an interrupt during the
+    # join loop never writes the stop sentinel and the reader spins at
+    # 2ms polls forever, orphaned across interrupted runs (review r15)
+    try:
+        reader.start()
+        for p in workers:
+            p.start()
+        for p in workers:
+            p.join()
+    finally:
+        open(stop_path, "w").close()
+        reader.join(timeout=30)
+        for p in workers + [reader]:
+            if p.is_alive():
+                p.terminate()
+                p.join(timeout=5)
     wall = time.monotonic() - t0
 
     # ---- gather ----

@@ -23,7 +23,10 @@ past the threshold, either side lacks a TOTAL (a partial run the gate
 cannot arbitrate), or queries vanished from the new side (a truncated
 run would otherwise read as a speedup) — so round automation can
 consume the verdict without parsing stdout. Default (no --gate)
-behavior is unchanged.
+behavior is unchanged, with one deliberate exception shared by both
+modes: a non-FINITE timing (NaN/inf — float() parses them, and NaN
+poisons every later comparison) refuses at load like any other
+non-numeric value, where it previously flowed through.
 """
 
 from __future__ import annotations
@@ -202,4 +205,8 @@ if __name__ == "__main__":
         main()
     except BrokenPipeError:
         # piped into head/less and the reader closed first — not an error
-        sys.exit(0)
+        # for the advisory mode. In GATE mode the verdict may never have
+        # printed (the table overflowed the reader before the gate ran),
+        # so exiting 0 here would mask a GATE FAIL from automation that
+        # consumes only the exit code (review r15): fail closed instead.
+        sys.exit(1 if "--gate" in sys.argv[1:] else 0)
