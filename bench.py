@@ -64,9 +64,31 @@ def headline_registry() -> dict:
     }
 
 
+def host_condition() -> dict | None:
+    """tools/host_probe.py output, or None — best-effort by contract: a
+    probe failure must never fail (or delay past ~10 s) a bench run. The
+    r15 finding that motivates carrying it in every artifact: the host
+    oscillates between healthy, ~40x page-fault-stalled, and
+    steal-capped regimes on MINUTE timescales with all container-side
+    load signals green, moving identical-code suite totals 17 s <-> 30 s;
+    timings without the weather beside them cannot be arbitrated later."""
+    try:
+        tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        if tools not in sys.path:
+            sys.path.insert(0, tools)
+        from host_probe import probe
+
+        return probe(size_mb=64)  # ~1 s healthy, bounded under pathology
+    except Exception as e:  # noqa: BLE001 — diagnostics must not kill the bench
+        print(f"# host probe failed: {e!r}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    host_before = host_condition()
 
     from schemamap_spark.session import get_spark
 
@@ -113,6 +135,11 @@ def main() -> None:
         "queries_cold": cold,
         "value_cold": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # weather bracketing the run (see host_condition): the probe runs
+        # before Spark starts and after the last query, so a mid-run
+        # regime flip shows as before/after disagreement
+        "host": host_before,
+        "host_after": host_condition(),
     }))
 
 

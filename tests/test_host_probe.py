@@ -1,0 +1,130 @@
+"""tools/host_probe.py — the host-weather arbiter (r15).
+
+The probe exists because identical-code bench totals moved 17 s <-> 30 s
+within one round while every container-side load signal stayed green; its
+output rides inside every BENCH_* artifact, so its shape and refusal
+contracts get pins like the other bench tools. Verdict VALUES
+(page_fault_stalled / cpu_capped / steal_pct) are weather, not code —
+nothing here asserts them beyond type, or the suite would flake on
+exactly the pathology the probe measures.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def host_probe():
+    spec = importlib.util.spec_from_file_location(
+        "host_probe", os.path.join(_REPO, "tools", "host_probe.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def result(host_probe):
+    # one real (small) measurement shared by the shape pins: 8 MiB is
+    # far above the 128 KiB mmap threshold the fresh-mapping argument
+    # needs, and keeps the test ~100 ms even under a 40x fault stall
+    return host_probe.probe(size_mb=8, rounds=2)
+
+
+def test_probe_shape_and_types(result):
+    assert result["metric"] == "host_probe"
+    for k in (
+        "cpu_single_gb_s",
+        "cpu_parallel_gb_s",
+        "first_touch_gb_s",
+        "first_touch_min_gb_s",
+        "first_touch_max_gb_s",
+        "warm_write_gb_s",
+    ):
+        assert isinstance(result[k], float) and result[k] > 0, k
+    assert result["fault_us_per_page"] >= 0
+    assert isinstance(result["page_fault_stalled"], bool)
+    assert isinstance(result["cpu_capped"], bool)
+    assert result["steal_pct"] is None or result["steal_pct"] >= 0
+    assert result["cpus"] >= 1
+    assert (result["size_mb"], result["rounds"]) == (8, 2)
+    # min <= median <= max, by construction of the rounds
+    assert (
+        result["first_touch_min_gb_s"]
+        <= result["first_touch_gb_s"]
+        <= result["first_touch_max_gb_s"]
+    )
+
+
+def test_probe_json_round_trips(result):
+    # the dict is embedded verbatim in bench artifacts — everything in it
+    # must survive json (no numpy scalars, no NaN)
+    assert json.loads(json.dumps(result)) == result
+
+
+def test_verdict_thresholds(host_probe):
+    # the classification boundary is code, not weather — pin the
+    # (ft * STALL_FACTOR < ww) arithmetic at the two observed regimes:
+    # the healthy 3x fault/zeroing gap must NOT flag, the measured 40x
+    # pathology must
+    assert not (8.0 * host_probe.STALL_FACTOR < 24.0)  # ft=8, ww=24: 3x gap
+    assert 0.2 * host_probe.STALL_FACTOR < 8.0  # ft=0.2, ww=8: 40x gap
+    # and the boundary itself is strictly between them
+    assert 3.0 < host_probe.STALL_FACTOR < 40.0
+
+
+@pytest.mark.parametrize(
+    "argv",
+    [
+        ["--size-mb"],  # missing value
+        ["--size-mb", "abc"],  # non-integer
+        ["--size-mb", "0"],  # below floor
+        ["--frobnicate"],  # unknown flag
+    ],
+)
+def test_cli_refusals(host_probe, monkeypatch, argv):
+    monkeypatch.setattr("sys.argv", ["host_probe.py", *argv])
+    with pytest.raises(SystemExit) as e:
+        host_probe.main()
+    assert e.value.code not in (0, None)
+
+
+def test_stat_ticks_shape(host_probe):
+    ticks = host_probe._stat_ticks()
+    # this container has a normal /proc/stat; elsewhere None is the
+    # documented degradation (steal reported as unknown, never fake-0)
+    assert ticks is None or (len(ticks) == 8 and all(t >= 0 for t in ticks))
+
+
+def test_bench_embeds_host_condition():
+    """bench.host_condition returns the probe dict on this container, and
+    is best-effort by contract — a broken probe degrades to None instead
+    of killing the bench run."""
+    import sys
+
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    import bench
+
+    got = bench.host_condition()
+    assert got is not None and got["metric"] == "host_probe"
+
+    # the degradation path: probe() blowing up -> None, not an exception
+    import host_probe as hp  # tools/ is on sys.path after the call above
+
+    def _boom(**kw):
+        raise RuntimeError("probe broken")
+
+    orig = hp.probe
+    hp.probe = _boom
+    try:
+        assert bench.host_condition() is None
+    finally:
+        hp.probe = orig

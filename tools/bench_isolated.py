@@ -81,6 +81,15 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
     # isolated artifact stays 1:1 comparable with the driver's BENCH_rNN
     import bench
 
+    # weather bracketing the suite (r15): this series exists to arbitrate
+    # shared-session drift, but the host itself oscillates between
+    # healthy, page-fault-stalled, and steal-capped regimes on minute
+    # timescales (17 s <-> 30 s identical-code totals), and the isolated
+    # series — a fresh fault-heavy JVM per query — is MORE weather-
+    # sensitive than one warm shared session. Carrying the probe in the
+    # artifact is what lets a later reader split code from climate.
+    host_before = bench.host_condition()
+
     results: dict[str, dict] = {}
     # per-run allowance + JVM startup, scaled to the rep count;
     # BENCH_ISOLATED_TIMEOUT (total seconds per query) overrides for
@@ -198,6 +207,8 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
         "total_warm_median": round(sum(r["warm_median"] for r in ok.values()), 3),
         "complete": not errors,
         "errors": errors,
+        "host": host_before,
+        "host_after": bench.host_condition(),
         "queries": {
             n: (
                 {"cold": r["cold"], "warm": r["warm"], "warm_median": r["warm_median"]}

@@ -1,0 +1,211 @@
+"""Host-condition probe: measure the MACHINE so bench drift on untouched
+code can be arbitrated mechanically instead of by narrative.
+
+Three rounds (r12-r14) of bench-series adjudication kept landing on "host
+wander" — scattered two-direction per-query drift, same-hour re-runs back
+in band — and VERDICT r14 #3 asked for the isolated-vs-shared direction
+disagreement to be "explained or dissolved". Round 15 caught the mechanism
+live, twice, in different costumes within 20 minutes on identical code:
+
+  02:35  first-touch writes to fresh anonymous memory at 0.2 GB/s while
+         re-writes to the same (resident) pages ran 8.6 GB/s — a ~40x
+         page-fault stall (~38 us/page vs healthy ~1 us); cache-resident
+         sha256 meanwhile at full speed on all 32 cores. Isolated suite
+         on identical code: 17.2 s (round start) -> 28.0 s.
+  02:40  a 6 s saturation burst recorded 25.3% STEAL time with 68% idle
+         and 32 runnable threads — the hypervisor descheduling vCPUs;
+         aggregate compute fell ~4x. Container-side signals (loadavg,
+         PSI, free memory) all read healthy throughout.
+
+Both costumes are invisible to container-side load metrics and both hit
+Spark asymmetrically: JVM startup, heap growth, shuffle buffers and Arrow
+batches are first-touch-fault-bound; stage throughput is aggregate-CPU
+bound. A cache-resident single-core microbenchmark — the natural "is the
+host ok?" check — stays GREEN through both, which is why bench wander kept
+surviving adjudication rounds. This probe separates the regimes in ~3-10 s:
+
+  cpu_single_gb_s    sha256 over a cache-resident 1 MiB buffer, one core
+                     (pure compute; immune to both failure modes)
+  cpu_parallel_gb_s  aggregate streaming-sha256 rate, one thread per CPU
+                     (hashlib releases the GIL above 2 KiB updates);
+                     with cpu_parallel_scale = parallel/single
+  steal_pct          steal share of /proc/stat ticks ACROSS the parallel
+                     burst — nonzero only while we want CPU and the
+                     hypervisor gives it to someone else
+  first_touch_gb_s   median fill rate of FRESH size_mb-MiB numpy arrays
+                     (each a new >mmap-threshold allocation, every write
+                     faults a new page) — the Spark-relevant memory number
+  warm_write_gb_s    re-fill rate of the same, now-resident, pages
+                     (pure write bandwidth)
+  fault_us_per_page  derived: (first-touch - bandwidth) cost per 4 KiB page
+  first_touch_min/max_gb_s   per-round spread — the stall is BURSTY; a
+                     healthy median with a pathological min is still weather
+
+Verdicts (evidence beside the timings; nothing gates on them):
+  page_fault_stalled  first-touch > STALL_FACTOR (8) x slower than warm
+                      writes — healthy hosts show 2-4x (fault + zeroing),
+                      the observed pathology ~40x
+  cpu_capped          parallel scale below a quarter of the CPUs seen, or
+                      steal above 10% — an idle healthy host scales near
+                      nproc and steals ~0
+
+Run it BESIDE benches (before/after), never DURING one — the saturation
+burst would measure (and add to) the bench's own load.
+
+Usage:
+    python tools/host_probe.py [--size-mb N]     # one JSON line on stdout
+Library:
+    from host_probe import probe;  probe() -> dict
+
+bench.py and bench_isolated.py --suite embed probe() output under "host"
+keys in their artifacts (best-effort: a probe failure never fails a
+bench), so every committed BENCH_* artifact carries the weather it was
+measured under, and tools/bench_trend.py drift can be read against it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import statistics
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+# first-touch slower than warm writes by more than this factor = stalled.
+# Healthy linux: 2-4x (fault entry + page zeroing). Observed pathology:
+# ~40x. The gap between the regimes is wide; 8 splits it conservatively.
+STALL_FACTOR = 8.0
+
+# parallel sha256 scale below nproc/4, or steal above 10%, = capped. The
+# healthy host scales to ~0.8*nproc (measured 23-29 GB/s aggregate on 32
+# cores); the observed pathology read 2.2-7.5 GB/s with 25% steal.
+CAP_SCALE_DIVISOR = 4.0
+CAP_STEAL_PCT = 10.0
+
+_MB = 1 << 20
+
+
+def _cpu_single_gb_s(buf: bytes, reps: int) -> float:
+    # streaming update form: one hasher, GIL released per >2 KiB update;
+    # per-call sha256() construction would re-fetch the OpenSSL digest
+    # and add lock traffic that is not the host's fault
+    h = hashlib.sha256()
+    t0 = time.monotonic()
+    for _ in range(reps):
+        h.update(buf)
+    dt = time.monotonic() - t0
+    h.digest()
+    return (len(buf) * reps / _MB / 1024.0) / dt
+
+
+def _stat_ticks() -> list[int] | None:
+    """The aggregate cpu line of /proc/stat (user..steal), or None where
+    the file is absent/odd (macOS, exotic containers) — steal is then
+    reported as None rather than a fake 0."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu" or len(parts) < 9:
+            return None
+        return [int(x) for x in parts[1:9]]  # user..steal
+    except (OSError, ValueError):
+        return None
+
+
+def _cpu_parallel(buf: bytes, reps: int, workers: int) -> tuple[float, float | None]:
+    """(aggregate GB/s, steal_pct) across a saturation burst."""
+    s0 = _stat_ticks()
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(lambda _: _cpu_single_gb_s(buf, reps), range(workers)))
+    dt = time.monotonic() - t0
+    s1 = _stat_ticks()
+    gb_s = (len(buf) * reps * workers / _MB / 1024.0) / dt
+    steal = None
+    if s0 is not None and s1 is not None:
+        d = [b - a for a, b in zip(s0, s1)]
+        tot = sum(d)
+        if tot > 0:
+            steal = 100.0 * d[7] / tot
+    return gb_s, steal
+
+
+def probe(size_mb: int = 256, rounds: int = 3) -> dict:
+    """Measure the host; return a plain-JSON-able dict. ~3 s healthy,
+    ~10 s under a 40x fault stall (rounds x size_mb first-touch at
+    0.2 GB/s).
+
+    size_mb must clear the allocator's mmap threshold (128 KiB) by a wide
+    margin so every round's array is a FRESH anonymous mapping — malloc
+    reusing freed arena pages would silently measure warm writes twice.
+    """
+    import numpy as np  # baked into the container; keep import local
+
+    buf = b"\xa5" * _MB
+    cpu1 = _cpu_single_gb_s(buf, 64)
+    workers = min(32, os.cpu_count() or 1)
+    # size the burst to ~1 s of healthy work so steal% has enough ticks
+    cpu_n, steal = _cpu_parallel(buf, 32, workers)
+
+    n = size_mb * _MB // 8  # float64 count
+    first, warm = [], []
+    for _ in range(rounds):
+        a = np.empty(n)  # fresh mmap: virtual only, nothing faulted yet
+        t0 = time.monotonic()
+        a.fill(1.0)  # first touch: every write faults a new page
+        first.append(size_mb / 1024.0 / (time.monotonic() - t0))
+        t0 = time.monotonic()
+        a.fill(2.0)  # pages resident: pure write bandwidth
+        warm.append(size_mb / 1024.0 / (time.monotonic() - t0))
+        del a
+    ft, ww = statistics.median(first), statistics.median(warm)
+    pages = size_mb * _MB / 4096.0
+    # per-page fault cost, net of the write itself
+    fault_us = max(0.0, (size_mb / 1024.0) * (1.0 / ft - 1.0 / ww)) / pages * 1e6
+    scale = cpu_n / cpu1 if cpu1 > 0 else None
+    capped = bool(
+        (scale is not None and scale * CAP_SCALE_DIVISOR < workers)
+        or (steal is not None and steal > CAP_STEAL_PCT)
+    )
+    return {
+        "metric": "host_probe",
+        "cpu_single_gb_s": round(cpu1, 2),
+        "cpu_parallel_gb_s": round(cpu_n, 2),
+        "cpu_parallel_scale": round(scale, 1) if scale is not None else None,
+        "steal_pct": round(steal, 1) if steal is not None else None,
+        "first_touch_gb_s": round(ft, 2),
+        "first_touch_min_gb_s": round(min(first), 2),
+        "first_touch_max_gb_s": round(max(first), 2),
+        "warm_write_gb_s": round(ww, 2),
+        "fault_us_per_page": round(fault_us, 2),
+        "page_fault_stalled": bool(ft * STALL_FACTOR < ww),
+        "cpu_capped": capped,
+        "cpus": workers,
+        "size_mb": size_mb,
+        "rounds": rounds,
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    size_mb = 256
+    if "--size-mb" in args:
+        i = args.index("--size-mb")
+        if i + 1 >= len(args):
+            raise SystemExit("--size-mb needs a value")
+        try:
+            size_mb = int(args[i + 1])
+        except ValueError:
+            raise SystemExit(f"--size-mb must be an integer, got {args[i + 1]!r}")
+        if size_mb < 1:
+            raise SystemExit("--size-mb must be >= 1")
+        del args[i : i + 2]
+    if args:
+        raise SystemExit(f"unknown arguments: {args}; usage: host_probe.py [--size-mb N]")
+    print(json.dumps(probe(size_mb=size_mb)))
+
+
+if __name__ == "__main__":
+    main()
