@@ -161,7 +161,13 @@ def _reader(index_dir: str, results_dir: str, stop_path: str) -> None:
         try:
             m = ai._load_manifest(index_dir, fs)
             series.append([int(m.get("version", 0)), len(m["dirs"])])
-        except BaseException as e:
+        except (KeyboardInterrupt, SystemExit):
+            # operator interrupt, not a commit-log bug — same contract as
+            # the worker's interrupt re-raise (review r15): recording it
+            # as a reader error would turn a Ctrl-C into an invariant-4
+            # FAILURE verdict
+            raise
+        except Exception as e:
             errors.append(f"{type(e).__name__}: {e}")
         time.sleep(0.002)
     with open(os.path.join(results_dir, "reader.json"), "w") as f:
@@ -242,7 +248,16 @@ def run_probe(
             missing_results.append(w)
             continue
         outcomes.extend(json.load(open(path)))
-    reader_doc = json.load(open(os.path.join(results_dir, "reader.json")))
+    # the reader gets the same died-without-results accounting as the
+    # workers (review r15): a reader killed mid-run (spawn import
+    # failure, OOM, join-timeout terminate) must surface as a FAIL line
+    # in the verdict, not as a raw FileNotFoundError that skips the
+    # whole invariant battery
+    reader_path = os.path.join(results_dir, "reader.json")
+    if os.path.exists(reader_path):
+        reader_doc = json.load(open(reader_path))
+    else:
+        reader_doc = {"series": [], "errors": ["reader died without results"]}
 
     fs = fscommit.fs_for(index_dir)
     head = ai._load_manifest(index_dir, fs)

@@ -114,15 +114,34 @@ def _stat_ticks() -> list[int] | None:
         return None
 
 
-def _cpu_parallel(buf: bytes, reps: int, workers: int) -> tuple[float, float | None]:
-    """(aggregate GB/s, steal_pct) across a saturation burst."""
+def _cpu_parallel(buf: bytes, seconds: float, workers: int) -> tuple[float, float | None]:
+    """(aggregate GB/s, steal_pct) across a saturation burst.
+
+    DEADLINE-based, not rep-counted (review r15): a fixed rep count
+    spans ~80 ms on a healthy host — ~8 aggregate /proc/stat ticks of
+    steal resolution, and short enough to land between the minute-scale
+    steal bursts the probe exists to catch — while under a 15x cap the
+    same reps would run for 15x the budget. Every worker hashes until
+    the shared deadline, so the burst samples ~seconds of weather at
+    ~100 ticks/core regardless of regime."""
+    deadline = time.monotonic() + seconds
+
+    def _burn(_: int) -> int:
+        h = hashlib.sha256()
+        n = 0
+        while time.monotonic() < deadline:
+            h.update(buf)
+            n += 1
+        h.digest()
+        return n
+
     s0 = _stat_ticks()
     t0 = time.monotonic()
     with ThreadPoolExecutor(max_workers=workers) as ex:
-        list(ex.map(lambda _: _cpu_single_gb_s(buf, reps), range(workers)))
+        counts = list(ex.map(_burn, range(workers)))
     dt = time.monotonic() - t0
     s1 = _stat_ticks()
-    gb_s = (len(buf) * reps * workers / _MB / 1024.0) / dt
+    gb_s = (len(buf) * sum(counts) / _MB / 1024.0) / dt
     steal = None
     if s0 is not None and s1 is not None:
         d = [b - a for a, b in zip(s0, s1)]
@@ -132,22 +151,24 @@ def _cpu_parallel(buf: bytes, reps: int, workers: int) -> tuple[float, float | N
     return gb_s, steal
 
 
-def probe(size_mb: int = 256, rounds: int = 3) -> dict:
-    """Measure the host; return a plain-JSON-able dict. ~3 s healthy,
-    ~10 s under a 40x fault stall (rounds x size_mb first-touch at
-    0.2 GB/s).
+def probe(size_mb: int = 256, rounds: int = 3, burst_s: float = 1.0) -> dict:
+    """Measure the host; return a plain-JSON-able dict. ~2 s + burst_s
+    healthy, ~10 s under a 40x fault stall (rounds x size_mb first-touch
+    at 0.2 GB/s).
 
-    size_mb must clear the allocator's mmap threshold (128 KiB) by a wide
-    margin so every round's array is a FRESH anonymous mapping — malloc
-    reusing freed arena pages would silently measure warm writes twice.
+    size_mb below ~33 MiB is UNSAFE for the first-touch claim: glibc
+    grows M_MMAP_THRESHOLD dynamically to the size of any freed mmap'd
+    block (capped at 32 MiB), so after round 1 a smaller allocation can
+    be served from retained, already-faulted heap pages — silently
+    measuring warm writes twice (review r15). The 64/256 MiB production
+    sizes clear the cap; tests use >= 48.
     """
     import numpy as np  # baked into the container; keep import local
 
     buf = b"\xa5" * _MB
     cpu1 = _cpu_single_gb_s(buf, 64)
     workers = min(32, os.cpu_count() or 1)
-    # size the burst to ~1 s of healthy work so steal% has enough ticks
-    cpu_n, steal = _cpu_parallel(buf, 32, workers)
+    cpu_n, steal = _cpu_parallel(buf, burst_s, workers)
 
     n = size_mb * _MB // 8  # float64 count
     first, warm = [], []
@@ -182,7 +203,11 @@ def probe(size_mb: int = 256, rounds: int = 3) -> dict:
         "fault_us_per_page": round(fault_us, 2),
         "page_fault_stalled": bool(ft * STALL_FACTOR < ww),
         "cpu_capped": capped,
-        "cpus": workers,
+        # workers = burst width (capped at 32); cpus = what the host
+        # exposes — artifacts from wider hosts must not read as 32-core
+        # (review r15)
+        "workers": workers,
+        "cpus": os.cpu_count() or 1,
         "size_mb": size_mb,
         "rounds": rounds,
     }
