@@ -89,6 +89,10 @@ def test_verdict_thresholds(host_probe):
         ["--size-mb"],  # missing value
         ["--size-mb", "abc"],  # non-integer
         ["--size-mb", "0"],  # below floor
+        ["--size-mb", "16"],  # <= glibc's 32 MiB threshold-growth cap:
+        # rounds after the first could recycle faulted heap pages and
+        # report warm writes as first-touch — false-healthy during a
+        # real stall, so the CLI refuses (review r15)
         ["--frobnicate"],  # unknown flag
     ],
 )

@@ -254,10 +254,15 @@ def run_probe(
     # in the verdict, not as a raw FileNotFoundError that skips the
     # whole invariant battery
     reader_path = os.path.join(results_dir, "reader.json")
-    if os.path.exists(reader_path):
+    try:
         reader_doc = json.load(open(reader_path))
-    else:
+    except FileNotFoundError:
         reader_doc = {"series": [], "errors": ["reader died without results"]}
+    except ValueError:
+        # the join-timeout terminate() can SIGTERM the reader MID-WRITE
+        # (review r15): a truncated reader.json must fail invariant 4
+        # like a missing one, not crash the battery with a JSONDecodeError
+        reader_doc = {"series": [], "errors": ["reader results truncated"]}
 
     fs = fscommit.fs_for(index_dir)
     head = ai._load_manifest(index_dir, fs)

@@ -81,15 +81,6 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
     # isolated artifact stays 1:1 comparable with the driver's BENCH_rNN
     import bench
 
-    # weather bracketing the suite (r15): this series exists to arbitrate
-    # shared-session drift, but the host itself oscillates between
-    # healthy, page-fault-stalled, and steal-capped regimes on minute
-    # timescales (17 s <-> 30 s identical-code totals), and the isolated
-    # series — a fresh fault-heavy JVM per query — is MORE weather-
-    # sensitive than one warm shared session. Carrying the probe in the
-    # artifact is what lets a later reader split code from climate.
-    host_before = bench.host_condition()
-
     results: dict[str, dict] = {}
     # per-run allowance + JVM startup, scaled to the rep count;
     # BENCH_ISOLATED_TIMEOUT (total seconds per query) overrides for
@@ -111,6 +102,18 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
             )
         if tmo <= 0:
             tmo = None
+
+    # weather bracketing the suite (r15): this series exists to arbitrate
+    # shared-session drift, but the host itself oscillates between
+    # healthy, page-fault-stalled, and steal-capped regimes on minute
+    # timescales (17 s <-> 30 s identical-code totals), and the isolated
+    # series — a fresh fault-heavy JVM per query — is MORE weather-
+    # sensitive than one warm shared session. Carrying the probe in the
+    # artifact is what lets a later reader split code from climate.
+    # AFTER the timeout validation: refusals stay validate-then-measure
+    # (review r15) — a malformed env var must not cost a saturation burst.
+    host_before = bench.host_condition()
+
     for name in bench.HEADLINE:
         # one fresh PROCESS per query: a new JVM, new codegen cache, new
         # GC state — the strongest isolation this host offers. The

@@ -224,8 +224,18 @@ def main() -> None:
             size_mb = int(args[i + 1])
         except ValueError:
             raise SystemExit(f"--size-mb must be an integer, got {args[i + 1]!r}")
-        if size_mb < 1:
-            raise SystemExit("--size-mb must be >= 1")
+        if size_mb < 33:
+            # below glibc's dynamic-M_MMAP_THRESHOLD cap (32 MiB) the
+            # rounds after the first can recycle already-faulted heap
+            # pages, so "first touch" silently measures warm writes and
+            # page_fault_stalled reads false-healthy during a real stall
+            # — the one verdict this tool exists for. Refuse loudly,
+            # matching the repo's bench-tool convention (review r15).
+            raise SystemExit(
+                "--size-mb must be >= 33: sizes at or below glibc's 32 MiB "
+                "M_MMAP_THRESHOLD growth cap can recycle faulted heap pages "
+                "and report warm writes as first-touch"
+            )
         del args[i : i + 2]
     if args:
         raise SystemExit(f"unknown arguments: {args}; usage: host_probe.py [--size-mb N]")
