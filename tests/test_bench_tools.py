@@ -198,6 +198,19 @@ def test_trend_loads_both_artifact_shapes(bench_trend, tmp_path):
     with pytest.raises(SystemExit, match="cannot read"):
         bench_trend.load(str(tmp_path / "missing.json"))
 
+    # r15 artifacts carry host-weather dicts (host/host_after) beside the
+    # timings — load() must ignore them, in both artifact shapes, not
+    # mistake their nested floats for queries
+    weather = {"metric": "host_probe", "steal_pct": 25.3, "cpu_capped": True}
+    p5 = str(tmp_path / "iso_host.json")
+    open(p5, "w").write(json.dumps({**iso, "host": weather, "host_after": None}))
+    assert bench_trend.load(p5) == ({"a": 0.4}, 0.4, ["b"])
+    p6 = str(tmp_path / "drv_host.json")
+    open(p6, "w").write(
+        json.dumps({"rc": 0, "parsed": {**drv["parsed"], "host": weather}})
+    )
+    assert bench_trend.load(p6) == ({"a": 0.5, "b": 1.0}, 1.5, [])
+
 
 def test_trend_diff_output(bench_trend, tmp_path, monkeypatch, capsys):
     """End-to-end diff: shared queries sorted by |drift|, past-band rows
