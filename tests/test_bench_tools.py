@@ -125,6 +125,13 @@ def test_arg_errors_exit_with_usage(bench_isolated, monkeypatch):
         (["bench_isolated.py", "--suite", "0"], "reps must be >= 1"),
         (["bench_isolated.py", "q", "2", "sf", "extra"], "unexpected extra"),
         (["bench_isolated.py", "q", "--out"], "--out needs a file path"),
+        # unwritable --out refuses BEFORE any query runs — the artifact
+        # is written only after the whole suite, so a typo'd directory
+        # would otherwise discard every result at the end (review r15)
+        (
+            ["bench_isolated.py", "--suite", "--out", "/nonexistent_dir_x/a.json"],
+            "not writable",
+        ),
         (["bench_isolated.py"], ""),  # bare usage
     ]
     for argv, needle in cases:

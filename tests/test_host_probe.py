@@ -103,6 +103,17 @@ def test_cli_refusals(host_probe, monkeypatch, argv):
     assert e.value.code not in (0, None)
 
 
+def test_probe_refuses_unsafe_size(host_probe):
+    """The 33 MiB floor lives in probe() itself, not just the CLI —
+    library callers (bench.host_condition) embed the verdict in
+    committed artifacts, so a too-small size must refuse rather than
+    report warm writes as first-touch (review r15)."""
+    with pytest.raises(ValueError, match="33 MiB first-touch-safety"):
+        host_probe.probe(size_mb=16)
+    with pytest.raises(ValueError, match="floor"):
+        host_probe.probe(size_mb=32)
+
+
 def test_stat_ticks_shape(host_probe):
     ticks = host_probe._stat_ticks()
     # this container has a normal /proc/stat; elsewhere None is the

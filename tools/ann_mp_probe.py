@@ -244,10 +244,14 @@ def run_probe(
     missing_results = []
     for w in range(procs):
         path = os.path.join(results_dir, f"p{w}.json")
-        if not os.path.exists(path):  # a worker died before writing: a bug
+        # missing AND truncated both mean the worker died before its
+        # results were durable (OOM/SIGKILL can land mid json.dump) —
+        # account for it, don't crash the battery (review r15 x2: the
+        # reader.json fix applied two lines below, for the same reason)
+        try:
+            outcomes.extend(json.load(open(path)))
+        except (FileNotFoundError, ValueError):
             missing_results.append(w)
-            continue
-        outcomes.extend(json.load(open(path)))
     # the reader gets the same died-without-results accounting as the
     # workers (review r15): a reader killed mid-run (spawn import
     # failure, OOM, join-timeout terminate) must surface as a FAIL line

@@ -235,6 +235,17 @@ def main() -> None:
             raise SystemExit("--out needs a file path")
         out = args[i + 1]
         del args[i : i + 2]
+        # validate writability BEFORE any work: the artifact is written
+        # only after the whole multi-minute suite, so a typo'd directory
+        # would discard every result at the very end (review r15 — the
+        # same validate-then-measure rule as the timeout env check).
+        # "a" mode: creates-or-touches without truncating an existing
+        # artifact that a crashed run should leave in place.
+        try:
+            with open(out, "a"):
+                pass
+        except OSError as e:
+            raise SystemExit(f"--out path {out!r} is not writable: {e}")
     if not args:
         # __doc__ is None under -OO; never exit 0 on a usage error
         raise SystemExit(

@@ -156,13 +156,25 @@ def probe(size_mb: int = 256, rounds: int = 3, burst_s: float = 1.0) -> dict:
     healthy, ~10 s under a 40x fault stall (rounds x size_mb first-touch
     at 0.2 GB/s).
 
-    size_mb below ~33 MiB is UNSAFE for the first-touch claim: glibc
-    grows M_MMAP_THRESHOLD dynamically to the size of any freed mmap'd
-    block (capped at 32 MiB), so after round 1 a smaller allocation can
-    be served from retained, already-faulted heap pages — silently
-    measuring warm writes twice (review r15). The 64/256 MiB production
-    sizes clear the cap; tests use >= 48.
+    size_mb below 33 MiB is REFUSED (ValueError): glibc grows
+    M_MMAP_THRESHOLD dynamically to the size of any freed mmap'd block
+    (capped at 32 MiB), so after round 1 a smaller allocation can be
+    served from retained, already-faulted heap pages — first_touch_gb_s
+    would silently measure warm writes and page_fault_stalled read
+    false-healthy during a real stall, poisoning the host keys embedded
+    in committed BENCH_* artifacts. Enforced HERE, not just the CLI,
+    because library callers (bench.host_condition, tests) embed the
+    verdict too (review r15). The 64/256 MiB production sizes clear the
+    cap; tests use 48.
     """
+    if size_mb < 33:
+        raise ValueError(
+            f"size_mb={size_mb} is below the 33 MiB first-touch-safety "
+            "floor: glibc's M_MMAP_THRESHOLD grows to freed-block size "
+            "(capped at 32 MiB), so smaller repeat allocations recycle "
+            "already-faulted heap pages and report warm writes as "
+            "first-touch"
+        )
     import numpy as np  # baked into the container; keep import local
 
     buf = b"\xa5" * _MB
