@@ -116,10 +116,14 @@ def test_suite_stray_json_is_not_a_result(
         assert doc["total_warm_median"] == 0
 
 
-def test_arg_errors_exit_with_usage(bench_isolated, monkeypatch):
+def test_arg_errors_exit_with_usage(bench_isolated, monkeypatch, tmp_path):
     """Every malformed operand refuses via SystemExit with a message —
     non-numeric reps included (ADVICE r13), matching --out and the
     extra-operand guards; none reach query execution."""
+    # guaranteed-nonexistent parent via tmp_path, not a hardcoded root
+    # path that might exist on some host (review r15 pass 4 — if the
+    # open succeeded, main() would fall through into the REAL suite)
+    bad_out = str(tmp_path / "no_such_dir" / "a.json")
     cases = [
         (["bench_isolated.py", "--suite", "three"], "reps must be an integer"),
         (["bench_isolated.py", "--suite", "0"], "reps must be >= 1"),
@@ -128,10 +132,7 @@ def test_arg_errors_exit_with_usage(bench_isolated, monkeypatch):
         # unwritable --out refuses BEFORE any query runs — the artifact
         # is written only after the whole suite, so a typo'd directory
         # would otherwise discard every result at the end (review r15)
-        (
-            ["bench_isolated.py", "--suite", "--out", "/nonexistent_dir_x/a.json"],
-            "not writable",
-        ),
+        (["bench_isolated.py", "--suite", "--out", bad_out], "not writable"),
         (["bench_isolated.py"], ""),  # bare usage
     ]
     for argv, needle in cases:
@@ -139,6 +140,32 @@ def test_arg_errors_exit_with_usage(bench_isolated, monkeypatch):
         with pytest.raises(SystemExit) as ei:
             bench_isolated.main()
         assert needle in str(ei.value)
+    # the writability probe must not leave a spurious empty artifact at
+    # a path it created itself: an aborted/crashed run reads as "never
+    # ran" (no file), not as a 0-byte artifact (review r15 pass 4).
+    # Stub _run_suite so a VALID invocation passes the probe but writes
+    # nothing — any leftover file can then only be the probe's.
+    ok_out = tmp_path / "fresh.json"
+    called = []
+    monkeypatch.setattr(bench_isolated, "_run_suite", lambda *a: called.append(a))
+    monkeypatch.setattr(
+        bench_isolated.sys,
+        "argv",
+        ["bench_isolated.py", "--suite", "2", "--out", str(ok_out)],
+    )
+    bench_isolated.main()
+    assert called and called[0][2] == str(ok_out)
+    assert not ok_out.exists()
+    # ...and a pre-existing artifact survives the probe untouched
+    prior = tmp_path / "prior.json"
+    prior.write_text('{"queries": {}}')
+    monkeypatch.setattr(
+        bench_isolated.sys,
+        "argv",
+        ["bench_isolated.py", "--suite", "2", "--out", str(prior)],
+    )
+    bench_isolated.main()
+    assert prior.read_text() == '{"queries": {}}'
 
 
 def test_trend_drift_rule(bench_trend):

@@ -242,16 +242,20 @@ def run_probe(
     # ---- gather ----
     outcomes: list[dict] = []
     missing_results = []
+    corrupt_results = []
     for w in range(procs):
         path = os.path.join(results_dir, f"p{w}.json")
-        # missing AND truncated both mean the worker died before its
-        # results were durable (OOM/SIGKILL can land mid json.dump) —
-        # account for it, don't crash the battery (review r15 x2: the
-        # reader.json fix applied two lines below, for the same reason)
+        # missing = the worker died before writing (spawn import
+        # failure, OOM before dump); truncated/unparseable = it died
+        # MID-write or a serialization bug — distinct failure messages
+        # so an investigation starts from the right theory, and neither
+        # crashes the battery (review r15 x3: same ladder as reader.json)
         try:
             outcomes.extend(json.load(open(path)))
-        except (FileNotFoundError, ValueError):
+        except FileNotFoundError:
             missing_results.append(w)
+        except ValueError:
+            corrupt_results.append(w)
     # the reader gets the same died-without-results accounting as the
     # workers (review r15): a reader killed mid-run (spawn import
     # failure, OOM, join-timeout terminate) must surface as a FAIL line
@@ -274,6 +278,11 @@ def run_probe(
     failures: list[str] = []
     if missing_results:
         failures.append(f"workers died without results: {missing_results}")
+    if corrupt_results:
+        failures.append(
+            f"workers wrote unparseable results (died mid-write or "
+            f"serialization bug): {corrupt_results}"
+        )
 
     # 1. exactly-once per token, commit-or-loud
     by_token: dict[str, int] = {}

@@ -235,17 +235,6 @@ def main() -> None:
             raise SystemExit("--out needs a file path")
         out = args[i + 1]
         del args[i : i + 2]
-        # validate writability BEFORE any work: the artifact is written
-        # only after the whole multi-minute suite, so a typo'd directory
-        # would discard every result at the very end (review r15 — the
-        # same validate-then-measure rule as the timeout env check).
-        # "a" mode: creates-or-touches without truncating an existing
-        # artifact that a crashed run should leave in place.
-        try:
-            with open(out, "a"):
-                pass
-        except OSError as e:
-            raise SystemExit(f"--out path {out!r} is not writable: {e}")
     if not args:
         # __doc__ is None under -OO; never exit 0 on a usage error
         raise SystemExit(
@@ -276,6 +265,22 @@ def main() -> None:
         # a misplaced output path (forgotten --out) must not silently
         # write the artifact to the default file (review r13)
         raise SystemExit(f"unexpected extra arguments: {operands[2:]}")
+    if out:
+        # validate writability BEFORE any work — the artifact is written
+        # only after the whole multi-minute suite, so a typo'd directory
+        # would discard every result at the very end (review r15; same
+        # validate-then-measure rule as the timeout env check). Runs
+        # AFTER the other argument checks, and unlinks a file the probe
+        # itself created: an aborted run must leave "never ran" (no
+        # file), not a spurious empty artifact (review r15 pass 4).
+        existed = os.path.exists(out)
+        try:
+            with open(out, "a"):
+                pass
+        except OSError as e:
+            raise SystemExit(f"--out path {out!r} is not writable: {e}")
+        if not existed:
+            os.unlink(out)
     if suite:
         _run_suite(reps, sf_dir, out or os.path.join(_REPO, "BENCH_ISOLATED.json"))
         return

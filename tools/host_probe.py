@@ -84,6 +84,12 @@ STALL_FACTOR = 8.0
 CAP_SCALE_DIVISOR = 4.0
 CAP_STEAL_PCT = 10.0
 
+# smallest size_mb whose repeat allocations are guaranteed fresh mmaps:
+# glibc grows M_MMAP_THRESHOLD to the size of any freed mmap'd block,
+# capped at 32 MiB — one constant shared by probe() and the CLI so the
+# two guards can't drift (review r15 pass 4)
+MIN_SIZE_MB = 33
+
 _MB = 1 << 20
 
 
@@ -167,13 +173,13 @@ def probe(size_mb: int = 256, rounds: int = 3, burst_s: float = 1.0) -> dict:
     verdict too (review r15). The 64/256 MiB production sizes clear the
     cap; tests use 48.
     """
-    if size_mb < 33:
+    if size_mb < MIN_SIZE_MB:
         raise ValueError(
-            f"size_mb={size_mb} is below the 33 MiB first-touch-safety "
-            "floor: glibc's M_MMAP_THRESHOLD grows to freed-block size "
-            "(capped at 32 MiB), so smaller repeat allocations recycle "
-            "already-faulted heap pages and report warm writes as "
-            "first-touch"
+            f"size_mb={size_mb} is below the {MIN_SIZE_MB} MiB "
+            "first-touch-safety floor: glibc's M_MMAP_THRESHOLD grows to "
+            "freed-block size (capped at 32 MiB), so smaller repeat "
+            "allocations recycle already-faulted heap pages and report "
+            "warm writes as first-touch"
         )
     import numpy as np  # baked into the container; keep import local
 
@@ -236,22 +242,18 @@ def main() -> None:
             size_mb = int(args[i + 1])
         except ValueError:
             raise SystemExit(f"--size-mb must be an integer, got {args[i + 1]!r}")
-        if size_mb < 33:
-            # below glibc's dynamic-M_MMAP_THRESHOLD cap (32 MiB) the
-            # rounds after the first can recycle already-faulted heap
-            # pages, so "first touch" silently measures warm writes and
-            # page_fault_stalled reads false-healthy during a real stall
-            # — the one verdict this tool exists for. Refuse loudly,
-            # matching the repo's bench-tool convention (review r15).
-            raise SystemExit(
-                "--size-mb must be >= 33: sizes at or below glibc's 32 MiB "
-                "M_MMAP_THRESHOLD growth cap can recycle faulted heap pages "
-                "and report warm writes as first-touch"
-            )
         del args[i : i + 2]
     if args:
         raise SystemExit(f"unknown arguments: {args}; usage: host_probe.py [--size-mb N]")
-    print(json.dumps(probe(size_mb=size_mb)))
+    try:
+        result = probe(size_mb=size_mb)
+    except ValueError as e:
+        # probe() owns the size-floor invariant (library callers embed
+        # the verdict in committed artifacts too); the CLI just converts
+        # it to the tool's refusal style so two guards can't drift
+        # (review r15 pass 4)
+        raise SystemExit(str(e))
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
