@@ -129,6 +129,9 @@ def test_arg_errors_exit_with_usage(bench_isolated, monkeypatch, tmp_path):
         (["bench_isolated.py", "--suite", "0"], "reps must be >= 1"),
         (["bench_isolated.py", "q", "2", "sf", "extra"], "unexpected extra"),
         (["bench_isolated.py", "q", "--out"], "--out needs a file path"),
+        # empty value (unset shell var) refuses instead of falling back
+        # to the repo-default artifact path (review r15 pass 5)
+        (["bench_isolated.py", "--suite", "--out", ""], "non-empty"),
         # unwritable --out refuses BEFORE any query runs — the artifact
         # is written only after the whole suite, so a typo'd directory
         # would otherwise discard every result at the end (review r15)

@@ -235,6 +235,12 @@ def main() -> None:
             raise SystemExit("--out needs a file path")
         out = args[i + 1]
         del args[i : i + 2]
+        if not out:
+            # an empty value (unset shell var: --out "$OUT") must refuse
+            # like the pre-r15 open("") did — falling through would
+            # silently clobber the repo-default artifact after the whole
+            # suite (review r15 pass 5)
+            raise SystemExit("--out needs a non-empty file path")
     if not args:
         # __doc__ is None under -OO; never exit 0 on a usage error
         raise SystemExit(
@@ -273,7 +279,12 @@ def main() -> None:
         # AFTER the other argument checks, and unlinks a file the probe
         # itself created: an aborted run must leave "never ran" (no
         # file), not a spurious empty artifact (review r15 pass 4).
-        existed = os.path.exists(out)
+        # lexists, not exists: for a dangling symlink the path entry IS
+        # there — unlinking it would delete the user's link (and the
+        # final write would then land at the link path, not the target)
+        # while the probe's open() created the 0-byte file at the TARGET,
+        # which open(out, "w") later overwrites anyway (review r15 pass 5)
+        existed = os.path.lexists(out)
         try:
             with open(out, "a"):
                 pass

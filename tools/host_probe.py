@@ -93,6 +93,22 @@ MIN_SIZE_MB = 33
 _MB = 1 << 20
 
 
+def _check_size(size_mb: int) -> None:
+    """The one size-floor guard, shared by probe() and the CLI (so the
+    two can't drift, and the CLI's catch stays TIGHT — wrapping the
+    whole probe() run in except ValueError would rebrand unrelated
+    deep-measurement ValueErrors as clean refusals; review r15 passes
+    4+5)."""
+    if size_mb < MIN_SIZE_MB:
+        raise ValueError(
+            f"size_mb={size_mb} is below the {MIN_SIZE_MB} MiB "
+            "first-touch-safety floor: glibc's M_MMAP_THRESHOLD grows to "
+            "freed-block size (capped at 32 MiB), so smaller repeat "
+            "allocations recycle already-faulted heap pages and report "
+            "warm writes as first-touch"
+        )
+
+
 def _cpu_single_gb_s(buf: bytes, reps: int) -> float:
     # streaming update form: one hasher, GIL released per >2 KiB update;
     # per-call sha256() construction would re-fetch the OpenSSL digest
@@ -173,14 +189,7 @@ def probe(size_mb: int = 256, rounds: int = 3, burst_s: float = 1.0) -> dict:
     verdict too (review r15). The 64/256 MiB production sizes clear the
     cap; tests use 48.
     """
-    if size_mb < MIN_SIZE_MB:
-        raise ValueError(
-            f"size_mb={size_mb} is below the {MIN_SIZE_MB} MiB "
-            "first-touch-safety floor: glibc's M_MMAP_THRESHOLD grows to "
-            "freed-block size (capped at 32 MiB), so smaller repeat "
-            "allocations recycle already-faulted heap pages and report "
-            "warm writes as first-touch"
-        )
+    _check_size(size_mb)
     import numpy as np  # baked into the container; keep import local
 
     buf = b"\xa5" * _MB
@@ -246,14 +255,13 @@ def main() -> None:
     if args:
         raise SystemExit(f"unknown arguments: {args}; usage: host_probe.py [--size-mb N]")
     try:
-        result = probe(size_mb=size_mb)
+        _check_size(size_mb)
     except ValueError as e:
-        # probe() owns the size-floor invariant (library callers embed
-        # the verdict in committed artifacts too); the CLI just converts
-        # it to the tool's refusal style so two guards can't drift
-        # (review r15 pass 4)
+        # the shared guard converts to the tool's refusal style HERE,
+        # before measurement — probe() itself stays un-wrapped so a real
+        # mid-measurement ValueError keeps its traceback (review r15)
         raise SystemExit(str(e))
-    print(json.dumps(result))
+    print(json.dumps(probe(size_mb=size_mb)))
 
 
 if __name__ == "__main__":
