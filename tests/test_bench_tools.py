@@ -169,6 +169,21 @@ def test_arg_errors_exit_with_usage(bench_isolated, monkeypatch, tmp_path):
     )
     bench_isolated.main()
     assert prior.read_text() == '{"queries": {}}'
+    # ...and a DANGLING symlink --out keeps the user's link while the
+    # 0-byte file the probe created at the TARGET is removed (review
+    # r15 pass 6: otherwise an aborted run leaves an empty artifact at
+    # the target instead of "never ran")
+    target = tmp_path / "deep" / "r.json"
+    target.parent.mkdir()
+    link = tmp_path / "link.json"
+    link.symlink_to(target)
+    monkeypatch.setattr(
+        bench_isolated.sys,
+        "argv",
+        ["bench_isolated.py", "--suite", "2", "--out", str(link)],
+    )
+    bench_isolated.main()
+    assert link.is_symlink() and not target.exists()
 
 
 def test_trend_drift_rule(bench_trend):

@@ -279,19 +279,23 @@ def main() -> None:
         # AFTER the other argument checks, and unlinks a file the probe
         # itself created: an aborted run must leave "never ran" (no
         # file), not a spurious empty artifact (review r15 pass 4).
-        # lexists, not exists: for a dangling symlink the path entry IS
-        # there — unlinking it would delete the user's link (and the
-        # final write would then land at the link path, not the target)
-        # while the probe's open() created the 0-byte file at the TARGET,
-        # which open(out, "w") later overwrites anyway (review r15 pass 5)
-        existed = os.path.lexists(out)
+        # lexists tracks the path ENTRY (a dangling symlink is one — the
+        # user's link must survive the probe), exists tracks whether the
+        # open will create a file: through a dangling link the 0-byte
+        # file appears at the TARGET, and an aborted run must remove it
+        # there too or "never ran" reads as an empty artifact
+        # (review r15 passes 5+6)
+        entry_existed = os.path.lexists(out)
+        target_existed = os.path.exists(out)
         try:
             with open(out, "a"):
                 pass
         except OSError as e:
             raise SystemExit(f"--out path {out!r} is not writable: {e}")
-        if not existed:
+        if not entry_existed:
             os.unlink(out)
+        elif not target_existed:
+            os.unlink(os.path.realpath(out))
     if suite:
         _run_suite(reps, sf_dir, out or os.path.join(_REPO, "BENCH_ISOLATED.json"))
         return
