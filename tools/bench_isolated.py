@@ -279,22 +279,18 @@ def main() -> None:
         # AFTER the other argument checks, and unlinks a file the probe
         # itself created: an aborted run must leave "never ran" (no
         # file), not a spurious empty artifact (review r15 pass 4).
-        # lexists tracks the path ENTRY (a dangling symlink is one — the
-        # user's link must survive the probe), exists tracks whether the
-        # open will create a file: through a dangling link the 0-byte
-        # file appears at the TARGET, and an aborted run must remove it
-        # there too or "never ran" reads as an empty artifact
-        # (review r15 passes 5+6)
-        entry_existed = os.path.lexists(out)
+        # if the open is about to CREATE a file (plain new path, or the
+        # target behind a dangling symlink), remove it again afterward —
+        # an aborted run must read as "never ran", not as a 0-byte
+        # artifact. realpath unlinks the created file itself in both
+        # cases and never the user's symlink (review r15 passes 5+6).
         target_existed = os.path.exists(out)
         try:
             with open(out, "a"):
                 pass
         except OSError as e:
             raise SystemExit(f"--out path {out!r} is not writable: {e}")
-        if not entry_existed:
-            os.unlink(out)
-        elif not target_existed:
+        if not target_existed:
             os.unlink(os.path.realpath(out))
     if suite:
         _run_suite(reps, sf_dir, out or os.path.join(_REPO, "BENCH_ISOLATED.json"))
