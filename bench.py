@@ -127,6 +127,11 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # stop the session BEFORE the closing weather probe (ADVICE r15):
+    # host_probe's guidance is "run BESIDE benches, never DURING one" —
+    # an idle local JVM's GC/daemon threads would otherwise share cores
+    # with the saturation burst and skew cpu_parallel_scale/steal
+    spark.stop()
     print(json.dumps({
         "metric": "headline suite wall time (noop-materialized, median of 3 warm)",
         "value": total,

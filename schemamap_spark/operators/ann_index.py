@@ -902,16 +902,28 @@ def ann_index_compact(
     accounting (the compacted entry carries the SUM of the folded batches'
     occupancies, so ann_index_drift reports exactly what it did before —
     folding appended rows into `codes/` instead would misfile them as
-    trained mass). Returns the number of batch dirs folded (0 = no-op).
+    trained mass). Returns the number of batch dirs folded (0 = no-op,
+    INCLUDING a fold lost to a rival compact — see below).
 
     Crash contract mirrors append: the union writes to a hidden temp dir,
     renames, and publishes via one atomic manifest commit — a crash at
     any point leaves either the old manifest (old dirs intact) or the new
     one. The commit is a MERGE through the version-claim loop: batches
     appended concurrently with the fold (after this compact's read) stay
-    committed — only the dirs actually unioned are folded away. Run ONE
-    compactor at a time (two concurrent compacts would fold each other's
-    output dirs into duplicates); concurrent APPENDS are safe.
+    committed — only the dirs actually unioned are folded away.
+
+    CONCURRENT COMPACTS serialize safely (r16; previously documented
+    run-one-at-a-time): batch entries leave `dirs` only through a
+    compact's fold, so a merge that finds any of its input names already
+    gone knows a rival compact folded them first — it ABORTS instead of
+    committing a second copy of the same rows (the duplicate-fold hazard
+    the old contract warned about), deletes its own unreferenced output
+    dir, and returns 0; the caller simply observes "nothing left to
+    fold". Still schedule ONE compactor (two do redundant union work and
+    the loser's I/O is wasted; a rival can also delete grace dirs out
+    from under the loser's in-flight union, crashing it loudly — safe,
+    nothing committed) — but a double-fired scheduler now costs
+    throughput, not correctness.
 
     Reader race, closed by the GRACE PERIOD (default): superseded batch
     dirs are NOT deleted at commit — they're recorded in the manifest's
@@ -921,7 +933,22 @@ def ann_index_compact(
     read. No reader ever consults `superseded` for routing; it is purely
     the deferred-delete ledger. `grace=False` restores eager deletion for
     single-process stores that never search concurrently."""
-    fs = _fs_for(index_dir, spark)
+
+    def fold(paths: list, tmp_dir: str) -> None:
+        spark.read.parquet(*paths).write.mode("overwrite").parquet(tmp_dir)
+
+    return _compact_dirs(index_dir, _fs_for(index_dir, spark), fold, grace)
+
+
+def _compact_dirs(index_dir: str, fs, fold_fn, grace: bool = True) -> int:
+    """The compaction manifest dance with the data fold INJECTED —
+    `fold_fn(paths, tmp_dir)` writes the union of the batch dirs at
+    `paths` into `tmp_dir`. ann_index_compact passes the Spark parquet
+    union; tools/ann_mp_probe.py passes a plain-text concatenation so
+    the REAL dance (grace sweep, fold, rename, merge, rival-loss
+    resolution) can be raced across spawn processes without a JVM —
+    the probe exercises this very code, not a replay that could drift
+    (VERDICT r15 #1). Semantics documented on ann_index_compact."""
     manifest = _load_manifest(index_dir, fs)
     # dirs superseded by the PREVIOUS compact have had a full cycle of
     # grace — collect them now, before this round's fold
@@ -941,7 +968,16 @@ def ann_index_compact(
         return 0
     paths = [join(index_dir, d["name"]) for d in batches]
     tmp_dir = fs.mktempdir(index_dir, ".batch_")
-    spark.read.parquet(*paths).write.mode("overwrite").parquet(tmp_dir)
+    try:
+        fold_fn(paths, tmp_dir)
+    except BaseException:
+        # a crashed union (including a rival compact's grace sweep
+        # deleting an input dir mid-read) must not strand .batch_ tmp
+        # debris for gc to puzzle over — nothing was committed, so the
+        # tmp dir is provably ours to remove (same hygiene as the claim
+        # loop's tmp handling in _commit_manifest_merge)
+        fs.delete(tmp_dir)
+        raise
     occupancy: dict[str, int] = {}
     tokens: list[str] = []
     for d in batches:
@@ -960,10 +996,24 @@ def ann_index_compact(
     import time
 
     folded_names = {d["name"] for d in batches}
+    lost_to_rival = [False]
 
     def merge(head: dict):
         if any(d["name"] == folded["name"] for d in head["dirs"]):
             return None  # already committed (stall-guard re-merge)
+        if folded_names - {d["name"] for d in head["dirs"]}:
+            # RIVAL-COMPACT GUARD (r16): batch entries leave `dirs` only
+            # through a compact's fold, so an input of ours that is no
+            # longer in the head was folded by a rival between our
+            # manifest read and this claim. Committing anyway would add
+            # a second entry carrying the same rows AND the same
+            # idempotency tokens as the rival's fold — the exact
+            # duplicate the exactly-once contract forbids. Abort; the
+            # resolution below distinguishes genuinely-lost from
+            # committed-then-refolded (the stall-guard re-merge can land
+            # here after a rival folds OUR committed output away).
+            lost_to_rival[0] = True
+            return None
         # fold away exactly the dirs this compact UNIONED; anything that
         # joined the manifest after our read (a concurrent append) stays
         kept = [
@@ -992,6 +1042,28 @@ def ann_index_compact(
         }
 
     _commit_manifest_merge(index_dir, merge, fs)
+    if lost_to_rival[0]:
+        # committed-vs-lost resolution, mirroring _commit_manifest_entry:
+        # our fold is already applied when its name is in `dirs`, in the
+        # `superseded` grace ledger (committed, then refolded by a later
+        # compact), or its dir is GONE from disk (refolded and collected
+        # — under the writer-exclusive GC contract nothing else deletes
+        # it). Only a fold that is provably in NONE of those states lost
+        # to the rival: its output dir is unreferenced work, delete it
+        # and report 0 folded. In the applied case the rival also owns
+        # the superseded ledger for our inputs, so the eager-delete path
+        # below is skipped either way — the ledger/next compact collects.
+        head = _load_manifest(index_dir, fs)
+        folded_path = join(index_dir, folded["name"])
+        applied = (
+            any(d["name"] == folded["name"] for d in head["dirs"])
+            or folded["name"] in head.get("superseded", [])
+            or not fs.exists(folded_path)
+        )
+        if not applied:
+            fs.delete(folded_path)
+            return 0
+        return len(batches)
     if not grace:
         for p in paths:
             fs.delete(p)

@@ -1508,3 +1508,147 @@ def test_cache_locks_are_per_store():
         # b is untouched by holding a — another thread could take it
         assert b.acquire(blocking=False)
         b.release()
+
+
+def _fs_bootstrap_store(index_dir):
+    """A format-2 store skeleton at the fs level (no Spark), exactly as
+    tools/ann_mp_probe._bootstrap_store publishes it — the deterministic
+    twin of the cross-process probe's setup."""
+    import json
+    import os
+    import uuid
+
+    from schemamap_spark.operators import ann_index as ai
+    from schemamap_spark.sources import fscommit
+
+    os.makedirs(os.path.join(index_dir, "codes"))
+    fs = fscommit.fs_for(index_dir)
+    store_id = uuid.uuid4().hex
+    m0 = {"dirs": [{"name": "codes"}], "version": 1, "store_id": store_id}
+    fs.write_text(os.path.join(index_dir, ai._version_name(1)), json.dumps(m0))
+    fs.write_text(os.path.join(index_dir, ai._MANIFEST), json.dumps(m0))
+    fs.write_text(os.path.join(index_dir, ai._FORMAT_MARKER), "2\n")
+    return fs
+
+
+def _fs_append_text(index_dir, fs, tok, line):
+    import os
+
+    from schemamap_spark.operators import ann_index as ai
+
+    tmp = fs.mktempdir(index_dir, ".batch_")
+    fs.write_text(os.path.join(tmp, "part-00000"), line)
+    name = "batch_" + os.path.basename(tmp)[len(".batch_"):]
+    fs.rename(tmp, os.path.join(index_dir, name))
+    assert ai._commit_manifest_entry(
+        index_dir, {"name": name, "occupancy": {}, "batch_token": tok}, fs
+    )
+    return name
+
+
+def _text_fold(fs):
+    import os
+
+    def fold(paths, tmp_dir):
+        parts = []
+        for p in paths:
+            for nm in sorted(fs.listdir(p)):
+                parts.append(fs.read_text(os.path.join(p, nm)))
+        fs.write_text(os.path.join(tmp_dir, "part-00000"), "".join(parts))
+
+    return fold
+
+
+def test_rival_compact_loses_cleanly_deterministic(tmp_path):
+    """The r16 rival-compact guard, pinned at the exact interleaving the
+    cross-process probe can only hit probabilistically: compact B reads
+    the manifest, then a rival compact A runs TO COMPLETION (folding all
+    of B's inputs) inside B's fold window, and a concurrent append lands
+    a new batch too. B must abort its merge (inputs gone from `dirs`),
+    delete its own unreferenced output dir, and return 0 — never commit
+    a second entry carrying the same rows/tokens (the duplicate-fold
+    hazard the pre-r16 contract only WARNED about). The rival's fold and
+    the new append both survive untouched. No Spark: _compact_dirs is
+    the real dance with the data fold injected (ann_index_compact
+    injects the parquet union; this injects text concatenation)."""
+    import os
+
+    from schemamap_spark.operators import ann_index as ai
+
+    index_dir = str(tmp_path / "store")
+    fs = _fs_bootstrap_store(index_dir)
+    for i in range(3):
+        _fs_append_text(index_dir, fs, f"tok-{i}", f"0:tok-{i}\n")
+
+    inner_fold = _text_fold(fs)
+    rival_ran = {"n": 0}
+
+    def b_fold(paths, tmp_dir):
+        # rival A completes an entire compact between B's manifest read
+        # and B's own union; then an append lands on top of A's commit
+        rival_ran["n"] = ai._compact_dirs(index_dir, fs, inner_fold)
+        _fs_append_text(index_dir, fs, "tok-late", "0:tok-late\n")
+        inner_fold(paths, tmp_dir)
+
+    assert ai._compact_dirs(index_dir, fs, b_fold) == 0  # B lost, cleanly
+    assert rival_ran["n"] == 3  # A really folded all three inputs
+
+    head = ai._load_manifest(index_dir, fs)
+    batch_dirs = [d for d in head["dirs"] if d["name"] != "codes"]
+    # exactly A's fold + the late append — no duplicate fold entry
+    assert len(batch_dirs) == 2
+    folded = [d for d in batch_dirs if d.get("batch_tokens")]
+    assert len(folded) == 1
+    assert folded[0]["batch_tokens"] == ["tok-0", "tok-1", "tok-2"]
+    # every token exactly once across the head
+    toks = [
+        t
+        for d in batch_dirs
+        for t in ([d["batch_token"]] if d.get("batch_token") else [])
+        + list(d.get("batch_tokens", ()))
+    ]
+    assert sorted(toks) == ["tok-0", "tok-1", "tok-2", "tok-late"]
+    # B's output dir is gone from disk: committed dirs + A's superseded
+    # grace copies are all that remain
+    on_disk = {n for n in os.listdir(index_dir) if n.startswith("batch_")}
+    committed = {d["name"] for d in batch_dirs}
+    assert on_disk == committed | set(head.get("superseded", []))
+    # and the content reaching the head is exactly one line per token
+    lines = []
+    for d in batch_dirs:
+        p = os.path.join(index_dir, d["name"])
+        for nm in sorted(os.listdir(p)):
+            lines.extend(
+                ln for ln in open(os.path.join(p, nm)).read().splitlines() if ln
+            )
+    assert sorted(lines) == [
+        "0:tok-0", "0:tok-1", "0:tok-2", "0:tok-late",
+    ]
+
+
+def test_rival_compact_crashed_fold_leaves_no_tmp_debris(tmp_path):
+    """_compact_dirs' fold guard (r16): a union that crashes mid-read
+    (the rival-grace-sweep race, or any fold fault) must remove its own
+    .batch_ tmp dir — nothing was committed, so nothing may be stranded
+    for gc to puzzle over."""
+    import os
+
+    import pytest as _pytest
+
+    from schemamap_spark.operators import ann_index as ai
+
+    index_dir = str(tmp_path / "store")
+    fs = _fs_bootstrap_store(index_dir)
+    for i in range(2):
+        _fs_append_text(index_dir, fs, f"tok-{i}", f"0:tok-{i}\n")
+
+    def crashing_fold(paths, tmp_dir):
+        raise FileNotFoundError("input dir swept by a rival's grace sweep")
+
+    with _pytest.raises(FileNotFoundError):
+        ai._compact_dirs(index_dir, fs, crashing_fold)
+    assert not [
+        n for n in os.listdir(index_dir) if n.startswith(".batch_")
+    ]
+    # the store is untouched: both batches still committed and foldable
+    assert ai._compact_dirs(index_dir, fs, _text_fold(fs)) == 2

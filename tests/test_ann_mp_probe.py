@@ -62,3 +62,51 @@ def test_multiprocess_all_tokens_contested(tmp_path):
     assert v["shared_tokens"] == 4 * 6
     assert v["unique_tokens"] == 0
     assert v["head_version"] == v["committed"] + 1
+
+
+def test_multiprocess_compactor_race(tmp_path):
+    """VERDICT r15 #1 at suite scale: 4 spawn writers x 6 commits racing
+    2 spawn COMPACTORS over one store — the real _compact_dirs dance
+    (grace sweep, fold, rename, rival-loss guard, committed-vs-lost
+    resolution) across independent interpreters and fs handles. The
+    compact-aware battery holds: exactly-once per token THROUGH folds,
+    token conservation across every retained version pair, folded
+    content byte-identical to the manifest's token set, reader version/
+    token series monotone. Escalated in tool runs to 64 writers x 12
+    all-contested x 8 compactors (PASS; 433 rival losses, 26 loud
+    fold-read races, zero silent losses — see SCALE.md)."""
+    probe = _load_probe()
+    v = probe.run_probe(
+        procs=4, commits=6, base=str(tmp_path / "store"), compactors=2
+    )
+    assert v["failures"] == []
+    assert v["ok"]
+    assert (
+        v["committed"] + v["lost_to_twin_or_skipped"] + v["loud_failures"]
+        == v["attempts"]
+    )
+    cs = v["compactor_stats"]
+    assert cs["bugs"] == []
+    # both compactors reported; at this scale at least one cycle ran
+    assert cs["cycles"] >= 1
+
+
+def test_multiprocess_escalation_pin(tmp_path):
+    """The escalation ladder's suite-scale anchor (VERDICT r15 #5): 16
+    writers x 16 commits, half contested, 2 compactors — big enough that
+    a future fscommit/ann_index change regressing ONLY under real
+    contention fails the suite, small enough for CI (the 16x16x4 tool
+    run walls ~2 s; the probe itself bounds child cleanup). The full
+    ladder (up to 64x12 all-contested x 8 compactors) stays a tool run."""
+    probe = _load_probe()
+    v = probe.run_probe(
+        procs=16, commits=16, share_frac=0.5,
+        base=str(tmp_path / "store"), compactors=2,
+    )
+    assert v["failures"] == []
+    assert v["ok"]
+    # 16 workers x 16 owned tokens = 256 distinct tokens; every one
+    # commits exactly once unless loud failures consumed ALL of a
+    # token's contenders (unique tokens have one) — the battery already
+    # proved commit-or-loud for each
+    assert v["committed"] >= 16 * 16 - v["loud_failures"]

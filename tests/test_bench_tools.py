@@ -399,3 +399,89 @@ def test_trend_gate_refuses_partial_runs(bench_trend, tmp_path, monkeypatch, cap
     # without --gate both remain advisory exits 0
     assert run("old", "no_total") == 0
     assert run("old", "trunc") == 0
+
+
+def test_trend_weather_flag(bench_trend, tmp_path, monkeypatch, capsys):
+    """--weather (VERDICT r15 #3): judge both artifacts' embedded host
+    probes against host_probe's envelope. Alone it annotates (exit 0);
+    with --gate an out-of-envelope or probe-less side is a GATE FAIL —
+    weather-tainted timings can never silently win an arbitration.
+    Without --weather, gate behavior on the same artifacts is unchanged
+    (back-compat: the r13/r14 artifacts predate the probes)."""
+    healthy = {
+        "first_touch_gb_s": 5.0, "steal_pct": 0.2, "cpu_parallel_scale": 20.0,
+    }
+    stalled = {
+        "first_touch_gb_s": 0.2, "steal_pct": 0.1, "cpu_parallel_scale": 21.0,
+    }
+    base = {"value": 2.0, "queries": {"a": 2.0}}
+    docs = {
+        "clean": {**base, "host": healthy, "host_after": healthy},
+        "tainted": {**base, "host": healthy, "host_after": stalled},
+        "probeless": base,  # a pre-r15 artifact: no host keys at all
+        # driver wrapper shape: probes live inside "parsed"
+        "wrapped": {"rc": 0, "parsed": {
+            **base, "host": healthy, "host_after": healthy,
+        }},
+    }
+    paths = {}
+    for name, doc in docs.items():
+        p = str(tmp_path / f"{name}.json")
+        open(p, "w").write(json.dumps(doc))
+        paths[name] = p
+
+    def run(old_k, new_k, *extra):
+        monkeypatch.setattr(
+            bench_trend.sys, "argv",
+            ["bench_trend.py", paths[old_k], paths[new_k], *extra],
+        )
+        try:
+            bench_trend.main()
+        except SystemExit as e:
+            return e.code
+        return 0
+
+    # both sides clean: annotations + GATE PASS
+    assert run("clean", "wrapped", "--weather", "--gate") == 0
+    out = capsys.readouterr().out
+    assert out.count("in envelope") == 4 and "# GATE PASS" in out
+    # a stalled after-probe on the new side fails the gate, naming it
+    assert run("clean", "tainted", "--weather", "--gate") == 1
+    out = capsys.readouterr().out
+    assert "new/host_after" in out and "first_touch_gb_s" in out
+    assert "weather outside envelope" in out
+    # probe-less artifacts cannot prove their weather -> FAIL under the
+    # combined gate, never a silent pass-by-omission
+    assert run("clean", "probeless", "--weather", "--gate") == 1
+    assert "no host probe embedded" in capsys.readouterr().out
+    # --weather alone is advisory: annotates, exit 0
+    assert run("clean", "tainted", "--weather") == 0
+    out = capsys.readouterr().out
+    assert "OUTSIDE envelope" in out and "weather advisory" in out
+    # --gate without --weather keeps its r14 contract on the same inputs
+    assert run("clean", "tainted", "--gate") == 0
+    assert "# GATE PASS" in capsys.readouterr().out
+
+
+def test_trend_load_weather_shapes(bench_trend, tmp_path):
+    """load_weather mirrors load()'s wrapper handling and degrades to
+    None values on pre-r15 artifacts instead of raising."""
+    p = str(tmp_path / "a.json")
+    open(p, "w").write(json.dumps({
+        "value": 1.0, "queries": {},
+        "host": {"steal_pct": 1.0}, "host_after": None,
+    }))
+    assert bench_trend.load_weather(p) == {
+        "host": {"steal_pct": 1.0}, "host_after": None,
+    }
+    p2 = str(tmp_path / "b.json")
+    open(p2, "w").write(json.dumps(
+        {"rc": 0, "parsed": {"queries": {}, "host_after": {"x": 1}}}
+    ))
+    assert bench_trend.load_weather(p2) == {
+        "host": None, "host_after": {"x": 1},
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        bench_trend.load_weather(str(tmp_path / "missing.json"))

@@ -51,7 +51,11 @@ def test_probe_shape_and_types(result):
         "first_touch_max_gb_s",
         "warm_write_gb_s",
     ):
-        assert isinstance(result[k], float) and result[k] > 0, k
+        # >= 0, not > 0: the values are rounded to 2 decimals, so an
+        # extreme first-touch stall (< 0.005 GB/s — exactly the weather
+        # the probe exists to measure) legitimately rounds to 0.0; a
+        # strict > 0 would flake on the pathology itself (ADVICE r15)
+        assert isinstance(result[k], float) and result[k] >= 0, k
     assert result["fault_us_per_page"] >= 0
     assert isinstance(result["page_fault_stalled"], bool)
     assert isinstance(result["cpu_capped"], bool)
@@ -146,3 +150,39 @@ def test_bench_embeds_host_condition():
         assert bench.host_condition() is None
     finally:
         hp.probe = orig
+
+
+def test_weather_ok_envelope(host_probe):
+    """weather_ok (VERDICT r15 #3): the machine-checkable form of the
+    SCALE.md healthy envelope. A dict inside all three bounds passes;
+    each single violation fails naming its key; a missing probe or an
+    unmeasured key fails too — unprovable weather must never pass by
+    omission (that is the gate's whole point)."""
+    healthy = {
+        "first_touch_gb_s": 5.0,
+        "steal_pct": 0.2,
+        "cpu_parallel_scale": 20.0,
+    }
+    ok, why = host_probe.weather_ok(healthy)
+    assert ok and why == []
+    # exactly-at-threshold is inside the envelope (>=, <=)
+    ok, _ = host_probe.weather_ok({
+        "first_touch_gb_s": host_probe.ENVELOPE_FIRST_TOUCH_GB_S,
+        "steal_pct": host_probe.ENVELOPE_STEAL_PCT,
+        "cpu_parallel_scale": host_probe.ENVELOPE_SCALE,
+    })
+    assert ok
+    for key, bad in (
+        ("first_touch_gb_s", 0.2),   # the r15 page-fault stall
+        ("steal_pct", 25.3),         # the r15 steal cap
+        ("cpu_parallel_scale", 4.5), # BENCH_r15's own host_after
+    ):
+        ok, why = host_probe.weather_ok({**healthy, key: bad})
+        assert not ok and any(key in r for r in why), (key, why)
+    # missing probe / unmeasured keys fail loudly, never by omission
+    ok, why = host_probe.weather_ok(None)
+    assert not ok and why == ["no host probe embedded"]
+    ok, why = host_probe.weather_ok({**healthy, "steal_pct": None})
+    assert not ok and any("steal_pct unmeasured" in r for r in why)
+    ok, why = host_probe.weather_ok({})
+    assert not ok and len(why) == 3

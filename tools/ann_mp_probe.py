@@ -23,9 +23,25 @@ processes (an at-least-once driver's replay landing on a different
 machine): exactly one twin may win.
 
 A concurrent READER process polls _load_manifest the whole time,
-recording every (version, n_dirs) it resolves and any exception — on a
-hardlink-capable local fs a resolved head must always be internally
-consistent and both series monotone.
+recording every (version, n_dirs, n_tokens) it resolves and any
+exception — on a hardlink-capable local fs a resolved head must always
+be internally consistent, version and token-count monotone (dir count
+too, in append-only mode).
+
+COMPACTOR MODE (VERDICT r15 #1): pass COMPACTORS >= 1 and that many
+extra spawn processes loop the REAL ann_index._compact_dirs — the
+actual compaction dance (grace sweep, fold, rename, rival-loss merge
+guard, committed-vs-lost resolution), with a plain-text concatenation
+injected where ann_index_compact injects the Spark parquet union — for
+the probe's whole duration. The manifest-rewriting path is exactly the
+seam whose cross-process interleavings (independent fs handles
+mid-rewrite, a reader resolving across the fold, two compactors racing
+each other AND the appender pack) the in-process battery cannot see.
+With >= 2 compactors the r16 rival-compact guard is under test: a fold
+whose inputs a rival already folded must abort and delete its own
+output, never commit a duplicate. A rival's grace sweep can also delete
+an input dir mid-union — that crash is LOUD (nothing committed, tmp
+removed) and counted as fold_crash, not a failure.
 
 Invariants checked by the parent after join (PASS/FAIL, exit 1 on FAIL):
   1. EXACTLY-ONCE PER TOKEN, COMMIT-OR-LOUD: no token appears in the
@@ -39,21 +55,34 @@ Invariants checked by the parent after join (PASS/FAIL, exit 1 on FAIL):
      observed at ~48 zero-think-time writer processes — far past the
      real path, where a multi-second Spark encode separates any one
      writer's commits; see SCALE.md.)
-  2. LINEAR HEAD CHAIN: head.version == len(head.dirs) (v1 carries one
-     dir and every retained commit adds exactly one), every retained
-     manifest.v{n} parses with version == its filename, consecutive
+  2. HEAD CHAIN: every retained manifest.v{n} parses with version == its
+     filename, store_id constant, no version file above the head, no
+     token appears twice WITHIN any version. Append-only mode adds the
+     strict linear form: head.version == len(head.dirs), consecutive
      retained versions differ by exactly the one appended entry (strict
-     superset, +1), store_id constant, no version file above the head.
-  3. DISK == MANIFEST: every committed entry's dir exists; every losing
-     twin's dir was deleted; no stray batch_*/.batch_* debris beyond
-     loud failures (expected zero at this scale).
-  4. READER: no exceptions, version and n_dirs series both monotone
-     nondecreasing.
+     superset, +1). Compactor mode replaces those two (folds shrink
+     dirs) with TOKEN CONSERVATION: between consecutive retained
+     versions no token ever disappears, at most one (the appended one)
+     arrives, and every dir name that leaves `dirs` lands in the next
+     version's superseded ledger — a fold may reshape the store but can
+     neither lose nor duplicate a committed batch.
+  3. DISK == MANIFEST (+ CONTENT): every committed entry's dir exists;
+     every losing twin's dir was deleted; stray batch_*/.batch_* debris
+     is bounded by loud failures (append louds + compactor louds — a
+     loud strands exactly one unreferenced dir; expected zero at suite
+     scale). In compactor mode the parent also reads every head dir's
+     part files and checks the CONTENT: the multiset of `wid:tok` lines
+     reaching the head equals the head's token set exactly — folding
+     preserved every winner's rows, byte-level, with no duplicates.
+  4. READER: no exceptions, version and n_tokens series monotone
+     nondecreasing (n_dirs too in append-only mode — folds legitimately
+     shrink it otherwise).
 
-Run:  python tools/ann_mp_probe.py [PROCS] [COMMITS_PER_PROC] [SHARE_FRAC]
-Defaults 8 x 24, 25% shared tokens. Escalate PROCS until it breaks or
-the safety argument is airtight (ROUND_NOTES trap 20 / the r8 probe
-standard — this same escalation found the verify-tripwire losing 2/48).
+Run:  python tools/ann_mp_probe.py [PROCS] [COMMITS_PER_PROC] [SHARE_FRAC] [COMPACTORS]
+Defaults 8 x 24, 25% shared tokens, 0 compactors. Escalate PROCS (and
+COMPACTORS) until it breaks or the safety argument is airtight
+(ROUND_NOTES trap 20 / the r8 probe standard — this same escalation
+found the verify-tripwire losing 2/48).
 """
 
 from __future__ import annotations
@@ -148,10 +177,20 @@ def _worker(index_dir: str, results_dir: str, wid: int, tokens: list) -> None:
         json.dump(out, f)
 
 
+def _entry_tokens(d: dict) -> list:
+    """Every idempotency token an entry carries: batch_token (an
+    uncompacted append) plus batch_tokens (a fold's preserved set)."""
+    toks = list(d.get("batch_tokens", ()))
+    if d.get("batch_token"):
+        toks.append(d["batch_token"])
+    return toks
+
+
 def _reader(index_dir: str, results_dir: str, stop_path: str) -> None:
     """Poll _load_manifest until the stop sentinel appears: every
-    resolved head must parse (the retry loop owns in-flight races), and
-    with appends only, version and dirs-count can never go backwards."""
+    resolved head must parse (the retry loop owns in-flight races);
+    version and token-count can never go backwards (dirs-count neither,
+    in append-only mode — the parent knows which mode it ran)."""
     from schemamap_spark.operators import ann_index as ai
     from schemamap_spark.sources import fscommit
 
@@ -160,7 +199,11 @@ def _reader(index_dir: str, results_dir: str, stop_path: str) -> None:
     while not os.path.exists(stop_path):
         try:
             m = ai._load_manifest(index_dir, fs)
-            series.append([int(m.get("version", 0)), len(m["dirs"])])
+            series.append([
+                int(m.get("version", 0)),
+                len(m["dirs"]),
+                sum(len(_entry_tokens(d)) for d in m["dirs"]),
+            ])
         except (KeyboardInterrupt, SystemExit):
             # operator interrupt, not a commit-log bug — same contract as
             # the worker's interrupt re-raise (review r15): recording it
@@ -174,11 +217,66 @@ def _reader(index_dir: str, results_dir: str, stop_path: str) -> None:
         json.dump({"series": series, "errors": errors}, f)
 
 
+def _compactor(
+    index_dir: str, results_dir: str, cid: int, stop_path: str
+) -> None:
+    """One compactor process: loop the REAL compaction dance
+    (ann_index._compact_dirs — grace sweep, fold, rename, rival-loss
+    merge guard, committed-vs-lost resolution) with a text concatenation
+    injected where ann_index_compact injects the Spark parquet union,
+    until the stop sentinel. Every cycle outcome lands in c{cid}.json."""
+    from schemamap_spark.operators import ann_index as ai
+    from schemamap_spark.sources import fscommit
+
+    fs = fscommit.fs_for(index_dir)
+    folded_this_cycle = [False]
+
+    def fold(paths: list, tmp_dir: str) -> None:
+        folded_this_cycle[0] = True
+        parts = []
+        for p in paths:
+            for nm in sorted(fs.listdir(p)):
+                parts.append(fs.read_text(os.path.join(p, nm)))
+        fs.write_text(os.path.join(tmp_dir, "part-00000"), "".join(parts))
+
+    out = {"cycles": 0, "folded": 0, "noop": 0, "lost_to_rival": 0,
+           "loud": 0, "fold_crash": 0, "bugs": []}
+    while not os.path.exists(stop_path):
+        folded_this_cycle[0] = False
+        try:
+            n = ai._compact_dirs(index_dir, fs, fold, grace=True)
+            out["cycles"] += 1
+            out["folded"] += n
+            if n == 0:
+                # the fold ran but nothing committed = the rival-compact
+                # guard fired (a 0 WITHOUT a fold is the <2-batches
+                # no-op) — split so escalation runs prove the guard is
+                # actually exercised across processes, not just present
+                out["lost_to_rival" if folded_this_cycle[0] else "noop"] += 1
+        except ai.ConcurrentWriteError:
+            out["loud"] += 1  # relief valve: dir stranded, nothing committed
+        except (KeyboardInterrupt, SystemExit):
+            raise  # operator signal, same contract as the worker/reader
+        except OSError:
+            # a RIVAL compactor's grace sweep deleted one of our input
+            # dirs between the manifest read and the fold's read — the
+            # union crashes loudly, nothing committed, tmp removed by
+            # _compact_dirs' fold guard. A documented multi-compactor
+            # race, not a commit-log bug; counted so the verdict shows it
+            out["fold_crash"] += 1
+        except Exception as e:  # any OTHER escape is a bug: record it
+            out["bugs"].append(f"{type(e).__name__}: {e}")
+        time.sleep(0.003)
+    with open(os.path.join(results_dir, f"c{cid}.json"), "w") as f:
+        json.dump(out, f)
+
+
 def run_probe(
     procs: int = 8,
     commits: int = 24,
     share_frac: float = 0.25,
     base: str | None = None,
+    compactors: int = 0,
 ) -> dict:
     """Drive the probe and return the verdict dict (importable by pytest;
     __main__ prints and exits on it). Token plan: worker w owns `commits`
@@ -187,7 +285,9 @@ def run_probe(
     worker (w+1) % procs's shared slice, so every shared token has
     exactly two contenders in different processes and every worker makes
     commits + n_shared attempts (the verdict's `attempts` field counts
-    these, not procs x commits)."""
+    these, not procs x commits). `compactors` spawn processes loop the
+    real _compact_dirs against the same store for the run's duration —
+    see the module docstring's COMPACTOR MODE."""
     from schemamap_spark.operators import ann_index as ai
     from schemamap_spark.sources import fscommit
 
@@ -220,12 +320,19 @@ def run_probe(
         for w in range(procs)
     ]
     reader = ctx.Process(target=_reader, args=(index_dir, results_dir, stop_path))
+    compactor_procs = [
+        ctx.Process(target=_compactor, args=(index_dir, results_dir, c, stop_path))
+        for c in range(compactors)
+    ]
     t0 = time.monotonic()
     # the finally owns child cleanup: without it, an interrupt during the
-    # join loop never writes the stop sentinel and the reader spins at
-    # 2ms polls forever, orphaned across interrupted runs (review r15)
+    # join loop never writes the stop sentinel and the reader (and any
+    # compactors) spin at ms-scale polls forever, orphaned across
+    # interrupted runs (review r15)
     try:
         reader.start()
+        for p in compactor_procs:
+            p.start()
         for p in workers:
             p.start()
         for p in workers:
@@ -233,7 +340,11 @@ def run_probe(
     finally:
         open(stop_path, "w").close()
         reader.join(timeout=30)
-        for p in workers + [reader]:
+        for p in compactor_procs:
+            # a compactor finishes its in-flight dance after the sentinel;
+            # local fs cycles are ms-scale, so 30s means something hung
+            p.join(timeout=30)
+        for p in workers + compactor_procs + [reader]:
             if p.is_alive():
                 p.terminate()
                 p.join(timeout=5)
@@ -245,14 +356,17 @@ def run_probe(
     corrupt_results = []
     for w in range(procs):
         path = os.path.join(results_dir, f"p{w}.json")
-        # missing = the worker died before writing (spawn import
-        # failure, OOM before dump); truncated/unparseable = it died
-        # MID-write or a serialization bug — distinct failure messages
-        # so an investigation starts from the right theory, and neither
-        # crashes the battery (review r15 x3: same ladder as reader.json)
+        # missing/unreadable = the worker died before writing (spawn
+        # import failure, OOM before dump) or its file cannot be opened
+        # (any OSError — PermissionError, IsADirectoryError — counts as
+        # died-without-results too, ADVICE r15); truncated/unparseable =
+        # it died MID-write or a serialization bug — distinct failure
+        # messages so an investigation starts from the right theory, and
+        # none crashes the battery (review r15 x3: same ladder as
+        # reader.json)
         try:
             outcomes.extend(json.load(open(path)))
-        except FileNotFoundError:
+        except OSError:
             missing_results.append(w)
         except ValueError:
             corrupt_results.append(w)
@@ -264,13 +378,32 @@ def run_probe(
     reader_path = os.path.join(results_dir, "reader.json")
     try:
         reader_doc = json.load(open(reader_path))
-    except FileNotFoundError:
+    except OSError:
+        # FileNotFoundError and any other open() failure alike (ADVICE
+        # r15): the reader's results are unavailable either way, and a
+        # PermissionError must fail invariant 4, not crash the battery
         reader_doc = {"series": [], "errors": ["reader died without results"]}
     except ValueError:
         # the join-timeout terminate() can SIGTERM the reader MID-WRITE
         # (review r15): a truncated reader.json must fail invariant 4
         # like a missing one, not crash the battery with a JSONDecodeError
         reader_doc = {"series": [], "errors": ["reader results truncated"]}
+
+    # compactor results ride the same died-without-results ladder
+    compactor_stats = {"cycles": 0, "folded": 0, "noop": 0,
+                       "lost_to_rival": 0, "loud": 0, "fold_crash": 0,
+                       "bugs": []}
+    missing_compactors = []
+    for c in range(compactors):
+        try:
+            doc = json.load(open(os.path.join(results_dir, f"c{c}.json")))
+        except (OSError, ValueError):
+            missing_compactors.append(c)
+            continue
+        for k in ("cycles", "folded", "noop", "lost_to_rival", "loud",
+                  "fold_crash"):
+            compactor_stats[k] += doc.get(k, 0)
+        compactor_stats["bugs"].extend(doc.get("bugs", ()))
 
     fs = fscommit.fs_for(index_dir)
     head = ai._load_manifest(index_dir, fs)
@@ -283,12 +416,24 @@ def run_probe(
             f"workers wrote unparseable results (died mid-write or "
             f"serialization bug): {corrupt_results}"
         )
+    if missing_compactors:
+        failures.append(
+            f"compactors died without results: {missing_compactors}"
+        )
+    if compactor_stats["bugs"]:
+        failures.append(
+            f"compactor non-loud escapes: {compactor_stats['bugs'][:3]}"
+        )
 
-    # 1. exactly-once per token, commit-or-loud
+    # 1. exactly-once per token, commit-or-loud — counting tokens through
+    # FOLDS: an uncompacted append carries batch_token, a fold carries
+    # every absorbed token in batch_tokens; a token appearing twice in
+    # the head (in any mix of the two) is a duplicate the exactly-once
+    # contract forbids
     by_token: dict[str, int] = {}
     for d in batch_dirs:
-        t = d.get("batch_token")
-        by_token[t] = by_token.get(t, 0) + 1
+        for t in _entry_tokens(d):
+            by_token[t] = by_token.get(t, 0) + 1
     dupes = {t: c for t, c in by_token.items() if c != 1}
     if dupes:
         failures.append(f"tokens in head more than once: {dupes}")
@@ -326,8 +471,10 @@ def run_probe(
             )
     uniq = set(all_tokens) - set(shared_tokens)
 
-    # 2. linear head chain over the retained window
-    if int(head.get("version", 0)) != len(head["dirs"]):
+    # 2. head chain over the retained window — strict linear form in
+    # append-only mode; token-conservation form when compactors run
+    # (folds legitimately shrink `dirs`, so version != len(dirs) there)
+    if not compactors and int(head.get("version", 0)) != len(head["dirs"]):
         failures.append(
             f"head version {head.get('version')} != n_dirs {len(head['dirs'])}"
         )
@@ -347,39 +494,92 @@ def run_probe(
             failures.append(f"v{v} file carries version {doc.get('version')}")
         if doc.get("store_id") != store_id:
             failures.append(f"v{v} store_id changed")
-        if len(doc["dirs"]) != v:
+        toks_v = [t for d in doc["dirs"] for t in _entry_tokens(d)]
+        if len(set(toks_v)) != len(toks_v):
+            failures.append(f"v{v} carries a token more than once")
+        if not compactors and len(doc["dirs"]) != v:
             failures.append(f"v{v} has {len(doc['dirs'])} dirs, expected {v}")
         if prev is not None and prev[0] == v - 1:
             names_prev = {d["name"] for d in prev[1]["dirs"]}
             names_v = {d["name"] for d in doc["dirs"]}
-            if not (names_prev < names_v and len(names_v - names_prev) == 1):
-                failures.append(
-                    f"v{v} does not extend v{v - 1} by exactly one entry"
-                )
+            if not compactors:
+                if not (names_prev < names_v and len(names_v - names_prev) == 1):
+                    failures.append(
+                        f"v{v} does not extend v{v - 1} by exactly one entry"
+                    )
+            else:
+                # TOKEN CONSERVATION across every commit: nothing ever
+                # disappears, at most the one appended token arrives,
+                # and any dir folded out of `dirs` is accounted for in
+                # the successor's superseded ledger
+                t_prev = {t for d in prev[1]["dirs"] for t in _entry_tokens(d)}
+                if t_prev - set(toks_v):
+                    failures.append(
+                        f"tokens LOST v{v - 1}->v{v}: "
+                        f"{sorted(t_prev - set(toks_v))[:5]}"
+                    )
+                if len(set(toks_v) - t_prev) > 1:
+                    failures.append(
+                        f"v{v} added {len(set(toks_v) - t_prev)} tokens in "
+                        "one commit (appends add exactly one)"
+                    )
+                removed = names_prev - names_v
+                if removed and not removed <= set(doc.get("superseded", [])):
+                    failures.append(
+                        f"v{v} dropped dirs without superseding them: "
+                        f"{sorted(removed - set(doc.get('superseded', [])))[:5]}"
+                    )
         prev = (v, doc)
 
-    # 3. disk == manifest
+    # 3. disk == manifest (+ content through folds)
     on_disk = {nm for nm in os.listdir(index_dir) if nm.startswith("batch_")}
     committed_names = {d["name"] for d in batch_dirs}
     if committed_names - on_disk:
         failures.append(
             f"committed dirs missing from disk: {sorted(committed_names - on_disk)[:5]}"
         )
-    stray = on_disk - committed_names
-    if len(stray) > n_loud:  # loud failures legitimately strand their dir
+    # loud failures legitimately strand their renamed dir (append and
+    # compactor alike); superseded grace copies are ledgered, not stray
+    stray = (on_disk - committed_names) - set(head.get("superseded", []))
+    allowed_strays = n_loud + compactor_stats["loud"]
+    if len(stray) > allowed_strays:
         failures.append(f"stray uncommitted dirs beyond loud failures: "
                         f"{sorted(stray)[:5]}")
     tmp_debris = [nm for nm in os.listdir(index_dir)
                   if nm.startswith(".batch_")]
     if tmp_debris:
         failures.append(f".batch_ tmp debris: {tmp_debris[:5]}")
+    if compactors:
+        # CONTENT survives folding: every committed `wid:tok` line must
+        # reach the head through any number of folds, exactly once —
+        # token accounting (invariant 1) proves the manifest, this
+        # proves the bytes the manifest points at
+        content_tokens: dict[str, int] = {}
+        for d in batch_dirs:
+            p = os.path.join(index_dir, d["name"])
+            for nm in sorted(os.listdir(p)):
+                with open(os.path.join(p, nm)) as fh:
+                    for line in fh:
+                        if line.strip():
+                            t = line.strip().split(":", 1)[1]
+                            content_tokens[t] = content_tokens.get(t, 0) + 1
+        if content_tokens != {t: 1 for t in by_token}:
+            lost_rows = set(by_token) - set(content_tokens)
+            duped_rows = {t: c for t, c in content_tokens.items() if c != 1}
+            extra_rows = set(content_tokens) - set(by_token)
+            failures.append(
+                f"folded CONTENT diverged from manifest: lost rows "
+                f"{sorted(lost_rows)[:5]}, duplicated {dict(list(duped_rows.items())[:5])}, "
+                f"unreferenced {sorted(extra_rows)[:5]}"
+            )
 
-    # 4. reader monotonicity
+    # 4. reader monotonicity: version and token-count never regress;
+    # dirs-count only in append-only mode (folds shrink it by design)
     if reader_doc["errors"]:
         failures.append(f"reader exceptions: {reader_doc['errors'][:3]}")
     s = reader_doc["series"]
     for a, b in zip(s, s[1:]):
-        if b[0] < a[0] or b[1] < a[1]:
+        if b[0] < a[0] or b[2] < a[2] or (not compactors and b[1] < a[1]):
             failures.append(f"reader saw regression {a} -> {b}")
             break
 
@@ -393,7 +593,10 @@ def run_probe(
         "shared_tokens": len(shared_tokens),
         "unique_tokens": len(uniq),
         "head_version": int(head.get("version", 0)),
+        "head_dirs": len(batch_dirs),
         "reader_polls": len(s),
+        "compactors": compactors,
+        "compactor_stats": compactor_stats if compactors else None,
         "wall_s": round(wall, 1),
         "failures": failures,
         "ok": not failures,
@@ -409,14 +612,22 @@ def main() -> None:
     procs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     commits = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     share = float(sys.argv[3]) if len(sys.argv) > 3 else 0.25
-    v = run_probe(procs, commits, share)
+    compactors = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    v = run_probe(procs, commits, share, compactors=compactors)
     print(f"\n=== ANN store multi-PROCESS commit probe (spawn) ===")
-    print(f"{v['procs']} processes x {v['commits_per_proc']} commits "
-          f"({v['shared_tokens']} twin tokens), wall {v['wall_s']}s")
+    print(f"{v['procs']} writer processes x {v['commits_per_proc']} commits "
+          f"({v['shared_tokens']} twin tokens), {v['compactors']} "
+          f"compactor(s), wall {v['wall_s']}s")
     print(f"committed: {v['committed']}   lost-to-twin/skipped: "
           f"{v['lost_to_twin_or_skipped']}   loud: {v['loud_failures']}")
-    print(f"head version: {v['head_version']}   reader polls: "
-          f"{v['reader_polls']} (clean)")
+    print(f"head version: {v['head_version']}   head batch dirs: "
+          f"{v['head_dirs']}   reader polls: {v['reader_polls']} (clean)")
+    if v["compactor_stats"]:
+        cs = v["compactor_stats"]
+        print(f"compactors: {cs['cycles']} cycles folded {cs['folded']} "
+              f"dirs ({cs['noop']} no-op, {cs['lost_to_rival']} "
+              f"lost-to-rival, {cs['loud']} loud, {cs['fold_crash']} "
+              f"fold-read races, bugs: {cs['bugs'][:3]})")
     for f in v["failures"]:
         print(f"FAILURE: {f}")
     print("PASS" if v["ok"] else f"FAIL (store kept at {v.get('store_kept_at')})")

@@ -280,18 +280,34 @@ def main() -> None:
         # itself created: an aborted run must leave "never ran" (no
         # file), not a spurious empty artifact (review r15 pass 4).
         # if the open is about to CREATE a file (plain new path, or the
-        # target behind a dangling symlink), remove it again afterward —
-        # an aborted run must read as "never ran", not as a 0-byte
-        # artifact. realpath unlinks the created file itself in both
-        # cases and never the user's symlink (review r15 passes 5+6).
-        target_existed = os.path.exists(out)
+        # target behind a dangling symlink), it is created with O_EXCL
+        # and only the fd-created file is removed — so a file another
+        # process slips in between the existence check and the open is
+        # probed-and-kept, never deleted (the exists/open/unlink TOCTOU,
+        # ADVICE r15). realpath targets the file itself behind a dangling
+        # symlink and never the user's symlink (review r15 passes 5+6).
         try:
-            with open(out, "a"):
-                pass
+            if os.path.exists(out):
+                with open(out, "a"):
+                    pass
+            else:
+                target = os.path.realpath(out)
+                try:
+                    os.close(
+                        os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                    )
+                except FileExistsError:
+                    # raced into existence since the check: someone
+                    # else's data — append-probe it and leave it alone
+                    with open(target, "a"):
+                        pass
+                else:
+                    try:
+                        os.unlink(target)
+                    except FileNotFoundError:
+                        pass  # raced away again — nothing of ours remains
         except OSError as e:
             raise SystemExit(f"--out path {out!r} is not writable: {e}")
-        if not target_existed:
-            os.unlink(os.path.realpath(out))
     if suite:
         _run_suite(reps, sf_dir, out or os.path.join(_REPO, "BENCH_ISOLATED.json"))
         return

@@ -27,11 +27,23 @@ behavior is unchanged, with one deliberate exception shared by both
 modes: a non-FINITE timing (NaN/inf — float() parses them, and NaN
 poisons every later comparison) refuses at load like any other
 non-numeric value, where it previously flowed through.
+
+--weather (VERDICT r15 #3) reads each artifact's embedded host-probe
+dicts (host / host_after — every BENCH_* artifact carries them since
+r15) and judges them against the SCALE.md healthy envelope via
+host_probe.weather_ok — the thresholds live in tools/host_probe.py
+beside the instrument, not here. Alone it ANNOTATES: one `# weather`
+line per probe, exit code unchanged. Combined with --gate it GATES: an
+artifact measured outside the envelope (or missing its probes) fails
+the run, so weather-tainted timings can never silently win an
+arbitration — the loop VERDICT r15 "What's wrong #1/#2" asked to close.
 """
 
 from __future__ import annotations
 
+import importlib
 import json
+import os
 import sys
 
 
@@ -90,6 +102,33 @@ def _coerce(v: object, path: str, query: str) -> float:
     return out
 
 
+def load_weather(path: str) -> dict:
+    """The host-weather dicts embedded in a bench artifact: {"host": ...,
+    "host_after": ...}, each a host_probe dict or None (probe degraded,
+    or a pre-r15 artifact). Separate from load() so the timing contract
+    (and its pins) stays untouched; same wrapper unwrap as load()."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError) as e:
+        raise SystemExit(f"cannot read bench artifact {path!r}: {e}")
+    if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
+    if not isinstance(doc, dict):
+        return {"host": None, "host_after": None}
+    return {"host": doc.get("host"), "host_after": doc.get("host_after")}
+
+
+def _host_probe_mod():
+    """tools/host_probe — imported from THIS file's directory so the
+    envelope verdict always comes from the instrument that defined it
+    (the thresholds are deliberately not duplicated here)."""
+    tools = os.path.dirname(os.path.abspath(__file__))
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    return importlib.import_module("host_probe")
+
+
 def drift(old: float, new: float) -> float:
     """Fractional drift new-vs-old. Timings round to 3 decimals, so
     old == 0.0 is representable: unchanged-at-zero is 0% drift,
@@ -107,6 +146,9 @@ def main() -> None:
     gate = "--gate" in args
     if gate:
         args.remove("--gate")
+    weather = "--weather" in args
+    if weather:
+        args.remove("--weather")
     if "--threshold" in args:
         i = args.index("--threshold")
         if i + 1 >= len(args):
@@ -167,6 +209,25 @@ def main() -> None:
         "untouched code are host noise — arbitrate past-band SLOWER rows "
         "with tools/bench_isolated.py before believing a regression"
     )
+    tainted: list[str] = []
+    if weather:
+        hp = _host_probe_mod()
+        for path, side in ((args[0], "old"), (args[1], "new")):
+            w = load_weather(path)
+            for which in ("host", "host_after"):
+                ok, why = hp.weather_ok(w[which])
+                if ok:
+                    print(f"# weather {side}/{which}: in envelope")
+                else:
+                    note = f"{side}/{which}: {'; '.join(why)}"
+                    tainted.append(note)
+                    print(f"# weather {note} — OUTSIDE envelope")
+        if tainted and not gate:
+            print(
+                "# weather advisory: at least one side was measured "
+                "outside the healthy envelope — its timings arbitrate "
+                "nothing (add --gate to fail on this)"
+            )
     if gate:
         # gate verdict (VERDICT r14 #4): error rows on either side, or a
         # TOTAL that got SLOWER past the band, fail the run. Per-query
@@ -188,6 +249,12 @@ def main() -> None:
             reasons.append(
                 f"TOTAL slower past band ({total_drift:+.1%} > +{threshold:.0%})"
             )
+        if tainted:
+            # an artifact measured outside the envelope (or missing its
+            # probes) cannot arbitrate — fail closed rather than let a
+            # weather-flattered "speedup" or weather-slandered
+            # "regression" drive a decision (VERDICT r15 #3)
+            reasons.append(f"weather outside envelope: {tainted}")
         vanished = sorted(set(old_qs) - set(new_qs))
         if vanished:
             # queries that disappeared = the new run is partial; their

@@ -45,9 +45,12 @@ Verdicts (evidence beside the timings; nothing gates on them):
   page_fault_stalled  first-touch > STALL_FACTOR (8) x slower than warm
                       writes — healthy hosts show 2-4x (fault + zeroing),
                       the observed pathology ~40x
-  cpu_capped          parallel scale below a quarter of the CPUs seen, or
+  cpu_capped          parallel scale below a quarter of the BURST WIDTH
+                      (`workers`, capped at 32 — NOT `cpus`: on a wider
+                      host the burst never asks for more than 32 cores,
+                      so scale is judged against what it asked for), or
                       steal above 10% — an idle healthy host scales near
-                      nproc and steals ~0
+                      the burst width and steals ~0 (ADVICE r15)
 
 Run it BESIDE benches (before/after), never DURING one — the saturation
 burst would measure (and add to) the bench's own load.
@@ -83,6 +86,49 @@ STALL_FACTOR = 8.0
 # cores); the observed pathology read 2.2-7.5 GB/s with 25% steal.
 CAP_SCALE_DIVISOR = 4.0
 CAP_STEAL_PCT = 10.0
+
+# The HEALTHY ENVELOPE for arbitration-grade bench artifacts (VERDICT r15
+# #3): an artifact whose embedded host keys fall outside these bounds was
+# measured under weather and cannot arbitrate a code regression. The
+# values are the SCALE.md round-15 audit's measured regime boundaries —
+# the shared-session band (~13-14 s) and isolated band (~17.2 s) were
+# only ever reproduced when all three held, on both the before AND after
+# probes. Consumed by tools/bench_trend.py --weather; defined HERE so the
+# thresholds cannot drift from the instrument that measures them.
+ENVELOPE_FIRST_TOUCH_GB_S = 2.0  # healthy ~5-8; the stall pathology ~0.2
+ENVELOPE_STEAL_PCT = 5.0         # healthy ~0; the capped pathology 25-31%
+ENVELOPE_SCALE = 7.0             # healthy 15-23 of 32; pathology 2.2-4.5
+
+
+def weather_ok(host: dict | None) -> tuple[bool, list[str]]:
+    """Judge one embedded host-probe dict against the healthy envelope.
+
+    Returns (ok, reasons). A MISSING probe (None — bench's best-effort
+    contract degraded it) or missing/None keys are NOT ok: an artifact
+    that cannot prove it was measured in the envelope doesn't get the
+    benefit of the doubt — the whole point is that unprovable weather
+    must not silently win an arbitration. steal_pct None (no /proc/stat)
+    is the one documented-unmeasurable key: it fails too, loudly, so a
+    platform without steal accounting shows up in the reasons rather
+    than passing by omission."""
+    if not isinstance(host, dict):
+        return False, ["no host probe embedded"]
+    reasons = []
+    checks = (
+        ("first_touch_gb_s", ENVELOPE_FIRST_TOUCH_GB_S, "ge"),
+        ("steal_pct", ENVELOPE_STEAL_PCT, "le"),
+        ("cpu_parallel_scale", ENVELOPE_SCALE, "ge"),
+    )
+    for key, bound, direction in checks:
+        v = host.get(key)
+        if not isinstance(v, (int, float)):
+            reasons.append(f"{key} unmeasured ({v!r})")
+        elif direction == "ge" and v < bound:
+            reasons.append(f"{key} {v} < {bound}")
+        elif direction == "le" and v > bound:
+            reasons.append(f"{key} {v} > {bound}")
+    return not reasons, reasons
+
 
 # smallest size_mb whose repeat allocations are guaranteed fresh mmaps:
 # glibc grows M_MMAP_THRESHOLD to the size of any freed mmap'd block,
