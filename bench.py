@@ -102,6 +102,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    warm_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
         runs = []
@@ -119,6 +120,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.monotonic() - t0, 3))
         cold[name] = runs[0]
+        warm_runs[name] = runs[1:]
         timings[name] = sorted(runs[1:])[1]
         print(
             f"# {name}: cold={cold[name]}s warm_median={timings[name]}s "
@@ -138,6 +140,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_cold": cold,
+        # per-query warm RUN LISTS (not just the median): intra-run
+        # dispersion is the weather signal the bracketing host probes
+        # cannot see — a mid-run stall shows as a 2x spread between warm
+        # runs of the same query seconds apart on identical code, while
+        # healthy-window runs stay under ~1.5x (measured across the
+        # r13-r16 isolated artifacts). tools/bench_trend.py --weather
+        # reads these for its dispersion verdict.
+        "queries_warm": warm_runs,
         "value_cold": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # weather bracketing the run (see host_condition): the probe runs

@@ -414,7 +414,10 @@ def test_trend_weather_flag(bench_trend, tmp_path, monkeypatch, capsys):
     stalled = {
         "first_touch_gb_s": 0.2, "steal_pct": 0.1, "cpu_parallel_scale": 21.0,
     }
-    base = {"value": 2.0, "queries": {"a": 2.0}}
+    base = {
+        "value": 2.0, "queries": {"a": 2.0},
+        "queries_warm": {"a": [2.0, 2.1, 1.9]},  # tight spread: in band
+    }
     docs = {
         "clean": {**base, "host": healthy, "host_after": healthy},
         "tainted": {**base, "host": healthy, "host_after": stalled},
@@ -445,6 +448,7 @@ def test_trend_weather_flag(bench_trend, tmp_path, monkeypatch, capsys):
     assert run("clean", "wrapped", "--weather", "--gate") == 0
     out = capsys.readouterr().out
     assert out.count("in envelope") == 4 and "# GATE PASS" in out
+    assert out.count("warm spreads in band") == 2
     # a stalled after-probe on the new side fails the gate, naming it
     assert run("clean", "tainted", "--weather", "--gate") == 1
     out = capsys.readouterr().out
@@ -485,3 +489,107 @@ def test_trend_load_weather_shapes(bench_trend, tmp_path):
 
     with _pytest.raises(SystemExit):
         bench_trend.load_weather(str(tmp_path / "missing.json"))
+
+
+def test_trend_dispersion_verdict(bench_trend, tmp_path, monkeypatch, capsys):
+    """Intra-run warm dispersion (r16): the bracketing probes are ~3 s
+    snapshots — a mid-run stall hides between them (seen live: an
+    isolated suite at +142% vs the band with BOTH probes in envelope,
+    dsir warm runs 13.98/12.39/5.56 s). The warm-run lists inside the
+    artifact record the run itself: >=2 queries past 1.6x spread, or
+    any single one past 2.0x, taints the side; missing warm lists fail
+    closed like a missing probe."""
+    healthy = {
+        "first_touch_gb_s": 5.0, "steal_pct": 0.2, "cpu_parallel_scale": 20.0,
+    }
+    probes = {"host": healthy, "host_after": healthy}
+    tight = {
+        "value": 2.0, "queries": {"a": 1.0, "b": 1.0},
+        "queries_warm": {"a": [1.0, 1.1, 0.9], "b": [1.0, 1.0, 1.3]},
+        **probes,
+    }
+    # one hard outlier (2.5x) — tainted even though the other is tight
+    hard = {
+        **tight,
+        "queries_warm": {"a": [1.0, 2.5, 1.2], "b": [1.0, 1.0, 1.1]},
+    }
+    # two soft outliers (1.7x each) — tainted by count
+    soft2 = {
+        **tight,
+        "queries_warm": {"a": [1.0, 1.7], "b": [1.0, 1.7]},
+    }
+    # ONE soft outlier is tolerated (a single GC hiccup is not weather)
+    soft1 = {
+        **tight,
+        "queries_warm": {"a": [1.0, 1.7], "b": [1.0, 1.1]},
+    }
+    # isolated-suite shape: warm lists live inside the query rows
+    iso_bad = {
+        "total_warm_median": 2.0,
+        "queries": {
+            "a": {"warm_median": 1.0, "warm": [1.0, 2.6, 1.1]},
+            "b": {"warm_median": 1.0, "warm": [1.0, 1.0]},
+        },
+        **probes,
+    }
+    nolists = {"value": 2.0, "queries": {"a": 1.0, "b": 1.0}, **probes}
+    paths = {}
+    for name, doc in [("tight", tight), ("hard", hard), ("soft2", soft2),
+                      ("soft1", soft1), ("iso_bad", iso_bad),
+                      ("nolists", nolists)]:
+        p = str(tmp_path / f"{name}.json")
+        open(p, "w").write(json.dumps(doc))
+        paths[name] = p
+
+    def run(old_k, new_k, *extra):
+        monkeypatch.setattr(
+            bench_trend.sys, "argv",
+            ["bench_trend.py", paths[old_k], paths[new_k], *extra],
+        )
+        try:
+            bench_trend.main()
+        except SystemExit as e:
+            return e.code
+        return 0
+
+    assert run("tight", "soft1", "--weather", "--gate") == 0
+    assert "# GATE PASS" in capsys.readouterr().out
+    for bad in ("hard", "soft2", "iso_bad"):
+        assert run("tight", bad, "--weather", "--gate") == 1, bad
+        out = capsys.readouterr().out
+        assert "mid-run weather: warm-run spread" in out, bad
+    assert run("tight", "nolists", "--weather", "--gate") == 1
+    assert "dispersion unmeasurable" in capsys.readouterr().out
+    # advisory mode annotates the same verdicts at exit 0
+    assert run("tight", "hard", "--weather") == 0
+    out = capsys.readouterr().out
+    assert "new/dispersion: mid-run weather" in out
+
+
+def test_trend_dispersion_verdict_unit(bench_trend, tmp_path):
+    ok, why = bench_trend.dispersion_verdict(_write(
+        tmp_path, "u1.json",
+        {"queries": {}, "queries_warm": {"a": [1.0, 1.5, 1.2]}},
+    ))
+    assert ok and why == []
+    # exactly-at-threshold spreads do not taint (strict >)
+    ok, _ = bench_trend.dispersion_verdict(_write(
+        tmp_path, "u2.json",
+        {"queries": {}, "queries_warm": {
+            "a": [1.0, bench_trend.DISPERSION_SPREAD],
+            "b": [1.0, bench_trend.DISPERSION_SPREAD],
+        }},
+    ))
+    assert ok
+    # zero/one-element warm lists are skipped, not crashed on
+    ok, why = bench_trend.dispersion_verdict(_write(
+        tmp_path, "u3.json",
+        {"queries": {}, "queries_warm": {"a": [0.0, 1.0], "b": [1.0]}},
+    ))
+    assert not ok and "unmeasurable" in why[0]
+
+
+def _write(tmp_path, name, doc):
+    p = str(tmp_path / name)
+    open(p, "w").write(json.dumps(doc))
+    return p

@@ -32,11 +32,15 @@ non-numeric value, where it previously flowed through.
 dicts (host / host_after — every BENCH_* artifact carries them since
 r15) and judges them against the SCALE.md healthy envelope via
 host_probe.weather_ok — the thresholds live in tools/host_probe.py
-beside the instrument, not here. Alone it ANNOTATES: one `# weather`
-line per probe, exit code unchanged. Combined with --gate it GATES: an
-artifact measured outside the envelope (or missing its probes) fails
-the run, so weather-tainted timings can never silently win an
-arbitration — the loop VERDICT r15 "What's wrong #1/#2" asked to close.
+beside the instrument, not here — PLUS the artifact's own intra-run
+warm dispersion (the probes bracket the run; the per-query warm lists
+record its middle, where an r16 reject hid a +142% stall between two
+in-envelope probes). Alone it ANNOTATES: one `# weather` line per probe
+and per side's dispersion, exit code unchanged. Combined with --gate it
+GATES: an artifact measured outside the envelope (or missing its
+probes/warm lists) fails the run, so weather-tainted timings can never
+silently win an arbitration — the loop VERDICT r15 "What's wrong #1/#2"
+asked to close.
 """
 
 from __future__ import annotations
@@ -117,6 +121,67 @@ def load_weather(path: str) -> dict:
     if not isinstance(doc, dict):
         return {"host": None, "host_after": None}
     return {"host": doc.get("host"), "host_after": doc.get("host_after")}
+
+
+# Intra-run warm-spread thresholds for the --weather dispersion verdict.
+# The bracketing host probes are ~3 s snapshots around a multi-minute
+# run — a mid-run stall can hide between them (seen in r16: an isolated
+# suite at +142% vs the band with BOTH probes in envelope, while
+# dsir_select's three warm runs read 13.98/12.39/5.56 s seconds apart
+# on identical code). The warm-run lists inside the artifact record the
+# run's own weather. Measured across the committed isolated artifacts:
+# band runs (17.2-19.3 s totals, r13/r14/r15_start) have max spreads
+# 1.46-1.53 with at most one query past 1.5; weather runs (27-42 s,
+# r15_mid/r15_end3/the r16 reject) show 2-3 queries past 1.6 or a
+# single one past 2.0. The verdict: >= DISPERSION_OUTLIERS queries with
+# max(warm)/min(warm) > DISPERSION_SPREAD, or ANY query past
+# DISPERSION_HARD, = mid-run weather.
+DISPERSION_SPREAD = 1.6
+DISPERSION_OUTLIERS = 2
+DISPERSION_HARD = 2.0
+
+
+def dispersion_verdict(path: str) -> tuple[bool, list[str]]:
+    """(ok, reasons) for the artifact's intra-run warm dispersion.
+    Warm lists come from isolated-suite rows ({"warm": [...]}) or the
+    driver/bench shape's top-level "queries_warm" map (r16+). No warm
+    data at all is NOT ok — same fail-closed rule as a missing host
+    probe: weather that cannot be checked must not pass by omission
+    (pre-r16 driver artifacts land here, alongside their probe-less or
+    tainted host keys)."""
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+    except (OSError, ValueError) as e:
+        raise SystemExit(f"cannot read bench artifact {path!r}: {e}")
+    if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+        doc = doc["parsed"]
+    spreads: dict[str, float] = {}
+    if isinstance(doc, dict):
+        rows = doc.get("queries")
+        if isinstance(rows, dict):
+            for n, v in rows.items():
+                if isinstance(v, dict):
+                    w = v.get("warm")
+                    if isinstance(w, list) and len(w) >= 2 and min(w) > 0:
+                        spreads[n] = max(w) / min(w)
+        wr = doc.get("queries_warm")
+        if isinstance(wr, dict):
+            for n, w in wr.items():
+                if isinstance(w, list) and len(w) >= 2 and min(w) > 0:
+                    spreads[n] = max(w) / min(w)
+    if not spreads:
+        return False, ["no warm-run lists — dispersion unmeasurable"]
+    outliers = {n: s for n, s in spreads.items() if s > DISPERSION_SPREAD}
+    hard = {n: s for n, s in outliers.items() if s > DISPERSION_HARD}
+    reasons = []
+    if hard or len(outliers) >= DISPERSION_OUTLIERS:
+        reasons.append(
+            "mid-run weather: warm-run spread "
+            + ", ".join(f"{n} {s:.2f}x" for n, s in sorted(
+                outliers.items(), key=lambda kv: -kv[1]))
+        )
+    return not reasons, reasons
 
 
 def _host_probe_mod():
@@ -222,6 +287,14 @@ def main() -> None:
                     note = f"{side}/{which}: {'; '.join(why)}"
                     tainted.append(note)
                     print(f"# weather {note} — OUTSIDE envelope")
+            # the probes bracket the run; the warm-run lists ARE the run
+            ok, why = dispersion_verdict(path)
+            if ok:
+                print(f"# weather {side}/dispersion: warm spreads in band")
+            else:
+                note = f"{side}/dispersion: {'; '.join(why)}"
+                tainted.append(note)
+                print(f"# weather {note}")
         if tainted and not gate:
             print(
                 "# weather advisory: at least one side was measured "
