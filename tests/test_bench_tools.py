@@ -593,3 +593,27 @@ def _write(tmp_path, name, doc):
     p = str(tmp_path / name)
     open(p, "w").write(json.dumps(doc))
     return p
+
+
+def test_trend_dispersion_rejects_poisoned_warm_lists(bench_trend, tmp_path):
+    """Corrupt warm entries must not crash (mixed types in max/min) or
+    silently pass (NaN compares False vs every threshold): any list with
+    a non-numeric, non-finite, or non-positive entry yields no spread —
+    and an artifact left with NO usable lists is unmeasurable."""
+    ok, why = bench_trend.dispersion_verdict(_write(
+        tmp_path, "p1.json",
+        {"queries": {}, "queries_warm": {
+            "a": [1.0, "n/a"],          # mixed types: skipped, not crashed
+            "b": [1.0, float("nan")],   # NaN: skipped, not silently ok
+            "c": [1.0, True],           # bool is not a timing
+        }},
+    ))
+    assert not ok and "unmeasurable" in why[0]
+    # one poisoned list beside a healthy one: the healthy one decides
+    ok, why = bench_trend.dispersion_verdict(_write(
+        tmp_path, "p2.json",
+        {"queries": {}, "queries_warm": {
+            "a": [1.0, "n/a"], "b": [1.0, 1.1, 0.9],
+        }},
+    ))
+    assert ok and why == []

@@ -106,11 +106,10 @@ def _coerce(v: object, path: str, query: str) -> float:
     return out
 
 
-def load_weather(path: str) -> dict:
-    """The host-weather dicts embedded in a bench artifact: {"host": ...,
-    "host_after": ...}, each a host_probe dict or None (probe degraded,
-    or a pre-r15 artifact). Separate from load() so the timing contract
-    (and its pins) stays untouched; same wrapper unwrap as load()."""
+def _read_doc(path: str) -> object:
+    """One artifact read + driver-wrapper unwrap shared by load(),
+    load_weather() and dispersion_verdict() — the refusal style and the
+    "parsed" handling must not drift between the three consumers."""
     try:
         with open(path) as f:
             doc = json.load(f)
@@ -118,6 +117,15 @@ def load_weather(path: str) -> dict:
         raise SystemExit(f"cannot read bench artifact {path!r}: {e}")
     if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
         doc = doc["parsed"]
+    return doc
+
+
+def load_weather(path: str) -> dict:
+    """The host-weather dicts embedded in a bench artifact: {"host": ...,
+    "host_after": ...}, each a host_probe dict or None (probe degraded,
+    or a pre-r15 artifact). Separate from load() so the timing contract
+    (and its pins) stays untouched; same wrapper unwrap as load()."""
+    doc = _read_doc(path)
     if not isinstance(doc, dict):
         return {"host": None, "host_after": None}
     return {"host": doc.get("host"), "host_after": doc.get("host_after")}
@@ -149,27 +157,43 @@ def dispersion_verdict(path: str) -> tuple[bool, list[str]]:
     probe: weather that cannot be checked must not pass by omission
     (pre-r16 driver artifacts land here, alongside their probe-less or
     tainted host keys)."""
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-    except (OSError, ValueError) as e:
-        raise SystemExit(f"cannot read bench artifact {path!r}: {e}")
-    if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
-        doc = doc["parsed"]
+    import math
+
+    def _spread(w: object) -> float | None:
+        # a list with any non-numeric / non-finite / non-positive entry
+        # yields no spread rather than a TypeError (mixed types crash
+        # max/min) or a silent pass (NaN compares False against every
+        # threshold — the same poisoning _coerce refuses for timings)
+        if (
+            isinstance(w, list)
+            and len(w) >= 2
+            and all(
+                isinstance(x, (int, float))
+                and not isinstance(x, bool)
+                and math.isfinite(x)
+                and x > 0
+                for x in w
+            )
+        ):
+            return max(w) / min(w)
+        return None
+
+    doc = _read_doc(path)
     spreads: dict[str, float] = {}
     if isinstance(doc, dict):
         rows = doc.get("queries")
         if isinstance(rows, dict):
             for n, v in rows.items():
                 if isinstance(v, dict):
-                    w = v.get("warm")
-                    if isinstance(w, list) and len(w) >= 2 and min(w) > 0:
-                        spreads[n] = max(w) / min(w)
+                    s = _spread(v.get("warm"))
+                    if s is not None:
+                        spreads[n] = s
         wr = doc.get("queries_warm")
         if isinstance(wr, dict):
             for n, w in wr.items():
-                if isinstance(w, list) and len(w) >= 2 and min(w) > 0:
-                    spreads[n] = max(w) / min(w)
+                s = _spread(w)
+                if s is not None:
+                    spreads[n] = s
     if not spreads:
         return False, ["no warm-run lists — dispersion unmeasurable"]
     outliers = {n: s for n, s in spreads.items() if s > DISPERSION_SPREAD}
