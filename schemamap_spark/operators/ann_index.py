@@ -912,18 +912,27 @@ def ann_index_compact(
     appended concurrently with the fold (after this compact's read) stay
     committed — only the dirs actually unioned are folded away.
 
-    CONCURRENT COMPACTS serialize safely (r16; previously documented
-    run-one-at-a-time): batch entries leave `dirs` only through a
-    compact's fold, so a merge that finds any of its input names already
-    gone knows a rival compact folded them first — it ABORTS instead of
-    committing a second copy of the same rows (the duplicate-fold hazard
-    the old contract warned about), deletes its own unreferenced output
-    dir, and returns 0; the caller simply observes "nothing left to
-    fold". Still schedule ONE compactor (two do redundant union work and
-    the loser's I/O is wasted; a rival can also delete grace dirs out
-    from under the loser's in-flight union, crashing it loudly — safe,
-    nothing committed) — but a double-fired scheduler now costs
-    throughput, not correctness.
+    CONCURRENT COMPACTS serialize safely for the COMMIT LOG (r16;
+    previously documented run-one-at-a-time): batch entries leave `dirs`
+    only through a compact's fold, so a merge that finds any of its
+    input names already gone knows a rival compact folded them first —
+    it ABORTS instead of committing a second copy of the same rows (the
+    duplicate-fold hazard the old contract warned about), deletes its
+    own unreferenced output dir, and returns 0; the caller simply
+    observes "nothing left to fold". Still schedule ONE compactor: two
+    do redundant union work, a rival's grace sweep can delete dirs out
+    from under the loser's in-flight union (crashing it loudly — safe,
+    nothing committed), and — the real reason — the reader grace bound
+    is "superseded dirs survive until the NEXT compact", so a
+    double-fired scheduler runs that next compact IMMEDIATELY: the
+    second compact's opening sweep collects the first's grace dirs
+    milliseconds after they were superseded, and a search that resolved
+    the pre-fold manifest can crash on the vanished dirs. The r16 guard
+    makes a double-fire unable to CORRUPT the store (exactly-once
+    contents, no duplicate folds); it does not extend the reader grace
+    window, which needs operator-spaced compactions exactly as before
+    (or age-based reclaim via ann_index_gc(grace_max_age=...) with
+    compacts that never sweep early — i.e. spacing).
 
     Reader race, closed by the GRACE PERIOD (default): superseded batch
     dirs are NOT deleted at commit — they're recorded in the manifest's

@@ -1510,53 +1510,42 @@ def test_cache_locks_are_per_store():
         b.release()
 
 
-def _fs_bootstrap_store(index_dir):
-    """A format-2 store skeleton at the fs level (no Spark), exactly as
-    tools/ann_mp_probe._bootstrap_store publishes it — the deterministic
-    twin of the cross-process probe's setup."""
-    import json
+def _mp_probe():
+    """tools/ann_mp_probe as a module: the deterministic rival-compact
+    tests below reuse its _bootstrap_store / _attempt_commit /
+    make_text_fold so they pin the SAME store layout, commit sequence
+    and fold implementation the cross-process probe races — a private
+    re-implementation here could silently drift from what the probe
+    actually exercises (review r16)."""
+    import importlib
     import os
-    import uuid
+    import sys
 
-    from schemamap_spark.operators import ann_index as ai
+    tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    return importlib.import_module("ann_mp_probe")
+
+
+def _fs_bootstrap_store(index_dir):
     from schemamap_spark.sources import fscommit
 
-    os.makedirs(os.path.join(index_dir, "codes"))
-    fs = fscommit.fs_for(index_dir)
-    store_id = uuid.uuid4().hex
-    m0 = {"dirs": [{"name": "codes"}], "version": 1, "store_id": store_id}
-    fs.write_text(os.path.join(index_dir, ai._version_name(1)), json.dumps(m0))
-    fs.write_text(os.path.join(index_dir, ai._MANIFEST), json.dumps(m0))
-    fs.write_text(os.path.join(index_dir, ai._FORMAT_MARKER), "2\n")
-    return fs
+    _mp_probe()._bootstrap_store(index_dir)
+    return fscommit.fs_for(index_dir)
 
 
 def _fs_append_text(index_dir, fs, tok, line):
-    import os
-
-    from schemamap_spark.operators import ann_index as ai
-
-    tmp = fs.mktempdir(index_dir, ".batch_")
-    fs.write_text(os.path.join(tmp, "part-00000"), line)
-    name = "batch_" + os.path.basename(tmp)[len(".batch_"):]
-    fs.rename(tmp, os.path.join(index_dir, name))
-    assert ai._commit_manifest_entry(
-        index_dir, {"name": name, "occupancy": {}, "batch_token": tok}, fs
-    )
-    return name
+    # line format is the probe's own (wid:tok); callers pass "0:tok\n"
+    wid = int(line.split(":", 1)[0])
+    out = _mp_probe()._attempt_commit(index_dir, fs, wid, tok)
+    assert out["outcome"] == "committed", out
+    return out["name"]
 
 
 def _text_fold(fs):
-    import os
-
-    def fold(paths, tmp_dir):
-        parts = []
-        for p in paths:
-            for nm in sorted(fs.listdir(p)):
-                parts.append(fs.read_text(os.path.join(p, nm)))
-        fs.write_text(os.path.join(tmp_dir, "part-00000"), "".join(parts))
-
-    return fold
+    return _mp_probe().make_text_fold(fs)
 
 
 def test_rival_compact_loses_cleanly_deterministic(tmp_path):

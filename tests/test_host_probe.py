@@ -179,6 +179,13 @@ def test_weather_ok_envelope(host_probe):
     ):
         ok, why = host_probe.weather_ok({**healthy, key: bad})
         assert not ok and any(key in r for r in why), (key, why)
+    # NaN parses from json and compares False against BOTH bounds — it
+    # must read "unmeasured", never "in envelope" (the fail-open hole a
+    # review found live: an all-NaN probe passed the combined gate);
+    # bools are ints but not measurements
+    for poison in (float("nan"), float("inf"), True):
+        ok, why = host_probe.weather_ok({**healthy, "steal_pct": poison})
+        assert not ok and any("steal_pct unmeasured" in r for r in why), poison
     # missing probe / unmeasured keys fail loudly, never by omission
     ok, why = host_probe.weather_ok(None)
     assert not ok and why == ["no host probe embedded"]

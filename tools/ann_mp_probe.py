@@ -123,6 +123,63 @@ def _bootstrap_store(index_dir: str) -> str:
     return store_id
 
 
+def _attempt_commit(index_dir: str, fs, wid: int, tok: str) -> dict:
+    """One token through ann_index_append's exact commit sequence minus
+    the Spark encode: up-front replay scan (the fast no-op path) ->
+    mktempdir -> write content -> rename -> _commit_manifest_entry.
+    Returns the outcome record. Shared by _worker and the deterministic
+    rival-compact tests (tests/test_ann_index.py), so both pin the SAME
+    sequence — a drift between them would make the deterministic pins
+    prove a different dance than the cross-process probe races."""
+    from schemamap_spark.operators import ann_index as ai
+
+    committed = set()
+    for d in ai._load_manifest(index_dir, fs)["dirs"]:
+        committed.add(d.get("batch_token"))
+        committed.update(d.get("batch_tokens", ()))
+    if tok in committed:
+        return {"token": tok, "outcome": "skipped-upfront"}
+    tmp_dir = fs.mktempdir(index_dir, ".batch_")
+    fs.write_text(os.path.join(tmp_dir, "part-00000"), f"{wid}:{tok}\n")
+    final_name = "batch_" + os.path.basename(tmp_dir)[len(".batch_"):]
+    fs.rename(tmp_dir, os.path.join(index_dir, final_name))
+    entry = {"name": final_name, "occupancy": {}, "batch_token": tok}
+    ok = ai._commit_manifest_entry(index_dir, entry, fs)
+    return {
+        "token": tok,
+        "name": final_name,
+        "outcome": "committed" if ok else "lost-to-twin",
+    }
+
+
+class _FoldReadRace(Exception):
+    """Raised by make_text_fold when READING an input dir fails — the
+    rival-grace-sweep race, the one OSError that is a documented
+    multi-compactor outcome. Any other OSError (rename, manifest claim,
+    the fold's own output write) must NOT be absorbed into this class:
+    it would misfile a real commit-path I/O fault as the benign race
+    and strand an unexplained dir for invariant 3 (review r16)."""
+
+
+def make_text_fold(fs):
+    """The probe's injected fold: concatenate every part file of every
+    input batch dir (workers write one `wid:tok` line per commit).
+    Module-level and shared with the deterministic tests so both pin
+    one fold implementation."""
+
+    def fold(paths: list, tmp_dir: str) -> None:
+        parts = []
+        try:
+            for p in paths:
+                for nm in sorted(fs.listdir(p)):
+                    parts.append(fs.read_text(os.path.join(p, nm)))
+        except OSError as e:
+            raise _FoldReadRace(str(e)) from e
+        fs.write_text(os.path.join(tmp_dir, "part-00000"), "".join(parts))
+
+    return fold
+
+
 def _worker(index_dir: str, results_dir: str, wid: int, tokens: list) -> None:
     """One writer process: M token commits through the real append
     sequence (sans Spark encode). Spawn target — runs in a cold
@@ -135,31 +192,7 @@ def _worker(index_dir: str, results_dir: str, wid: int, tokens: list) -> None:
     out = []
     for tok in tokens:
         try:
-            # ann_index_append's up-front replay scan (the fast no-op path)
-            committed = set()
-            for d in ai._load_manifest(index_dir, fs)["dirs"]:
-                committed.add(d.get("batch_token"))
-                committed.update(d.get("batch_tokens", ()))
-            if tok in committed:
-                out.append({"token": tok, "outcome": "skipped-upfront"})
-                continue
-            tmp_dir = fs.mktempdir(index_dir, ".batch_")
-            fs.write_text(
-                os.path.join(tmp_dir, "part-00000"), f"{wid}:{tok}\n"
-            )
-            final_name = "batch_" + os.path.basename(tmp_dir)[len(".batch_"):]
-            fs.rename(tmp_dir, os.path.join(index_dir, final_name))
-            entry = {
-                "name": final_name,
-                "occupancy": {},
-                "batch_token": tok,
-            }
-            ok = ai._commit_manifest_entry(index_dir, entry, fs)
-            out.append({
-                "token": tok,
-                "name": final_name,
-                "outcome": "committed" if ok else "lost-to-twin",
-            })
+            out.append(_attempt_commit(index_dir, fs, wid, tok))
         except ai.ConcurrentWriteError:
             out.append({"token": tok, "outcome": "loud-failure"})
         except (KeyboardInterrupt, SystemExit):
@@ -230,14 +263,11 @@ def _compactor(
 
     fs = fscommit.fs_for(index_dir)
     folded_this_cycle = [False]
+    base_fold = make_text_fold(fs)
 
     def fold(paths: list, tmp_dir: str) -> None:
         folded_this_cycle[0] = True
-        parts = []
-        for p in paths:
-            for nm in sorted(fs.listdir(p)):
-                parts.append(fs.read_text(os.path.join(p, nm)))
-        fs.write_text(os.path.join(tmp_dir, "part-00000"), "".join(parts))
+        base_fold(paths, tmp_dir)
 
     out = {"cycles": 0, "folded": 0, "noop": 0, "lost_to_rival": 0,
            "loud": 0, "fold_crash": 0, "bugs": []}
@@ -257,12 +287,15 @@ def _compactor(
             out["loud"] += 1  # relief valve: dir stranded, nothing committed
         except (KeyboardInterrupt, SystemExit):
             raise  # operator signal, same contract as the worker/reader
-        except OSError:
+        except _FoldReadRace:
             # a RIVAL compactor's grace sweep deleted one of our input
             # dirs between the manifest read and the fold's read — the
             # union crashes loudly, nothing committed, tmp removed by
             # _compact_dirs' fold guard. A documented multi-compactor
-            # race, not a commit-log bug; counted so the verdict shows it
+            # race, not a commit-log bug; counted so the verdict shows
+            # it. ONLY the fold's input reads raise this class — a
+            # rename/claim/output-write OSError lands in bugs below,
+            # where its text survives for the investigation (review r16)
             out["fold_crash"] += 1
         except Exception as e:  # any OTHER escape is a bug: record it
             out["bugs"].append(f"{type(e).__name__}: {e}")

@@ -53,19 +53,7 @@ import sys
 
 def load(path: str) -> tuple[dict[str, float], float | None, list[str]]:
     """(per-query seconds, total, error-query names) from either shape."""
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-    except (OSError, ValueError) as e:
-        raise SystemExit(f"cannot read bench artifact {path!r}: {e}")
-    # the driver's BENCH_rNN.json wraps the bench line under "parsed" —
-    # and carries the run's exit code beside it: a failed run with a
-    # stale/partial parsed payload must surface, not diff as healthy
-    # (review r14)
-    wrapper_rc = None
-    if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
-        wrapper_rc = doc.get("rc")
-        doc = doc["parsed"]
+    doc, wrapper_rc = _read_doc(path)
     if not isinstance(doc, dict) or not isinstance(doc.get("queries"), dict):
         raise SystemExit(
             f"{path!r} is not a bench artifact (no 'queries' map)"
@@ -106,18 +94,25 @@ def _coerce(v: object, path: str, query: str) -> float:
     return out
 
 
-def _read_doc(path: str) -> object:
-    """One artifact read + driver-wrapper unwrap shared by load(),
-    load_weather() and dispersion_verdict() — the refusal style and the
-    "parsed" handling must not drift between the three consumers."""
+def _read_doc(path: str) -> tuple[object, object]:
+    """(payload, wrapper_rc): one artifact read + driver-wrapper unwrap
+    shared by load(), load_weather() and dispersion_verdict() — the
+    refusal style and the "parsed" handling must not drift between the
+    three consumers. The driver's BENCH_rNN.json wraps the bench line
+    under "parsed" and carries the run's exit code beside it: a failed
+    run with a stale/partial parsed payload must surface, not diff as
+    healthy (review r14) — only load() consumes the rc, the weather
+    readers ignore it."""
     try:
         with open(path) as f:
             doc = json.load(f)
     except (OSError, ValueError) as e:
         raise SystemExit(f"cannot read bench artifact {path!r}: {e}")
+    wrapper_rc = None
     if isinstance(doc, dict) and isinstance(doc.get("parsed"), dict):
+        wrapper_rc = doc.get("rc")
         doc = doc["parsed"]
-    return doc
+    return doc, wrapper_rc
 
 
 def load_weather(path: str) -> dict:
@@ -125,7 +120,7 @@ def load_weather(path: str) -> dict:
     "host_after": ...}, each a host_probe dict or None (probe degraded,
     or a pre-r15 artifact). Separate from load() so the timing contract
     (and its pins) stays untouched; same wrapper unwrap as load()."""
-    doc = _read_doc(path)
+    doc, _ = _read_doc(path)
     if not isinstance(doc, dict):
         return {"host": None, "host_after": None}
     return {"host": doc.get("host"), "host_after": doc.get("host_after")}
@@ -178,7 +173,7 @@ def dispersion_verdict(path: str) -> tuple[bool, list[str]]:
             return max(w) / min(w)
         return None
 
-    doc = _read_doc(path)
+    doc, _ = _read_doc(path)
     spreads: dict[str, float] = {}
     if isinstance(doc, dict):
         rows = doc.get("queries")

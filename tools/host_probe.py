@@ -119,9 +119,19 @@ def weather_ok(host: dict | None) -> tuple[bool, list[str]]:
         ("steal_pct", ENVELOPE_STEAL_PCT, "le"),
         ("cpu_parallel_scale", ENVELOPE_SCALE, "ge"),
     )
+    import math
+
     for key, bound, direction in checks:
         v = host.get(key)
-        if not isinstance(v, (int, float)):
+        # bool is an int but not a measurement; NaN parses from json and
+        # compares False against BOTH bounds — without the isfinite
+        # refusal an all-NaN probe would read "in envelope" and the
+        # fail-closed gate would fail OPEN (review r16)
+        if (
+            not isinstance(v, (int, float))
+            or isinstance(v, bool)
+            or not math.isfinite(v)
+        ):
             reasons.append(f"{key} unmeasured ({v!r})")
         elif direction == "ge" and v < bound:
             reasons.append(f"{key} {v} < {bound}")
