@@ -902,8 +902,12 @@ def ann_index_compact(
     accounting (the compacted entry carries the SUM of the folded batches'
     occupancies, so ann_index_drift reports exactly what it did before —
     folding appended rows into `codes/` instead would misfile them as
-    trained mass). Returns the number of batch dirs folded (0 = no-op,
-    INCLUDING a fold lost to a rival compact — see below).
+    trained mass). Returns the number of batch dirs folded; 0 means
+    fewer than 2 batches remained at a fresh manifest read (so the
+    fixed-point loop `while ann_index_compact(...) > 0` is sound — a
+    fold lost to a rival compact retries internally against the fresh
+    head rather than returning a false 0 with foldable dirs left;
+    review r16).
 
     Crash contract mirrors append: the union writes to a hidden temp dir,
     renames, and publishes via one atomic manifest commit — a crash at
@@ -918,8 +922,9 @@ def ann_index_compact(
     input names already gone knows a rival compact folded them first —
     it ABORTS instead of committing a second copy of the same rows (the
     duplicate-fold hazard the old contract warned about), deletes its
-    own unreferenced output dir, and returns 0; the caller simply
-    observes "nothing left to fold". Still schedule ONE compactor: two
+    own unreferenced output dir, and retries against the fresh head
+    (bounded; a pathological rival storm bows out as a 0 no-op while
+    the winners make the progress). Still schedule ONE compactor: two
     do redundant union work, a rival's grace sweep can delete dirs out
     from under the loser's in-flight union (crashing it loudly — safe,
     nothing committed), and — the real reason — the reader grace bound
@@ -950,14 +955,37 @@ def ann_index_compact(
 
 
 def _compact_dirs(index_dir: str, fs, fold_fn, grace: bool = True) -> int:
-    """The compaction manifest dance with the data fold INJECTED —
-    `fold_fn(paths, tmp_dir)` writes the union of the batch dirs at
-    `paths` into `tmp_dir`. ann_index_compact passes the Spark parquet
-    union; tools/ann_mp_probe.py passes a plain-text concatenation so
-    the REAL dance (grace sweep, fold, rename, merge, rival-loss
-    resolution) can be raced across spawn processes without a JVM —
-    the probe exercises this very code, not a replay that could drift
-    (VERDICT r15 #1). Semantics documented on ann_index_compact."""
+    """_compact_dirs_once with a bounded RETRY on rival loss (review
+    r16): a lost fold means a rival folded our inputs first, but the
+    fresh head can still hold >= 2 foldable dirs (the rival's output
+    plus concurrent appends) — returning 0 there would break the
+    fixed-point reading `while compact(...) > 0` that a maintenance
+    loop relies on (small-file debt would silently persist). Each loss
+    implies a rival COMMIT, so a retry always faces a store that made
+    progress; eight consecutive losses is a pathological rival storm —
+    bow out as a no-op, the winners are compacting."""
+    for _ in range(8):
+        n = _compact_dirs_once(index_dir, fs, fold_fn, grace)
+        if n is not None:
+            return n
+    return 0
+
+
+def _compact_dirs_once(
+    index_dir: str, fs, fold_fn, grace: bool = True
+) -> int | None:
+    """ONE pass of the compaction manifest dance with the data fold
+    INJECTED — `fold_fn(paths, tmp_dir)` writes the union of the batch
+    dirs at `paths` into `tmp_dir`. ann_index_compact passes the Spark
+    parquet union; tools/ann_mp_probe.py passes a plain-text
+    concatenation so the REAL dance (grace sweep, fold, rename, merge,
+    rival-loss resolution) can be raced across spawn processes without
+    a JVM — the probe exercises this very code, not a replay that could
+    drift (VERDICT r15 #1). Returns the folded count, 0 for the
+    <2-batches no-op, or None when the fold LOST to a rival compact
+    (inputs folded away mid-dance; own output dir deleted) — the retry
+    wrapper above turns None into another pass. Semantics documented on
+    ann_index_compact."""
     manifest = _load_manifest(index_dir, fs)
     # dirs superseded by the PREVIOUS compact have had a full cycle of
     # grace — collect them now, before this round's fold
@@ -1071,7 +1099,7 @@ def _compact_dirs(index_dir: str, fs, fold_fn, grace: bool = True) -> int:
         )
         if not applied:
             fs.delete(folded_path)
-            return 0
+            return None  # genuinely lost — the wrapper retries
         return len(batches)
     if not grace:
         for p in paths:

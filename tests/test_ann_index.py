@@ -1548,18 +1548,19 @@ def _text_fold(fs):
     return _mp_probe().make_text_fold(fs)
 
 
-def test_rival_compact_loses_cleanly_deterministic(tmp_path):
+def test_rival_compact_guard_fires_deterministic(tmp_path):
     """The r16 rival-compact guard, pinned at the exact interleaving the
     cross-process probe can only hit probabilistically: compact B reads
     the manifest, then a rival compact A runs TO COMPLETION (folding all
     of B's inputs) inside B's fold window, and a concurrent append lands
-    a new batch too. B must abort its merge (inputs gone from `dirs`),
-    delete its own unreferenced output dir, and return 0 — never commit
-    a second entry carrying the same rows/tokens (the duplicate-fold
-    hazard the pre-r16 contract only WARNED about). The rival's fold and
-    the new append both survive untouched. No Spark: _compact_dirs is
-    the real dance with the data fold injected (ann_index_compact
-    injects the parquet union; this injects text concatenation)."""
+    a new batch too. B's primitive pass must abort its merge (inputs
+    gone from `dirs`), delete its own unreferenced output dir, and
+    return None — never commit a second entry carrying the same
+    rows/tokens (the duplicate-fold hazard the pre-r16 contract only
+    WARNED about). The rival's fold and the new append both survive
+    untouched. No Spark: _compact_dirs_once is the real dance with the
+    data fold injected (ann_index_compact injects the parquet union;
+    this injects text concatenation)."""
     import os
 
     from schemamap_spark.operators import ann_index as ai
@@ -1579,7 +1580,8 @@ def test_rival_compact_loses_cleanly_deterministic(tmp_path):
         _fs_append_text(index_dir, fs, "tok-late", "0:tok-late\n")
         inner_fold(paths, tmp_dir)
 
-    assert ai._compact_dirs(index_dir, fs, b_fold) == 0  # B lost, cleanly
+    # B's pass LOST (None); the retry wrapper is pinned separately below
+    assert ai._compact_dirs_once(index_dir, fs, b_fold) is None
     assert rival_ran["n"] == 3  # A really folded all three inputs
 
     head = ai._load_manifest(index_dir, fs)
@@ -1613,6 +1615,51 @@ def test_rival_compact_loses_cleanly_deterministic(tmp_path):
     assert sorted(lines) == [
         "0:tok-0", "0:tok-1", "0:tok-2", "0:tok-late",
     ]
+
+
+def test_rival_compact_retry_restores_fixed_point(tmp_path):
+    """The public _compact_dirs wrapper retries a rival loss against the
+    fresh head (review r16): after losing to a ONE-SHOT rival, the retry
+    finds the rival's fold plus a late append (2 dirs >= 2) and folds
+    them — so `while compact(...) > 0` still drives the store to its
+    fixed point instead of exiting with foldable dirs left. Final head:
+    ONE folded dir carrying all four tokens, content exactly-once."""
+    import os
+
+    from schemamap_spark.operators import ann_index as ai
+
+    index_dir = str(tmp_path / "store")
+    fs = _fs_bootstrap_store(index_dir)
+    for i in range(3):
+        _fs_append_text(index_dir, fs, f"tok-{i}", f"0:tok-{i}\n")
+
+    inner_fold = _text_fold(fs)
+    fired = {"rival": False}
+
+    def b_fold(paths, tmp_dir):
+        if not fired["rival"]:  # one-shot: only B's FIRST pass loses
+            fired["rival"] = True
+            assert ai._compact_dirs(index_dir, fs, inner_fold) == 3
+            _fs_append_text(index_dir, fs, "tok-late", "0:tok-late\n")
+        inner_fold(paths, tmp_dir)
+
+    # first pass loses to the rival; the internal retry folds the
+    # rival's output + the late append
+    assert ai._compact_dirs(index_dir, fs, b_fold) == 2
+    head = ai._load_manifest(index_dir, fs)
+    batch_dirs = [d for d in head["dirs"] if d["name"] != "codes"]
+    assert len(batch_dirs) == 1
+    assert batch_dirs[0]["batch_tokens"] == [
+        "tok-0", "tok-1", "tok-2", "tok-late",
+    ]
+    p = os.path.join(index_dir, batch_dirs[0]["name"])
+    lines = sorted(
+        ln
+        for nm in sorted(os.listdir(p))
+        for ln in open(os.path.join(p, nm)).read().splitlines()
+        if ln
+    )
+    assert lines == ["0:tok-0", "0:tok-1", "0:tok-2", "0:tok-late"]
 
 
 def test_rival_compact_crashed_fold_leaves_no_tmp_debris(tmp_path):

@@ -179,6 +179,17 @@ def test_weather_ok_envelope(host_probe):
     ):
         ok, why = host_probe.weather_ok({**healthy, key: bad})
         assert not ok and any(key in r for r in why), (key, why)
+    # the scale bound follows the probe's burst width (review r16): a
+    # healthy 4-wide host reads scale ~3 — far under the 32-wide rig's
+    # absolute 7, and the gate must not deadlock there
+    ok, why = host_probe.weather_ok({
+        **healthy, "cpu_parallel_scale": 3.2, "workers": 4,
+    })
+    assert ok, why
+    ok, why = host_probe.weather_ok({
+        **healthy, "cpu_parallel_scale": 0.5, "workers": 4,  # capped 4-wide
+    })
+    assert not ok and any("cpu_parallel_scale" in r for r in why)
     # NaN parses from json and compares False against BOTH bounds — it
     # must read "unmeasured", never "in envelope" (the fail-open hole a
     # review found live: an all-NaN probe passed the combined gate);

@@ -262,27 +262,35 @@ def _compactor(
     from schemamap_spark.sources import fscommit
 
     fs = fscommit.fs_for(index_dir)
-    folded_this_cycle = [False]
-    base_fold = make_text_fold(fs)
+    fold = make_text_fold(fs)
 
-    def fold(paths: list, tmp_dir: str) -> None:
-        folded_this_cycle[0] = True
-        base_fold(paths, tmp_dir)
-
-    out = {"cycles": 0, "folded": 0, "noop": 0, "lost_to_rival": 0,
-           "loud": 0, "fold_crash": 0, "bugs": []}
+    # the probe races _compact_dirs_once, the primitive, NOT the public
+    # retry wrapper: the wrapper's internal retry would fold the rival
+    # losses it exists to survive into an opaque success, and the
+    # probe's whole point is counting every guard firing. The wrapper
+    # is a trivial bounded loop over this primitive, pinned separately
+    # by the deterministic retry test in tests/test_ann_index.py.
+    # attempts counts every loop iteration; cycles only the ones where
+    # _compact_dirs_once returned (clean path) — so the printed
+    # breakdown sums: attempts == cycles + loud + fold_crash + bugs
+    # (review r16: the old wording made louds look unaccounted-for)
+    out = {"attempts": 0, "cycles": 0, "folded": 0, "noop": 0,
+           "lost_to_rival": 0, "loud": 0, "fold_crash": 0, "bugs": []}
     while not os.path.exists(stop_path):
-        folded_this_cycle[0] = False
+        out["attempts"] += 1
         try:
-            n = ai._compact_dirs(index_dir, fs, fold, grace=True)
+            n = ai._compact_dirs_once(index_dir, fs, fold, grace=True)
             out["cycles"] += 1
-            out["folded"] += n
-            if n == 0:
-                # the fold ran but nothing committed = the rival-compact
-                # guard fired (a 0 WITHOUT a fold is the <2-batches
-                # no-op) — split so escalation runs prove the guard is
-                # actually exercised across processes, not just present
-                out["lost_to_rival" if folded_this_cycle[0] else "noop"] += 1
+            if n is None:
+                # the rival-compact guard fired: fold lost, own output
+                # deleted — counted so escalation runs prove the guard
+                # is actually exercised across processes, not just
+                # present
+                out["lost_to_rival"] += 1
+            elif n == 0:
+                out["noop"] += 1
+            else:
+                out["folded"] += n
         except ai.ConcurrentWriteError:
             out["loud"] += 1  # relief valve: dir stranded, nothing committed
         except (KeyboardInterrupt, SystemExit):
@@ -291,11 +299,12 @@ def _compactor(
             # a RIVAL compactor's grace sweep deleted one of our input
             # dirs between the manifest read and the fold's read — the
             # union crashes loudly, nothing committed, tmp removed by
-            # _compact_dirs' fold guard. A documented multi-compactor
-            # race, not a commit-log bug; counted so the verdict shows
-            # it. ONLY the fold's input reads raise this class — a
-            # rename/claim/output-write OSError lands in bugs below,
-            # where its text survives for the investigation (review r16)
+            # _compact_dirs_once's fold guard. A documented
+            # multi-compactor race, not a commit-log bug; counted so the
+            # verdict shows it. ONLY the fold's input reads raise this
+            # class — a rename/claim/output-write OSError lands in bugs
+            # below, where its text survives for the investigation
+            # (review r16)
             out["fold_crash"] += 1
         except Exception as e:  # any OTHER escape is a bug: record it
             out["bugs"].append(f"{type(e).__name__}: {e}")
@@ -423,7 +432,7 @@ def run_probe(
         reader_doc = {"series": [], "errors": ["reader results truncated"]}
 
     # compactor results ride the same died-without-results ladder
-    compactor_stats = {"cycles": 0, "folded": 0, "noop": 0,
+    compactor_stats = {"attempts": 0, "cycles": 0, "folded": 0, "noop": 0,
                        "lost_to_rival": 0, "loud": 0, "fold_crash": 0,
                        "bugs": []}
     missing_compactors = []
@@ -433,8 +442,8 @@ def run_probe(
         except (OSError, ValueError):
             missing_compactors.append(c)
             continue
-        for k in ("cycles", "folded", "noop", "lost_to_rival", "loud",
-                  "fold_crash"):
+        for k in ("attempts", "cycles", "folded", "noop", "lost_to_rival",
+                  "loud", "fold_crash"):
             compactor_stats[k] += doc.get(k, 0)
         compactor_stats["bugs"].extend(doc.get("bugs", ()))
 
@@ -657,10 +666,11 @@ def main() -> None:
           f"{v['head_dirs']}   reader polls: {v['reader_polls']} (clean)")
     if v["compactor_stats"]:
         cs = v["compactor_stats"]
-        print(f"compactors: {cs['cycles']} cycles folded {cs['folded']} "
-              f"dirs ({cs['noop']} no-op, {cs['lost_to_rival']} "
-              f"lost-to-rival, {cs['loud']} loud, {cs['fold_crash']} "
-              f"fold-read races, bugs: {cs['bugs'][:3]})")
+        print(f"compactors: {cs['attempts']} attempts = {cs['cycles']} "
+              f"clean ({cs['folded']} dirs folded, {cs['noop']} no-op, "
+              f"{cs['lost_to_rival']} lost-to-rival) + {cs['loud']} loud "
+              f"+ {cs['fold_crash']} fold-read races + {len(cs['bugs'])} "
+              f"bugs {cs['bugs'][:3]}")
     for f in v["failures"]:
         print(f"FAILURE: {f}")
     print("PASS" if v["ok"] else f"FAIL (store kept at {v.get('store_kept_at')})")

@@ -279,33 +279,30 @@ def main() -> None:
         # AFTER the other argument checks, and unlinks a file the probe
         # itself created: an aborted run must leave "never ran" (no
         # file), not a spurious empty artifact (review r15 pass 4).
-        # if the open is about to CREATE a file (plain new path, or the
-        # target behind a dangling symlink), it is created with O_EXCL
-        # and only the fd-created file is removed — so a file another
-        # process slips in between the existence check and the open is
-        # probed-and-kept, never deleted (the exists/open/unlink TOCTOU,
-        # ADVICE r15). realpath targets the file itself behind a dangling
+        # The probe NEVER consults exists(): it attempts an O_EXCL create
+        # first, so the only file it ever unlinks is one the create call
+        # itself made — no snapshot of the world can go stale between a
+        # check and the action (both TOCTOU directions closed, ADVICE
+        # r15 + review r16: the earlier exists()-gated form could still
+        # recreate-and-keep a 0-byte artifact when the file vanished
+        # between exists() and open('a')). FileExistsError means the
+        # file is someone's data — append-probe it and leave it alone.
+        # realpath targets the file itself behind a (dangling or live)
         # symlink and never the user's symlink (review r15 passes 5+6).
         try:
-            if os.path.exists(out):
-                with open(out, "a"):
+            target = os.path.realpath(out)
+            try:
+                os.close(
+                    os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                )
+            except FileExistsError:
+                with open(target, "a"):
                     pass
             else:
-                target = os.path.realpath(out)
                 try:
-                    os.close(
-                        os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-                    )
-                except FileExistsError:
-                    # raced into existence since the check: someone
-                    # else's data — append-probe it and leave it alone
-                    with open(target, "a"):
-                        pass
-                else:
-                    try:
-                        os.unlink(target)
-                    except FileNotFoundError:
-                        pass  # raced away again — nothing of ours remains
+                    os.unlink(target)
+                except FileNotFoundError:
+                    pass  # raced away again — nothing of ours remains
         except OSError as e:
             raise SystemExit(f"--out path {out!r} is not writable: {e}")
     if suite:

@@ -120,7 +120,10 @@ def load_weather(path: str) -> dict:
     "host_after": ...}, each a host_probe dict or None (probe degraded,
     or a pre-r15 artifact). Separate from load() so the timing contract
     (and its pins) stays untouched; same wrapper unwrap as load()."""
-    doc, _ = _read_doc(path)
+    return _weather_of(_read_doc(path)[0])
+
+
+def _weather_of(doc: object) -> dict:
     if not isinstance(doc, dict):
         return {"host": None, "host_after": None}
     return {"host": doc.get("host"), "host_after": doc.get("host_after")}
@@ -152,6 +155,10 @@ def dispersion_verdict(path: str) -> tuple[bool, list[str]]:
     probe: weather that cannot be checked must not pass by omission
     (pre-r16 driver artifacts land here, alongside their probe-less or
     tainted host keys)."""
+    return _dispersion_of(_read_doc(path)[0])
+
+
+def _dispersion_of(doc: object) -> tuple[bool, list[str]]:
     import math
 
     def _spread(w: object) -> float | None:
@@ -173,7 +180,6 @@ def dispersion_verdict(path: str) -> tuple[bool, list[str]]:
             return max(w) / min(w)
         return None
 
-    doc, _ = _read_doc(path)
     spreads: dict[str, float] = {}
     if isinstance(doc, dict):
         rows = doc.get("queries")
@@ -297,7 +303,12 @@ def main() -> None:
     if weather:
         hp = _host_probe_mod()
         for path, side in ((args[0], "old"), (args[1], "new")):
-            w = load_weather(path)
+            # ONE read per side: judging timings from one on-disk
+            # version of the file and weather from another (a swap
+            # between reads) would let a gate verdict mix snapshots
+            # (review r16)
+            doc, _ = _read_doc(path)
+            w = _weather_of(doc)
             for which in ("host", "host_after"):
                 ok, why = hp.weather_ok(w[which])
                 if ok:
@@ -307,7 +318,7 @@ def main() -> None:
                     tainted.append(note)
                     print(f"# weather {note} — OUTSIDE envelope")
             # the probes bracket the run; the warm-run lists ARE the run
-            ok, why = dispersion_verdict(path)
+            ok, why = _dispersion_of(doc)
             if ok:
                 print(f"# weather {side}/dispersion: warm spreads in band")
             else:

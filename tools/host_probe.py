@@ -97,7 +97,14 @@ CAP_STEAL_PCT = 10.0
 # thresholds cannot drift from the instrument that measures them.
 ENVELOPE_FIRST_TOUCH_GB_S = 2.0  # healthy ~5-8; the stall pathology ~0.2
 ENVELOPE_STEAL_PCT = 5.0         # healthy ~0; the capped pathology 25-31%
-ENVELOPE_SCALE = 7.0             # healthy 15-23 of 32; pathology 2.2-4.5
+# scale is judged RELATIVE to the burst width the probe itself recorded
+# (`workers`, like cpu_capped does) so the envelope doesn't deadlock the
+# gate on narrower hosts where a healthy parallel scale can never reach
+# the 32-wide rig's absolute 7 (review r16). Calibrated on the 32-wide
+# rig: 7/32 — healthy reads 15-23 there (0.47-0.72), pathology 2.2-4.5
+# (0.07-0.14).
+ENVELOPE_SCALE_PER_WORKER = 7.0 / 32.0
+ENVELOPE_SCALE = 7.0  # the 32-wide absolute form, kept for SCALE.md prose
 
 
 def weather_ok(host: dict | None) -> tuple[bool, list[str]]:
@@ -114,10 +121,14 @@ def weather_ok(host: dict | None) -> tuple[bool, list[str]]:
     if not isinstance(host, dict):
         return False, ["no host probe embedded"]
     reasons = []
+    # the scale bound follows the probe's own burst width; a dict
+    # without `workers` (hand-built, degraded) gets the 32-wide bound
+    w = host.get("workers")
+    width = w if isinstance(w, int) and not isinstance(w, bool) and w >= 1 else 32
     checks = (
         ("first_touch_gb_s", ENVELOPE_FIRST_TOUCH_GB_S, "ge"),
         ("steal_pct", ENVELOPE_STEAL_PCT, "le"),
-        ("cpu_parallel_scale", ENVELOPE_SCALE, "ge"),
+        ("cpu_parallel_scale", ENVELOPE_SCALE_PER_WORKER * width, "ge"),
     )
     import math
 
