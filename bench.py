@@ -132,8 +132,15 @@ def main() -> None:
     # stop the session BEFORE the closing weather probe (ADVICE r15):
     # host_probe's guidance is "run BESIDE benches, never DURING one" —
     # an idle local JVM's GC/daemon threads would otherwise share cores
-    # with the saturation burst and skew cpu_parallel_scale/steal
-    spark.stop()
+    # with the saturation burst and skew cpu_parallel_scale/steal.
+    # Best-effort like everything non-measurement here (review r16): a
+    # py4j socket fault in stop() after a completed multi-minute run
+    # must not abort main() before the one JSON line prints
+    try:
+        spark.stop()
+    except Exception as e:  # noqa: BLE001 — shutdown must not kill results
+        print(f"# spark.stop failed (results unaffected): {e!r}",
+              file=sys.stderr)
     print(json.dumps({
         "metric": "headline suite wall time (noop-materialized, median of 3 warm)",
         "value": total,

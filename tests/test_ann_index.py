@@ -1591,13 +1591,8 @@ def test_rival_compact_guard_fires_deterministic(tmp_path):
     folded = [d for d in batch_dirs if d.get("batch_tokens")]
     assert len(folded) == 1
     assert folded[0]["batch_tokens"] == ["tok-0", "tok-1", "tok-2"]
-    # every token exactly once across the head
-    toks = [
-        t
-        for d in batch_dirs
-        for t in ([d["batch_token"]] if d.get("batch_token") else [])
-        + list(d.get("batch_tokens", ()))
-    ]
+    # every token exactly once across the head (probe's own extraction)
+    toks = [t for d in batch_dirs for t in _mp_probe()._entry_tokens(d)]
     assert sorted(toks) == ["tok-0", "tok-1", "tok-2", "tok-late"]
     # B's output dir is gone from disk: committed dirs + A's superseded
     # grace copies are all that remain

@@ -135,8 +135,7 @@ def _attempt_commit(index_dir: str, fs, wid: int, tok: str) -> dict:
 
     committed = set()
     for d in ai._load_manifest(index_dir, fs)["dirs"]:
-        committed.add(d.get("batch_token"))
-        committed.update(d.get("batch_tokens", ()))
+        committed.update(_entry_tokens(d))
     if tok in committed:
         return {"token": tok, "outcome": "skipped-upfront"}
     tmp_dir = fs.mktempdir(index_dir, ".batch_")
@@ -150,6 +149,16 @@ def _attempt_commit(index_dir: str, fs, wid: int, tok: str) -> dict:
         "name": final_name,
         "outcome": "committed" if ok else "lost-to-twin",
     }
+
+
+# every compactor counter, in one place: the child dict, the parent's
+# aggregate init, and the aggregation loop all build from this tuple, so
+# a new counter added to one site cannot silently vanish from the
+# verdict through doc.get(k, 0) (review r16)
+_COMPACTOR_COUNTERS = (
+    "attempts", "cycles", "folded", "noop", "lost_to_rival", "loud",
+    "fold_crash",
+)
 
 
 class _FoldReadRace(Exception):
@@ -274,8 +283,7 @@ def _compactor(
     # _compact_dirs_once returned (clean path) — so the printed
     # breakdown sums: attempts == cycles + loud + fold_crash + bugs
     # (review r16: the old wording made louds look unaccounted-for)
-    out = {"attempts": 0, "cycles": 0, "folded": 0, "noop": 0,
-           "lost_to_rival": 0, "loud": 0, "fold_crash": 0, "bugs": []}
+    out = {**{k: 0 for k in _COMPACTOR_COUNTERS}, "bugs": []}
     while not os.path.exists(stop_path):
         out["attempts"] += 1
         try:
@@ -432,9 +440,7 @@ def run_probe(
         reader_doc = {"series": [], "errors": ["reader results truncated"]}
 
     # compactor results ride the same died-without-results ladder
-    compactor_stats = {"attempts": 0, "cycles": 0, "folded": 0, "noop": 0,
-                       "lost_to_rival": 0, "loud": 0, "fold_crash": 0,
-                       "bugs": []}
+    compactor_stats = {**{k: 0 for k in _COMPACTOR_COUNTERS}, "bugs": []}
     missing_compactors = []
     for c in range(compactors):
         try:
@@ -442,8 +448,7 @@ def run_probe(
         except (OSError, ValueError):
             missing_compactors.append(c)
             continue
-        for k in ("attempts", "cycles", "folded", "noop", "lost_to_rival",
-                  "loud", "fold_crash"):
+        for k in _COMPACTOR_COUNTERS:
             compactor_stats[k] += doc.get(k, 0)
         compactor_stats["bugs"].extend(doc.get("bugs", ()))
 

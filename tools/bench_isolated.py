@@ -279,30 +279,38 @@ def main() -> None:
         # AFTER the other argument checks, and unlinks a file the probe
         # itself created: an aborted run must leave "never ran" (no
         # file), not a spurious empty artifact (review r15 pass 4).
-        # The probe NEVER consults exists(): it attempts an O_EXCL create
-        # first, so the only file it ever unlinks is one the create call
-        # itself made — no snapshot of the world can go stale between a
-        # check and the action (both TOCTOU directions closed, ADVICE
-        # r15 + review r16: the earlier exists()-gated form could still
-        # recreate-and-keep a 0-byte artifact when the file vanished
-        # between exists() and open('a')). FileExistsError means the
-        # file is someone's data — append-probe it and leave it alone.
-        # realpath targets the file itself behind a (dangling or live)
-        # symlink and never the user's symlink (review r15 passes 5+6).
+        # The probe NEVER consults exists() and NEVER opens with an
+        # implicit create: it attempts an O_EXCL create first (the only
+        # file it ever unlinks is one that call itself made), and on
+        # FileExistsError probes with O_APPEND WITHOUT O_CREAT — an
+        # open that cannot manufacture a 0-byte artifact if the file
+        # vanishes in between (the residual recreate-and-keep race a
+        # review found in the open('a') fallback; ADVICE r15 + review
+        # r16 x2). A FileNotFoundError from the no-create probe means the
+        # world flipped between the two calls — retry the create side;
+        # a path flip-flopping under concurrent create/delete is
+        # writable on any reading of events, so the bounded loop falls
+        # through as success. realpath targets the file itself behind a
+        # (dangling or live) symlink and never the user's symlink
+        # (review r15 passes 5+6).
         try:
             target = os.path.realpath(out)
-            try:
-                os.close(
-                    os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-                )
-            except FileExistsError:
-                with open(target, "a"):
-                    pass
-            else:
+            for _ in range(4):
+                try:
+                    os.close(
+                        os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                    )
+                except FileExistsError:
+                    try:
+                        os.close(os.open(target, os.O_WRONLY | os.O_APPEND))
+                    except FileNotFoundError:
+                        continue  # vanished again — retry the create probe
+                    break  # someone's data: probed writable, left alone
                 try:
                     os.unlink(target)
                 except FileNotFoundError:
                     pass  # raced away again — nothing of ours remains
+                break
         except OSError as e:
             raise SystemExit(f"--out path {out!r} is not writable: {e}")
     if suite:

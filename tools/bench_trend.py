@@ -54,6 +54,12 @@ import sys
 def load(path: str) -> tuple[dict[str, float], float | None, list[str]]:
     """(per-query seconds, total, error-query names) from either shape."""
     doc, wrapper_rc = _read_doc(path)
+    return _load_doc(doc, wrapper_rc, path)
+
+
+def _load_doc(
+    doc: object, wrapper_rc: object, path: str
+) -> tuple[dict[str, float], float | None, list[str]]:
     if not isinstance(doc, dict) or not isinstance(doc.get("queries"), dict):
         raise SystemExit(
             f"{path!r} is not a bench artifact (no 'queries' map)"
@@ -255,8 +261,15 @@ def main() -> None:
             __doc__
             or "usage: bench_trend.py OLD.json NEW.json [--threshold 0.20]"
         )
-    old_qs, old_total, old_errs = load(args[0])
-    new_qs, new_total, new_errs = load(args[1])
+    # ONE _read_doc per side for the WHOLE run — timings, host keys and
+    # dispersion are all judged from the same in-memory snapshot, so an
+    # artifact rewritten mid-gate can never mix one run's timings with
+    # another's weather (review r16 x2: the first fix unified only the
+    # two weather reads, leaving load()'s separate read in the window)
+    old_doc, old_rc = _read_doc(args[0])
+    new_doc, new_rc = _read_doc(args[1])
+    old_qs, old_total, old_errs = _load_doc(old_doc, old_rc, args[0])
+    new_qs, new_total, new_errs = _load_doc(new_doc, new_rc, args[1])
 
     shared = sorted(set(old_qs) & set(new_qs))
     rows = [
@@ -302,12 +315,7 @@ def main() -> None:
     tainted: list[str] = []
     if weather:
         hp = _host_probe_mod()
-        for path, side in ((args[0], "old"), (args[1], "new")):
-            # ONE read per side: judging timings from one on-disk
-            # version of the file and weather from another (a swap
-            # between reads) would let a gate verdict mix snapshots
-            # (review r16)
-            doc, _ = _read_doc(path)
+        for doc, side in ((old_doc, "old"), (new_doc, "new")):
             w = _weather_of(doc)
             for which in ("host", "host_after"):
                 ok, why = hp.weather_ok(w[which])
