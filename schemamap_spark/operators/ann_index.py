@@ -240,6 +240,21 @@ _MANIFEST_V_PREFIX = "manifest.v"
 _MANIFEST_V_KEEP = 64
 
 
+def _entry_tokens(d: dict) -> list:
+    """Every idempotency token a manifest entry carries: `batch_token`
+    (an uncompacted append) plus `batch_tokens` (a fold's preserved
+    set). The ONE definition of token carriage — the append replay
+    scan, the twin check, compact's fold collection, and the
+    cross-process probe's invariants (tools/ann_mp_probe.py) all
+    extract through it, so a future change to the token shape cannot
+    leave one consumer verifying different semantics than the store
+    implements (review r16)."""
+    toks = list(d.get("batch_tokens", ()))
+    if d.get("batch_token"):
+        toks.append(d["batch_token"])
+    return toks
+
+
 def _version_name(n: int) -> str:
     return f"{_MANIFEST_V_PREFIX}{n:08d}.json"
 
@@ -677,8 +692,7 @@ def _commit_manifest_entry(index_dir: str, entry: dict, fs) -> bool:
     def merge(head: dict):
         attempts[0] += 1
         if tok is not None and any(
-            d["name"] != entry["name"]
-            and (tok == d.get("batch_token") or tok in d.get("batch_tokens", ()))
+            d["name"] != entry["name"] and tok in _entry_tokens(d)
             for d in head["dirs"]
         ):
             return None  # a same-token twin is already committed
@@ -785,8 +799,7 @@ def ann_index_append(
     if batch_token is not None:
         committed: set = set()
         for d in _load_manifest(index_dir, fs)["dirs"]:
-            committed.add(d.get("batch_token"))
-            committed.update(d.get("batch_tokens", ()))  # compacted entries
+            committed.update(_entry_tokens(d))  # incl. compacted entries
         if batch_token in committed:
             return False  # replay of an already-committed batch
     encoded = ivf_pq_encode(
@@ -902,12 +915,17 @@ def ann_index_compact(
     accounting (the compacted entry carries the SUM of the folded batches'
     occupancies, so ann_index_drift reports exactly what it did before —
     folding appended rows into `codes/` instead would misfile them as
-    trained mass). Returns the number of batch dirs folded; 0 means
-    fewer than 2 batches remained at a fresh manifest read (so the
-    fixed-point loop `while ann_index_compact(...) > 0` is sound — a
+    trained mass). Returns the number of batch dirs folded; 0 normally
+    means fewer than 2 batches remained at a fresh manifest read — a
     fold lost to a rival compact retries internally against the fresh
-    head rather than returning a false 0 with foldable dirs left;
-    review r16).
+    head rather than returning a false 0 with foldable dirs left, so
+    the fixed-point loop `while ann_index_compact(...) > 0` is sound
+    against any scheduler accident short of a sustained rival STORM:
+    after 8 consecutive losses (each one implying a rival fold
+    committed — the debt is being collected by the winners) this
+    compactor bows out with 0 even though the rival's last output plus
+    newer appends may still be foldable; the next scheduled compact
+    collects them (review r16 x2).
 
     Crash contract mirrors append: the union writes to a hidden temp dir,
     renames, and publishes via one atomic manifest commit — a crash at
@@ -1020,9 +1038,7 @@ def _compact_dirs_once(
     for d in batches:
         for cell, n in d.get("occupancy", {}).items():
             occupancy[cell] = occupancy.get(cell, 0) + n
-        if d.get("batch_token"):
-            tokens.append(d["batch_token"])
-        tokens.extend(d.get("batch_tokens", ()))
+        tokens.extend(_entry_tokens(d))
     final_name = "batch_" + basename(tmp_dir)[len(".batch_"):]
     fs.rename(tmp_dir, join(index_dir, final_name))
     folded = {"name": final_name, "occupancy": occupancy}

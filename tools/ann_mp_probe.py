@@ -157,7 +157,7 @@ def _attempt_commit(index_dir: str, fs, wid: int, tok: str) -> dict:
 # verdict through doc.get(k, 0) (review r16)
 _COMPACTOR_COUNTERS = (
     "attempts", "cycles", "folded", "noop", "lost_to_rival", "loud",
-    "fold_crash",
+    "loud_stranded", "fold_crash",
 )
 
 
@@ -220,12 +220,14 @@ def _worker(index_dir: str, results_dir: str, wid: int, tokens: list) -> None:
 
 
 def _entry_tokens(d: dict) -> list:
-    """Every idempotency token an entry carries: batch_token (an
-    uncompacted append) plus batch_tokens (a fold's preserved set)."""
-    toks = list(d.get("batch_tokens", ()))
-    if d.get("batch_token"):
-        toks.append(d["batch_token"])
-    return toks
+    """Delegate to ann_index._entry_tokens — the store's ONE definition
+    of token carriage (review r16): the probe's invariants must extract
+    tokens exactly the way the store does, or a token-shape change
+    would leave them verifying different semantics. Lazy import keeps
+    the module importable before sys.path setup in spawn children."""
+    from schemamap_spark.operators import ann_index as ai
+
+    return ai._entry_tokens(d)
 
 
 def _reader(index_dir: str, results_dir: str, stop_path: str) -> None:
@@ -271,7 +273,17 @@ def _compactor(
     from schemamap_spark.sources import fscommit
 
     fs = fscommit.fs_for(index_dir)
-    fold = make_text_fold(fs)
+    base_fold = make_text_fold(fs)
+    # a loud failure strands a renamed dir ONLY when the fold (and so
+    # the rename right after it) actually ran this pass — a loud from
+    # the pass-start manifest read stranded nothing, and counting it
+    # toward the stray allowance would loosen invariant 3 by one dir
+    # per such loud (review r16)
+    fold_ran = [False]
+
+    def fold(paths: list, tmp_dir: str) -> None:
+        fold_ran[0] = True
+        base_fold(paths, tmp_dir)
 
     # the probe races _compact_dirs_once, the primitive, NOT the public
     # retry wrapper: the wrapper's internal retry would fold the rival
@@ -286,6 +298,7 @@ def _compactor(
     out = {**{k: 0 for k in _COMPACTOR_COUNTERS}, "bugs": []}
     while not os.path.exists(stop_path):
         out["attempts"] += 1
+        fold_ran[0] = False
         try:
             n = ai._compact_dirs_once(index_dir, fs, fold, grace=True)
             out["cycles"] += 1
@@ -300,7 +313,11 @@ def _compactor(
             else:
                 out["folded"] += n
         except ai.ConcurrentWriteError:
-            out["loud"] += 1  # relief valve: dir stranded, nothing committed
+            # relief valve: nothing committed; the renamed dir is
+            # stranded only if the pass got as far as the fold+rename
+            out["loud"] += 1
+            if fold_ran[0]:
+                out["loud_stranded"] += 1
         except (KeyboardInterrupt, SystemExit):
             raise  # operator signal, same contract as the worker/reader
         except _FoldReadRace:
@@ -588,7 +605,9 @@ def run_probe(
     # loud failures legitimately strand their renamed dir (append and
     # compactor alike); superseded grace copies are ledgered, not stray
     stray = (on_disk - committed_names) - set(head.get("superseded", []))
-    allowed_strays = n_loud + compactor_stats["loud"]
+    # worker louds always strand (their loud fires after the rename);
+    # compactor louds only when the pass reached its fold+rename
+    allowed_strays = n_loud + compactor_stats["loud_stranded"]
     if len(stray) > allowed_strays:
         failures.append(f"stray uncommitted dirs beyond loud failures: "
                         f"{sorted(stray)[:5]}")
@@ -602,14 +621,34 @@ def run_probe(
         # token accounting (invariant 1) proves the manifest, this
         # proves the bytes the manifest points at
         content_tokens: dict[str, int] = {}
+        unreadable_dirs: list[str] = []
         for d in batch_dirs:
             p = os.path.join(index_dir, d["name"])
-            for nm in sorted(os.listdir(p)):
-                with open(os.path.join(p, nm)) as fh:
-                    for line in fh:
-                        if line.strip():
-                            t = line.strip().split(":", 1)[1]
-                            content_tokens[t] = content_tokens.get(t, 0) + 1
+            # never-crash ladder, same as every other gather path: a
+            # committed dir missing from disk is THE corruption this
+            # check exists to surface — it must land in `failures` (the
+            # disk==manifest check above already named it), not raise
+            # FileNotFoundError out of run_probe and lose the whole
+            # verdict (review r16)
+            try:
+                names = sorted(os.listdir(p))
+            except OSError:
+                unreadable_dirs.append(d["name"])
+                continue
+            for nm in names:
+                try:
+                    with open(os.path.join(p, nm)) as fh:
+                        for line in fh:
+                            if line.strip():
+                                t = line.strip().split(":", 1)[1]
+                                content_tokens[t] = content_tokens.get(t, 0) + 1
+                except OSError:
+                    unreadable_dirs.append(f"{d['name']}/{nm}")
+        if unreadable_dirs:
+            failures.append(
+                f"content check could not read committed dirs/files: "
+                f"{unreadable_dirs[:5]}"
+            )
         if content_tokens != {t: 1 for t in by_token}:
             lost_rows = set(by_token) - set(content_tokens)
             duped_rows = {t: c for t, c in content_tokens.items() if c != 1}
