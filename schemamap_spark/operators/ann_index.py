@@ -248,9 +248,14 @@ def _entry_tokens(d: dict) -> list:
     cross-process probe's invariants (tools/ann_mp_probe.py) all
     extract through it, so a future change to the token shape cannot
     leave one consumer verifying different semantics than the store
-    implements (review r16)."""
+    implements (review r16). The presence test is `is not None`, NOT
+    truthiness: ann_index_append accepts any non-None token (its guard
+    is `batch_token is not None`), so an empty-string token is a real
+    token — a truthy check would silently drop it here and a replay
+    would commit duplicate rows (review r16 pass 5 caught exactly that
+    regression against the pre-helper inline code)."""
     toks = list(d.get("batch_tokens", ()))
-    if d.get("batch_token"):
+    if d.get("batch_token") is not None:
         toks.append(d["batch_token"])
     return toks
 
@@ -925,7 +930,11 @@ def ann_index_compact(
     committed — the debt is being collected by the winners) this
     compactor bows out with 0 even though the rival's last output plus
     newer appends may still be foldable; the next scheduled compact
-    collects them (review r16 x2).
+    collects them (review r16 x2). Retry passes skip the opening grace
+    sweep: a loss means a rival JUST superseded dirs that old-manifest
+    readers may still be scanning, and sweeping them milliseconds
+    later from inside the same ann_index_compact call would collapse
+    the reader grace window the first pass honored (review r16 pass 5).
 
     Crash contract mirrors append: the union writes to a hidden temp dir,
     renames, and publishes via one atomic manifest commit — a crash at
@@ -981,16 +990,24 @@ def _compact_dirs(index_dir: str, fs, fold_fn, grace: bool = True) -> int:
     loop relies on (small-file debt would silently persist). Each loss
     implies a rival COMMIT, so a retry always faces a store that made
     progress; eight consecutive losses is a pathological rival storm —
-    bow out as a no-op, the winners are compacting."""
-    for _ in range(8):
-        n = _compact_dirs_once(index_dir, fs, fold_fn, grace)
+    bow out as a no-op, the winners are compacting. Only the FIRST pass
+    runs the opening grace sweep: a retry follows a rival's commit by
+    milliseconds, and sweeping the dirs that commit just superseded
+    would collapse the reader grace window ("survive until the NEXT
+    compact" means the next scheduled one, not a retry inside this
+    call; review r16 pass 5)."""
+    for attempt in range(8):
+        n = _compact_dirs_once(
+            index_dir, fs, fold_fn, grace, sweep_grace=(attempt == 0)
+        )
         if n is not None:
             return n
     return 0
 
 
 def _compact_dirs_once(
-    index_dir: str, fs, fold_fn, grace: bool = True
+    index_dir: str, fs, fold_fn, grace: bool = True,
+    sweep_grace: bool = True,
 ) -> int | None:
     """ONE pass of the compaction manifest dance with the data fold
     INJECTED — `fold_fn(paths, tmp_dir)` writes the union of the batch
@@ -1002,24 +1019,34 @@ def _compact_dirs_once(
     drift (VERDICT r15 #1). Returns the folded count, 0 for the
     <2-batches no-op, or None when the fold LOST to a rival compact
     (inputs folded away mid-dance; own output dir deleted) — the retry
-    wrapper above turns None into another pass. Semantics documented on
+    wrapper above turns None into another pass. `sweep_grace=False`
+    (retry passes) skips the opening grace sweep AND its <2-batches
+    ledger clear: the ledger's dirs were superseded by the rival's
+    commit moments ago — grace readers own them until the NEXT
+    scheduled compact (review r16 pass 5). Semantics documented on
     ann_index_compact."""
     manifest = _load_manifest(index_dir, fs)
-    # dirs superseded by the PREVIOUS compact have had a full cycle of
-    # grace — collect them now, before this round's fold
-    for name in manifest.get("superseded", []):
-        fs.delete(join(index_dir, name))
+    if sweep_grace:
+        # dirs superseded by the PREVIOUS compact have had a full cycle
+        # of grace — collect them now, before this round's fold
+        for name in manifest.get("superseded", []):
+            fs.delete(join(index_dir, name))
     batches = [d for d in manifest["dirs"] if d["name"] != _CODES]
     if len(batches) < 2:
         # housekeeping, same invariant as the eager-path clear below: the
         # opening sweep already deleted the expired grace dirs, so a clear
         # that loses its claim under an append storm must not fail a
         # compact whose deletions succeeded — ghost names are harmless
-        # and the next compact sweeps them (code-review r10 pass 3)
-        try:
-            _clear_superseded(index_dir, manifest.get("superseded", []), fs)
-        except Exception:
-            pass
+        # and the next compact sweeps them (code-review r10 pass 3). On a
+        # no-sweep retry pass the dirs are still on disk, so their names
+        # must STAY in the ledger — clearing would orphan live grace dirs
+        if sweep_grace:
+            try:
+                _clear_superseded(
+                    index_dir, manifest.get("superseded", []), fs
+                )
+            except Exception:
+                pass
         return 0
     paths = [join(index_dir, d["name"]) for d in batches]
     tmp_dir = fs.mktempdir(index_dir, ".batch_")

@@ -609,10 +609,22 @@ def test_trend_dispersion_rejects_poisoned_warm_lists(bench_trend, tmp_path):
         }},
     ))
     assert not ok and "unmeasurable" in why[0]
-    # one poisoned list beside a healthy one: the healthy one decides
+    # a TIMED query with a poisoned list is uncovered — the artifact
+    # cannot prove that query's mid-run weather, so it fails even with
+    # a healthy sibling (review r16 pass 5: 1-of-18 provable must not
+    # pass by omission)
     ok, why = bench_trend.dispersion_verdict(_write(
         tmp_path, "p2.json",
-        {"queries": {}, "queries_warm": {
+        {"queries": {"a": 1.0, "b": 1.0}, "queries_warm": {
+            "a": [1.0, "n/a"], "b": [1.0, 1.1, 0.9],
+        }},
+    ))
+    assert not ok and any("unmeasurable for 1 timed" in r for r in why)
+    # ...but warm lists for names OUTSIDE the timing map are extra
+    # data, not coverage — a poisoned extra doesn't taint
+    ok, why = bench_trend.dispersion_verdict(_write(
+        tmp_path, "p3.json",
+        {"queries": {"b": 1.0}, "queries_warm": {
             "a": [1.0, "n/a"], "b": [1.0, 1.1, 0.9],
         }},
     ))

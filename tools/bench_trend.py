@@ -187,9 +187,11 @@ def _dispersion_of(doc: object) -> tuple[bool, list[str]]:
         return None
 
     spreads: dict[str, float] = {}
+    timed: set[str] = set()
     if isinstance(doc, dict):
         rows = doc.get("queries")
         if isinstance(rows, dict):
+            timed = set(rows)
             for n, v in rows.items():
                 if isinstance(v, dict):
                     s = _spread(v.get("warm"))
@@ -203,9 +205,21 @@ def _dispersion_of(doc: object) -> tuple[bool, list[str]]:
                     spreads[n] = s
     if not spreads:
         return False, ["no warm-run lists — dispersion unmeasurable"]
+    reasons = []
+    # EVERY timed query needs a usable warm list — an artifact proving
+    # dispersion for 1 of 18 queries could hide the mid-run stall in
+    # the 17 unprovable ones, passing by omission (review r16 pass 5;
+    # the same fail-closed rule the missing-probe case follows). Warm
+    # lists for names outside the timing map are extra data, not
+    # coverage.
+    uncovered = sorted(timed - set(spreads))
+    if uncovered:
+        reasons.append(
+            f"dispersion unmeasurable for {len(uncovered)} timed "
+            f"queries (missing/poisoned warm lists): {uncovered[:5]}"
+        )
     outliers = {n: s for n, s in spreads.items() if s > DISPERSION_SPREAD}
     hard = {n: s for n, s in outliers.items() if s > DISPERSION_HARD}
-    reasons = []
     if hard or len(outliers) >= DISPERSION_OUTLIERS:
         reasons.append(
             "mid-run weather: warm-run spread "
