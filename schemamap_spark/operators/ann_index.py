@@ -1026,10 +1026,15 @@ def _compact_dirs_once(
     scheduled compact (review r16 pass 5). Semantics documented on
     ann_index_compact."""
     manifest = _load_manifest(index_dir, fs)
+    swept: set = set()
     if sweep_grace:
         # dirs superseded by the PREVIOUS compact have had a full cycle
-        # of grace — collect them now, before this round's fold
-        for name in manifest.get("superseded", []):
+        # of grace — collect them now, before this round's fold. The
+        # swept names leave the ledger in this pass's commit (they are
+        # ghosts now); names a RIVAL adds to the ledger after this read
+        # are its live grace dirs and stay (review r16 pass 6)
+        swept = set(manifest.get("superseded", ()))
+        for name in swept:
             fs.delete(join(index_dir, name))
     batches = [d for d in manifest["dirs"] if d["name"] != _CODES]
     if len(batches) < 2:
@@ -1112,8 +1117,18 @@ def _compact_dirs_once(
             # its dir vanishes (committed manifest entry, no dir — every
             # later search crashes; code-review r10). Eager mode deletes
             # and then CLEARS the ledger in a second merge.
+            # MERGE with the head's ledger, never replace (review r16
+            # pass 6): on a sweep-skipping retry pass the head's ledger
+            # names are a rival's LIVE grace dirs — replacement would
+            # orphan them in neither `dirs` nor the ledger, leaking them
+            # past every future sweep while default gc misreads them as
+            # crash debris and deletes them mid-grace. Names THIS pass's
+            # opening sweep collected are ghosts and leave; anything a
+            # rival ledgered after our read stays.
             "dirs": codes_entries + [folded] + kept,
-            "superseded": sorted(folded_names),
+            "superseded": sorted(
+                (set(head.get("superseded", ())) - swept) | folded_names
+            ),
             # when the grace period STARTED — lets ann_index_gc(
             # grace_max_age=...) reclaim by age on stores that compact
             # rarely, instead of pinning superseded dirs until the next

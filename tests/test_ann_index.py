@@ -1647,13 +1647,23 @@ def test_rival_compact_retry_restores_fixed_point(tmp_path):
     # originals were superseded by the rival's commit moments earlier
     # and old-manifest readers own them until the NEXT scheduled
     # compact, not a retry inside this call (review r16 pass 5)
-    import os as _os
-
     for name in originals:
-        assert _os.path.isdir(_os.path.join(index_dir, name)), name
+        assert os.path.isdir(os.path.join(index_dir, name)), name
     head = ai._load_manifest(index_dir, fs)
     batch_dirs = [d for d in head["dirs"] if d["name"] != "codes"]
     assert len(batch_dirs) == 1
+    # ...and the retry's commit MERGED the ledger instead of replacing
+    # it (review r16 pass 6): the rival's live grace dirs stay ledgered
+    # — in neither state are they orphaned for default gc to misread as
+    # crash debris — alongside the retry's own folded inputs
+    assert set(originals) <= set(head.get("superseded", []))
+    on_disk = {n for n in os.listdir(index_dir) if n.startswith("batch_")}
+    committed = {d["name"] for d in batch_dirs}
+    assert on_disk == committed | set(head.get("superseded", []))
+    # a NEXT scheduled compact's sweep finally collects the grace dirs
+    assert ai._compact_dirs(index_dir, fs, inner_fold) == 0  # 1 batch: no-op
+    for name in originals:
+        assert not os.path.exists(os.path.join(index_dir, name)), name
     assert batch_dirs[0]["batch_tokens"] == [
         "tok-0", "tok-1", "tok-2", "tok-late",
     ]
@@ -1693,34 +1703,6 @@ def test_rival_compact_crashed_fold_leaves_no_tmp_debris(tmp_path):
     ]
     # the store is untouched: both batches still committed and foldable
     assert ai._compact_dirs(index_dir, fs, _text_fold(fs)) == 2
-
-
-def test_empty_string_token_keeps_idempotency(tmp_path):
-    """batch_token="" is a real token — ann_index_append's guard is
-    `batch_token is not None`, so "" flows into the manifest and a
-    replay must be recognized. Review r16 pass 5 caught _entry_tokens'
-    truthy check silently dropping it (against the pre-helper inline
-    code), which would have let an at-least-once driver's replay commit
-    duplicate rows."""
-    from schemamap_spark.operators import ann_index as ai
-
-    index_dir = str(tmp_path / "store")
-    fs = _fs_bootstrap_store(index_dir)
-    assert _mp_probe()._attempt_commit(index_dir, fs, 0, "")[
-        "outcome"] == "committed"
-    # the replay scan sees "" as committed -> fast no-op
-    assert _mp_probe()._attempt_commit(index_dir, fs, 1, "")[
-        "outcome"] == "skipped-upfront"
-    head = ai._load_manifest(index_dir, fs)
-    toks = [t for d in head["dirs"] for t in ai._entry_tokens(d)]
-    assert toks == [""]
-    # and the tokens survive a fold with the same semantics
-    _fs_append_text(index_dir, fs, "tok-x", "0:tok-x\n")
-    assert ai._compact_dirs(index_dir, fs, _text_fold(fs)) == 2
-    head = ai._load_manifest(index_dir, fs)
-    folded = [d for d in head["dirs"] if d["name"] != "codes"]
-    assert len(folded) == 1
-    assert sorted(ai._entry_tokens(folded[0])) == ["", "tok-x"]
 
 
 def test_empty_string_token_keeps_idempotency(tmp_path):
