@@ -996,9 +996,17 @@ def _compact_dirs(index_dir: str, fs, fold_fn, grace: bool = True) -> int:
     would collapse the reader grace window ("survive until the NEXT
     compact" means the next scheduled one, not a retry inside this
     call; review r16 pass 5)."""
+    # the ghost accumulator rides across retries (review r16 pass 7): if
+    # attempt 0 sweeps the ledger's dirs and then LOSES its fold to a
+    # rival, the subtraction it would have committed never lands — the
+    # names are ghosts (dir deleted, name ledgered) that a later pass of
+    # THIS call must still drop, or they accumulate until some future
+    # completed sweep-pass compact
+    ghosts: set = set()
     for attempt in range(8):
         n = _compact_dirs_once(
-            index_dir, fs, fold_fn, grace, sweep_grace=(attempt == 0)
+            index_dir, fs, fold_fn, grace,
+            sweep_grace=(attempt == 0), swept_ghosts=ghosts,
         )
         if n is not None:
             return n
@@ -1007,7 +1015,7 @@ def _compact_dirs(index_dir: str, fs, fold_fn, grace: bool = True) -> int:
 
 def _compact_dirs_once(
     index_dir: str, fs, fold_fn, grace: bool = True,
-    sweep_grace: bool = True,
+    sweep_grace: bool = True, swept_ghosts: set | None = None,
 ) -> int | None:
     """ONE pass of the compaction manifest dance with the data fold
     INJECTED — `fold_fn(paths, tmp_dir)` writes the union of the batch
@@ -1026,30 +1034,33 @@ def _compact_dirs_once(
     scheduled compact (review r16 pass 5). Semantics documented on
     ann_index_compact."""
     manifest = _load_manifest(index_dir, fs)
-    swept: set = set()
+    # swept_ghosts = every ledger name whose dir THIS CALL deleted (the
+    # caller's accumulator carries it across retry passes): they leave
+    # the ledger in whichever pass commits; names a RIVAL adds to the
+    # ledger after our read are its live grace dirs and stay (review
+    # r16 passes 6+7)
+    if swept_ghosts is None:
+        swept_ghosts = set()
     if sweep_grace:
         # dirs superseded by the PREVIOUS compact have had a full cycle
-        # of grace — collect them now, before this round's fold. The
-        # swept names leave the ledger in this pass's commit (they are
-        # ghosts now); names a RIVAL adds to the ledger after this read
-        # are its live grace dirs and stay (review r16 pass 6)
-        swept = set(manifest.get("superseded", ()))
-        for name in swept:
+        # of grace — collect them now, before this round's fold
+        swept_ghosts.update(manifest.get("superseded", ()))
+        for name in swept_ghosts:
             fs.delete(join(index_dir, name))
     batches = [d for d in manifest["dirs"] if d["name"] != _CODES]
     if len(batches) < 2:
-        # housekeeping, same invariant as the eager-path clear below: the
-        # opening sweep already deleted the expired grace dirs, so a clear
-        # that loses its claim under an append storm must not fail a
-        # compact whose deletions succeeded — ghost names are harmless
-        # and the next compact sweeps them (code-review r10 pass 3). On a
-        # no-sweep retry pass the dirs are still on disk, so their names
-        # must STAY in the ledger — clearing would orphan live grace dirs
-        if sweep_grace:
+        # housekeeping, same invariant as the eager-path clear below: a
+        # clear that loses its claim under an append storm must not fail
+        # a compact whose deletions succeeded — ghost names are harmless
+        # and the next compact sweeps them (code-review r10 pass 3).
+        # Cleared: exactly the names THIS CALL deleted (swept_ghosts —
+        # possibly by an earlier pass that then lost its fold to a
+        # rival; review r16 pass 7). A no-sweep retry with no
+        # accumulated ghosts clears nothing: the head ledger's dirs are
+        # a rival's live grace copies
+        if swept_ghosts:
             try:
-                _clear_superseded(
-                    index_dir, manifest.get("superseded", []), fs
-                )
+                _clear_superseded(index_dir, sorted(swept_ghosts), fs)
             except Exception:
                 pass
         return 0
@@ -1122,12 +1133,14 @@ def _compact_dirs_once(
             # names are a rival's LIVE grace dirs — replacement would
             # orphan them in neither `dirs` nor the ledger, leaking them
             # past every future sweep while default gc misreads them as
-            # crash debris and deletes them mid-grace. Names THIS pass's
-            # opening sweep collected are ghosts and leave; anything a
-            # rival ledgered after our read stays.
+            # crash debris and deletes them mid-grace. Names THIS CALL
+            # swept (any pass — the accumulator carries a lost pass's
+            # sweep into the committing one) are ghosts and leave;
+            # anything a rival ledgered after our read stays.
             "dirs": codes_entries + [folded] + kept,
             "superseded": sorted(
-                (set(head.get("superseded", ())) - swept) | folded_names
+                (set(head.get("superseded", ())) - swept_ghosts)
+                | folded_names
             ),
             # when the grace period STARTED — lets ann_index_gc(
             # grace_max_age=...) reclaim by age on stores that compact

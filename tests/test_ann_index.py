@@ -1731,3 +1731,54 @@ def test_empty_string_token_keeps_idempotency(tmp_path):
     folded = [d for d in head["dirs"] if d["name"] != "codes"]
     assert len(folded) == 1
     assert sorted(ai._entry_tokens(folded[0])) == ["", "tok-x"]
+
+
+def test_lost_sweep_pass_still_clears_its_ghosts(tmp_path):
+    """review r16 pass 7: attempt 0 sweeps the ledger's dirs, then loses
+    its fold to a rival — the names it deleted are ghosts (dir gone,
+    name ledgered) that the SAME call's retry must still drop, even when
+    the retry lands on the <2-batches no-op path. The rival's own live
+    grace entries survive."""
+    import os
+
+    from schemamap_spark.operators import ann_index as ai
+
+    index_dir = str(tmp_path / "store")
+    fs = _fs_bootstrap_store(index_dir)
+    originals = [
+        _fs_append_text(index_dir, fs, f"tok-{i}", f"0:tok-{i}\n")
+        for i in range(3)
+    ]
+    inner_fold = _text_fold(fs)
+    # first compact folds the three originals; ledger = originals
+    assert ai._compact_dirs(index_dir, fs, inner_fold) == 3
+    survivors = [_fs_append_text(index_dir, fs, "tok-x", "0:tok-x\n")]
+    survivors.insert(0, [
+        d["name"] for d in ai._load_manifest(index_dir, fs)["dirs"]
+        if d.get("batch_tokens")
+    ][0])
+
+    fired = {"rival": False}
+
+    def b_fold(paths, tmp_dir):
+        if not fired["rival"]:
+            fired["rival"] = True
+            # rival folds BOTH current batches WITHOUT sweeping (as a
+            # rival whose own read predated our sweep's ledger update
+            # would): its commit inherits the originals' ghost names
+            assert ai._compact_dirs_once(
+                index_dir, fs, inner_fold, sweep_grace=False
+            ) == 2
+        inner_fold(paths, tmp_dir)
+
+    # B's attempt 0 sweeps the originals (deleting their dirs), loses to
+    # the rival, and the retry finds ONE batch dir -> no-op path, which
+    # must clear exactly the swept ghosts
+    assert ai._compact_dirs(index_dir, fs, b_fold) == 0
+    for name in originals:
+        assert not os.path.exists(os.path.join(index_dir, name)), name
+    head = ai._load_manifest(index_dir, fs)
+    ledger = set(head.get("superseded", []))
+    assert ledger == set(survivors)  # rival's live grace; no ghosts
+    for name in survivors:
+        assert os.path.isdir(os.path.join(index_dir, name)), name
