@@ -898,16 +898,18 @@ def _clear_superseded(index_dir: str, names, fs) -> None:
     gone = set(names)
     if not gone:
         return
-    _commit_manifest_merge(
-        index_dir,
-        lambda head: {
-            **head,
-            "superseded": [
-                n for n in head.get("superseded", []) if n not in gone
-            ],
-        },
-        fs,
-    )
+
+    def merge(head: dict):
+        kept = [n for n in head.get("superseded", []) if n not in gone]
+        if len(kept) == len(head.get("superseded", [])):
+            # nothing to drop (the names were already cleared by a
+            # scheduled compact's own commit, or are stale retry
+            # ghosts) — abort instead of burning a version claim on a
+            # byte-identical ledger (review r16 pass 8)
+            return None
+        return {**head, "superseded": kept}
+
+    _commit_manifest_merge(index_dir, merge, fs)
 
 
 def ann_index_compact(
@@ -1028,11 +1030,13 @@ def _compact_dirs_once(
     <2-batches no-op, or None when the fold LOST to a rival compact
     (inputs folded away mid-dance; own output dir deleted) — the retry
     wrapper above turns None into another pass. `sweep_grace=False`
-    (retry passes) skips the opening grace sweep AND its <2-batches
-    ledger clear: the ledger's dirs were superseded by the rival's
-    commit moments ago — grace readers own them until the NEXT
-    scheduled compact (review r16 pass 5). Semantics documented on
-    ann_index_compact."""
+    (retry passes) skips the opening grace sweep: the head ledger's
+    dirs were superseded by the rival's commit moments ago — grace
+    readers own them until the NEXT scheduled compact (review r16
+    pass 5). The <2-batches ledger clear is keyed on `swept_ghosts`,
+    NOT on sweep_grace: a retry pass still clears names an EARLIER
+    pass of the same call swept and then failed to commit (review r16
+    passes 7-8). Semantics documented on ann_index_compact."""
     manifest = _load_manifest(index_dir, fs)
     # swept_ghosts = every ledger name whose dir THIS CALL deleted (the
     # caller's accumulator carries it across retry passes): they leave
@@ -1060,7 +1064,7 @@ def _compact_dirs_once(
         # a rival's live grace copies
         if swept_ghosts:
             try:
-                _clear_superseded(index_dir, sorted(swept_ghosts), fs)
+                _clear_superseded(index_dir, swept_ghosts, fs)
             except Exception:
                 pass
         return 0
