@@ -1,6 +1,18 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints exactly ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+on local[$SPARK_GRAFT_CPUS]. Prints exactly ONE compact JSON line on stdout:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...,
+ "value_cold": ..., "weather_ok": bool, "detail": sidecar_path}
+
+THE STDOUT CONTRACT (VERDICT r16 #1): the driver keeps only the last
+~2000 bytes of stdout and parses the JSON it finds there. r16's fat
+record (per-query warm run lists + two host probes) grew past that
+window and the round's official artifact came back `parsed: null`. So
+the final line is now a COMPACT record pinned under FINAL_LINE_BUDGET
+bytes by tests/test_bench_tools.py, and everything bulky — warm run
+lists, cold timings, host probes, the healthy-window wait log — goes to
+a SIDECAR json file (default BENCH_DETAIL.json next to this script,
+override with $SPARK_GRAFT_BENCH_DETAIL). tools/bench_trend.py reads
+the sidecar shape (it carries every key the old fat stdout line did).
 
 Query set = the operator classes that dominate real workloads: scan+filter,
 shuffled join/agg, top-k, set-agg, status (catalog analytics end-to-end),
@@ -37,6 +49,12 @@ HEADLINE = [
     "events_sessionize",
 ]
 
+# hard byte budget for the one stdout line, pinned by a test against the
+# worst-case record shape (18 max-width timings, weather false, long
+# sidecar path) — chosen to clear the driver's 2000-byte tail with slack
+# for the trailing newline and any stdout the JVM sneaks in after us
+FINAL_LINE_BUDGET = 1500
+
 
 def headline_registry() -> dict:
     """Name → query callable for every HEADLINE entry — the ONE merge
@@ -64,6 +82,15 @@ def headline_registry() -> dict:
     }
 
 
+def _host_probe_mod():
+    tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    import host_probe
+
+    return host_probe
+
+
 def host_condition() -> dict | None:
     """tools/host_probe.py output, or None — best-effort by contract: a
     probe failure must never fail (or delay past ~10 s) a bench run. The
@@ -73,22 +100,97 @@ def host_condition() -> dict | None:
     load signals green, moving identical-code suite totals 17 s <-> 30 s;
     timings without the weather beside them cannot be arbitrated later."""
     try:
-        tools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
-        if tools not in sys.path:
-            sys.path.insert(0, tools)
-        from host_probe import probe
-
-        return probe(size_mb=64)  # ~1 s healthy, bounded under pathology
+        return _host_probe_mod().probe(size_mb=64)  # ~1 s healthy, bounded
     except Exception as e:  # noqa: BLE001 — diagnostics must not kill the bench
         print(f"# host probe failed: {e!r}", file=sys.stderr)
         return None
 
 
+def _weather_verdict(host: dict | None) -> tuple[bool, list[str]]:
+    """host_probe.weather_ok with the same best-effort contract as the
+    probe itself: if the envelope judge can't load, the verdict is
+    (False, [reason]) — an artifact that can't prove its weather doesn't
+    get the benefit of the doubt, but the bench still runs."""
+    try:
+        return _host_probe_mod().weather_ok(host)
+    except Exception as e:  # noqa: BLE001
+        return False, [f"weather judge unavailable: {e!r}"]
+
+
+def wait_for_healthy_window() -> tuple[dict | None, list[dict]]:
+    """Poll the host probe until a HEALTHY window opens, bounded
+    (VERDICT r16 #3): three of the driver's last four bench artifacts
+    were weather-degraded because the bench ran whenever it was invoked,
+    not when the host was in the envelope. Up to
+    $SPARK_GRAFT_WEATHER_TRIES probes (default 10) spaced
+    $SPARK_GRAFT_WEATHER_WAIT_S seconds (default 75) — ~12 min worst
+    case, then the bench proceeds anyway with the degraded probe
+    embedded (the artifact then PROVES no healthy window opened rather
+    than silently measuring weather). Returns (last probe, attempt log);
+    the log rides in the sidecar. Set TRIES=1 to skip waiting."""
+    try:
+        tries = max(1, int(os.environ.get("SPARK_GRAFT_WEATHER_TRIES", "10")))
+    except ValueError:
+        tries = 10
+    try:
+        wait_s = float(os.environ.get("SPARK_GRAFT_WEATHER_WAIT_S", "75"))
+    except ValueError:
+        wait_s = 75.0
+    attempts: list[dict] = []
+    host = None
+    for i in range(tries):
+        host = host_condition()
+        ok, reasons = _weather_verdict(host)
+        attempts.append({"try": i + 1, "ok": ok, "reasons": reasons})
+        if ok:
+            return host, attempts
+        print(
+            f"# weather try {i + 1}/{tries}: outside envelope — {reasons}",
+            file=sys.stderr,
+        )
+        if i < tries - 1:
+            time.sleep(wait_s)
+    return host, attempts
+
+
+def compact_record(
+    total: float,
+    timings: dict[str, float],
+    total_cold: float,
+    sf: object,
+    weather_ok: bool,
+    detail_path: str,
+) -> str:
+    """The ONE final stdout line, as a string — separators=(",",":")
+    (no spaces) buys ~90 bytes on 18 queries; the size-pin test calls
+    this with worst-case values and asserts <= FINAL_LINE_BUDGET."""
+    return json.dumps(
+        {
+            "metric": (
+                "headline suite wall time (noop-materialized, median of 3 warm)"
+            ),
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "value_cold": total_cold,
+            "sf": sf,
+            "weather_ok": weather_ok,
+            "detail": detail_path,
+        },
+        separators=(",", ":"),
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
 
-    host_before = host_condition()
+    host_before, wait_log = wait_for_healthy_window()
 
     from schemamap_spark.session import get_spark
 
@@ -141,8 +243,18 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — shutdown must not kill results
         print(f"# spark.stop failed (results unaffected): {e!r}",
               file=sys.stderr)
-    print(json.dumps({
-        "metric": "headline suite wall time (noop-materialized, median of 3 warm)",
+    host_after = host_condition()
+    ok_before, why_before = _weather_verdict(host_before)
+    ok_after, why_after = _weather_verdict(host_after)
+
+    # the FAT record — everything tools/bench_trend.py's --gate /
+    # --weather / dispersion verdicts consume — goes to the sidecar;
+    # it carries the same keys the pre-r17 stdout line did, plus the
+    # healthy-window wait log and both weather verdicts
+    fat = {
+        "metric": (
+            "headline suite wall time (noop-materialized, median of 3 warm)"
+        ),
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -161,8 +273,25 @@ def main() -> None:
         # before Spark starts and after the last query, so a mid-run
         # regime flip shows as before/after disagreement
         "host": host_before,
-        "host_after": host_condition(),
-    }))
+        "host_after": host_after,
+        "weather": {
+            "before": {"ok": ok_before, "reasons": why_before},
+            "after": {"ok": ok_after, "reasons": why_after},
+            "wait_log": wait_log,
+        },
+    }
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(fat, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        # sidecar is diagnostics; the driver contract is the stdout line
+        print(f"# sidecar write failed: {e!r}", file=sys.stderr)
+        detail_path = f"unwritable: {detail_path}"
+    print(compact_record(
+        total, timings, fat["value_cold"], fat["sf"],
+        ok_before and ok_after, detail_path,
+    ))
 
 
 if __name__ == "__main__":
