@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -443,8 +444,6 @@ def _load_manifest(index_dir: str, fs=None) -> dict:
     derive from old state and claim an already-pruned version slot —
     a forked history whose entries silently vanish from the head (the
     16-thread probe caught exactly that; this raises instead)."""
-    import time
-
     fs = fs or _fs_for(index_dir)
     last_err = None
     for attempt in range(10):
@@ -566,7 +565,6 @@ def _commit_manifest_merge(
     lockstep, and one committer can starve through all `retries` rounds
     (seen once at 24 uncoordinated threads — ann_race_probe)."""
     import random
-    import time
 
     _check_format(index_dir, fs)
     for attempt in range(retries):
@@ -907,13 +905,33 @@ def _clear_superseded(index_dir: str, names, fs) -> None:
             # ghosts) — abort instead of burning a version claim on a
             # byte-identical ledger (review r16 pass 8)
             return None
-        return {**head, "superseded": kept}
+        new = {**head, "superseded": kept}
+        ts = head.get("superseded_ts")
+        if isinstance(ts, dict):
+            # a name's grace stamp leaves with the name; stamps for
+            # names a rival keeps ledgered stay untouched
+            new["superseded_ts"] = {
+                n: t for n, t in ts.items() if n not in gone
+            }
+        return new
 
     _commit_manifest_merge(index_dir, merge, fs)
 
 
+# minimum age (seconds, from the per-entry superseded_ts stamp) before a
+# compact's opening sweep may collect a grace dir (ADVICE r16): spaced
+# scheduled compacts (minutes+ apart) are unaffected; a DOUBLE-FIRED
+# scheduler's second sweep finds only seconds-old entries, skips them
+# all, and the reader grace window survives the accident. 30 s bounds
+# the manifest-resolve→dir-open gap of any real search plan (the window
+# the grace period exists for is milliseconds); age-based reclaim for
+# long-running readers is ann_index_gc(grace_max_age=...)'s job.
+MIN_SWEEP_AGE_S = 30.0
+
+
 def ann_index_compact(
-    spark: SparkSession, index_dir: str, grace: bool = True
+    spark: SparkSession, index_dir: str, grace: bool = True,
+    min_sweep_age: float = MIN_SWEEP_AGE_S,
 ) -> int:
     """Fold all committed APPEND batches into one code dir — the store's
     small-file debt collector: after N daily appends every search opens
@@ -954,24 +972,27 @@ def ann_index_compact(
     own unreferenced output dir, and retries against the fresh head
     (bounded; a pathological rival storm bows out as a 0 no-op while
     the winners make the progress). Still schedule ONE compactor: two
-    do redundant union work, a rival's grace sweep can delete dirs out
-    from under the loser's in-flight union (crashing it loudly — safe,
-    nothing committed), and — the real reason — the reader grace bound
-    is "superseded dirs survive until the NEXT compact", so a
-    double-fired scheduler runs that next compact IMMEDIATELY: the
-    second compact's opening sweep collects the first's grace dirs
-    milliseconds after they were superseded, and a search that resolved
-    the pre-fold manifest can crash on the vanished dirs. The r16 guard
-    makes a double-fire unable to CORRUPT the store (exactly-once
-    contents, no duplicate folds); it does not extend the reader grace
-    window, which needs operator-spaced compactions exactly as before
-    (or age-based reclaim via ann_index_gc(grace_max_age=...) with
-    compacts that never sweep early — i.e. spacing).
+    do redundant union work, and a rival's grace sweep of RIPE dirs can
+    delete inputs out from under the loser's in-flight union (crashing
+    it loudly — safe, nothing committed). The double-fire reader hazard
+    the r16 contract documented as an operator-spacing assumption is
+    now enforced IN CODE (ADVICE r16): the opening sweep is AGE-GATED
+    by `min_sweep_age` (default MIN_SWEEP_AGE_S) over per-entry
+    `superseded_ts` stamps, so a second compactor fired milliseconds
+    after its rival's commit finds only seconds-old ledger entries,
+    sweeps nothing, and the reader grace window survives. The r16 guard
+    already made a double-fire unable to CORRUPT the store (exactly-once
+    contents, no duplicate folds); the age gate extends that to the
+    reader window. `min_sweep_age=0` restores the unconditional sweep
+    for stores where the caller IS the spacing (tests, single-process
+    maintenance loops that sleep between compacts).
 
     Reader race, closed by the GRACE PERIOD (default): superseded batch
     dirs are NOT deleted at commit — they're recorded in the manifest's
-    `superseded` list and survive until the NEXT compact (or an explicit
-    ann_index_gc(delete_superseded=True)), so a search that resolved the
+    `superseded` list and survive until the next compact whose opening
+    sweep finds them older than min_sweep_age (or an explicit
+    ann_index_gc(delete_superseded=True) / per-entry-aged
+    ann_index_gc(grace_max_age=...)), so a search that resolved the
     OLD manifest just before the commit still finds every dir it plans to
     read. No reader ever consults `superseded` for routing; it is purely
     the deferred-delete ledger. `grace=False` restores eager deletion for
@@ -980,10 +1001,15 @@ def ann_index_compact(
     def fold(paths: list, tmp_dir: str) -> None:
         spark.read.parquet(*paths).write.mode("overwrite").parquet(tmp_dir)
 
-    return _compact_dirs(index_dir, _fs_for(index_dir, spark), fold, grace)
+    return _compact_dirs(
+        index_dir, _fs_for(index_dir, spark), fold, grace, min_sweep_age
+    )
 
 
-def _compact_dirs(index_dir: str, fs, fold_fn, grace: bool = True) -> int:
+def _compact_dirs(
+    index_dir: str, fs, fold_fn, grace: bool = True,
+    min_sweep_age: float = MIN_SWEEP_AGE_S,
+) -> int:
     """_compact_dirs_once with a bounded RETRY on rival loss (review
     r16): a lost fold means a rival folded our inputs first, but the
     fresh head can still hold >= 2 foldable dirs (the rival's output
@@ -1009,6 +1035,7 @@ def _compact_dirs(index_dir: str, fs, fold_fn, grace: bool = True) -> int:
         n = _compact_dirs_once(
             index_dir, fs, fold_fn, grace,
             sweep_grace=(attempt == 0), swept_ghosts=ghosts,
+            min_sweep_age=min_sweep_age,
         )
         if n is not None:
             return n
@@ -1018,6 +1045,7 @@ def _compact_dirs(index_dir: str, fs, fold_fn, grace: bool = True) -> int:
 def _compact_dirs_once(
     index_dir: str, fs, fold_fn, grace: bool = True,
     sweep_grace: bool = True, swept_ghosts: set | None = None,
+    min_sweep_age: float = MIN_SWEEP_AGE_S,
 ) -> int | None:
     """ONE pass of the compaction manifest dance with the data fold
     INJECTED — `fold_fn(paths, tmp_dir)` writes the union of the batch
@@ -1047,9 +1075,33 @@ def _compact_dirs_once(
         swept_ghosts = set()
     if sweep_grace:
         # dirs superseded by the PREVIOUS compact have had a full cycle
-        # of grace — collect them now, before this round's fold
-        swept_ghosts.update(manifest.get("superseded", ()))
-        for name in swept_ghosts:
+        # of grace — collect them now, before this round's fold. AGE
+        # GATE (ADVICE r16): "the previous compact" assumes scheduler
+        # spacing; a DOUBLE-FIRED compactor arrives milliseconds after
+        # its rival's commit and an unconditional sweep here would
+        # delete dirs that old-manifest readers are still scanning.
+        # Entries younger than min_sweep_age (per-entry superseded_ts
+        # stamp, falling back to the manifest-level superseded_at, and
+        # treating UNSTAMPED entries as ripe — they are eager-mode
+        # ghosts or pre-stamp legacy, both already past their window)
+        # stay ledgered for a later, properly-spaced sweep: the double
+        # fire degrades to a no-op sweep instead of a reader-visible
+        # deletion.
+        stamps = manifest.get("superseded_ts")
+        stamps = stamps if isinstance(stamps, dict) else {}
+        fallback = manifest.get("superseded_at")
+        now = time.time()
+        ripe = set()
+        for name in manifest.get("superseded", ()):
+            t = stamps.get(name, fallback)
+            if (
+                not isinstance(t, (int, float))
+                or isinstance(t, bool)
+                or (now - t) >= min_sweep_age
+            ):
+                ripe.add(name)
+        swept_ghosts.update(ripe)
+        for name in ripe:
             fs.delete(join(index_dir, name))
     batches = [d for d in manifest["dirs"] if d["name"] != _CODES]
     if len(batches) < 2:
@@ -1093,8 +1145,6 @@ def _compact_dirs_once(
         # idempotency tokens survive compaction — a late replay of a batch
         # whose dir was folded away must still be recognized as committed
         folded["batch_tokens"] = sorted(tokens)
-    import time
-
     folded_names = {d["name"] for d in batches}
     lost_to_rival = [False]
 
@@ -1122,6 +1172,28 @@ def _compact_dirs_once(
             if d["name"] != _CODES and d["name"] not in folded_names
         ]
         codes_entries = [d for d in head["dirs"] if d["name"] == _CODES]
+        # the new grace ledger and its per-entry stamps (see the return
+        # dict's comments): names THIS CALL swept leave, this fold's
+        # inputs enter, a rival's live entries stay WITH their stamps
+        ledger_names = (
+            set(head.get("superseded", ())) - swept_ghosts
+        ) | folded_names
+        head_ts = head.get("superseded_ts")
+        head_ts = head_ts if isinstance(head_ts, dict) else {}
+        legacy_stamp = head.get("superseded_at")
+        now_s = int(time.time())
+        ledger_ts = {}
+        for n in sorted(ledger_names):
+            if n in head_ts:
+                ledger_ts[n] = head_ts[n]
+            elif n in folded_names:
+                if grace:
+                    ledger_ts[n] = now_s
+            elif (
+                isinstance(legacy_stamp, (int, float))
+                and not isinstance(legacy_stamp, bool)
+            ):
+                ledger_ts[n] = legacy_stamp
         return {
             **head,
             # the folded names enter the superseded ledger in BOTH modes:
@@ -1142,15 +1214,22 @@ def _compact_dirs_once(
             # sweep into the committing one) are ghosts and leave;
             # anything a rival ledgered after our read stays.
             "dirs": codes_entries + [folded] + kept,
-            "superseded": sorted(
-                (set(head.get("superseded", ())) - swept_ghosts)
-                | folded_names
-            ),
-            # when the grace period STARTED — lets ann_index_gc(
-            # grace_max_age=...) reclaim by age on stores that compact
-            # rarely, instead of pinning superseded dirs until the next
-            # compact cycle
-            **({"superseded_at": int(time.time())} if grace else {}),
+            "superseded": sorted(ledger_names),
+            # PER-ENTRY grace stamps (ADVICE r16): the manifest-level
+            # superseded_at is rewritten to NOW on every grace commit,
+            # so on a frequently-compacting store age-based reclaim
+            # (gc grace_max_age, the opening-sweep age gate) would never
+            # see an entry age out through the single stamp alone. Each
+            # ledger name keeps ITS OWN stamp across merges; kept names
+            # that predate per-entry tracking inherit the head's old
+            # manifest-level stamp BEFORE this commit bumps it; this
+            # fold's names are stamped now in grace mode and left
+            # UNSTAMPED in eager mode (unstamped = no grace claim = ripe
+            # for the next sweep — exactly how eager ghosts behaved).
+            "superseded_ts": ledger_ts,
+            # manifest-level stamp kept as the legacy fallback for
+            # ledgers written before per-entry tracking
+            **({"superseded_at": now_s} if grace else {}),
         }
 
     _commit_manifest_merge(index_dir, merge, fs)
@@ -1208,12 +1287,18 @@ def ann_index_gc(
 
     `delete_superseded=True` reclaims the grace-period dirs early (safe
     once no reader that started before the last compact is still
-    running). `grace_max_age=SECONDS` reclaims them only once the grace
-    period is at least that old (from the `superseded_at` stamp the
-    compact wrote) — the age-based middle ground for stores that compact
-    rarely, where "survive one compact cycle" could pin superseded dirs
-    for days while any old-manifest reader is long gone. Never touches
-    `codes/`, meta, or committed batch dirs.
+    running). `grace_max_age=SECONDS` reclaims PER ENTRY, each once its
+    own grace period is at least that old — from the per-name
+    `superseded_ts` stamp (ADVICE r16: the manifest-level
+    `superseded_at` is bumped on every grace commit, so on a
+    frequently-compacting store a whole-ledger age test would never
+    fire; per-entry stamps survive merges and age independently).
+    Entries without a per-entry stamp fall back to the manifest-level
+    stamp; entries with NEITHER are kept — an age that cannot be proven
+    is not old enough. The age-based middle ground for stores that
+    compact rarely, where "survive one compact cycle" could pin
+    superseded dirs for days while any old-manifest reader is long
+    gone. Never touches `codes/`, meta, or committed batch dirs.
 
     EXCLUSIVE operation: GC must not run beside an in-flight append or
     compact — it would delete a renamed-but-not-yet-committed batch dir
@@ -1226,13 +1311,21 @@ def ann_index_gc(
     manifest = _load_manifest(index_dir, fs)
     referenced = {d["name"] for d in manifest["dirs"]}
     superseded = set(manifest.get("superseded", []))
-    if grace_max_age is not None and not delete_superseded:
-        import time
+    ts_map = manifest.get("superseded_ts")
+    ts_map = ts_map if isinstance(ts_map, dict) else {}
+    legacy_stamp = manifest.get("superseded_at")
+    now = time.time()
 
-        stamped = manifest.get("superseded_at")
-        delete_superseded = (
-            stamped is not None and (time.time() - stamped) >= grace_max_age
-        )
+    def _grace_reclaimable(name: str) -> bool:
+        if delete_superseded:
+            return True
+        if grace_max_age is None:
+            return False
+        t = ts_map.get(name, legacy_stamp)
+        if not isinstance(t, (int, float)) or isinstance(t, bool):
+            return False  # unprovable age: keep (fail-safe)
+        return (now - t) >= grace_max_age
+
     deleted: list[str] = []
     for name in fs.listdir(index_dir):
         if name in referenced or name in (_META, _MANIFEST) or name == _CODES:
@@ -1249,13 +1342,13 @@ def ann_index_gc(
             or (name.startswith("batch_") and name not in superseded)
         )
         if name in superseded:
-            if not delete_superseded:
+            if not _grace_reclaimable(name):
                 continue
             is_debris = True
         if is_debris:
             fs.delete(join(index_dir, name))
             deleted.append(name)
-    if delete_superseded and superseded:
+    if superseded & set(deleted):
         # only the names GC actually deleted leave the ledger (a racing
         # commit is preserved by the merge loop inside _clear_superseded)
         _clear_superseded(index_dir, deleted, fs)

@@ -336,8 +336,11 @@ def test_compact_folds_batches_preserving_search_and_drift(spark, emb, tmp_path)
     assert after == before
     assert ann_index_drift(idx) == drift_before
 
-    # a second compact is a fold no-op but collects the grace-expired dirs
-    assert ann_index_compact(spark, idx) == 0
+    # a second compact is a fold no-op but collects the grace-expired
+    # dirs — min_sweep_age=0 stands in for scheduler spacing (the
+    # default age gate would rightly skip seconds-old entries; its own
+    # behavior is pinned in test_opening_sweep_age_gated below)
+    assert ann_index_compact(spark, idx, min_sweep_age=0) == 0
     on_disk2 = {d for d in os.listdir(idx) if d.startswith("batch_")}
     assert on_disk2 == {dirs[1]["name"]}
     with open(os.path.join(idx, "manifest.json")) as f:
@@ -1034,7 +1037,8 @@ def test_remerge_recognizes_folded_entry(spark, emb, tmp_path):
         (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
     )
     assert ann_index_append(extra, idx) is True
-    assert ann_index_compact(spark, idx) == 2
+    # min_sweep_age=0: this compact stands in for the NEXT scheduled one
+    assert ann_index_compact(spark, idx, min_sweep_age=0) == 2
     head = ai._load_manifest(idx, fs)
     assert entry["name"] not in head["superseded"]
     assert not fs.exists(os.path.join(idx, entry["name"]))
@@ -1380,7 +1384,9 @@ def test_no_fold_sweep_clear_fault_cannot_fail_compact(
         raise ai.ConcurrentWriteError("claim lost every retry")
 
     monkeypatch.setattr(ai, "_clear_superseded", boom)
-    assert ann_index_compact(spark, idx) == 0  # sweep ran; no error
+    # min_sweep_age=0 on both: these compacts stand in for properly
+    # spaced scheduled ones (the default age gate is pinned separately)
+    assert ann_index_compact(spark, idx, min_sweep_age=0) == 0  # sweep ran
     monkeypatch.undo()
     # the grace dirs were collected by the sweep even though the clear
     # failed; ghosts remain and the next compact clears them
@@ -1389,7 +1395,7 @@ def test_no_fold_sweep_clear_fault_cannot_fail_compact(
 
     for n in head["superseded"]:
         assert not os.path.exists(os.path.join(idx, n))
-    assert ann_index_compact(spark, idx) == 0
+    assert ann_index_compact(spark, idx, min_sweep_age=0) == 0
     assert ai._load_manifest(idx).get("superseded", []) == []
     assert ann_index_search(spark, idx, _q(emb), k=5).count() > 0
 
@@ -1661,7 +1667,11 @@ def test_rival_compact_retry_restores_fixed_point(tmp_path):
     committed = {d["name"] for d in batch_dirs}
     assert on_disk == committed | set(head.get("superseded", []))
     # a NEXT scheduled compact's sweep finally collects the grace dirs
-    assert ai._compact_dirs(index_dir, fs, inner_fold) == 0  # 1 batch: no-op
+    # (min_sweep_age=0 stands in for the scheduler spacing the default
+    # age gate enforces)
+    assert ai._compact_dirs(
+        index_dir, fs, inner_fold, min_sweep_age=0
+    ) == 0  # 1 batch: no-op
     for name in originals:
         assert not os.path.exists(os.path.join(index_dir, name)), name
     assert batch_dirs[0]["batch_tokens"] == [
@@ -1773,8 +1783,9 @@ def test_lost_sweep_pass_still_clears_its_ghosts(tmp_path):
 
     # B's attempt 0 sweeps the originals (deleting their dirs), loses to
     # the rival, and the retry finds ONE batch dir -> no-op path, which
-    # must clear exactly the swept ghosts
-    assert ai._compact_dirs(index_dir, fs, b_fold) == 0
+    # must clear exactly the swept ghosts. min_sweep_age=0: B stands in
+    # for a properly spaced scheduled compact whose sweep is due
+    assert ai._compact_dirs(index_dir, fs, b_fold, min_sweep_age=0) == 0
     for name in originals:
         assert not os.path.exists(os.path.join(index_dir, name)), name
     head = ai._load_manifest(index_dir, fs)
@@ -1782,3 +1793,137 @@ def test_lost_sweep_pass_still_clears_its_ghosts(tmp_path):
     assert ledger == set(survivors)  # rival's live grace; no ghosts
     for name in survivors:
         assert os.path.isdir(os.path.join(index_dir, name)), name
+
+
+def test_opening_sweep_age_gated(tmp_path):
+    """ADVICE r16: the opening grace sweep is age-gated per entry, so a
+    DOUBLE-FIRED compactor arriving milliseconds after its rival's
+    commit degrades to a no-op sweep instead of deleting dirs that
+    old-manifest readers still scan. Ripe entries (stamp older than
+    min_sweep_age) are still collected by the same sweep; each kept
+    entry's superseded_ts stamp survives the merge UNCHANGED (the old
+    single manifest-level stamp was bumped to now on every commit,
+    which would have deferred age-based reclaim forever)."""
+    import os
+
+    from schemamap_spark.operators import ann_index as ai
+
+    index_dir = str(tmp_path / "store")
+    fs = _fs_bootstrap_store(index_dir)
+    gen1 = [
+        _fs_append_text(index_dir, fs, f"tok-{i}", f"0:tok-{i}\n")
+        for i in range(3)
+    ]
+    fold = _text_fold(fs)
+    assert ai._compact_dirs(index_dir, fs, fold) == 3
+    head = ai._load_manifest(index_dir, fs)
+    assert set(head["superseded"]) == set(gen1)
+    ts1 = dict(head["superseded_ts"])
+    assert set(ts1) == set(gen1)
+
+    # immediate second compact (the double-fire shape): two fresh
+    # appends make it foldable, but the seconds-old gen1 ledger entries
+    # must survive — on disk, in the ledger, with their ORIGINAL stamps
+    for i in range(2):
+        _fs_append_text(index_dir, fs, f"tok-x{i}", f"0:tok-x{i}\n")
+    assert ai._compact_dirs(index_dir, fs, fold) == 3
+    head = ai._load_manifest(index_dir, fs)
+    assert set(gen1) <= set(head["superseded"])
+    for name in gen1:
+        assert os.path.isdir(os.path.join(index_dir, name)), name
+        assert head["superseded_ts"][name] == ts1[name]  # not re-stamped
+    gen2 = set(head["superseded"]) - set(gen1)
+    assert gen2  # the second fold's inputs joined the ledger, stamped
+    assert all(n in head["superseded_ts"] for n in gen2)
+
+    # backdate gen1 through the real commit path (stands in for the
+    # passage of min_sweep_age), then a third compact's sweep collects
+    # exactly the ripe generation and keeps the fresh one
+    def backdate(h):
+        ts = dict(h.get("superseded_ts", {}))
+        for n in gen1:
+            ts[n] = ts[n] - 10 * ai.MIN_SWEEP_AGE_S
+        return {**h, "superseded_ts": ts}
+
+    ai._commit_manifest_merge(index_dir, backdate, fs)
+    _fs_append_text(index_dir, fs, "tok-y", "0:tok-y\n")
+    assert ai._compact_dirs(index_dir, fs, fold) == 2
+    head = ai._load_manifest(index_dir, fs)
+    for name in gen1:  # ripe: swept and cleared
+        assert not os.path.exists(os.path.join(index_dir, name)), name
+        assert name not in head["superseded"]
+        assert name not in head["superseded_ts"]
+    for name in gen2:  # still young: kept on disk and ledgered
+        assert os.path.isdir(os.path.join(index_dir, name)), name
+        assert name in head["superseded"]
+    # content reached the head exactly once through every fold
+    batch_dirs = [d for d in head["dirs"] if d["name"] != "codes"]
+    lines = []
+    for d in batch_dirs:
+        p = os.path.join(index_dir, d["name"])
+        for nm in sorted(os.listdir(p)):
+            lines.extend(
+                ln for ln in open(os.path.join(p, nm)).read().splitlines()
+                if ln
+            )
+    assert sorted(lines) == sorted(
+        [f"0:tok-{i}" for i in range(3)]
+        + ["0:tok-x0", "0:tok-x1", "0:tok-y"]
+    )
+
+
+def test_gc_grace_max_age_reclaims_per_entry(tmp_path):
+    """ADVICE r16: gc(grace_max_age=...) ages each ledger entry from its
+    OWN superseded_ts stamp, so on a store that compacts frequently the
+    old entries still age out while fresh ones stay — the single
+    manifest-level stamp (bumped every commit) made the whole ledger
+    perpetually young. Unstamped entries are kept: an age that cannot
+    be proven is not old enough."""
+    import os
+
+    from schemamap_spark.operators import ann_index as ai
+
+    index_dir = str(tmp_path / "store")
+    fs = _fs_bootstrap_store(index_dir)
+    gen1 = [
+        _fs_append_text(index_dir, fs, f"tok-{i}", f"0:tok-{i}\n")
+        for i in range(2)
+    ]
+    fold = _text_fold(fs)
+    assert ai._compact_dirs(index_dir, fs, fold) == 2
+    for i in range(2):
+        _fs_append_text(index_dir, fs, f"tok-x{i}", f"0:tok-x{i}\n")
+    assert ai._compact_dirs(index_dir, fs, fold) == 3
+    head = ai._load_manifest(index_dir, fs)
+    gen2 = set(head["superseded"]) - set(gen1)
+    assert set(gen1) <= set(head["superseded"]) and gen2
+
+    # age only gen1 (real commit path), leave gen2 fresh and strip one
+    # gen2 name's stamp entirely to pin the unprovable-age branch
+    unstamped = sorted(gen2)[0]
+
+    def age_gen1(h):
+        ts = {
+            n: t for n, t in h.get("superseded_ts", {}).items()
+            if n != unstamped
+        }
+        for n in gen1:
+            ts[n] = ts[n] - 1000
+        return {**h, "superseded_ts": ts}
+
+    ai._commit_manifest_merge(index_dir, age_gen1, fs)
+
+    deleted = ai.ann_index_gc(index_dir, grace_max_age=500)
+    assert set(deleted) == set(gen1)  # only the aged generation
+    head = ai._load_manifest(index_dir, fs)
+    assert set(head["superseded"]) == gen2  # fresh + unstamped kept
+    assert set(head["superseded_ts"]) == gen2 - {unstamped}
+    for name in gen2:
+        assert os.path.isdir(os.path.join(index_dir, name)), name
+    for name in gen1:
+        assert not os.path.exists(os.path.join(index_dir, name)), name
+    # delete_superseded=True still reclaims everything, stamps and all
+    deleted = ai.ann_index_gc(index_dir, delete_superseded=True)
+    assert set(deleted) == gen2
+    head = ai._load_manifest(index_dir, fs)
+    assert head["superseded"] == [] and head.get("superseded_ts") == {}

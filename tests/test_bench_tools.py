@@ -699,3 +699,30 @@ def test_wait_for_healthy_window_bounded(monkeypatch):
     assert host == {"h": 2} and len(log) == 3
     assert all(not a["ok"] for a in log)
     assert len(slept) == 2  # no sleep after the final try
+
+
+def test_out_probe_unlink_failure_names_stranded_file(
+    bench_isolated, monkeypatch, tmp_path
+):
+    """ADVICE r16: O_EXCL create succeeds but the cleanup unlink fails
+    (exotic: dir flipped immutable/sticky between the calls) — the old
+    path exited 'not writable' while silently stranding the 0-byte probe
+    artifact, the exact spurious file the probe exists to prevent. The
+    refusal must NAME the leftover so the operator knows it's there."""
+    out = tmp_path / "r.json"
+
+    def stuck_unlink(path):
+        raise PermissionError(1, "Operation not permitted", str(path))
+
+    monkeypatch.setattr(bench_isolated.os, "unlink", stuck_unlink)
+    monkeypatch.setattr(
+        bench_isolated.sys,
+        "argv",
+        ["bench_isolated.py", "--suite", "2", "--out", str(out)],
+    )
+    with pytest.raises(SystemExit) as ei:
+        bench_isolated.main()
+    msg = str(ei.value)
+    assert str(out) in msg and "could not remove" in msg and "remains" in msg
+    assert "not writable" not in msg  # the path IS writable — say what happened
+    assert out.exists() and out.stat().st_size == 0  # the named leftover

@@ -310,6 +310,20 @@ def main() -> None:
                     os.unlink(target)
                 except FileNotFoundError:
                     pass  # raced away again — nothing of ours remains
+                except OSError as e:
+                    # create succeeded but the delete didn't (exotic:
+                    # dir went immutable/sticky between the calls) — the
+                    # path may well be writable, but the probe can no
+                    # longer uphold its own contract ("an aborted run
+                    # leaves no file"): its 0-byte artifact is stuck on
+                    # disk. Refuse LOUDLY and NAME the leftover instead
+                    # of exiting "not writable" with a silent stranded
+                    # file (ADVICE r16).
+                    raise SystemExit(
+                        f"--out probe created {target!r} but could not "
+                        f"remove it ({e}); a 0-byte probe artifact "
+                        f"remains — delete it and retry"
+                    )
                 break
         except OSError as e:
             raise SystemExit(f"--out path {out!r} is not writable: {e}")
