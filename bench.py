@@ -144,6 +144,20 @@ def wait_for_healthy_window() -> tuple[dict | None, list[dict]]:
         attempts.append({"try": i + 1, "ok": ok, "reasons": reasons})
         if ok:
             return host, attempts
+        if host is None or (
+            reasons and reasons[0].startswith("weather judge unavailable")
+        ):
+            # the PROBE or the JUDGE is absent (import failure, /proc
+            # unavailable), not the weather bad — polling cannot change
+            # that, and host_condition's contract is 'a probe failure
+            # must never delay a bench run past ~10 s' (review r17:
+            # 10 futile tries here meant ~11 min of dead wait on any
+            # box without the probe)
+            print(
+                f"# weather wait skipped (probe unavailable): {reasons}",
+                file=sys.stderr,
+            )
+            return host, attempts
         print(
             f"# weather try {i + 1}/{tries}: outside envelope — {reasons}",
             file=sys.stderr,
@@ -163,22 +177,44 @@ def compact_record(
 ) -> str:
     """The ONE final stdout line, as a string — separators=(",",":")
     (no spaces) buys ~90 bytes on 18 queries; the size-pin test calls
-    this with worst-case values and asserts <= FINAL_LINE_BUDGET."""
-    return json.dumps(
-        {
-            "metric": (
-                "headline suite wall time (noop-materialized, median of 3 warm)"
-            ),
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "value_cold": total_cold,
-            "sf": sf,
-            "weather_ok": weather_ok,
-            "detail": detail_path,
-        },
-        separators=(",", ":"),
-    )
+    this with worst-case values and asserts <= FINAL_LINE_BUDGET.
+
+    The budget is ENFORCED here, not just tested (review r17): the two
+    env-driven strings (sidecar path, non-numeric sf dir) are unbounded
+    and could push the line past the driver's tail again — exactly the
+    parsed:null failure this record exists to fix. sf degrades to a
+    64-char tail; an over-budget line degrades to the sidecar BASENAME
+    (truncated), then drops the per-query map (the sidecar keeps it) —
+    value/weather_ok always survive."""
+    if not isinstance(sf, (int, float)):
+        sf = str(sf)[-64:]
+
+    def build(detail: str, queries: dict) -> str:
+        return json.dumps(
+            {
+                "metric": (
+                    "headline suite wall time "
+                    "(noop-materialized, median of 3 warm)"
+                ),
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "value_cold": total_cold,
+                "sf": sf,
+                "weather_ok": weather_ok,
+                "detail": detail,
+            },
+            separators=(",", ":"),
+        )
+
+    line = build(detail_path, timings)
+    if len(line) <= FINAL_LINE_BUDGET:
+        return line
+    short = os.path.basename(str(detail_path))[-128:]
+    line = build(short, timings)
+    if len(line) <= FINAL_LINE_BUDGET:
+        return line
+    return build(short, {})
 
 
 def main() -> None:
@@ -244,7 +280,10 @@ def main() -> None:
         print(f"# spark.stop failed (results unaffected): {e!r}",
               file=sys.stderr)
     host_after = host_condition()
-    ok_before, why_before = _weather_verdict(host_before)
+    # the wait loop's LAST attempt judged exactly the probe it returned —
+    # reuse that verdict instead of re-judging the same dict (review r17)
+    ok_before = bool(wait_log) and wait_log[-1]["ok"]
+    why_before = wait_log[-1]["reasons"] if wait_log else ["no wait log"]
     ok_after, why_after = _weather_verdict(host_after)
 
     # the FAT record — everything tools/bench_trend.py's --gate /

@@ -929,6 +929,16 @@ def _clear_superseded(index_dir: str, names, fs) -> None:
 MIN_SWEEP_AGE_S = 30.0
 
 
+def _valid_stamp(t) -> bool:
+    """One predicate for 'this superseded stamp is a usable epoch
+    number' shared by the opening sweep, the merge's legacy-stamp
+    promotion, and gc's age reclaim (review r17) — three hand-copied
+    variants would have to agree for ledger semantics to agree, and an
+    asymmetry slipped in once already (sweep read malformed as ripe,
+    gc read it as keep). bool is an int but not a measurement."""
+    return isinstance(t, (int, float)) and not isinstance(t, bool)
+
+
 def ann_index_compact(
     spark: SparkSession, index_dir: str, grace: bool = True,
     min_sweep_age: float = MIN_SWEEP_AGE_S,
@@ -1093,13 +1103,19 @@ def _compact_dirs_once(
         now = time.time()
         ripe = set()
         for name in manifest.get("superseded", ()):
-            t = stamps.get(name, fallback)
-            if (
-                not isinstance(t, (int, float))
-                or isinstance(t, bool)
-                or (now - t) >= min_sweep_age
-            ):
+            t = stamps[name] if name in stamps else fallback
+            if _valid_stamp(t):
+                if (now - t) >= min_sweep_age:
+                    ripe.add(name)
+            elif name not in stamps and fallback is None:
+                # stamped NOWHERE: an eager-mode ghost or a pre-stamp
+                # legacy entry — both already past their grace window,
+                # ripe by construction (the pre-r17 behavior)
                 ripe.add(name)
+            # else: a PRESENT-but-malformed stamp (hand edit, external
+            # tool) — age unprovable, KEEP, matching gc's fail-safe
+            # direction (review r17: ripe-on-malformed would collapse
+            # the very reader window the gate protects)
         swept_ghosts.update(ripe)
         for name in ripe:
             fs.delete(join(index_dir, name))
@@ -1189,10 +1205,7 @@ def _compact_dirs_once(
             elif n in folded_names:
                 if grace:
                     ledger_ts[n] = now_s
-            elif (
-                isinstance(legacy_stamp, (int, float))
-                and not isinstance(legacy_stamp, bool)
-            ):
+            elif _valid_stamp(legacy_stamp):
                 ledger_ts[n] = legacy_stamp
         return {
             **head,
@@ -1322,7 +1335,7 @@ def ann_index_gc(
         if grace_max_age is None:
             return False
         t = ts_map.get(name, legacy_stamp)
-        if not isinstance(t, (int, float)) or isinstance(t, bool):
+        if not _valid_stamp(t):
             return False  # unprovable age: keep (fail-safe)
         return (now - t) >= grace_max_age
 

@@ -1909,7 +1909,12 @@ def test_gc_grace_max_age_reclaims_per_entry(tmp_path):
         }
         for n in gen1:
             ts[n] = ts[n] - 1000
-        return {**h, "superseded_ts": ts}
+        new = {**h, "superseded_ts": ts}
+        # drop the manifest-level fallback too, or the unstamped name
+        # would be judged by the recent superseded_at instead of the
+        # unprovable-age fail-safe this test exists to pin (review r17)
+        new.pop("superseded_at", None)
+        return new
 
     ai._commit_manifest_merge(index_dir, age_gen1, fs)
 
@@ -1927,3 +1932,48 @@ def test_gc_grace_max_age_reclaims_per_entry(tmp_path):
     assert set(deleted) == gen2
     head = ai._load_manifest(index_dir, fs)
     assert head["superseded"] == [] and head.get("superseded_ts") == {}
+
+
+def test_opening_sweep_keeps_malformed_stamp(tmp_path):
+    """Review r17: a PRESENT-but-malformed superseded_ts stamp (hand
+    edit, external tool) reads 'age unprovable — keep', the same
+    fail-direction as gc, NOT 'ripe' — ripe-on-malformed would collapse
+    the reader grace window the age gate protects. Absent-everywhere
+    stays ripe (eager ghosts)."""
+    import os
+
+    from schemamap_spark.operators import ann_index as ai
+
+    index_dir = str(tmp_path / "store")
+    fs = _fs_bootstrap_store(index_dir)
+    gen1 = [
+        _fs_append_text(index_dir, fs, f"tok-{i}", f"0:tok-{i}\n")
+        for i in range(2)
+    ]
+    fold = _text_fold(fs)
+    assert ai._compact_dirs(index_dir, fs, fold) == 2
+    poisoned, healthy = sorted(gen1)
+
+    def poison(h):
+        ts = dict(h.get("superseded_ts", {}))
+        ts[poisoned] = str(ts[poisoned])  # a stringified epoch
+        ts[healthy] = ts[healthy] - 1000  # genuinely ripe
+        new = {**h, "superseded_ts": ts}
+        new.pop("superseded_at", None)  # no fallback rescue
+        return new
+
+    ai._commit_manifest_merge(index_dir, poison, fs)
+    _fs_append_text(index_dir, fs, "tok-x", "0:tok-x\n")
+    # even with min_sweep_age=0 the malformed entry is kept; the ripe
+    # valid one is collected
+    assert ai._compact_dirs(index_dir, fs, fold, min_sweep_age=0) == 2
+    head = ai._load_manifest(index_dir, fs)
+    assert os.path.isdir(os.path.join(index_dir, poisoned))
+    assert poisoned in head["superseded"]
+    assert not os.path.exists(os.path.join(index_dir, healthy))
+    assert healthy not in head["superseded"]
+    # and gc's age path agrees: unprovable age is never reclaimed (the
+    # second compact's own fresh-stamped entries reclaim fine at age 0)
+    assert poisoned not in ai.ann_index_gc(index_dir, grace_max_age=0)
+    assert os.path.isdir(os.path.join(index_dir, poisoned))
+    assert poisoned in ai._load_manifest(index_dir, fs)["superseded"]

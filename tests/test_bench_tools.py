@@ -726,3 +726,63 @@ def test_out_probe_unlink_failure_names_stranded_file(
     assert str(out) in msg and "could not remove" in msg and "remains" in msg
     assert "not writable" not in msg  # the path IS writable — say what happened
     assert out.exists() and out.stat().st_size == 0  # the named leftover
+
+
+def test_final_line_budget_enforced_at_runtime():
+    """Review r17: the budget must hold for env-driven unbounded strings
+    (sidecar path, non-numeric sf dir), not just the test's fixed
+    inputs — degrade ladder: full -> sidecar basename -> drop the
+    per-query map. value/weather_ok always survive."""
+    import bench
+
+    timings = {name: 99999.999 for name in bench.HEADLINE}
+    # a pathological sidecar path and a non-numeric sf string
+    line = bench.compact_record(
+        total=1.0, timings=timings, total_cold=2.0,
+        sf="/some/dir/without/a/numeric/suffix/" * 20,
+        weather_ok=True,
+        detail_path="/x/" + "d" * 3000 + "/BENCH_DETAIL.json",
+    )
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    doc = json.loads(line)
+    assert doc["value"] == 1.0 and doc["weather_ok"] is True
+    assert doc["detail"] == "BENCH_DETAIL.json"  # degraded to basename
+    assert set(doc["queries"]) == set(bench.HEADLINE)  # medians survive
+    assert len(doc["sf"]) <= 64
+    # a 5000-char BASENAME is truncated to 128 and still fits with the
+    # query map intact (degrade step 2, not 3)
+    line = bench.compact_record(
+        total=1.0, timings=timings, total_cold=2.0, sf=0.1,
+        weather_ok=False, detail_path="b" * 5000,
+    )
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    doc = json.loads(line)
+    assert doc["value"] == 1.0 and set(doc["queries"]) == set(bench.HEADLINE)
+    assert len(doc["detail"]) == 128
+    # the last-resort step (drop the query map, keep value/weather_ok)
+    # exists for future headline growth — force it with a tiny budget
+    import unittest.mock as mock
+
+    with mock.patch.object(bench, "FINAL_LINE_BUDGET", 400):
+        line = bench.compact_record(
+            total=1.0, timings=timings, total_cold=2.0, sf=0.1,
+            weather_ok=False, detail_path="b" * 5000,
+        )
+        assert len(line) <= 400
+        doc = json.loads(line)
+        assert doc["value"] == 1.0 and doc["queries"] == {}
+
+
+def test_wait_for_healthy_window_bails_on_absent_probe(monkeypatch):
+    """Review r17: a PERMANENTLY unavailable probe (import failure,
+    /proc missing) must not burn the full try budget — host_condition's
+    contract is 'a probe failure never delays a bench past ~10 s'. The
+    loop distinguishes probe-absent from measured-bad weather."""
+    import bench
+
+    monkeypatch.setattr(bench, "host_condition", lambda: None)
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    monkeypatch.setenv("SPARK_GRAFT_WEATHER_TRIES", "10")
+    host, log = bench.wait_for_healthy_window()
+    assert host is None and len(log) == 1 and slept == []  # bailed at once

@@ -300,7 +300,16 @@ def _compactor(
         out["attempts"] += 1
         fold_ran[0] = False
         try:
-            n = ai._compact_dirs_once(index_dir, fs, fold, grace=True)
+            # min_sweep_age=0: the probe EXISTS to race the sweep-vs-
+            # merge interleavings — with the production age gate
+            # (MIN_SWEEP_AGE_S) a seconds-long probe run would never
+            # sweep its freshly-stamped grace dirs and the rival-sweep
+            # fold crash (_FoldReadRace) plus the ghost-ledger dance
+            # would go unexercised (review r17). The gate itself is
+            # pinned by deterministic unit tests, not by this probe.
+            n = ai._compact_dirs_once(
+                index_dir, fs, fold, grace=True, min_sweep_age=0,
+            )
             out["cycles"] += 1
             if n is None:
                 # the rival-compact guard fired: fold lost, own output
