@@ -138,6 +138,7 @@ def wait_for_healthy_window() -> tuple[dict | None, list[dict]]:
         wait_s = 75.0
     attempts: list[dict] = []
     host = None
+    absent_streak = 0
     for i in range(tries):
         host = host_condition()
         ok, reasons = _weather_verdict(host)
@@ -147,14 +148,36 @@ def wait_for_healthy_window() -> tuple[dict | None, list[dict]]:
         if host is None or (
             reasons and reasons[0].startswith("weather judge unavailable")
         ):
-            # the PROBE or the JUDGE is absent (import failure, /proc
-            # unavailable), not the weather bad — polling cannot change
-            # that, and host_condition's contract is 'a probe failure
-            # must never delay a bench run past ~10 s' (review r17:
-            # 10 futile tries here meant ~11 min of dead wait on any
-            # box without the probe)
+            # the PROBE or the JUDGE failed, not the weather bad.
+            # TWO consecutive failures read as 'absent on this box'
+            # (import failure, no /proc) — polling cannot change that,
+            # and host_condition's contract is 'a probe failure must
+            # never delay a bench run past ~10 s'. ONE failure may be
+            # a transient hiccup (the stall regime can glitch a fork),
+            # so it gets one quick retry, not a full wait slot
+            # (review r17 x2).
+            absent_streak += 1
+            if absent_streak >= 2:
+                print(
+                    f"# weather wait skipped (probe unavailable): "
+                    f"{reasons}",
+                    file=sys.stderr,
+                )
+                return host, attempts
+            time.sleep(min(wait_s, 5.0))
+            continue
+        absent_streak = 0
+        if reasons and all("unmeasured" in r for r in reasons):
+            # every failing key is UNMEASURABLE (e.g. steal_pct None on
+            # a platform without /proc/stat accounting) — no amount of
+            # polling makes an absent counter appear; bail with the
+            # degraded verdict embedded (review r17: this burned the
+            # full wait budget too). A MIX of unmeasured and measured-
+            # bad keys keeps polling: the measured ones can recover,
+            # and the wait stays bounded regardless.
             print(
-                f"# weather wait skipped (probe unavailable): {reasons}",
+                f"# weather wait skipped (envelope unmeasurable): "
+                f"{reasons}",
                 file=sys.stderr,
             )
             return host, attempts
@@ -179,17 +202,22 @@ def compact_record(
     (no spaces) buys ~90 bytes on 18 queries; the size-pin test calls
     this with worst-case values and asserts <= FINAL_LINE_BUDGET.
 
-    The budget is ENFORCED here, not just tested (review r17): the two
-    env-driven strings (sidecar path, non-numeric sf dir) are unbounded
-    and could push the line past the driver's tail again — exactly the
-    parsed:null failure this record exists to fix. sf degrades to a
-    64-char tail; an over-budget line degrades to the sidecar BASENAME
-    (truncated), then drops the per-query map (the sidecar keeps it) —
-    value/weather_ok always survive."""
+    The budget is ENFORCED here on the SERIALIZED length, not just
+    tested (review r17 x2): the env-driven strings (sidecar path,
+    non-numeric sf dir) are unbounded, and character truncation alone
+    is not enough — json's ensure_ascii expands each non-ASCII char to
+    6-12 bytes, so 128 kept chars can serialize past the budget. Each
+    degrade rung is length-checked post-serialization: full record →
+    sidecar basename (marker-preserving: an 'unwritable: ' prefix from
+    a failed sidecar write survives, so the degraded line never names
+    a sidecar that was not written) → drop the per-query map (the
+    sidecar keeps it) → drop detail and a non-numeric sf entirely. The
+    last rung is fixed-shape bounded ASCII, so value/weather_ok always
+    survive."""
     if not isinstance(sf, (int, float)):
         sf = str(sf)[-64:]
 
-    def build(detail: str, queries: dict) -> str:
+    def build(detail: str, queries: dict, sf_v) -> str:
         return json.dumps(
             {
                 "metric": (
@@ -200,21 +228,27 @@ def compact_record(
                 "unit": "sec",
                 "queries": queries,
                 "value_cold": total_cold,
-                "sf": sf,
+                "sf": sf_v,
                 "weather_ok": weather_ok,
                 "detail": detail,
             },
             separators=(",", ":"),
         )
 
-    line = build(detail_path, timings)
-    if len(line) <= FINAL_LINE_BUDGET:
-        return line
-    short = os.path.basename(str(detail_path))[-128:]
-    line = build(short, timings)
-    if len(line) <= FINAL_LINE_BUDGET:
-        return line
-    return build(short, {})
+    s = str(detail_path)
+    marker = "unwritable: " if s.startswith("unwritable: ") else ""
+    short = marker + os.path.basename(s[len(marker):])[-128:]
+    line = None
+    for detail, queries, sf_v in (
+        (s, timings, sf),
+        (short, timings, sf),
+        (short, {}, sf),
+        ("", {}, sf if isinstance(sf, (int, float)) else ""),
+    ):
+        line = build(detail, queries, sf_v)
+        if len(line) <= FINAL_LINE_BUDGET:
+            return line
+    return line  # last rung: fixed-shape ASCII, bounded by construction
 
 
 def main() -> None:

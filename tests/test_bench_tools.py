@@ -771,18 +771,75 @@ def test_final_line_budget_enforced_at_runtime():
         assert len(line) <= 400
         doc = json.loads(line)
         assert doc["value"] == 1.0 and doc["queries"] == {}
+    # escape-expanding env strings (review r17 x2): ensure_ascii blows
+    # each non-ASCII char to 6-12 serialized bytes, so the budget must
+    # be checked on the SERIALIZED line, every rung — this exact input
+    # produced a 1790-char line under the char-count version
+    line = bench.compact_record(
+        total=1.0, timings=timings, total_cold=2.0,
+        sf="\\" * 200, weather_ok=False,
+        detail_path="/tmp/" + "\U0001f600" * 200 + ".json",
+    )
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    assert json.loads(line)["value"] == 1.0
+    # the 'unwritable: ' marker from a failed sidecar write survives
+    # the basename degrade — the line must never name a sidecar that
+    # was not written
+    line = bench.compact_record(
+        total=1.0, timings=timings, total_cold=2.0, sf=0.1,
+        weather_ok=False,
+        detail_path="unwritable: /deep/" + "p" * 2000 + "/D.json",
+    )
+    assert len(line) <= bench.FINAL_LINE_BUDGET
+    assert json.loads(line)["detail"] == "unwritable: D.json"
 
 
 def test_wait_for_healthy_window_bails_on_absent_probe(monkeypatch):
-    """Review r17: a PERMANENTLY unavailable probe (import failure,
-    /proc missing) must not burn the full try budget — host_condition's
-    contract is 'a probe failure never delays a bench past ~10 s'. The
-    loop distinguishes probe-absent from measured-bad weather."""
+    """Review r17 x2: TWO consecutive probe failures read 'absent on
+    this box' and bail (host_condition's contract: a probe failure
+    never delays a bench past ~10 s), but ONE failure is retried
+    quickly — a transient hiccup must not skip a wait that 75 s would
+    have cleared. A verdict whose every failing key is UNMEASURABLE
+    (no /proc/stat) also bails: polling cannot materialize a counter."""
     import bench
 
+    # permanently absent: bail after 2 tries with one short retry sleep
     monkeypatch.setattr(bench, "host_condition", lambda: None)
     slept = []
     monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
     monkeypatch.setenv("SPARK_GRAFT_WEATHER_TRIES", "10")
     host, log = bench.wait_for_healthy_window()
-    assert host is None and len(log) == 1 and slept == []  # bailed at once
+    assert host is None and len(log) == 2
+    assert slept == [5.0]  # quick retry, not a 75 s wait slot
+
+    # transient: one None then a healthy probe -> recovered, no bail
+    probes = iter([None, {"h": 1}])
+    monkeypatch.setattr(bench, "host_condition", lambda: next(probes))
+    verdicts = iter([(False, ["no host probe embedded"]), (True, [])])
+    monkeypatch.setattr(bench, "_weather_verdict", lambda h: next(verdicts))
+    slept.clear()
+    host, log = bench.wait_for_healthy_window()
+    assert host == {"h": 1} and [a["ok"] for a in log] == [False, True]
+    assert slept == [5.0]
+
+    # all failing keys unmeasurable -> bail immediately (platform limit)
+    monkeypatch.setattr(bench, "host_condition", lambda: {"partial": 1})
+    monkeypatch.setattr(
+        bench, "_weather_verdict",
+        lambda h: (False, ["steal_pct unmeasured (None)"]),
+    )
+    slept.clear()
+    host, log = bench.wait_for_healthy_window()
+    assert len(log) == 1 and slept == []
+
+    # a MIX of unmeasured and measured-bad keeps polling (bounded)
+    monkeypatch.setattr(
+        bench, "_weather_verdict",
+        lambda h: (False, ["steal_pct unmeasured (None)",
+                           "cpu_parallel_scale 2.0 < 7.0"]),
+    )
+    monkeypatch.setenv("SPARK_GRAFT_WEATHER_TRIES", "3")
+    monkeypatch.setenv("SPARK_GRAFT_WEATHER_WAIT_S", "0.01")
+    slept.clear()
+    host, log = bench.wait_for_healthy_window()
+    assert len(log) == 3 and slept == [0.01, 0.01]
