@@ -164,7 +164,8 @@ def wait_for_healthy_window() -> tuple[dict | None, list[dict]]:
                     file=sys.stderr,
                 )
                 return host, attempts
-            time.sleep(min(wait_s, 5.0))
+            if i < tries - 1:  # no retry follows the final try —
+                time.sleep(min(wait_s, 5.0))  # don't sleep for nothing
             continue
         absent_streak = 0
         if reasons and all("unmeasured" in r for r in reasons):
@@ -197,6 +198,7 @@ def compact_record(
     sf: object,
     weather_ok: bool,
     detail_path: str,
+    sidecar_written: bool = True,
 ) -> str:
     """The ONE final stdout line, as a string — separators=(",",":")
     (no spaces) buys ~90 bytes on 18 queries; the size-pin test calls
@@ -208,12 +210,13 @@ def compact_record(
     is not enough — json's ensure_ascii expands each non-ASCII char to
     6-12 bytes, so 128 kept chars can serialize past the budget. Each
     degrade rung is length-checked post-serialization: full record →
-    sidecar basename (marker-preserving: an 'unwritable: ' prefix from
-    a failed sidecar write survives, so the degraded line never names
-    a sidecar that was not written) → drop the per-query map (the
-    sidecar keeps it) → drop detail and a non-numeric sf entirely. The
-    last rung is fixed-shape bounded ASCII, so value/weather_ok always
-    survive."""
+    sidecar basename → drop the per-query map (the sidecar keeps it) →
+    drop detail and a non-numeric sf entirely. The last rung is
+    fixed-shape bounded ASCII, so value/weather_ok always survive.
+    `sidecar_written=False` (a failed sidecar write) prefixes the
+    detail field 'unwritable: ' on every rung — an explicit parameter,
+    not a string protocol sniffed off the path (review r17 pass 3), so
+    a degraded line can never name a sidecar that was not written."""
     if not isinstance(sf, (int, float)):
         sf = str(sf)[-64:]
 
@@ -236,8 +239,9 @@ def compact_record(
         )
 
     s = str(detail_path)
-    marker = "unwritable: " if s.startswith("unwritable: ") else ""
-    short = marker + os.path.basename(s[len(marker):])[-128:]
+    marker = "" if sidecar_written else "unwritable: "
+    short = marker + os.path.basename(s)[-128:]
+    s = marker + s
     line = None
     for detail, queries, sf_v in (
         (s, timings, sf),
@@ -353,6 +357,7 @@ def main() -> None:
             "wait_log": wait_log,
         },
     }
+    sidecar_written = True
     try:
         with open(detail_path, "w") as f:
             json.dump(fat, f, indent=1)
@@ -360,10 +365,10 @@ def main() -> None:
     except OSError as e:
         # sidecar is diagnostics; the driver contract is the stdout line
         print(f"# sidecar write failed: {e!r}", file=sys.stderr)
-        detail_path = f"unwritable: {detail_path}"
+        sidecar_written = False
     print(compact_record(
         total, timings, fat["value_cold"], fat["sf"],
-        ok_before and ok_after, detail_path,
+        ok_before and ok_after, detail_path, sidecar_written,
     ))
 
 

@@ -782,16 +782,24 @@ def test_final_line_budget_enforced_at_runtime():
     )
     assert len(line) <= bench.FINAL_LINE_BUDGET
     assert json.loads(line)["value"] == 1.0
-    # the 'unwritable: ' marker from a failed sidecar write survives
-    # the basename degrade — the line must never name a sidecar that
-    # was not written
+    # sidecar_written=False marks the detail field on every rung — the
+    # line must never name a sidecar that was not written, including
+    # after the basename degrade (review r17 pass 3: an explicit
+    # parameter, not a marker sniffed off the path string)
     line = bench.compact_record(
         total=1.0, timings=timings, total_cold=2.0, sf=0.1,
         weather_ok=False,
-        detail_path="unwritable: /deep/" + "p" * 2000 + "/D.json",
+        detail_path="/deep/" + "p" * 2000 + "/D.json",
+        sidecar_written=False,
     )
     assert len(line) <= bench.FINAL_LINE_BUDGET
     assert json.loads(line)["detail"] == "unwritable: D.json"
+    line = bench.compact_record(
+        total=1.0, timings=timings, total_cold=2.0, sf=0.1,
+        weather_ok=True, detail_path="/short/D.json",
+        sidecar_written=False,
+    )
+    assert json.loads(line)["detail"] == "unwritable: /short/D.json"
 
 
 def test_wait_for_healthy_window_bails_on_absent_probe(monkeypatch):
@@ -808,6 +816,11 @@ def test_wait_for_healthy_window_bails_on_absent_probe(monkeypatch):
     slept = []
     monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
     monkeypatch.setenv("SPARK_GRAFT_WEATHER_TRIES", "10")
+    # pin WAIT_S too: the quick-retry sleep is min(wait_s, 5.0), so an
+    # ambient SPARK_GRAFT_WEATHER_WAIT_S export (the verify skill
+    # recommends 0.01 for plumbing runs) would change the asserted
+    # value (review r17 pass 3)
+    monkeypatch.setenv("SPARK_GRAFT_WEATHER_WAIT_S", "75")
     host, log = bench.wait_for_healthy_window()
     assert host is None and len(log) == 2
     assert slept == [5.0]  # quick retry, not a 75 s wait slot
@@ -843,3 +856,16 @@ def test_wait_for_healthy_window_bails_on_absent_probe(monkeypatch):
     slept.clear()
     host, log = bench.wait_for_healthy_window()
     assert len(log) == 3 and slept == [0.01, 0.01]
+
+    # TRIES=1 + absent probe: no retry can follow, so no quick-retry
+    # sleep either — 'Set TRIES=1 to skip waiting' stays literally true
+    # (review r17 pass 3)
+    monkeypatch.setattr(bench, "host_condition", lambda: None)
+    monkeypatch.setattr(
+        bench, "_weather_verdict",
+        lambda h: (False, ["no host probe embedded"]),
+    )
+    monkeypatch.setenv("SPARK_GRAFT_WEATHER_TRIES", "1")
+    slept.clear()
+    host, log = bench.wait_for_healthy_window()
+    assert host is None and len(log) == 1 and slept == []
