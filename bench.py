@@ -214,9 +214,12 @@ def compact_record(
     drop detail and a non-numeric sf entirely. The last rung is
     fixed-shape bounded ASCII, so value/weather_ok always survive.
     `sidecar_written=False` (a failed sidecar write) prefixes the
-    detail field 'unwritable: ' on every rung — an explicit parameter,
-    not a string protocol sniffed off the path (review r17 pass 3), so
-    a degraded line can never name a sidecar that was not written."""
+    detail field 'unwritable: ' on every rung that carries a name (the
+    last rung drops the field entirely, so detect a written sidecar by
+    a non-empty detail WITHOUT the prefix, never by prefix absence
+    alone) — an explicit parameter, not a string protocol sniffed off
+    the path (review r17 pass 3), so a degraded line can never name a
+    sidecar that was not written."""
     if not isinstance(sf, (int, float)):
         sf = str(sf)[-64:]
 
