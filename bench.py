@@ -117,6 +117,71 @@ def _weather_verdict(host: dict | None) -> tuple[bool, list[str]]:
         return False, [f"weather judge unavailable: {e!r}"]
 
 
+def _stage_metrics(spark) -> list | None:
+    """All COMPLETE stages of this app from the local Spark UI REST API
+    (the UI server already tracks them — zero extra executor load, so
+    this does not violate the 'never probe DURING a bench' rule).
+    Best-effort by the same contract as host_condition: None on any
+    failure (UI disabled, port moved, API shape change)."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as r:
+            out = json.loads(r.read().decode())
+        return out if isinstance(out, list) else None
+    except Exception as e:  # noqa: BLE001 — diagnostics never kill the bench
+        print(f"# stage metrics unavailable: {e!r}", file=sys.stderr)
+        return None
+
+
+def stage_rollup(stages: list | None, seen: set) -> tuple[dict | None, set]:
+    """Aggregate executor CPU-vs-wall over the completed stages NOT yet
+    in `seen` — the IN-RUN weather channel the bracketing host probes
+    cannot provide (they sample seconds at the run's edges; SCALE.md
+    r17: within-envelope windows still spread totals 12.3-19.6 s).
+    `executorRunTime` is task wall-milliseconds; `executorCpuTime` is
+    actual CPU nanoseconds — their ratio collapses exactly under the
+    steal/fault regimes (threads descheduled or stalled while the task
+    clock runs) and is width-independent. RECORD-ONLY this round: the
+    healthy baseline is not 1.0 (shuffle IO, GC and scheduler gaps all
+    lower it legitimately, per-query differently), so a gating floor
+    must be calibrated from gated-green artifacts first (r18).
+    Returns (rollup | None, ids-now-seen); malformed entries are
+    skipped, a zero/absent run time yields None rather than a fake
+    ratio."""
+    if not isinstance(stages, list):
+        return None, seen
+    ids = set(seen)
+    run_ms = 0.0
+    cpu_ms = 0.0
+    n = 0
+    for s in stages:
+        if not isinstance(s, dict):
+            continue
+        key = (s.get("stageId"), s.get("attemptId"))
+        if key in ids:
+            continue
+        ids.add(key)
+        r = s.get("executorRunTime")
+        c = s.get("executorCpuTime")
+        if isinstance(r, (int, float)) and isinstance(c, (int, float)) \
+                and not isinstance(r, bool) and not isinstance(c, bool):
+            run_ms += r
+            cpu_ms += c / 1e6  # ns -> ms
+            n += 1
+    if n == 0 or run_ms <= 0:
+        return None, ids
+    return {
+        "stages": n,
+        "run_ms": int(run_ms),
+        "cpu_ms": int(cpu_ms),
+        "cpu_over_run": round(cpu_ms / run_ms, 3),
+    }, ids
+
+
 def wait_for_healthy_window() -> tuple[dict | None, list[dict]]:
     """Poll the host probe until a HEALTHY window opens, bounded
     (VERDICT r16 #3): three of the driver's last four bench artifacts
@@ -278,10 +343,13 @@ def main() -> None:
 
     # one warm-up action so JVM/codegen startup doesn't pollute query timings
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
+    # fold the warm-up's stages into `seen` so q01 isn't billed for them
+    _, seen_stages = stage_rollup(_stage_metrics(spark), set())
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm_runs: dict[str, list[float]] = {}
+    stage_weather: dict[str, dict | None] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
         runs = []
@@ -301,9 +369,15 @@ def main() -> None:
         cold[name] = runs[0]
         warm_runs[name] = runs[1:]
         timings[name] = sorted(runs[1:])[1]
+        # in-run weather: CPU-vs-wall over this query's stages (all 4
+        # runs) — see stage_rollup; record-only this round
+        stage_weather[name], seen_stages = stage_rollup(
+            _stage_metrics(spark), seen_stages
+        )
         print(
             f"# {name}: cold={cold[name]}s warm_median={timings[name]}s "
-            f"warm={runs[1:]}",
+            f"warm={runs[1:]} cpu_over_run="
+            f"{(stage_weather[name] or {}).get('cpu_over_run')}",
             file=sys.stderr,
         )
 
@@ -347,6 +421,12 @@ def main() -> None:
         # r13-r16 isolated artifacts). tools/bench_trend.py --weather
         # reads these for its dispersion verdict.
         "queries_warm": warm_runs,
+        # IN-RUN weather (r17, record-only): per-query executor
+        # CPU-vs-wall rollups from the UI REST API — the channel that
+        # certifies window quality ACROSS the run, not just at its
+        # bracketed edges. Gating floor to be calibrated from
+        # gated-green artifacts (see stage_rollup).
+        "queries_stage_weather": stage_weather,
         "value_cold": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # weather bracketing the run (see host_condition): the probe runs

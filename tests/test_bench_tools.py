@@ -869,3 +869,55 @@ def test_wait_for_healthy_window_bails_on_absent_probe(monkeypatch):
     slept.clear()
     host, log = bench.wait_for_healthy_window()
     assert host is None and len(log) == 1 and slept == []
+
+
+def test_stage_rollup_aggregates_and_dedups():
+    """The in-run weather channel (r17): executorCpuTime(ns) vs
+    executorRunTime(ms) aggregated over UNSEEN completed stages only —
+    per-query attribution works by threading the seen-id set through
+    successive calls; malformed entries are skipped; no stages or zero
+    run time yields None, never a fake ratio."""
+    import bench
+
+    q1_stages = [
+        {"stageId": 1, "attemptId": 0,
+         "executorRunTime": 1000, "executorCpuTime": 900e6},
+        {"stageId": 2, "attemptId": 0,
+         "executorRunTime": 1000, "executorCpuTime": 500e6},
+    ]
+    roll, seen = bench.stage_rollup(q1_stages, set())
+    assert roll == {
+        "stages": 2, "run_ms": 2000, "cpu_ms": 1400, "cpu_over_run": 0.7,
+    }
+    assert seen == {(1, 0), (2, 0)}
+
+    # the next query's rollup sees old + new stages but bills only new
+    q2_stages = q1_stages + [
+        {"stageId": 3, "attemptId": 0,
+         "executorRunTime": 500, "executorCpuTime": 100e6},
+        # a stage RETRY is a distinct attempt, billed separately
+        {"stageId": 3, "attemptId": 1,
+         "executorRunTime": 500, "executorCpuTime": 400e6},
+        # malformed rows: skipped, never crash, never pollute the sums
+        {"stageId": 4, "attemptId": 0,
+         "executorRunTime": "n/a", "executorCpuTime": 1e6},
+        {"stageId": 5, "attemptId": 0,
+         "executorRunTime": True, "executorCpuTime": 1e6},
+        "not-a-dict",
+    ]
+    roll, seen = bench.stage_rollup(q2_stages, seen)
+    assert roll == {
+        "stages": 2, "run_ms": 1000, "cpu_ms": 500, "cpu_over_run": 0.5,
+    }
+    assert (3, 0) in seen and (3, 1) in seen
+
+    # nothing new -> None (ids still recorded), API failure -> None
+    roll, seen2 = bench.stage_rollup(q2_stages, seen)
+    assert roll is None and seen2 >= seen
+    assert bench.stage_rollup(None, set()) == (None, set())
+    # zero run time cannot mint a ratio
+    roll, _ = bench.stage_rollup(
+        [{"stageId": 9, "attemptId": 0,
+          "executorRunTime": 0, "executorCpuTime": 0}], set()
+    )
+    assert roll is None
