@@ -921,3 +921,29 @@ def test_stage_rollup_aggregates_and_dedups():
           "executorRunTime": 0, "executorCpuTime": 0}], set()
     )
     assert roll is None
+
+
+def test_stage_weather_advisory_extraction(bench_trend):
+    """_stage_weather_of: sorted (ratio, query) pairs from the r17
+    in-run channel; pre-channel artifacts, empty maps, and poisoned
+    rollups (None, bool, NaN, missing key) yield None / are skipped —
+    the advisory line must never crash --weather on any artifact
+    shape, and it NEVER joins the tainted list (advisory-only until
+    the floors are calibrated)."""
+    f = bench_trend._stage_weather_of
+    assert f({"queries": {}}) is None  # pre-channel artifact
+    assert f({"queries_stage_weather": {}}) is None
+    assert f("not-a-dict") is None
+    assert f({"queries_stage_weather": {
+        "a": None,                                  # rollup degraded
+        "b": {"cpu_over_run": True},                # bool poisoning
+        "c": {"cpu_over_run": float("nan")},        # NaN poisoning
+        "d": {"run_ms": 5},                         # key missing
+    }}) is None
+    got = f({"queries_stage_weather": {
+        "slow": {"cpu_over_run": 0.133},
+        "fast": {"cpu_over_run": 0.988},
+        "mid": {"cpu_over_run": 0.7},
+        "bad": None,
+    }})
+    assert got == [(0.133, "slow"), (0.7, "mid"), (0.988, "fast")]

@@ -153,6 +153,36 @@ DISPERSION_OUTLIERS = 2
 DISPERSION_HARD = 2.0
 
 
+def _stage_weather_of(doc: object) -> list[tuple[float, str]] | None:
+    """Sorted (cpu_over_run, query) pairs from the artifact's per-query
+    in-run stage rollups (`queries_stage_weather`, r17 — executor CPU
+    vs wall over each query's stages, the channel that certifies window
+    quality ACROSS the run). None when the artifact predates the
+    channel or carries no usable rollup. ADVISORY-ONLY for now: the
+    healthy floor is calibrated from one gated anchor so far
+    (BENCH_SHARED_r17d: 0.625-0.988 healthy vs 0.133 mid-run-stalled);
+    promotion to a fail-closed check is the round-18 item once a few
+    more anchors pin the per-query floors (SCALE.md r17 audit)."""
+    import math
+
+    if not isinstance(doc, dict):
+        return None
+    sw = doc.get("queries_stage_weather")
+    if not isinstance(sw, dict):
+        return None
+    out = []
+    for q, v in sw.items():
+        if isinstance(v, dict):
+            r = v.get("cpu_over_run")
+            if (
+                isinstance(r, (int, float))
+                and not isinstance(r, bool)
+                and math.isfinite(r)
+            ):
+                out.append((float(r), str(q)))
+    return sorted(out) or None
+
+
 def dispersion_verdict(path: str) -> tuple[bool, list[str]]:
     """(ok, reasons) for the artifact's intra-run warm dispersion.
     Warm lists come from isolated-suite rows ({"warm": [...]}) or the
@@ -347,6 +377,15 @@ def main() -> None:
                 note = f"{side}/dispersion: {'; '.join(why)}"
                 tainted.append(note)
                 print(f"# weather {note}")
+            # in-run stage channel (r17): advisory only — never joins
+            # `tainted` until the per-query floors are calibrated
+            sw = _stage_weather_of(doc)
+            if sw:
+                (lo, lo_q), (hi, hi_q) = sw[0], sw[-1]
+                print(
+                    f"# weather {side}/stage (advisory): cpu_over_run "
+                    f"{lo} ({lo_q}) .. {hi} ({hi_q})"
+                )
         if tainted and not gate:
             print(
                 "# weather advisory: at least one side was measured "
