@@ -118,9 +118,15 @@ def _weather_verdict(host: dict | None) -> tuple[bool, list[str]]:
 
 
 def _stage_metrics(spark) -> list | None:
-    """All COMPLETE stages of this app from the local Spark UI REST API
-    (the UI server already tracks them — zero extra executor load, so
-    this does not violate the 'never probe DURING a bench' rule).
+    """All COMPLETE + FAILED stages of this app from the local Spark UI
+    REST API. Fetched ONCE, after the last query and before
+    spark.stop() (review r17 pass 5): an in-loop per-query fetch was
+    O(total-stages) of driver-JVM JSON serialization BETWEEN timed
+    queries — this way the channel adds zero in-run load of ANY kind,
+    executor or driver. FAILED attempts are included because a retried
+    stage's first attempt burned real descheduled wall time — the
+    strongest signal of the very regimes the channel measures; billing
+    only the clean retry would bias cpu_over_run back toward healthy.
     Best-effort by the same contract as host_condition: None on any
     failure (UI disabled, port moved, API shape change)."""
     try:
@@ -128,7 +134,10 @@ def _stage_metrics(spark) -> list | None:
 
         base = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
-        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        url = (
+            f"{base}/api/v1/applications/{app}/stages"
+            f"?status=complete&status=failed"
+        )
         with urllib.request.urlopen(url, timeout=5) as r:
             out = json.loads(r.read().decode())
         return out if isinstance(out, list) else None
@@ -137,21 +146,70 @@ def _stage_metrics(spark) -> list | None:
         return None
 
 
+def _parse_rest_ts(s: object) -> float | None:
+    """Spark REST timestamp ('2026-08-16T17:58:03.123GMT') → epoch
+    seconds, or None for anything unparseable."""
+    if not isinstance(s, str):
+        return None
+    from datetime import datetime, timezone
+
+    try:
+        return (
+            datetime.strptime(s[:23], "%Y-%m-%dT%H:%M:%S.%f")
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+        )
+    except ValueError:
+        return None
+
+
+def stage_bucket(
+    stages: list | None, windows: dict[str, tuple[float, float]]
+) -> dict[str, dict | None]:
+    """Bill each stage to the query whose wall-clock window
+    [t0, t1] contains its submissionTime, then roll each bucket up
+    (review r17 pass 5 — the earlier seen-set threading misattributed
+    stages TWICE: a transient fetch failure rolled query N's stages
+    into N+1, and the AppStatusStore's async listener bus could land a
+    query's final stage after its fetch; submission-time bucketing is
+    immune to both, and warm-up/out-of-window stages simply drop out
+    instead of being billed to q01). Windows and submissionTime are
+    same-host clocks (driver JVM vs Python, ms-scale skew) —
+    gap-straddling stages drop rather than misattribute."""
+    out: dict[str, dict | None] = {}
+    buckets: dict[str, list] = {name: [] for name in windows}
+    for s in stages if isinstance(stages, list) else ():
+        if not isinstance(s, dict):
+            continue
+        ts = _parse_rest_ts(s.get("submissionTime"))
+        if ts is None:
+            continue
+        for name, (t0, t1) in windows.items():
+            if t0 <= ts <= t1:
+                buckets[name].append(s)
+                break
+    for name in windows:
+        out[name], _ = stage_rollup(buckets[name], set())
+    return out
+
+
 def stage_rollup(stages: list | None, seen: set) -> tuple[dict | None, set]:
-    """Aggregate executor CPU-vs-wall over the completed stages NOT yet
-    in `seen` — the IN-RUN weather channel the bracketing host probes
-    cannot provide (they sample seconds at the run's edges; SCALE.md
-    r17: within-envelope windows still spread totals 12.3-19.6 s).
+    """Aggregate executor CPU-vs-wall over the stages NOT yet in `seen`
+    — the IN-RUN weather channel the bracketing host probes cannot
+    provide (they sample seconds at the run's edges; SCALE.md r17:
+    within-envelope windows still spread totals 12.3-19.6 s).
     `executorRunTime` is task wall-milliseconds; `executorCpuTime` is
     actual CPU nanoseconds — their ratio collapses exactly under the
     steal/fault regimes (threads descheduled or stalled while the task
-    clock runs) and is width-independent. RECORD-ONLY this round: the
-    healthy baseline is not 1.0 (shuffle IO, GC and scheduler gaps all
-    lower it legitimately, per-query differently), so a gating floor
-    must be calibrated from gated-green artifacts first (r18).
-    Returns (rollup | None, ids-now-seen); malformed entries are
-    skipped, a zero/absent run time yields None rather than a fake
-    ratio."""
+    clock runs) and is width-independent. Per-query attribution happens
+    in stage_bucket (submission-time windows); this is the aggregation
+    core, deduping stage ATTEMPTS (a retry is new work, billed
+    separately). RECORD-ONLY this round: the healthy baseline is not
+    1.0 (shuffle IO, GC and scheduler gaps all lower it legitimately,
+    per-query differently), so a gating floor must be calibrated from
+    gated-green artifacts first (r18). Returns (rollup | None,
+    ids-now-seen); malformed entries are skipped, a zero/absent run
+    time yields None rather than a fake ratio."""
     if not isinstance(stages, list):
         return None, seen
     ids = set(seen)
@@ -343,15 +401,16 @@ def main() -> None:
 
     # one warm-up action so JVM/codegen startup doesn't pollute query timings
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
-    # fold the warm-up's stages into `seen` so q01 isn't billed for them
-    _, seen_stages = stage_rollup(_stage_metrics(spark), set())
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     warm_runs: dict[str, list[float]] = {}
-    stage_weather: dict[str, dict | None] = {}
+    # per-query wall-clock windows for the post-run stage bucketing
+    # (see stage_bucket) — warm-up stages fall outside every window
+    windows: dict[str, tuple[float, float]] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
+        w0 = time.time()
         runs = []
         # 1 cold + 3 warm runs: the cold run pays one-time codegen/JIT
         # compilation; the warm MEDIAN reflects steady-state throughput.
@@ -366,20 +425,29 @@ def main() -> None:
             # sometimes whole joins), understating per-query work
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.monotonic() - t0, 3))
+        windows[name] = (w0, time.time())
         cold[name] = runs[0]
         warm_runs[name] = runs[1:]
         timings[name] = sorted(runs[1:])[1]
-        # in-run weather: CPU-vs-wall over this query's stages (all 4
-        # runs) — see stage_rollup; record-only this round
-        stage_weather[name], seen_stages = stage_rollup(
-            _stage_metrics(spark), seen_stages
-        )
         print(
             f"# {name}: cold={cold[name]}s warm_median={timings[name]}s "
-            f"warm={runs[1:]} cpu_over_run="
-            f"{(stage_weather[name] or {}).get('cpu_over_run')}",
+            f"warm={runs[1:]}",
             file=sys.stderr,
         )
+
+    # ONE stage fetch for the whole run, after a short settle so the
+    # async AppStatusStore has applied the last completion events, then
+    # bucket by submissionTime — see _stage_metrics/stage_bucket
+    time.sleep(0.5)
+    stage_weather = stage_bucket(_stage_metrics(spark), windows)
+    for name in HEADLINE:
+        sw = stage_weather.get(name)
+        if sw:
+            print(
+                f"# {name}: cpu_over_run={sw['cpu_over_run']} "
+                f"({sw['stages']} stages)",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     # stop the session BEFORE the closing weather probe (ADVICE r15):

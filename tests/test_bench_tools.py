@@ -947,3 +947,61 @@ def test_stage_weather_advisory_extraction(bench_trend):
         "bad": None,
     }})
     assert got == [(0.133, "slow"), (0.7, "mid"), (0.988, "fast")]
+
+
+def test_stage_bucket_bills_by_submission_window():
+    """Review r17 pass 5: per-query attribution by submissionTime
+    windows — a stage submitted inside query N's wall-clock window is
+    billed to N even if its completion event lands late (the async
+    AppStatusStore lag that seen-set threading misattributed); warm-up
+    and gap stages drop out instead of polluting a neighbor; an
+    unparseable timestamp drops its stage, never crashes."""
+    import bench
+
+    # epoch 1000-1010 = qA, 1010.5-1020 = qB; warm-up before both
+    def iso(epoch):
+        from datetime import datetime, timezone
+
+        return (
+            datetime.fromtimestamp(epoch, tz=timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "GMT"
+        )
+
+    stages = [
+        {"stageId": 1, "attemptId": 0, "submissionTime": iso(995),
+         "executorRunTime": 9999, "executorCpuTime": 1e6},  # warm-up: dropped
+        {"stageId": 2, "attemptId": 0, "submissionTime": iso(1001),
+         "executorRunTime": 1000, "executorCpuTime": 900e6},
+        {"stageId": 3, "attemptId": 0, "submissionTime": iso(1009.9),
+         "executorRunTime": 1000, "executorCpuTime": 100e6},  # late-completing qA stage
+        {"stageId": 4, "attemptId": 0, "submissionTime": iso(1011),
+         "executorRunTime": 2000, "executorCpuTime": 1000e6},
+        # a FAILED attempt is real descheduled work, billed like any other
+        {"stageId": 4, "attemptId": 1, "submissionTime": iso(1012),
+         "executorRunTime": 2000, "executorCpuTime": 200e6},
+        {"stageId": 5, "attemptId": 0, "submissionTime": "garbage",
+         "executorRunTime": 5000, "executorCpuTime": 1e6},  # dropped
+        {"stageId": 6, "attemptId": 0, "submissionTime": iso(1010.2),
+         "executorRunTime": 7777, "executorCpuTime": 1e6},  # gap: dropped
+    ]
+    windows = {"qA": (1000.0, 1010.0), "qB": (1010.5, 1020.0)}
+    out = bench.stage_bucket(stages, windows)
+    assert out["qA"] == {
+        "stages": 2, "run_ms": 2000, "cpu_ms": 1000, "cpu_over_run": 0.5,
+    }
+    assert out["qB"] == {
+        "stages": 2, "run_ms": 4000, "cpu_ms": 1200, "cpu_over_run": 0.3,
+    }
+    # no stages in window / fetch failure -> None per query, never crash
+    assert bench.stage_bucket(stages, {"qC": (2000.0, 2010.0)}) == {"qC": None}
+    assert bench.stage_bucket(None, windows) == {"qA": None, "qB": None}
+
+
+def test_parse_rest_ts():
+    import bench
+
+    assert bench._parse_rest_ts("2026-08-16T17:58:03.123GMT") == 1786903083.123
+    assert bench._parse_rest_ts("2026-08-16T17:58:03.123") == 1786903083.123
+    assert bench._parse_rest_ts("garbage") is None
+    assert bench._parse_rest_ts(None) is None
+    assert bench._parse_rest_ts(1786903083) is None
