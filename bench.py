@@ -136,7 +136,7 @@ def _stage_metrics(spark) -> list | None:
         app = spark.sparkContext.applicationId
         url = (
             f"{base}/api/v1/applications/{app}/stages"
-            f"?status=complete&status=failed"
+            f"?status=complete&status=failed&status=active"
         )
         with urllib.request.urlopen(url, timeout=5) as r:
             out = json.loads(r.read().decode())
@@ -171,13 +171,19 @@ def stage_bucket(
     (review r17 pass 5 — the earlier seen-set threading misattributed
     stages TWICE: a transient fetch failure rolled query N's stages
     into N+1, and the AppStatusStore's async listener bus could land a
-    query's final stage after its fetch; submission-time bucketing is
-    immune to both, and warm-up/out-of-window stages simply drop out
-    instead of being billed to q01). Windows and submissionTime are
+    query's final stage after its fetch; submission-time bucketing
+    cannot MISATTRIBUTE, and warm-up/out-of-window stages simply drop
+    out instead of being billed to q01). The bus CAN still OMIT: a
+    stage whose completion event lags the fetch shows as status ACTIVE
+    with partial metrics — those are excluded from the sums and
+    COUNTED per bucket as `"incomplete": n` so a rollup computed over
+    a subset of its query's stages says so instead of passing as full
+    coverage (review r17 pass 6). Windows and submissionTime are
     same-host clocks (driver JVM vs Python, ms-scale skew) —
     gap-straddling stages drop rather than misattribute."""
     out: dict[str, dict | None] = {}
     buckets: dict[str, list] = {name: [] for name in windows}
+    active: dict[str, int] = {name: 0 for name in windows}
     for s in stages if isinstance(stages, list) else ():
         if not isinstance(s, dict):
             continue
@@ -186,33 +192,39 @@ def stage_bucket(
             continue
         for name, (t0, t1) in windows.items():
             if t0 <= ts <= t1:
-                buckets[name].append(s)
+                if s.get("status") == "ACTIVE":
+                    active[name] += 1
+                else:
+                    buckets[name].append(s)
                 break
     for name in windows:
-        out[name], _ = stage_rollup(buckets[name], set())
+        roll = stage_rollup(buckets[name])
+        if roll is not None and active[name]:
+            roll["incomplete"] = active[name]
+        out[name] = roll
     return out
 
 
-def stage_rollup(stages: list | None, seen: set) -> tuple[dict | None, set]:
-    """Aggregate executor CPU-vs-wall over the stages NOT yet in `seen`
-    — the IN-RUN weather channel the bracketing host probes cannot
-    provide (they sample seconds at the run's edges; SCALE.md r17:
-    within-envelope windows still spread totals 12.3-19.6 s).
-    `executorRunTime` is task wall-milliseconds; `executorCpuTime` is
-    actual CPU nanoseconds — their ratio collapses exactly under the
-    steal/fault regimes (threads descheduled or stalled while the task
-    clock runs) and is width-independent. Per-query attribution happens
-    in stage_bucket (submission-time windows); this is the aggregation
-    core, deduping stage ATTEMPTS (a retry is new work, billed
-    separately). RECORD-ONLY this round: the healthy baseline is not
-    1.0 (shuffle IO, GC and scheduler gaps all lower it legitimately,
-    per-query differently), so a gating floor must be calibrated from
-    gated-green artifacts first (r18). Returns (rollup | None,
-    ids-now-seen); malformed entries are skipped, a zero/absent run
-    time yields None rather than a fake ratio."""
+def stage_rollup(stages: list | None) -> dict | None:
+    """Aggregate executor CPU-vs-wall over `stages` — the IN-RUN
+    weather channel the bracketing host probes cannot provide (they
+    sample seconds at the run's edges; SCALE.md r17: within-envelope
+    windows still spread totals 12.3-19.6 s). `executorRunTime` is
+    task wall-milliseconds; `executorCpuTime` is actual CPU
+    nanoseconds — their ratio collapses exactly under the steal/fault
+    regimes (threads descheduled or stalled while the task clock runs)
+    and is width-independent. Per-query attribution happens in
+    stage_bucket (submission-time windows); this is the aggregation
+    core, deduping stage ATTEMPTS defensively (a retry is new work,
+    billed separately; a duplicate REST row is not). RECORD-ONLY this
+    round: the healthy baseline is not 1.0 (shuffle IO, GC and
+    scheduler gaps all lower it legitimately, per-query differently),
+    so a gating floor must be calibrated from gated-green artifacts
+    first (r18). Malformed entries are skipped; no stages or a
+    zero/absent run time yields None rather than a fake ratio."""
     if not isinstance(stages, list):
-        return None, seen
-    ids = set(seen)
+        return None
+    ids: set = set()
     run_ms = 0.0
     cpu_ms = 0.0
     n = 0
@@ -231,13 +243,13 @@ def stage_rollup(stages: list | None, seen: set) -> tuple[dict | None, set]:
             cpu_ms += c / 1e6  # ns -> ms
             n += 1
     if n == 0 or run_ms <= 0:
-        return None, ids
+        return None
     return {
         "stages": n,
         "run_ms": int(run_ms),
         "cpu_ms": int(cpu_ms),
         "cpu_over_run": round(cpu_ms / run_ms, 3),
-    }, ids
+    }
 
 
 def wait_for_healthy_window() -> tuple[dict | None, list[dict]]:
@@ -442,12 +454,17 @@ def main() -> None:
     stage_weather = stage_bucket(_stage_metrics(spark), windows)
     for name in HEADLINE:
         sw = stage_weather.get(name)
-        if sw:
-            print(
-                f"# {name}: cpu_over_run={sw['cpu_over_run']} "
-                f"({sw['stages']} stages)",
-                file=sys.stderr,
-            )
+        # a None rollup is the channel-failure signal — print it, don't
+        # skip it (review r17 pass 6: a missing line hides WHICH query
+        # lost coverage)
+        print(
+            f"# {name}: cpu_over_run="
+            f"{sw['cpu_over_run'] if sw else None}"
+            + (f" ({sw['stages']} stages)" if sw else "")
+            + (f" incomplete={sw['incomplete']}"
+               if sw and "incomplete" in sw else ""),
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     # stop the session BEFORE the closing weather probe (ADVICE r15):

@@ -872,32 +872,27 @@ def test_wait_for_healthy_window_bails_on_absent_probe(monkeypatch):
 
 
 def test_stage_rollup_aggregates_and_dedups():
-    """The in-run weather channel (r17): executorCpuTime(ns) vs
-    executorRunTime(ms) aggregated over UNSEEN completed stages only —
-    per-query attribution works by threading the seen-id set through
-    successive calls; malformed entries are skipped; no stages or zero
-    run time yields None, never a fake ratio."""
+    """The in-run weather channel's aggregation core (r17):
+    executorCpuTime(ns) vs executorRunTime(ms) summed over a bucket of
+    stages; duplicate (stageId, attemptId) REST rows are deduped while
+    a stage RETRY (new attempt) is billed separately; malformed entries
+    are skipped; no stages or zero run time yields None, never a fake
+    ratio. (Per-query attribution is stage_bucket's job - the old
+    seen-set threading left with the polling design, review r17
+    pass 6.)"""
     import bench
 
-    q1_stages = [
+    stages = [
         {"stageId": 1, "attemptId": 0,
          "executorRunTime": 1000, "executorCpuTime": 900e6},
         {"stageId": 2, "attemptId": 0,
          "executorRunTime": 1000, "executorCpuTime": 500e6},
-    ]
-    roll, seen = bench.stage_rollup(q1_stages, set())
-    assert roll == {
-        "stages": 2, "run_ms": 2000, "cpu_ms": 1400, "cpu_over_run": 0.7,
-    }
-    assert seen == {(1, 0), (2, 0)}
-
-    # the next query's rollup sees old + new stages but bills only new
-    q2_stages = q1_stages + [
-        {"stageId": 3, "attemptId": 0,
-         "executorRunTime": 500, "executorCpuTime": 100e6},
+        # duplicate REST row: deduped, not double-billed
+        {"stageId": 2, "attemptId": 0,
+         "executorRunTime": 1000, "executorCpuTime": 500e6},
         # a stage RETRY is a distinct attempt, billed separately
-        {"stageId": 3, "attemptId": 1,
-         "executorRunTime": 500, "executorCpuTime": 400e6},
+        {"stageId": 2, "attemptId": 1,
+         "executorRunTime": 1000, "executorCpuTime": 100e6},
         # malformed rows: skipped, never crash, never pollute the sums
         {"stageId": 4, "attemptId": 0,
          "executorRunTime": "n/a", "executorCpuTime": 1e6},
@@ -905,22 +900,17 @@ def test_stage_rollup_aggregates_and_dedups():
          "executorRunTime": True, "executorCpuTime": 1e6},
         "not-a-dict",
     ]
-    roll, seen = bench.stage_rollup(q2_stages, seen)
-    assert roll == {
-        "stages": 2, "run_ms": 1000, "cpu_ms": 500, "cpu_over_run": 0.5,
+    assert bench.stage_rollup(stages) == {
+        "stages": 3, "run_ms": 3000, "cpu_ms": 1500, "cpu_over_run": 0.5,
     }
-    assert (3, 0) in seen and (3, 1) in seen
-
-    # nothing new -> None (ids still recorded), API failure -> None
-    roll, seen2 = bench.stage_rollup(q2_stages, seen)
-    assert roll is None and seen2 >= seen
-    assert bench.stage_rollup(None, set()) == (None, set())
+    # API failure / empty bucket -> None
+    assert bench.stage_rollup(None) is None
+    assert bench.stage_rollup([]) is None
     # zero run time cannot mint a ratio
-    roll, _ = bench.stage_rollup(
+    assert bench.stage_rollup(
         [{"stageId": 9, "attemptId": 0,
-          "executorRunTime": 0, "executorCpuTime": 0}], set()
-    )
-    assert roll is None
+          "executorRunTime": 0, "executorCpuTime": 0}]
+    ) is None
 
 
 def test_stage_weather_advisory_extraction(bench_trend):
@@ -983,6 +973,14 @@ def test_stage_bucket_bills_by_submission_window():
          "executorRunTime": 5000, "executorCpuTime": 1e6},  # dropped
         {"stageId": 6, "attemptId": 0, "submissionTime": iso(1010.2),
          "executorRunTime": 7777, "executorCpuTime": 1e6},  # gap: dropped
+        # a still-ACTIVE stage at fetch time (listener bus lagging the
+        # fetch past the settle) carries only PARTIAL metrics: excluded
+        # from the sums, COUNTED as incomplete coverage (review r17
+        # pass 6 — the channel is misattribution-immune, not
+        # omission-immune, and must say so per query)
+        {"stageId": 7, "attemptId": 0, "submissionTime": iso(1013),
+         "status": "ACTIVE",
+         "executorRunTime": 123, "executorCpuTime": 1e6},
     ]
     windows = {"qA": (1000.0, 1010.0), "qB": (1010.5, 1020.0)}
     out = bench.stage_bucket(stages, windows)
@@ -991,6 +989,7 @@ def test_stage_bucket_bills_by_submission_window():
     }
     assert out["qB"] == {
         "stages": 2, "run_ms": 4000, "cpu_ms": 1200, "cpu_over_run": 0.3,
+        "incomplete": 1,
     }
     # no stages in window / fetch failure -> None per query, never crash
     assert bench.stage_bucket(stages, {"qC": (2000.0, 2010.0)}) == {"qC": None}
