@@ -183,7 +183,7 @@ def stage_bucket(
     gap-straddling stages drop rather than misattribute."""
     out: dict[str, dict | None] = {}
     buckets: dict[str, list] = {name: [] for name in windows}
-    active: dict[str, int] = {name: 0 for name in windows}
+    active: dict[str, set] = {name: set() for name in windows}
     for s in stages if isinstance(stages, list) else ():
         if not isinstance(s, dict):
             continue
@@ -193,14 +193,22 @@ def stage_bucket(
         for name, (t0, t1) in windows.items():
             if t0 <= ts <= t1:
                 if s.get("status") == "ACTIVE":
-                    active[name] += 1
+                    # dedup by attempt, same trust as the completed
+                    # path (review r17 pass 7: a duplicated REST row
+                    # must not read as two lagging stages)
+                    active[name].add((s.get("stageId"), s.get("attemptId")))
                 else:
                     buckets[name].append(s)
                 break
     for name in windows:
         roll = stage_rollup(buckets[name])
-        if roll is not None and active[name]:
-            roll["incomplete"] = active[name]
+        if active[name]:
+            # an ALL-active bucket still declares its lost coverage
+            # (review r17 pass 7): {"incomplete": n} with no ratio is
+            # the zero-coverage case, distinguishable from "no stages
+            # landed in this window" (None)
+            roll = dict(roll) if roll else {}
+            roll["incomplete"] = len(active[name])
         out[name] = roll
     return out
 
@@ -234,11 +242,14 @@ def stage_rollup(stages: list | None) -> dict | None:
         key = (s.get("stageId"), s.get("attemptId"))
         if key in ids:
             continue
-        ids.add(key)
         r = s.get("executorRunTime")
         c = s.get("executorCpuTime")
         if isinstance(r, (int, float)) and isinstance(c, (int, float)) \
                 and not isinstance(r, bool) and not isinstance(c, bool):
+            # mark seen only AFTER validation (review r17 pass 7): a
+            # malformed row must not shadow a later valid duplicate of
+            # the same attempt — order-independence for the dedup
+            ids.add(key)
             run_ms += r
             cpu_ms += c / 1e6  # ns -> ms
             n += 1
@@ -459,8 +470,8 @@ def main() -> None:
         # lost coverage)
         print(
             f"# {name}: cpu_over_run="
-            f"{sw['cpu_over_run'] if sw else None}"
-            + (f" ({sw['stages']} stages)" if sw else "")
+            f"{sw.get('cpu_over_run') if sw else None}"
+            + (f" ({sw['stages']} stages)" if sw and "stages" in sw else "")
             + (f" incomplete={sw['incomplete']}"
                if sw and "incomplete" in sw else ""),
             file=sys.stderr,

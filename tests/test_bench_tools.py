@@ -935,8 +935,21 @@ def test_stage_weather_advisory_extraction(bench_trend):
         "fast": {"cpu_over_run": 0.988},
         "mid": {"cpu_over_run": 0.7},
         "bad": None,
+        # partial coverage (stages still ACTIVE at fetch): its subset
+        # ratio must NOT enter the range — named instead (review r17
+        # pass 7), so the future gating floor can't be judged on a
+        # fraction of a query's stages
+        "lagged": {"cpu_over_run": 0.95, "incomplete": 2},
+        # the zero-coverage shape (all stages still active)
+        "zero": {"incomplete": 3},
     }})
-    assert got == [(0.133, "slow"), (0.7, "mid"), (0.988, "fast")]
+    assert got == {
+        "range": [(0.133, "slow"), (0.7, "mid"), (0.988, "fast")],
+        "partial": ["lagged", "zero"],
+    }
+    # partial-only artifacts still report (range empty, names carried)
+    got = f({"queries_stage_weather": {"z": {"incomplete": 1}}})
+    assert got == {"range": [], "partial": ["z"]}
 
 
 def test_stage_bucket_bills_by_submission_window():
@@ -977,7 +990,12 @@ def test_stage_bucket_bills_by_submission_window():
         # fetch past the settle) carries only PARTIAL metrics: excluded
         # from the sums, COUNTED as incomplete coverage (review r17
         # pass 6 — the channel is misattribution-immune, not
-        # omission-immune, and must say so per query)
+        # omission-immune, and must say so per query). A duplicated
+        # ACTIVE row counts ONCE (pass 7: same attempt-dedup trust as
+        # the completed path)
+        {"stageId": 7, "attemptId": 0, "submissionTime": iso(1013),
+         "status": "ACTIVE",
+         "executorRunTime": 123, "executorCpuTime": 1e6},
         {"stageId": 7, "attemptId": 0, "submissionTime": iso(1013),
          "status": "ACTIVE",
          "executorRunTime": 123, "executorCpuTime": 1e6},
@@ -1004,3 +1022,39 @@ def test_parse_rest_ts():
     assert bench._parse_rest_ts("garbage") is None
     assert bench._parse_rest_ts(None) is None
     assert bench._parse_rest_ts(1786903083) is None
+
+
+def test_stage_bucket_all_active_window_declares_zero_coverage():
+    """Review r17 pass 7: a query whose EVERY stage is still ACTIVE at
+    fetch (the worst omission case — the last query under a lagging
+    listener bus) must record {"incomplete": n}, distinguishable from
+    None ('no stages landed in this window at all'). And a malformed
+    duplicate row must not shadow a later valid one in the rollup."""
+    import bench
+
+    def iso(epoch):
+        from datetime import datetime, timezone
+
+        return (
+            datetime.fromtimestamp(epoch, tz=timezone.utc)
+            .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "GMT"
+        )
+
+    stages = [
+        {"stageId": 1, "attemptId": 0, "submissionTime": iso(1001),
+         "status": "ACTIVE", "executorRunTime": 5, "executorCpuTime": 1e6},
+        {"stageId": 2, "attemptId": 0, "submissionTime": iso(1002),
+         "status": "ACTIVE", "executorRunTime": 5, "executorCpuTime": 1e6},
+    ]
+    out = bench.stage_bucket(stages, {"qZ": (1000.0, 1010.0),
+                                      "qEmpty": (2000.0, 2010.0)})
+    assert out["qZ"] == {"incomplete": 2}  # zero coverage, declared
+    assert out["qEmpty"] is None  # genuinely nothing in the window
+
+    # malformed-then-valid duplicate: the valid row must still bill
+    assert bench.stage_rollup([
+        {"stageId": 3, "attemptId": 0,
+         "executorRunTime": "n/a", "executorCpuTime": 1e6},
+        {"stageId": 3, "attemptId": 0,
+         "executorRunTime": 1000, "executorCpuTime": 800e6},
+    ]) == {"stages": 1, "run_ms": 1000, "cpu_ms": 800, "cpu_over_run": 0.8}

@@ -153,16 +153,19 @@ DISPERSION_OUTLIERS = 2
 DISPERSION_HARD = 2.0
 
 
-def _stage_weather_of(doc: object) -> list[tuple[float, str]] | None:
-    """Sorted (cpu_over_run, query) pairs from the artifact's per-query
-    in-run stage rollups (`queries_stage_weather`, r17 — executor CPU
-    vs wall over each query's stages, the channel that certifies window
-    quality ACROSS the run). None when the artifact predates the
-    channel or carries no usable rollup. ADVISORY-ONLY for now: the
-    healthy floor is calibrated from one gated anchor so far
-    (BENCH_SHARED_r17d: 0.625-0.988 healthy vs 0.133 mid-run-stalled);
-    promotion to a fail-closed check is the round-18 item once a few
-    more anchors pin the per-query floors (SCALE.md r17 audit)."""
+def _stage_weather_of(doc: object) -> dict | None:
+    """The artifact's per-query in-run stage rollups
+    (`queries_stage_weather`, r17 — executor CPU vs wall over each
+    query's stages, the channel that certifies window quality ACROSS
+    the run), split by coverage: {"range": sorted (cpu_over_run, query)
+    pairs with FULL coverage, "partial": queries whose rollup carries
+    an `incomplete` marker (stages still ACTIVE at fetch — their ratio
+    covers a subset of the query's stages and must not feed the
+    advisory range, let alone the future gating floor; review r17
+    pass 7)}. None when the artifact predates the channel or carries
+    nothing usable. ADVISORY-ONLY for now: healthy floors calibrated
+    from the r17 anchors (clean >= 0.5, middling ~0.36, collapsed
+    0.15); promotion to a fail-closed check is the round-18 item."""
     import math
 
     if not isinstance(doc, dict):
@@ -170,17 +173,24 @@ def _stage_weather_of(doc: object) -> list[tuple[float, str]] | None:
     sw = doc.get("queries_stage_weather")
     if not isinstance(sw, dict):
         return None
-    out = []
+    full: list = []
+    partial: list = []
     for q, v in sw.items():
-        if isinstance(v, dict):
-            r = v.get("cpu_over_run")
-            if (
-                isinstance(r, (int, float))
-                and not isinstance(r, bool)
-                and math.isfinite(r)
-            ):
-                out.append((float(r), str(q)))
-    return sorted(out) or None
+        if not isinstance(v, dict):
+            continue
+        if "incomplete" in v:
+            partial.append(str(q))
+            continue
+        r = v.get("cpu_over_run")
+        if (
+            isinstance(r, (int, float))
+            and not isinstance(r, bool)
+            and math.isfinite(r)
+        ):
+            full.append((float(r), str(q)))
+    if not full and not partial:
+        return None
+    return {"range": sorted(full), "partial": sorted(partial)}
 
 
 def dispersion_verdict(path: str) -> tuple[bool, list[str]]:
@@ -381,11 +391,17 @@ def main() -> None:
             # `tainted` until the per-query floors are calibrated
             sw = _stage_weather_of(doc)
             if sw:
-                (lo, lo_q), (hi, hi_q) = sw[0], sw[-1]
-                print(
-                    f"# weather {side}/stage (advisory): cpu_over_run "
-                    f"{lo} ({lo_q}) .. {hi} ({hi_q})"
+                rng = sw["range"]
+                span = (
+                    f"cpu_over_run {rng[0][0]} ({rng[0][1]}) .. "
+                    f"{rng[-1][0]} ({rng[-1][1]})"
+                    if rng else "no full-coverage rollups"
                 )
+                caveat = (
+                    f"; partial coverage (excluded): {sw['partial']}"
+                    if sw["partial"] else ""
+                )
+                print(f"# weather {side}/stage (advisory): {span}{caveat}")
         if tainted and not gate:
             print(
                 "# weather advisory: at least one side was measured "
