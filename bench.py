@@ -184,6 +184,7 @@ def stage_bucket(
     out: dict[str, dict | None] = {}
     buckets: dict[str, list] = {name: [] for name in windows}
     active: dict[str, set] = {name: set() for name in windows}
+    anon_active: dict[str, int] = {name: 0 for name in windows}
     for s in stages if isinstance(stages, list) else ():
         if not isinstance(s, dict):
             continue
@@ -195,20 +196,29 @@ def stage_bucket(
                 if s.get("status") == "ACTIVE":
                     # dedup by attempt, same trust as the completed
                     # path (review r17 pass 7: a duplicated REST row
-                    # must not read as two lagging stages)
-                    active[name].add((s.get("stageId"), s.get("attemptId")))
+                    # must not read as two lagging stages) — except
+                    # id-less rows, which would all collapse into one
+                    # (None, None) entry and UNDERCOUNT; those count
+                    # individually instead (review r17 pass 8)
+                    key = (s.get("stageId"), s.get("attemptId"))
+                    if key == (None, None):
+                        anon_active[name] += 1
+                    else:
+                        active[name].add(key)
                 else:
                     buckets[name].append(s)
                 break
     for name in windows:
         roll = stage_rollup(buckets[name])
-        if active[name]:
+        lagging = len(active[name]) + anon_active[name]
+        if lagging:
             # an ALL-active bucket still declares its lost coverage
             # (review r17 pass 7): {"incomplete": n} with no ratio is
             # the zero-coverage case, distinguishable from "no stages
-            # landed in this window" (None)
-            roll = dict(roll) if roll else {}
-            roll["incomplete"] = len(active[name])
+            # landed in this window" (None). Merged with any coverage
+            # stage_rollup itself reported lost to malformed rows.
+            roll = roll or {}
+            roll["incomplete"] = roll.get("incomplete", 0) + lagging
         out[name] = roll
     return out
 
@@ -228,11 +238,16 @@ def stage_rollup(stages: list | None) -> dict | None:
     round: the healthy baseline is not 1.0 (shuffle IO, GC and
     scheduler gaps all lower it legitimately, per-query differently),
     so a gating floor must be calibrated from gated-green artifacts
-    first (r18). Malformed entries are skipped; no stages or a
-    zero/absent run time yields None rather than a fake ratio."""
+    first (r18). A stage attempt whose every row carries unusable
+    metrics is LOST COVERAGE, reported as `"incomplete"` exactly like
+    an ACTIVE-at-fetch stage (review r17 pass 8: a subset ratio must
+    declare itself whatever made it a subset); no billable stages at
+    all yields None (or {"incomplete": n} when coverage was lost), and
+    a zero run time never mints a fake ratio."""
     if not isinstance(stages, list):
         return None
     ids: set = set()
+    bad_keys: set = set()
     run_ms = 0.0
     cpu_ms = 0.0
     n = 0
@@ -253,14 +268,21 @@ def stage_rollup(stages: list | None) -> dict | None:
             run_ms += r
             cpu_ms += c / 1e6  # ns -> ms
             n += 1
+        else:
+            bad_keys.add(key)
+    # attempts that NEVER produced a usable row are lost coverage
+    lost = len(bad_keys - ids)
     if n == 0 or run_ms <= 0:
-        return None
-    return {
+        return {"incomplete": lost} if lost else None
+    out = {
         "stages": n,
         "run_ms": int(run_ms),
         "cpu_ms": int(cpu_ms),
         "cpu_over_run": round(cpu_ms / run_ms, 3),
     }
+    if lost:
+        out["incomplete"] = lost
+    return out
 
 
 def wait_for_healthy_window() -> tuple[dict | None, list[dict]]:

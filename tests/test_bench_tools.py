@@ -879,7 +879,10 @@ def test_stage_rollup_aggregates_and_dedups():
     are skipped; no stages or zero run time yields None, never a fake
     ratio. (Per-query attribution is stage_bucket's job - the old
     seen-set threading left with the polling design, review r17
-    pass 6.)"""
+    pass 6.) An attempt whose every row is malformed is LOST COVERAGE,
+    counted into `incomplete` just like an ACTIVE-at-fetch stage
+    (pass 8) — a subset ratio declares itself whatever made it a
+    subset."""
     import bench
 
     stages = [
@@ -893,7 +896,8 @@ def test_stage_rollup_aggregates_and_dedups():
         # a stage RETRY is a distinct attempt, billed separately
         {"stageId": 2, "attemptId": 1,
          "executorRunTime": 1000, "executorCpuTime": 100e6},
-        # malformed rows: skipped, never crash, never pollute the sums
+        # malformed rows: never crash, never pollute the sums — but
+        # their attempts are lost coverage and must be DECLARED
         {"stageId": 4, "attemptId": 0,
          "executorRunTime": "n/a", "executorCpuTime": 1e6},
         {"stageId": 5, "attemptId": 0,
@@ -902,6 +906,11 @@ def test_stage_rollup_aggregates_and_dedups():
     ]
     assert bench.stage_rollup(stages) == {
         "stages": 3, "run_ms": 3000, "cpu_ms": 1500, "cpu_over_run": 0.5,
+        "incomplete": 2,
+    }
+    # fully-billable bucket: no incomplete key at all
+    assert bench.stage_rollup(stages[:2]) == {
+        "stages": 2, "run_ms": 2000, "cpu_ms": 1400, "cpu_over_run": 0.7,
     }
     # API failure / empty bucket -> None
     assert bench.stage_rollup(None) is None
@@ -911,6 +920,11 @@ def test_stage_rollup_aggregates_and_dedups():
         [{"stageId": 9, "attemptId": 0,
           "executorRunTime": 0, "executorCpuTime": 0}]
     ) is None
+    # all-malformed bucket: zero coverage, declared (not None)
+    assert bench.stage_rollup(
+        [{"stageId": 9, "attemptId": 0,
+          "executorRunTime": None, "executorCpuTime": None}]
+    ) == {"incomplete": 1}
 
 
 def test_stage_weather_advisory_extraction(bench_trend):
@@ -952,6 +966,18 @@ def test_stage_weather_advisory_extraction(bench_trend):
     assert got == {"range": [], "partial": ["z"]}
 
 
+def _rest_iso(epoch):
+    """Epoch seconds -> the Spark REST submissionTime format — ONE
+    helper for every stage-bucket test (review r17 pass 8: two verbatim
+    nested copies would let a format tweak silently diverge)."""
+    from datetime import datetime, timezone
+
+    return (
+        datetime.fromtimestamp(epoch, tz=timezone.utc)
+        .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "GMT"
+    )
+
+
 def test_stage_bucket_bills_by_submission_window():
     """Review r17 pass 5: per-query attribution by submissionTime
     windows — a stage submitted inside query N's wall-clock window is
@@ -962,29 +988,21 @@ def test_stage_bucket_bills_by_submission_window():
     import bench
 
     # epoch 1000-1010 = qA, 1010.5-1020 = qB; warm-up before both
-    def iso(epoch):
-        from datetime import datetime, timezone
-
-        return (
-            datetime.fromtimestamp(epoch, tz=timezone.utc)
-            .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "GMT"
-        )
-
     stages = [
-        {"stageId": 1, "attemptId": 0, "submissionTime": iso(995),
+        {"stageId": 1, "attemptId": 0, "submissionTime": _rest_iso(995),
          "executorRunTime": 9999, "executorCpuTime": 1e6},  # warm-up: dropped
-        {"stageId": 2, "attemptId": 0, "submissionTime": iso(1001),
+        {"stageId": 2, "attemptId": 0, "submissionTime": _rest_iso(1001),
          "executorRunTime": 1000, "executorCpuTime": 900e6},
-        {"stageId": 3, "attemptId": 0, "submissionTime": iso(1009.9),
+        {"stageId": 3, "attemptId": 0, "submissionTime": _rest_iso(1009.9),
          "executorRunTime": 1000, "executorCpuTime": 100e6},  # late-completing qA stage
-        {"stageId": 4, "attemptId": 0, "submissionTime": iso(1011),
+        {"stageId": 4, "attemptId": 0, "submissionTime": _rest_iso(1011),
          "executorRunTime": 2000, "executorCpuTime": 1000e6},
         # a FAILED attempt is real descheduled work, billed like any other
-        {"stageId": 4, "attemptId": 1, "submissionTime": iso(1012),
+        {"stageId": 4, "attemptId": 1, "submissionTime": _rest_iso(1012),
          "executorRunTime": 2000, "executorCpuTime": 200e6},
         {"stageId": 5, "attemptId": 0, "submissionTime": "garbage",
          "executorRunTime": 5000, "executorCpuTime": 1e6},  # dropped
-        {"stageId": 6, "attemptId": 0, "submissionTime": iso(1010.2),
+        {"stageId": 6, "attemptId": 0, "submissionTime": _rest_iso(1010.2),
          "executorRunTime": 7777, "executorCpuTime": 1e6},  # gap: dropped
         # a still-ACTIVE stage at fetch time (listener bus lagging the
         # fetch past the settle) carries only PARTIAL metrics: excluded
@@ -993,10 +1011,10 @@ def test_stage_bucket_bills_by_submission_window():
         # omission-immune, and must say so per query). A duplicated
         # ACTIVE row counts ONCE (pass 7: same attempt-dedup trust as
         # the completed path)
-        {"stageId": 7, "attemptId": 0, "submissionTime": iso(1013),
+        {"stageId": 7, "attemptId": 0, "submissionTime": _rest_iso(1013),
          "status": "ACTIVE",
          "executorRunTime": 123, "executorCpuTime": 1e6},
-        {"stageId": 7, "attemptId": 0, "submissionTime": iso(1013),
+        {"stageId": 7, "attemptId": 0, "submissionTime": _rest_iso(1013),
          "status": "ACTIVE",
          "executorRunTime": 123, "executorCpuTime": 1e6},
     ]
@@ -1032,18 +1050,10 @@ def test_stage_bucket_all_active_window_declares_zero_coverage():
     duplicate row must not shadow a later valid one in the rollup."""
     import bench
 
-    def iso(epoch):
-        from datetime import datetime, timezone
-
-        return (
-            datetime.fromtimestamp(epoch, tz=timezone.utc)
-            .strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "GMT"
-        )
-
     stages = [
-        {"stageId": 1, "attemptId": 0, "submissionTime": iso(1001),
+        {"stageId": 1, "attemptId": 0, "submissionTime": _rest_iso(1001),
          "status": "ACTIVE", "executorRunTime": 5, "executorCpuTime": 1e6},
-        {"stageId": 2, "attemptId": 0, "submissionTime": iso(1002),
+        {"stageId": 2, "attemptId": 0, "submissionTime": _rest_iso(1002),
          "status": "ACTIVE", "executorRunTime": 5, "executorCpuTime": 1e6},
     ]
     out = bench.stage_bucket(stages, {"qZ": (1000.0, 1010.0),
@@ -1058,3 +1068,23 @@ def test_stage_bucket_all_active_window_declares_zero_coverage():
         {"stageId": 3, "attemptId": 0,
          "executorRunTime": 1000, "executorCpuTime": 800e6},
     ]) == {"stages": 1, "run_ms": 1000, "cpu_ms": 800, "cpu_over_run": 0.8}
+
+
+def test_stage_bucket_idless_active_rows_count_individually():
+    """Review r17 pass 8: ACTIVE rows missing BOTH identity fields
+    would all collapse into one (None, None) dedup entry and UNDERCOUNT
+    lost coverage — id-less rows count individually instead (the
+    conservative direction for a coverage declaration)."""
+    import bench
+
+    stages = [
+        {"submissionTime": _rest_iso(1001), "status": "ACTIVE"},
+        {"submissionTime": _rest_iso(1002), "status": "ACTIVE"},
+        # a NORMAL duplicate-active pair still dedups to one
+        {"stageId": 8, "attemptId": 0, "submissionTime": _rest_iso(1003),
+         "status": "ACTIVE"},
+        {"stageId": 8, "attemptId": 0, "submissionTime": _rest_iso(1003),
+         "status": "ACTIVE"},
+    ]
+    out = bench.stage_bucket(stages, {"q": (1000.0, 1010.0)})
+    assert out["q"] == {"incomplete": 3}
