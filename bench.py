@@ -148,8 +148,12 @@ def _stage_metrics(spark) -> list | None:
 
 def _parse_rest_ts(s: object) -> float | None:
     """Spark REST timestamp ('2026-08-16T17:58:03.123GMT') → epoch
-    seconds, or None for anything unparseable."""
-    if not isinstance(s, str):
+    seconds, or None for anything unparseable. The suffix after the
+    23-char datetime must actually be 'GMT' (or absent): a row
+    formatted in another zone would otherwise parse cleanly and
+    silently misbucket its stage by hours — this function's contract
+    is drop rather than misattribute (ADVICE r17)."""
+    if not isinstance(s, str) or s[23:] not in ("", "GMT"):
         return None
     from datetime import datetime, timezone
 
@@ -251,11 +255,20 @@ def stage_rollup(stages: list | None) -> dict | None:
     run_ms = 0.0
     cpu_ms = 0.0
     n = 0
+    anon_lost = 0
     for s in stages:
         if not isinstance(s, dict):
             continue
         key = (s.get("stageId"), s.get("attemptId"))
-        if key in ids:
+        # id-less rows have no identity to dedup BY — all of them would
+        # collapse into one (None, None) entry and the second valid one
+        # would silently vanish from the sums; mirror stage_bucket's
+        # anon handling (review r17 pass 8 gave the ACTIVE path exactly
+        # this treatment): each anon row stands alone — valid = billed
+        # individually, malformed = lost coverage individually
+        # (ADVICE r17)
+        anon = key == (None, None)
+        if not anon and key in ids:
             continue
         r = s.get("executorRunTime")
         c = s.get("executorCpuTime")
@@ -264,14 +277,17 @@ def stage_rollup(stages: list | None) -> dict | None:
             # mark seen only AFTER validation (review r17 pass 7): a
             # malformed row must not shadow a later valid duplicate of
             # the same attempt — order-independence for the dedup
-            ids.add(key)
+            if not anon:
+                ids.add(key)
             run_ms += r
             cpu_ms += c / 1e6  # ns -> ms
             n += 1
+        elif anon:
+            anon_lost += 1
         else:
             bad_keys.add(key)
     # attempts that NEVER produced a usable row are lost coverage
-    lost = len(bad_keys - ids)
+    lost = len(bad_keys - ids) + anon_lost
     if n == 0 or run_ms <= 0:
         return {"incomplete": lost} if lost else None
     out = {

@@ -467,6 +467,98 @@ def test_trend_weather_flag(bench_trend, tmp_path, monkeypatch, capsys):
     assert "# GATE PASS" in capsys.readouterr().out
 
 
+def test_trend_stage_floor_gates(bench_trend, tmp_path, monkeypatch, capsys):
+    """r18 (VERDICT r17 #2): the in-run stage channel is fail-closed —
+    a present channel whose full-coverage cpu_over_run floor sits below
+    STAGE_FLOOR taints the side; channel ABSENCE stays advisory (the
+    isolated arbiter series structurally carries none); present-but-
+    all-partial is a degraded measurement and fails like a missing
+    probe."""
+    healthy = {
+        "first_touch_gb_s": 5.0, "steal_pct": 0.2, "cpu_parallel_scale": 20.0,
+    }
+    base = {
+        "value": 2.0, "queries": {"a": 2.0},
+        "queries_warm": {"a": [2.0, 2.1, 1.9]},
+        "host": healthy, "host_after": healthy,
+    }
+    docs = {
+        "absent": base,  # no stage channel at all: advisory, passes
+        "clean": {**base, "queries_stage_weather": {
+            "a": {"stages": 3, "run_ms": 1000, "cpu_ms": 600,
+                  "cpu_over_run": 0.6},
+        }},
+        "collapsed": {**base, "queries_stage_weather": {
+            "a": {"stages": 3, "run_ms": 1000, "cpu_ms": 151,
+                  "cpu_over_run": 0.151},
+        }},
+        "all_partial": {**base, "queries_stage_weather": {
+            "a": {"stages": 1, "run_ms": 100, "cpu_ms": 90,
+                  "cpu_over_run": 0.9, "incomplete": 2},
+        }},
+    }
+    paths = {}
+    for name, doc in docs.items():
+        p = str(tmp_path / f"{name}.json")
+        open(p, "w").write(json.dumps(doc))
+        paths[name] = p
+
+    def run(old_k, new_k, *extra):
+        monkeypatch.setattr(
+            bench_trend.sys, "argv",
+            ["bench_trend.py", paths[old_k], paths[new_k], *extra],
+        )
+        try:
+            bench_trend.main()
+        except SystemExit as e:
+            return e.code
+        return 0
+
+    # clean channel on both sides: floor annotated, GATE PASS
+    assert run("clean", "clean", "--weather", "--gate") == 0
+    out = capsys.readouterr().out
+    assert out.count("floor >= 0.3") == 2 and "# GATE PASS" in out
+    # absent channel: advisory note, still GATE PASS
+    assert run("clean", "absent", "--weather", "--gate") == 0
+    out = capsys.readouterr().out
+    assert "channel absent" in out and "# GATE PASS" in out
+    # below-floor side fails the gate, naming side, query and floor
+    assert run("clean", "collapsed", "--weather", "--gate") == 1
+    out = capsys.readouterr().out
+    assert "new/stage: cpu_over_run floor 0.151 (a) below 0.3" in out
+    assert "in-run collapse" in out and "# GATE FAIL" in out
+    # present-but-all-partial: unmeasurable, fails closed
+    assert run("all_partial", "clean", "--weather", "--gate") == 1
+    out = capsys.readouterr().out
+    assert "no full-coverage rollups" in out and "# GATE FAIL" in out
+    # --weather alone stays advisory (exit 0) even below floor
+    assert run("clean", "collapsed", "--weather") == 0
+    assert "below 0.3" in capsys.readouterr().out
+
+
+def test_trend_stage_floor_calibration_fixtures(bench_trend):
+    """The committed r17 anchors pin the floor's separation: clean
+    gated windows (BENCH_SHARED_r17d/e, the r17 driver sidecar) sit
+    ABOVE STAGE_FLOOR; the r17f mid-run collapse sits BELOW — the
+    VERDICT r17 #2 done-criterion fixtures, read from the real
+    artifacts so a drive-by re-calibration of STAGE_FLOOR that breaks
+    the separation fails here."""
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+
+    def floor_of(name):
+        doc = _json.load(open(_os.path.join(root, name)))
+        sw = bench_trend._stage_weather_of(doc)
+        assert sw and sw["range"], f"{name} lost its stage channel"
+        return sw["range"][0][0]
+
+    assert floor_of("BENCH_SHARED_r17d.json") == 0.625 > bench_trend.STAGE_FLOOR
+    assert floor_of("BENCH_SHARED_r17e.json") == 0.5 > bench_trend.STAGE_FLOOR
+    assert floor_of("BENCH_SHARED_r17f.json") == 0.151 < bench_trend.STAGE_FLOOR
+
+
 def test_trend_load_weather_shapes(bench_trend, tmp_path):
     """load_weather mirrors load()'s wrapper handling and degrades to
     None values on pre-r15 artifacts instead of raising."""
@@ -927,6 +1019,45 @@ def test_stage_rollup_aggregates_and_dedups():
     ) == {"incomplete": 1}
 
 
+def test_stage_rollup_idless_rows_bill_individually():
+    """ADVICE r17: two id-less rows both key to (None, None) — the
+    dedup set must not swallow the second valid one (each anon row is
+    billed individually, mirroring stage_bucket's anon_active
+    treatment), and each malformed anon row counts as lost coverage
+    individually (no identity means no later valid duplicate can
+    redeem it)."""
+    import bench
+
+    anon = {"executorRunTime": 1000, "executorCpuTime": 500e6}
+    # two valid id-less rows: BOTH billed (the old dedup kept one)
+    assert bench.stage_rollup([dict(anon), dict(anon)]) == {
+        "stages": 2, "run_ms": 2000, "cpu_ms": 1000, "cpu_over_run": 0.5,
+    }
+    # a valid anon row does NOT shadow identified dedup: the identified
+    # duplicate still dedups while anon rows bill individually
+    assert bench.stage_rollup([
+        dict(anon),
+        {"stageId": 1, "attemptId": 0,
+         "executorRunTime": 1000, "executorCpuTime": 900e6},
+        {"stageId": 1, "attemptId": 0,
+         "executorRunTime": 1000, "executorCpuTime": 900e6},
+        dict(anon),
+    ]) == {
+        "stages": 3, "run_ms": 3000, "cpu_ms": 1900,
+        "cpu_over_run": round(1900 / 3000, 3),
+    }
+    # malformed anon rows: lost coverage EACH (not collapsed to one),
+    # and a valid anon row beside them still bills
+    assert bench.stage_rollup([
+        {"executorRunTime": "n/a", "executorCpuTime": 1e6},
+        {"executorRunTime": None, "executorCpuTime": None},
+        dict(anon),
+    ]) == {
+        "stages": 1, "run_ms": 1000, "cpu_ms": 500, "cpu_over_run": 0.5,
+        "incomplete": 2,
+    }
+
+
 def test_stage_weather_advisory_extraction(bench_trend):
     """_stage_weather_of: sorted (ratio, query) pairs from the r17
     in-run channel; pre-channel artifacts, empty maps, and poisoned
@@ -1040,6 +1171,12 @@ def test_parse_rest_ts():
     assert bench._parse_rest_ts("garbage") is None
     assert bench._parse_rest_ts(None) is None
     assert bench._parse_rest_ts(1786903083) is None
+    # ADVICE r17: a non-GMT suffix must DROP, not silently parse the
+    # sliced prefix as UTC and misbucket every stage by hours — the
+    # function's contract is drop rather than misattribute
+    assert bench._parse_rest_ts("2026-08-16T17:58:03.123PST") is None
+    assert bench._parse_rest_ts("2026-08-16T17:58:03.123+0500") is None
+    assert bench._parse_rest_ts("2026-08-16T17:58:03.123GMT0") is None
 
 
 def test_stage_bucket_all_active_window_declares_zero_coverage():

@@ -41,6 +41,15 @@ GATES: an artifact measured outside the envelope (or missing its
 probes/warm lists) fails the run, so weather-tainted timings can never
 silently win an arbitration — the loop VERDICT r15 "What's wrong #1/#2"
 asked to close.
+
+The in-run stage channel (queries_stage_weather, r17) joins the gate in
+r18: an artifact whose full-coverage cpu_over_run floor sits below
+STAGE_FLOOR (calibrated 0.3 — clean gated windows floor >= 0.5,
+mid-run collapses ~0.15) is tainted — the channel certifies the MIDDLE
+of the run at stage granularity, where the bracketing probes and even
+the dispersion verdict can miss a short collapse. Channel ABSENCE stays
+advisory (the isolated series structurally carries none); see the
+STAGE_FLOOR note for the calibration anchors and the absence rationale.
 """
 
 from __future__ import annotations
@@ -151,6 +160,29 @@ def _weather_of(doc: object) -> dict:
 DISPERSION_SPREAD = 1.6
 DISPERSION_OUTLIERS = 2
 DISPERSION_HARD = 2.0
+
+# In-run stage-channel floor (r18 — VERDICT r17 #2 promoted the r17
+# advisory channel to fail-closed). cpu_over_run collapses exactly
+# under steal/fault regimes (threads descheduled while the task clock
+# runs) and is window-width-independent. Calibration anchors, all
+# committed artifacts: CLEAN gated windows floor 0.625
+# (BENCH_SHARED_r17d), 0.500 (r17e), 0.595 (the r17 driver sidecar,
+# BENCH_DETAIL.json); a MIDDLING window read 0.362 (uncommitted, r17
+# notes); the r17f mid-run COLLAPSE read 0.151 (bm25 — the same query
+# the dispersion check flagged). 0.3 splits clean (>= 0.5) from
+# collapsed (~0.15) with ~1.7x margin each side. The ~0.36 middling
+# regime deliberately PASSES this floor — the floor's job is catching
+# in-run collapse the edge brackets miss, not window-quality grading
+# (per-query floors wait for a wider anchor set; middling windows are
+# policed by the brackets + dispersion + the band itself). ABSENCE of
+# the channel stays advisory, unlike the probe/dispersion channels:
+# the stage channel ships only in bench.py's shared/driver path (r17)
+# — the isolated arbiter series structurally carries none (each query
+# is its own process, no one app to roll up) — so failing closed on
+# absence would invalidate every isolated comparison this gate exists
+# to arbitrate. PRESENT-but-empty (every rollup partial-coverage) is
+# a degraded measurement and fails closed like a missing probe.
+STAGE_FLOOR = 0.3
 
 
 def _stage_weather_of(doc: object) -> dict | None:
@@ -387,21 +419,45 @@ def main() -> None:
                 note = f"{side}/dispersion: {'; '.join(why)}"
                 tainted.append(note)
                 print(f"# weather {note}")
-            # in-run stage channel (r17): advisory only — never joins
-            # `tainted` until the per-query floors are calibrated
+            # in-run stage channel: fail-closed floor (r18, VERDICT
+            # r17 #2) when the channel is PRESENT; absence stays
+            # advisory — see the STAGE_FLOOR calibration note
             sw = _stage_weather_of(doc)
             if sw:
                 rng = sw["range"]
-                span = (
-                    f"cpu_over_run {rng[0][0]} ({rng[0][1]}) .. "
-                    f"{rng[-1][0]} ({rng[-1][1]})"
-                    if rng else "no full-coverage rollups"
-                )
                 caveat = (
                     f"; partial coverage (excluded): {sw['partial']}"
                     if sw["partial"] else ""
                 )
-                print(f"# weather {side}/stage (advisory): {span}{caveat}")
+                if not rng:
+                    note = (
+                        f"{side}/stage: channel present but no "
+                        f"full-coverage rollups — floor unmeasurable"
+                        f"{caveat}"
+                    )
+                    tainted.append(note)
+                    print(f"# weather {note}")
+                elif rng[0][0] < STAGE_FLOOR:
+                    note = (
+                        f"{side}/stage: cpu_over_run floor {rng[0][0]} "
+                        f"({rng[0][1]}) below {STAGE_FLOOR} — in-run "
+                        f"collapse{caveat}"
+                    )
+                    tainted.append(note)
+                    print(f"# weather {note}")
+                else:
+                    print(
+                        f"# weather {side}/stage: cpu_over_run "
+                        f"{rng[0][0]} ({rng[0][1]}) .. {rng[-1][0]} "
+                        f"({rng[-1][1]}) — floor >= {STAGE_FLOOR}"
+                        f"{caveat}"
+                    )
+            else:
+                print(
+                    f"# weather {side}/stage: channel absent "
+                    "(advisory — isolated series and pre-r17 "
+                    "artifacts carry none)"
+                )
         if tainted and not gate:
             print(
                 "# weather advisory: at least one side was measured "
