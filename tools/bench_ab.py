@@ -1,0 +1,226 @@
+"""Same-window A/B arbiter: time the SAME queries under TWO code trees
+inside ONE weather window, alternating sides so a slow environmental
+trend cannot masquerade as a code regression (VERDICT r17 #1: the
+isolated series crept +18% over four rounds on untouched bench-path
+code — each step passed the ±20% gate, but nothing in the protocol
+could distinguish secular host drift from a slow code leak; this tool
+is the decisive experiment).
+
+Usage:
+    python tools/bench_ab.py OLD_ROOT NEW_ROOT --queries q1,q2[,...]
+        [--reps N] [--sf-dir DIR] [--out FILE]
+
+Each query runs as an A B B A ladder (old, new, new, old) — four fresh
+processes through each side's OWN tools/bench_isolated.py single-query
+CLI (the r13 CLI is forward-compatible by its own docstring contract),
+so linear within-window drift cancels to first order and each side is
+measured by exactly the code it shipped with. The host probe brackets
+the whole run AND every query block; the artifact embeds every probe
+plus a weather_ok verdict (all probes in envelope), so the A/B is
+self-certifying the same way the gated bench artifacts are.
+
+Verdict semantics: per query, drift = (new_median - old_median) /
+old_median over the pooled warm runs of each side's two processes.
+A ≈ B (drifts inside the noise band) attributes the series creep to
+environment; A < B consistently attributes it to code between the two
+SHAs. The artifact records, SCALE.md interprets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_TOOLS = os.path.dirname(os.path.abspath(__file__))
+if _TOOLS not in sys.path:
+    sys.path.insert(0, _TOOLS)
+
+RUN_TIMEOUT_S = 600.0
+
+
+def _probe() -> dict | None:
+    """Bracketing host probe — best-effort, same contract as bench.py's
+    host_condition: a probe failure yields None, never a dead A/B."""
+    try:
+        import host_probe
+
+        return host_probe.probe()
+    except Exception as e:  # noqa: BLE001 — diagnostics never kill the run
+        print(f"# host probe unavailable: {e!r}", file=sys.stderr)
+        return None
+
+
+def _weather_ok(p: dict | None) -> tuple[bool, list[str]]:
+    try:
+        import host_probe
+
+        return host_probe.weather_ok(p)
+    except Exception as e:  # noqa: BLE001
+        return False, [f"weather unmeasurable: {e!r}"]
+
+
+def _git_sha(root: str) -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        return out.stdout.strip() or None if out.returncode == 0 else None
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+
+
+def _run_side(root: str, query: str, reps: int, sf_dir: str) -> dict:
+    """One fresh-process single-query run under `root`'s own tree.
+    Returns the parsed result dict or {"error": ...}."""
+    cmd = [
+        sys.executable,
+        os.path.join(root, "tools", "bench_isolated.py"),
+        query,
+        str(reps),
+        sf_dir,
+    ]
+    try:
+        proc = subprocess.run(
+            cmd,
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=RUN_TIMEOUT_S,
+            start_new_session=True,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {RUN_TIMEOUT_S:.0f}s"}
+    if proc.returncode != 0:
+        return {"error": (proc.stderr or proc.stdout or "no output")[-2000:]}
+    # same reverse-scan acceptance as the suite runner: the result is
+    # the LAST stdout line parsing to a dict with numeric warm_median
+    for cand in reversed(proc.stdout.strip().splitlines()):
+        try:
+            obj = json.loads(cand)
+        except ValueError:
+            continue
+        if (
+            isinstance(obj, dict)
+            and isinstance(obj.get("warm_median"), (int, float))
+            and isinstance(obj.get("warm"), list)
+        ):
+            return obj
+    return {"error": "no result line in stdout: " + proc.stdout[-500:]}
+
+
+def _pooled_median(runs: list[dict]) -> float | None:
+    """Median over the POOLED warm reps of a side's runs — two fresh
+    processes × N reps gives 2N samples; pooling beats median-of-medians
+    at this sample size and keeps odd/even behavior obvious."""
+    warm: list[float] = []
+    for r in runs:
+        for w in r.get("warm", []):
+            if isinstance(w, (int, float)) and not isinstance(w, bool):
+                warm.append(float(w))
+    if not warm:
+        return None
+    warm.sort()
+    return warm[len(warm) // 2]
+
+
+def main() -> None:
+    args = list(sys.argv[1:])
+
+    def _opt(flag: str, default: str | None) -> str | None:
+        if flag in args:
+            i = args.index(flag)
+            if i + 1 >= len(args):
+                sys.exit(f"{flag} requires a value")
+            v = args[i + 1]
+            del args[i : i + 2]
+            return v
+        return default
+
+    queries_s = _opt("--queries", None)
+    reps_s = _opt("--reps", "3")
+    sf_dir = _opt("--sf-dir", os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    out = _opt("--out", "BENCH_AB.json")
+    if len(args) != 2 or not queries_s:
+        sys.exit(__doc__ or "usage: bench_ab.py OLD NEW --queries a,b")
+    old_root, new_root = (os.path.abspath(a) for a in args)
+    for r in (old_root, new_root):
+        if not os.path.isfile(os.path.join(r, "tools", "bench_isolated.py")):
+            sys.exit(f"not a bench-capable tree: {r}")
+    try:
+        reps = int(reps_s)
+    except ValueError:
+        sys.exit(f"non-integer reps: {reps_s!r}")
+    if reps < 1:
+        sys.exit(f"reps must be >= 1, got {reps}")
+    queries = [q for q in queries_s.split(",") if q]
+
+    probes: list[dict | None] = [_probe()]
+    t_start = time.monotonic()
+    results: dict[str, dict] = {}
+    for q in queries:
+        runs: dict[str, list[dict]] = {"old": [], "new": []}
+        # A B B A — alternation cancels linear drift; the outer probe
+        # per block localizes any mid-run window collapse to one query
+        for side in ("old", "new", "new", "old"):
+            root = old_root if side == "old" else new_root
+            print(f"# {q} [{side}] ...", file=sys.stderr, flush=True)
+            res = _run_side(root, q, reps, sf_dir)
+            runs[side].append(res)
+            tag = res.get("warm_median", res.get("error", "?"))
+            print(f"# {q} [{side}] -> {tag}", file=sys.stderr, flush=True)
+        om = _pooled_median(runs["old"])
+        nm = _pooled_median(runs["new"])
+        row: dict = {"old": runs["old"], "new": runs["new"]}
+        if om is not None and nm is not None:
+            row["old_median"] = om
+            row["new_median"] = nm
+            row["drift"] = round((nm - om) / om, 4) if om else None
+        else:
+            row["error"] = "a side produced no warm samples"
+        results[q] = row
+        probes.append(_probe())
+
+    ok_all = True
+    verdicts = []
+    for i, p in enumerate(probes):
+        ok, why = _weather_ok(p)
+        ok_all = ok_all and ok
+        verdicts.append({"probe": i, "ok": ok, "reasons": why})
+    doc = {
+        "metric": "bench_ab",
+        "sf_dir": sf_dir,
+        "reps": reps,
+        "old_root": old_root,
+        "new_root": new_root,
+        "old_sha": _git_sha(old_root),
+        "new_sha": _git_sha(new_root),
+        "wall_s": round(time.monotonic() - t_start, 1),
+        "queries": results,
+        "probes": probes,
+        "probe_verdicts": verdicts,
+        "weather_ok": ok_all,
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+        f.write("\n")
+    summary = {
+        q: r.get("drift") for q, r in results.items()
+    }
+    print(json.dumps({
+        "metric": "bench_ab_summary",
+        "weather_ok": ok_all,
+        "drift_new_vs_old": summary,
+        "out": out,
+    }))
+
+
+if __name__ == "__main__":
+    main()
