@@ -238,11 +238,13 @@ def stage_rollup(stages: list | None) -> dict | None:
     and is width-independent. Per-query attribution happens in
     stage_bucket (submission-time windows); this is the aggregation
     core, deduping stage ATTEMPTS defensively (a retry is new work,
-    billed separately; a duplicate REST row is not). RECORD-ONLY this
-    round: the healthy baseline is not 1.0 (shuffle IO, GC and
-    scheduler gaps all lower it legitimately, per-query differently),
-    so a gating floor must be calibrated from gated-green artifacts
-    first (r18). A stage attempt whose every row carries unusable
+    billed separately; a duplicate REST row is not). Since r18 the
+    channel GATES: bench_trend --weather --gate fails an artifact
+    whose full-coverage floor sits below STAGE_FLOOR (0.3 — the
+    healthy baseline is not 1.0: shuffle IO, GC and scheduler gaps
+    all lower it legitimately, per-query differently; the floor was
+    calibrated from the r17 gated-green anchors, clean >= 0.5 vs
+    collapsed ~0.15). A stage attempt whose every row carries unusable
     metrics is LOST COVERAGE, reported as `"incomplete"` exactly like
     an ACTIVE-at-fetch stage (review r17 pass 8: a subset ratio must
     declare itself whatever made it a subset); no billable stages at

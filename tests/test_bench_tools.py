@@ -496,6 +496,10 @@ def test_trend_stage_floor_gates(bench_trend, tmp_path, monkeypatch, capsys):
             "a": {"stages": 1, "run_ms": 100, "cpu_ms": 90,
                   "cpu_over_run": 0.9, "incomplete": 2},
         }},
+        # the REST fetch failed mid-collapse: key present, all-None
+        # rollups — must fail closed, NOT read as 'channel absent'
+        # (review r18 pass 1's fail-open shape)
+        "fetch_failed": {**base, "queries_stage_weather": {"a": None}},
     }
     paths = {}
     for name, doc in docs.items():
@@ -531,6 +535,12 @@ def test_trend_stage_floor_gates(bench_trend, tmp_path, monkeypatch, capsys):
     assert run("all_partial", "clean", "--weather", "--gate") == 1
     out = capsys.readouterr().out
     assert "no full-coverage rollups" in out and "# GATE FAIL" in out
+    # key present with all-None rollups (REST fetch died mid-collapse):
+    # fails closed too — never 'channel absent'
+    assert run("clean", "fetch_failed", "--weather", "--gate") == 1
+    out = capsys.readouterr().out
+    assert "no full-coverage rollups" in out and "# GATE FAIL" in out
+    assert "channel absent" not in out
     # --weather alone stays advisory (exit 0) even below floor
     assert run("clean", "collapsed", "--weather") == 0
     assert "below 0.3" in capsys.readouterr().out
@@ -1060,21 +1070,29 @@ def test_stage_rollup_idless_rows_bill_individually():
 
 def test_stage_weather_advisory_extraction(bench_trend):
     """_stage_weather_of: sorted (ratio, query) pairs from the r17
-    in-run channel; pre-channel artifacts, empty maps, and poisoned
-    rollups (None, bool, NaN, missing key) yield None / are skipped —
-    the advisory line must never crash --weather on any artifact
-    shape, and it NEVER joins the tainted list (advisory-only until
-    the floors are calibrated)."""
+    in-run channel. None ONLY when the channel KEY is absent (pre-r17
+    and isolated artifacts). A present key — empty map, non-dict
+    value, all-None rollups — always yields a dict so the STAGE_FLOOR
+    gate can fail closed on a channel that exists but proves nothing
+    (review r18 pass 1: a mid-collapse REST timeout writes {q: None,
+    ...}, which previously read as 'channel absent' and passed the
+    gate by omission). Poisoned per-query rollups (None, bool, NaN,
+    missing key) land in `partial`, never in the range."""
     f = bench_trend._stage_weather_of
-    assert f({"queries": {}}) is None  # pre-channel artifact
-    assert f({"queries_stage_weather": {}}) is None
+    assert f({"queries": {}}) is None  # pre-channel artifact: no key
     assert f("not-a-dict") is None
+    # key PRESENT but proving nothing: a dict, never None (fail-closed
+    # shapes for the gate)
+    assert f({"queries_stage_weather": {}}) == {"range": [], "partial": []}
+    assert f({"queries_stage_weather": "garbled"}) == {
+        "range": [], "partial": [],
+    }
     assert f({"queries_stage_weather": {
         "a": None,                                  # rollup degraded
         "b": {"cpu_over_run": True},                # bool poisoning
         "c": {"cpu_over_run": float("nan")},        # NaN poisoning
         "d": {"run_ms": 5},                         # key missing
-    }}) is None
+    }}) == {"range": [], "partial": ["a", "b", "c", "d"]}
     got = f({"queries_stage_weather": {
         "slow": {"cpu_over_run": 0.133},
         "fast": {"cpu_over_run": 0.988},
@@ -1082,15 +1100,15 @@ def test_stage_weather_advisory_extraction(bench_trend):
         "bad": None,
         # partial coverage (stages still ACTIVE at fetch): its subset
         # ratio must NOT enter the range — named instead (review r17
-        # pass 7), so the future gating floor can't be judged on a
-        # fraction of a query's stages
+        # pass 7), so the gating floor can't be judged on a fraction
+        # of a query's stages
         "lagged": {"cpu_over_run": 0.95, "incomplete": 2},
         # the zero-coverage shape (all stages still active)
         "zero": {"incomplete": 3},
     }})
     assert got == {
         "range": [(0.133, "slow"), (0.7, "mid"), (0.988, "fast")],
-        "partial": ["lagged", "zero"],
+        "partial": ["bad", "lagged", "zero"],
     }
     # partial-only artifacts still report (range empty, names carried)
     got = f({"queries_stage_weather": {"z": {"incomplete": 1}}})

@@ -76,6 +76,21 @@ def _git_sha(root: str) -> str | None:
         return None
 
 
+def _killpg(proc: subprocess.Popen) -> None:
+    """Kill the child's whole process GROUP (the bench_isolated
+    pattern): proc.kill() reaches only the Python child, and a
+    GC-wedged JVM grandchild in its own session would keep burning
+    cores — contaminating every later ladder run and probe, i.e. the
+    exact host-load pathology this tool exists to de-alias (review
+    r18 pass 1)."""
+    import signal
+
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError):
+        pass
+
+
 def _run_side(root: str, query: str, reps: int, sf_dir: str) -> dict:
     """One fresh-process single-query run under `root`'s own tree.
     Returns the parsed result dict or {"error": ...}."""
@@ -86,22 +101,32 @@ def _run_side(root: str, query: str, reps: int, sf_dir: str) -> dict:
         str(reps),
         sf_dir,
     ]
+    proc = subprocess.Popen(
+        cmd,
+        cwd=root,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+        start_new_session=True,
+    )
     try:
-        proc = subprocess.run(
-            cmd,
-            cwd=root,
-            capture_output=True,
-            text=True,
-            timeout=RUN_TIMEOUT_S,
-            start_new_session=True,
-        )
+        out_s, err_s = proc.communicate(timeout=RUN_TIMEOUT_S)
     except subprocess.TimeoutExpired:
+        _killpg(proc)
+        proc.communicate()
         return {"error": f"timeout after {RUN_TIMEOUT_S:.0f}s"}
+    except BaseException:
+        # an interrupt mid-run must not strand the JVM either
+        _killpg(proc)
+        raise
+    finally:
+        if proc.returncode is None:
+            _killpg(proc)
     if proc.returncode != 0:
-        return {"error": (proc.stderr or proc.stdout or "no output")[-2000:]}
+        return {"error": (err_s or out_s or "no output")[-2000:]}
     # same reverse-scan acceptance as the suite runner: the result is
     # the LAST stdout line parsing to a dict with numeric warm_median
-    for cand in reversed(proc.stdout.strip().splitlines()):
+    for cand in reversed((out_s or "").strip().splitlines()):
         try:
             obj = json.loads(cand)
         except ValueError:
@@ -112,7 +137,7 @@ def _run_side(root: str, query: str, reps: int, sf_dir: str) -> dict:
             and isinstance(obj.get("warm"), list)
         ):
             return obj
-    return {"error": "no result line in stdout: " + proc.stdout[-500:]}
+    return {"error": "no result line in stdout: " + (out_s or "")[-500:]}
 
 
 def _pooled_median(runs: list[dict]) -> float | None:
@@ -145,8 +170,11 @@ def main() -> None:
 
     queries_s = _opt("--queries", None)
     reps_s = _opt("--reps", "3")
-    sf_dir = _opt("--sf-dir", os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    # abspath: the children run with cwd=<side root>, so a relative
+    # sf_dir would resolve against EACH side's own tree — the two
+    # sides timing different datasets (review r18 pass 1)
+    sf_dir = os.path.abspath(_opt("--sf-dir", os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")))
     out = _opt("--out", "BENCH_AB.json")
     if len(args) != 2 or not queries_s:
         sys.exit(__doc__ or "usage: bench_ab.py OLD NEW --queries a,b")
@@ -160,7 +188,11 @@ def main() -> None:
         sys.exit(f"non-integer reps: {reps_s!r}")
     if reps < 1:
         sys.exit(f"reps must be >= 1, got {reps}")
-    queries = [q for q in queries_s.split(",") if q]
+    queries = [q.strip() for q in queries_s.split(",") if q.strip()]
+    if not queries:
+        # an empty ladder would write a row-less artifact that reads
+        # as a completed experiment (review r18 pass 1)
+        sys.exit(f"--queries parsed to an empty list: {queries_s!r}")
 
     probes: list[dict | None] = [_probe()]
     t_start = time.monotonic()

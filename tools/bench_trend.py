@@ -192,25 +192,28 @@ def _stage_weather_of(doc: object) -> dict | None:
     the run), split by coverage: {"range": sorted (cpu_over_run, query)
     pairs with FULL coverage, "partial": queries whose rollup carries
     an `incomplete` marker (stages still ACTIVE at fetch — their ratio
-    covers a subset of the query's stages and must not feed the
-    advisory range, let alone the future gating floor; review r17
-    pass 7)}. None when the artifact predates the channel or carries
-    nothing usable. ADVISORY-ONLY for now: healthy floors calibrated
-    from the r17 anchors (clean >= 0.5, middling ~0.36, collapsed
-    0.15); promotion to a fail-closed check is the round-18 item."""
+    covers a subset of the query's stages and must not feed the gating
+    floor; review r17 pass 7) or whose rollup is None/unusable (the
+    REST fetch failed or every stage dropped out of the window —
+    unmeasured for that query)}. None ONLY when the artifact does not
+    carry the channel key at all (pre-r17 / isolated series). The key
+    being PRESENT — whatever its value — always yields a dict, so the
+    STAGE_FLOOR gate can fail closed on a channel that exists but
+    proves nothing: a mid-collapse REST timeout writes {q: None, ...},
+    which must read as a degraded measurement, never as 'channel
+    absent' (review r18 pass 1 — the fail-open shape). Since r18 the
+    floor GATES under --weather --gate; see STAGE_FLOOR."""
     import math
 
-    if not isinstance(doc, dict):
+    if not isinstance(doc, dict) or "queries_stage_weather" not in doc:
         return None
     sw = doc.get("queries_stage_weather")
     if not isinstance(sw, dict):
-        return None
+        return {"range": [], "partial": []}
     full: list = []
     partial: list = []
     for q, v in sw.items():
-        if not isinstance(v, dict):
-            continue
-        if "incomplete" in v:
+        if not isinstance(v, dict) or "incomplete" in v:
             partial.append(str(q))
             continue
         r = v.get("cpu_over_run")
@@ -220,8 +223,8 @@ def _stage_weather_of(doc: object) -> dict | None:
             and math.isfinite(r)
         ):
             full.append((float(r), str(q)))
-    if not full and not partial:
-        return None
+        else:
+            partial.append(str(q))
     return {"range": sorted(full), "partial": sorted(partial)}
 
 
