@@ -83,6 +83,34 @@ def test_suite_survives_trailing_stdout_noise(
     assert doc["complete"] is True and doc["errors"] == []
     assert doc["queries"]["fake_q"]["warm_median"] == 0.5
     assert doc["total_warm_median"] == 0.5
+    # r18: a child that predates the stage channel contributes None —
+    # the key must still exist so bench_trend sees a PRESENT channel
+    # (partial coverage) rather than 'channel absent'
+    assert doc["queries_stage_weather"] == {"fake_q": None}
+
+
+def test_suite_carries_child_stage_weather(
+    bench_isolated, bench_trend, monkeypatch, tmp_path
+):
+    """r18: each child's own-app stage rollup rides its result line
+    into the suite artifact's queries_stage_weather map — the isolated
+    series joins the STAGE_FLOOR gate with per-query coverage."""
+    line = json.dumps({
+        "query": "fake_q", "cold": 1.0, "warm": [0.5], "warm_median": 0.5,
+        "stage_weather": {"stages": 4, "run_ms": 800, "cpu_ms": 640,
+                          "cpu_over_run": 0.8},
+    })
+    doc = _suite_result(
+        bench_isolated, monkeypatch, tmp_path, _FakeProc(line + "\n")
+    )
+    assert doc["queries_stage_weather"] == {
+        "fake_q": {"stages": 4, "run_ms": 800, "cpu_ms": 640,
+                   "cpu_over_run": 0.8},
+    }
+    # and the map feeds the extraction bench_trend gates on
+    assert bench_trend._stage_weather_of(doc) == {
+        "range": [(0.8, "fake_q")], "partial": [],
+    }
 
 
 def test_suite_stray_json_is_not_a_result(

@@ -52,17 +52,30 @@ def _run_one(name: str, reps: int, sf_dir: str) -> dict:
     spark.read.parquet(os.path.join(sf_dir, "nation.parquet")).count()
 
     runs = []
+    w0 = time.time()
     for _ in range(1 + reps):
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(round(time.monotonic() - t0, 3))
+    w1 = time.time()
     warm = runs[1:]
+    # in-run stage channel for THIS query's own app (r18): the
+    # isolated series was the one bench family with no stage-level
+    # weather — the gate's documented blind spot. Same recipe as
+    # bench.py: one post-run REST fetch after a short settle, bucketed
+    # to the timed window so the warm-up scan falls outside it. Zero
+    # in-run load (the fetch happens after the last timed rep).
+    time.sleep(0.5)
+    stage_weather = bench.stage_bucket(
+        bench._stage_metrics(spark), {name: (w0, w1)}
+    )[name]
     return {
         "query": name,
         "sf_dir": sf_dir,
         "cold": runs[0],
         "warm": warm,
         "warm_median": sorted(warm)[len(warm) // 2],
+        "stage_weather": stage_weather,
     }
 
 
@@ -219,6 +232,17 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
                 else {"error": r["error"]}
             )
             for n, r in results.items()
+        },
+        # in-run stage channel (r18): each child fetches its OWN app's
+        # stage rollup after its timed reps — the isolated series joins
+        # the STAGE_FLOOR gate with per-query coverage. A child that
+        # predates the key or whose fetch failed contributes None,
+        # which bench_trend counts as partial coverage (fail-closed if
+        # NOTHING has full coverage — the same contract as the shared
+        # artifact's channel).
+        "queries_stage_weather": {
+            n: r.get("stage_weather")
+            for n, r in results.items() if "warm_median" in r
         },
     }
     with open(out, "w") as f:

@@ -48,7 +48,7 @@ STAGE_FLOOR (calibrated 0.3 — clean gated windows floor >= 0.5,
 mid-run collapses ~0.15) is tainted — the channel certifies the MIDDLE
 of the run at stage granularity, where the bracketing probes and even
 the dispersion verdict can miss a short collapse. Channel ABSENCE stays
-advisory (the isolated series structurally carries none); see the
+advisory (the committed pre-r18 isolated series carries none); see the
 STAGE_FLOOR note for the calibration anchors and the absence rationale.
 """
 
@@ -176,11 +176,12 @@ DISPERSION_HARD = 2.0
 # (per-query floors wait for a wider anchor set; middling windows are
 # policed by the brackets + dispersion + the band itself). ABSENCE of
 # the channel stays advisory, unlike the probe/dispersion channels:
-# the stage channel ships only in bench.py's shared/driver path (r17)
-# — the isolated arbiter series structurally carries none (each query
-# is its own process, no one app to roll up) — so failing closed on
-# absence would invalidate every isolated comparison this gate exists
-# to arbitrate. PRESENT-but-empty (every rollup partial-coverage) is
+# it shipped in bench.py's shared/driver path in r17 and in the
+# isolated suite in r18 (each child fetches its OWN app's rollup), so
+# pre-r18 isolated artifacts — including the whole committed arbiter
+# series this gate compares against — and pre-r17 shared artifacts
+# carry none; failing closed on absence would invalidate every one of
+# those comparisons. PRESENT-but-empty (every rollup partial/None) is
 # a degraded measurement and fails closed like a missing probe.
 STAGE_FLOOR = 0.3
 
@@ -458,7 +459,7 @@ def main() -> None:
             else:
                 print(
                     f"# weather {side}/stage: channel absent "
-                    "(advisory — isolated series and pre-r17 "
+                    "(advisory — pre-r18 isolated / pre-r17 shared "
                     "artifacts carry none)"
                 )
         if tainted and not gate:
