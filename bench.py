@@ -184,16 +184,27 @@ def stage_bucket(
     a subset of its query's stages says so instead of passing as full
     coverage (review r17 pass 6). Windows and submissionTime are
     same-host clocks (driver JVM vs Python, ms-scale skew) —
-    gap-straddling stages drop rather than misattribute."""
+    gap-straddling stages drop rather than misattribute. A stage row
+    whose submissionTime is missing or unparseable (incl. the non-GMT
+    zones _parse_rest_ts now drops) cannot be attributed to ANY
+    query — and therefore cannot be EXCLUDED from any query either,
+    so it counts as lost coverage in EVERY window: with the floor now
+    gating (r18), a silently vanished row could be the very stage
+    that absorbed the mid-run collapse, and its bucket would present
+    a subset ratio as full coverage (review r18 pass 2; the r17
+    pass-8 invariant — a subset ratio must declare itself whatever
+    made it a subset — applied to the attribution step)."""
     out: dict[str, dict | None] = {}
     buckets: dict[str, list] = {name: [] for name in windows}
     active: dict[str, set] = {name: set() for name in windows}
     anon_active: dict[str, int] = {name: 0 for name in windows}
+    unattributable = 0
     for s in stages if isinstance(stages, list) else ():
         if not isinstance(s, dict):
             continue
         ts = _parse_rest_ts(s.get("submissionTime"))
         if ts is None:
+            unattributable += 1
             continue
         for name, (t0, t1) in windows.items():
             if t0 <= ts <= t1:
@@ -214,7 +225,7 @@ def stage_bucket(
                 break
     for name in windows:
         roll = stage_rollup(buckets[name])
-        lagging = len(active[name]) + anon_active[name]
+        lagging = len(active[name]) + anon_active[name] + unattributable
         if lagging:
             # an ALL-active bucket still declares its lost coverage
             # (review r17 pass 7): {"incomplete": n} with no ratio is

@@ -1161,7 +1161,10 @@ def test_stage_bucket_bills_by_submission_window():
     billed to N even if its completion event lands late (the async
     AppStatusStore lag that seen-set threading misattributed); warm-up
     and gap stages drop out instead of polluting a neighbor; an
-    unparseable timestamp drops its stage, never crashes."""
+    unparseable timestamp cannot be attributed to OR excluded from any
+    query, so it counts as lost coverage in every window (review r18
+    pass 2 — under the gating floor it previously vanished silently)
+    and never crashes."""
     import bench
 
     # epoch 1000-1010 = qA, 1010.5-1020 = qB; warm-up before both
@@ -1178,7 +1181,7 @@ def test_stage_bucket_bills_by_submission_window():
         {"stageId": 4, "attemptId": 1, "submissionTime": _rest_iso(1012),
          "executorRunTime": 2000, "executorCpuTime": 200e6},
         {"stageId": 5, "attemptId": 0, "submissionTime": "garbage",
-         "executorRunTime": 5000, "executorCpuTime": 1e6},  # dropped
+         "executorRunTime": 5000, "executorCpuTime": 1e6},  # unattributable
         {"stageId": 6, "attemptId": 0, "submissionTime": _rest_iso(1010.2),
          "executorRunTime": 7777, "executorCpuTime": 1e6},  # gap: dropped
         # a still-ACTIVE stage at fetch time (listener bus lagging the
@@ -1197,15 +1200,23 @@ def test_stage_bucket_bills_by_submission_window():
     ]
     windows = {"qA": (1000.0, 1010.0), "qB": (1010.5, 1020.0)}
     out = bench.stage_bucket(stages, windows)
+    # the one unattributable row (stage 5) taints BOTH buckets
     assert out["qA"] == {
         "stages": 2, "run_ms": 2000, "cpu_ms": 1000, "cpu_over_run": 0.5,
+        "incomplete": 1,
     }
     assert out["qB"] == {
         "stages": 2, "run_ms": 4000, "cpu_ms": 1200, "cpu_over_run": 0.3,
-        "incomplete": 1,
+        "incomplete": 2,
     }
-    # no stages in window / fetch failure -> None per query, never crash
-    assert bench.stage_bucket(stages, {"qC": (2000.0, 2010.0)}) == {"qC": None}
+    # an empty window still declares the unattributable row; with a
+    # fully-attributable stage list it reads None; fetch failure ->
+    # None per query, never crash
+    assert bench.stage_bucket(stages, {"qC": (2000.0, 2010.0)}) == {
+        "qC": {"incomplete": 1}
+    }
+    clean = [s for s in stages if s["stageId"] != 5]
+    assert bench.stage_bucket(clean, {"qC": (2000.0, 2010.0)}) == {"qC": None}
     assert bench.stage_bucket(None, windows) == {"qA": None, "qB": None}
 
 
@@ -1223,6 +1234,48 @@ def test_parse_rest_ts():
     assert bench._parse_rest_ts("2026-08-16T17:58:03.123PST") is None
     assert bench._parse_rest_ts("2026-08-16T17:58:03.123+0500") is None
     assert bench._parse_rest_ts("2026-08-16T17:58:03.123GMT0") is None
+
+
+def test_stage_bucket_unattributable_rows_taint_every_window():
+    """Review r18 pass 2: a stage row whose submissionTime is missing
+    or unparseable (incl. the non-GMT zones _parse_rest_ts drops)
+    cannot be attributed to any query — and with the floor gating, a
+    silently vanished row could be the one that absorbed the mid-run
+    collapse. It counts as lost coverage in EVERY window, so each
+    bucket's ratio declares itself a subset instead of presenting as
+    full coverage."""
+    import bench
+
+    stages = [
+        {"stageId": 1, "attemptId": 0, "submissionTime": _rest_iso(1001),
+         "executorRunTime": 1000, "executorCpuTime": 900e6},
+        # three unattributable shapes: missing / garbled / foreign zone
+        {"stageId": 2, "attemptId": 0,
+         "executorRunTime": 1000, "executorCpuTime": 100e6},
+        {"stageId": 3, "attemptId": 0, "submissionTime": "garbled",
+         "executorRunTime": 1000, "executorCpuTime": 100e6},
+        {"stageId": 4, "attemptId": 0,
+         "submissionTime": "2026-08-16T17:58:03.123PST",
+         "executorRunTime": 1000, "executorCpuTime": 100e6},
+    ]
+    out = bench.stage_bucket(stages, {"qA": (1000.0, 1010.0),
+                                      "qB": (2000.0, 2010.0)})
+    # qA keeps its billable rollup but declares the 3 lost rows; qB —
+    # with nothing billable — still declares them (never None)
+    assert out["qA"] == {
+        "stages": 1, "run_ms": 1000, "cpu_ms": 900, "cpu_over_run": 0.9,
+        "incomplete": 3,
+    }
+    assert out["qB"] == {"incomplete": 3}
+    # a stage with a VALID ts outside every window is the warm-up /
+    # gap case and still drops silently — only unattributable rows
+    # taint
+    out = bench.stage_bucket(
+        [{"stageId": 9, "attemptId": 0, "submissionTime": _rest_iso(500),
+          "executorRunTime": 10, "executorCpuTime": 1e6}],
+        {"qA": (1000.0, 1010.0)},
+    )
+    assert out == {"qA": None}
 
 
 def test_stage_bucket_all_active_window_declares_zero_coverage():

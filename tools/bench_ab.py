@@ -38,7 +38,13 @@ _TOOLS = os.path.dirname(os.path.abspath(__file__))
 if _TOOLS not in sys.path:
     sys.path.insert(0, _TOOLS)
 
-RUN_TIMEOUT_S = 600.0
+# the shared child-process contracts live beside this file in
+# bench_isolated: _killpg (process-GROUP kill), parse_result_line (the
+# acceptance predicate), query_timeout (reps-scaled allowance +
+# BENCH_ISOLATED_TIMEOUT override — the children ARE bench_isolated
+# runs, so its env knob governs them here too), probe_out_writable
+# (validate-then-measure for --out). One copy each (review r18 pass 2).
+import bench_isolated as _bi  # noqa: E402
 
 
 def _probe() -> dict | None:
@@ -76,24 +82,16 @@ def _git_sha(root: str) -> str | None:
         return None
 
 
-def _killpg(proc: subprocess.Popen) -> None:
-    """Kill the child's whole process GROUP (the bench_isolated
-    pattern): proc.kill() reaches only the Python child, and a
-    GC-wedged JVM grandchild in its own session would keep burning
-    cores — contaminating every later ladder run and probe, i.e. the
-    exact host-load pathology this tool exists to de-alias (review
-    r18 pass 1)."""
-    import signal
-
-    try:
-        os.killpg(proc.pid, signal.SIGKILL)
-    except (ProcessLookupError, PermissionError):
-        pass
-
-
-def _run_side(root: str, query: str, reps: int, sf_dir: str) -> dict:
+def _run_side(
+    root: str, query: str, reps: int, sf_dir: str, tmo: float | None
+) -> dict:
     """One fresh-process single-query run under `root`'s own tree.
-    Returns the parsed result dict or {"error": ...}."""
+    Returns the parsed result dict or {"error": ...}. A timed-out or
+    interrupted run kills the child's whole process GROUP — a detached
+    JVM grandchild would otherwise keep loading the host this tool is
+    measuring (review r18 pass 1) — and a timeout error carries the
+    child's output tail so the hang is diagnosable (review r18
+    pass 2)."""
     cmd = [
         sys.executable,
         os.path.join(root, "tools", "bench_isolated.py"),
@@ -110,34 +108,66 @@ def _run_side(root: str, query: str, reps: int, sf_dir: str) -> dict:
         start_new_session=True,
     )
     try:
-        out_s, err_s = proc.communicate(timeout=RUN_TIMEOUT_S)
+        out_s, err_s = proc.communicate(timeout=tmo)
     except subprocess.TimeoutExpired:
-        _killpg(proc)
-        proc.communicate()
-        return {"error": f"timeout after {RUN_TIMEOUT_S:.0f}s"}
+        _bi._killpg(proc)
+        out_s, err_s = proc.communicate()
+        return {
+            "error": f"timeout after {tmo:.0f}s; output tail: "
+            + ((err_s or out_s or "")[-1500:]),
+        }
     except BaseException:
         # an interrupt mid-run must not strand the JVM either
-        _killpg(proc)
+        _bi._killpg(proc)
         raise
     finally:
         if proc.returncode is None:
-            _killpg(proc)
+            _bi._killpg(proc)
     if proc.returncode != 0:
         return {"error": (err_s or out_s or "no output")[-2000:]}
-    # same reverse-scan acceptance as the suite runner: the result is
-    # the LAST stdout line parsing to a dict with numeric warm_median
-    for cand in reversed((out_s or "").strip().splitlines()):
+    parsed, _ = _bi.parse_result_line(out_s or "")
+    if parsed is not None:
+        return parsed
+    return {"error": "no result line in stdout: " + (out_s or "")[-500:]}
+
+
+def _registry_names(root: str) -> set[str] | None:
+    """The side's query registry — the exact merge
+    bench_isolated._run_one performs — WITHOUT starting Spark (the
+    registries are plain dict merges; importing them costs a pyspark
+    import, not a JVM). Best-effort: None (skip validation for that
+    side) when the probe fails, e.g. a tree predating the registry
+    helpers. Exists so a typo'd query name refuses BEFORE the
+    multi-process ladders run instead of surfacing as opaque error
+    rows at the end (review r18 pass 2)."""
+    code = (
+        "import sys, json\n"
+        "sys.path.insert(0, '.')\n"
+        "import bench\n"
+        "from schemamap_spark.suite.extra import EXTRA_SPARK_QUERIES\n"
+        "print(json.dumps(sorted({**EXTRA_SPARK_QUERIES,"
+        " **bench.headline_registry()})))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=root,
+            capture_output=True,
+            text=True,
+            timeout=180,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if proc.returncode != 0:
+        return None
+    for cand in reversed(proc.stdout.strip().splitlines()):
         try:
             obj = json.loads(cand)
         except ValueError:
             continue
-        if (
-            isinstance(obj, dict)
-            and isinstance(obj.get("warm_median"), (int, float))
-            and isinstance(obj.get("warm"), list)
-        ):
-            return obj
-    return {"error": "no result line in stdout: " + (out_s or "")[-500:]}
+        if isinstance(obj, list) and all(isinstance(x, str) for x in obj):
+            return set(obj)
+    return None
 
 
 def _pooled_median(runs: list[dict]) -> float | None:
@@ -193,6 +223,22 @@ def main() -> None:
         # an empty ladder would write a row-less artifact that reads
         # as a completed experiment (review r18 pass 1)
         sys.exit(f"--queries parsed to an empty list: {queries_s!r}")
+    tmo = _bi.query_timeout(reps)
+    _bi.probe_out_writable(out)
+    # refuse typo'd names BEFORE any multi-minute ladder runs — a
+    # query must resolve in BOTH trees (best-effort per side: a tree
+    # whose registry can't be probed skips its half of the check)
+    for label, root in (("old", old_root), ("new", new_root)):
+        names = _registry_names(root)
+        if names is None:
+            print(
+                f"# registry probe failed for {label} side — name "
+                "validation skipped there", file=sys.stderr,
+            )
+            continue
+        unknown = sorted(set(queries) - names)
+        if unknown:
+            sys.exit(f"unknown queries in {label} tree {root}: {unknown}")
 
     probes: list[dict | None] = [_probe()]
     t_start = time.monotonic()
@@ -204,19 +250,34 @@ def main() -> None:
         for side in ("old", "new", "new", "old"):
             root = old_root if side == "old" else new_root
             print(f"# {q} [{side}] ...", file=sys.stderr, flush=True)
-            res = _run_side(root, q, reps, sf_dir)
+            res = _run_side(root, q, reps, sf_dir, tmo)
             runs[side].append(res)
             tag = res.get("warm_median", res.get("error", "?"))
             print(f"# {q} [{side}] -> {tag}", file=sys.stderr, flush=True)
-        om = _pooled_median(runs["old"])
-        nm = _pooled_median(runs["new"])
         row: dict = {"old": runs["old"], "new": runs["new"]}
-        if om is not None and nm is not None:
+        failed = [
+            f"{side}#{i}"
+            for side in ("old", "new")
+            for i, r in enumerate(runs[side])
+            if "warm_median" not in r
+        ]
+        if failed:
+            # a lost ladder slot breaks the A-B-B-A drift cancellation:
+            # the surviving runs of that side sample a different part
+            # of the window than the other side's, re-acquiring exactly
+            # the environmental bias the ladder exists to cancel — so
+            # the row declares itself and withholds a drift verdict
+            # instead of presenting a biased one (review r18 pass 2)
+            row["error"] = (
+                f"incomplete ladder (failed runs: {failed}) — "
+                "drift withheld"
+            )
+        else:
+            om = _pooled_median(runs["old"])
+            nm = _pooled_median(runs["new"])
             row["old_median"] = om
             row["new_median"] = nm
             row["drift"] = round((nm - om) / om, 4) if om else None
-        else:
-            row["error"] = "a side produced no warm samples"
         results[q] = row
         probes.append(_probe())
 

@@ -82,11 +82,122 @@ def _run_one(name: str, reps: int, sf_dir: str) -> dict:
 def _killpg(proc: subprocess.Popen) -> None:
     """Kill a child's whole process GROUP: proc.kill() reaches only the
     Python child, and a GC-wedged JVM may never notice its stdin
-    watchdog."""
+    watchdog. Shared with tools/bench_ab.py (review r18 pass 2: two
+    copies of this subtle contract would drift)."""
     try:
         os.killpg(proc.pid, signal.SIGKILL)
     except (ProcessLookupError, PermissionError):
         pass
+
+
+def query_timeout(reps: int) -> float | None:
+    """Per-child wall allowance: per-run budget + JVM startup, scaled
+    to the rep count; BENCH_ISOLATED_TIMEOUT (total seconds per query)
+    overrides for bigger scale factors where 300 s/run is too tight; 0
+    or negative disables the timeout; a malformed value refuses loudly
+    BEFORE any query runs (review r13 pass 5 — validate-then-measure).
+    Shared with tools/bench_ab.py, whose children run this same CLI
+    (review r18 pass 2: its hardcoded 600 s ignored --reps and had no
+    escape hatch)."""
+    raw = os.environ.get("BENCH_ISOLATED_TIMEOUT")
+    if raw is None or raw.strip() == "":
+        return 120.0 + 300.0 * (1 + reps)
+    try:
+        tmo = float(raw)
+    except ValueError:
+        tmo = float("nan")
+    if tmo != tmo:  # NaN parses but crashes communicate() mid-run
+        raise SystemExit(
+            f"BENCH_ISOLATED_TIMEOUT must be a number of seconds "
+            f"(0 disables), got {raw!r}"
+        )
+    return None if tmo <= 0 else tmo
+
+
+def parse_result_line(out_s: str) -> tuple[dict | None, str]:
+    """The child-result acceptance predicate, ONE copy (review r18
+    pass 2 — bench_ab had re-implemented it): a result is ONLY a dict
+    carrying numeric warm_median, numeric cold and a list warm, found
+    by scanning stdout in REVERSE — trailing non-JSON noise (a stray
+    JVM shutdown message after the result line) must not demote a
+    completed multi-minute run (ADVICE r13), a stray JSON-parseable
+    log line ('null', a number, a structured log) never counts as a
+    result (review r13), and the predicate must match what the
+    artifact build projects AND sums — a dict merely carrying the
+    keys with non-numeric values would crash the doc build after
+    every query already ran (review r14 x2). Returns (dict, line) or
+    (None, "")."""
+    lines = out_s.strip().splitlines() if out_s and out_s.strip() else []
+    for cand in reversed(lines):
+        try:
+            obj = json.loads(cand)
+        except ValueError:
+            continue
+        if (
+            isinstance(obj, dict)
+            and isinstance(obj.get("warm_median"), (int, float))
+            and isinstance(obj.get("cold"), (int, float))
+            and isinstance(obj.get("warm"), list)
+        ):
+            return obj, cand
+    return None, ""
+
+
+def probe_out_writable(out: str) -> None:
+    """Validate --out writability BEFORE any work — the artifact is
+    written only after the whole multi-minute run, so a typo'd
+    directory would discard every result at the very end (review r15;
+    the same validate-then-measure rule as the timeout env check).
+    Unlinks only a file the probe itself created: an aborted run must
+    leave "never ran" (no file), not a spurious empty artifact (review
+    r15 pass 4). The probe NEVER consults exists() and NEVER opens
+    with an implicit create: it attempts an O_EXCL create first (the
+    only file it ever unlinks is one that call itself made), and on
+    FileExistsError probes with O_APPEND WITHOUT O_CREAT — an open
+    that cannot manufacture a 0-byte artifact if the file vanishes in
+    between (the residual recreate-and-keep race a review found in the
+    open('a') fallback; ADVICE r15 + review r16 x2). A
+    FileNotFoundError from the no-create probe means the world flipped
+    between the two calls — retry the create side; a path
+    flip-flopping under concurrent create/delete is writable on any
+    reading of events, so the bounded loop falls through as success.
+    realpath targets the file itself behind a (dangling or live)
+    symlink and never the user's symlink (review r15 passes 5+6).
+    Shared with tools/bench_ab.py (review r18 pass 2: it validated
+    nothing and could lose a whole A/B at the final write)."""
+    try:
+        target = os.path.realpath(out)
+        for _ in range(4):
+            try:
+                os.close(
+                    os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+                )
+            except FileExistsError:
+                try:
+                    os.close(os.open(target, os.O_WRONLY | os.O_APPEND))
+                except FileNotFoundError:
+                    continue  # vanished again — retry the create probe
+                break  # someone's data: probed writable, left alone
+            try:
+                os.unlink(target)
+            except FileNotFoundError:
+                pass  # raced away again — nothing of ours remains
+            except OSError as e:
+                # create succeeded but the delete didn't (exotic: dir
+                # went immutable/sticky between the calls) — the path
+                # may well be writable, but the probe can no longer
+                # uphold its own contract ("an aborted run leaves no
+                # file"): its 0-byte artifact is stuck on disk. Refuse
+                # LOUDLY and NAME the leftover instead of exiting "not
+                # writable" with a silent stranded file (ADVICE r16).
+                raise SystemExit(
+                    f"--out probe created {target!r} but could not "
+                    f"remove it ({e}); a 0-byte probe artifact "
+                    f"remains — delete it and retry"
+                )
+            break
+    except OSError as e:
+        raise SystemExit(f"--out path {out!r} is not writable: {e}")
 
 
 def _run_suite(reps: int, sf_dir: str, out: str) -> None:
@@ -95,26 +206,7 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
     import bench
 
     results: dict[str, dict] = {}
-    # per-run allowance + JVM startup, scaled to the rep count;
-    # BENCH_ISOLATED_TIMEOUT (total seconds per query) overrides for
-    # bigger scale factors where 300s/run is too tight; 0 or negative
-    # disables the timeout entirely, and a malformed value refuses
-    # loudly before any query runs (review r13 pass 5)
-    raw = os.environ.get("BENCH_ISOLATED_TIMEOUT")
-    if raw is None or raw.strip() == "":
-        tmo = 120.0 + 300.0 * (1 + reps)
-    else:
-        try:
-            tmo = float(raw)
-        except ValueError:
-            tmo = float("nan")
-        if tmo != tmo:  # NaN parses but crashes communicate() mid-run
-            raise SystemExit(
-                f"BENCH_ISOLATED_TIMEOUT must be a number of seconds "
-                f"(0 disables), got {raw!r}"
-            )
-        if tmo <= 0:
-            tmo = None
+    tmo = query_timeout(reps)
 
     # weather bracketing the suite (r15): this series exists to arbitrate
     # shared-session drift, but the host itself oscillates between
@@ -170,38 +262,18 @@ def _run_suite(reps: int, sf_dir: str, out: str) -> None:
             }
             print(f"# {name}: FAILED (timeout {tmo:.0f}s)", file=sys.stderr)
             continue
-        lines = out_s.strip().splitlines() if out_s.strip() else []
-        # a result is ONLY a zero-exit dict carrying warm_median; scan
-        # stdout in REVERSE for it — trailing non-JSON noise (a stray
-        # JVM shutdown message after the result line) must not demote a
-        # completed multi-minute run to the error map (ADVICE r13). A
-        # stray JSON-parseable log line ('null', a number, a structured
-        # log) still never counts as a result (review r13)
+        # a result is ONLY a zero-exit dict passing parse_result_line
+        # (the shared acceptance predicate — see its docstring for the
+        # reverse-scan and numeric-projection rationale)
         parsed = None
         line = ""
         if proc.returncode == 0:
-            for cand in reversed(lines):
-                try:
-                    obj = json.loads(cand)
-                except ValueError:
-                    continue
-                # the acceptance predicate must match what the artifact
-                # build BELOW projects AND sums (cold/warm/warm_median,
-                # numeric) — a dict merely carrying the keys with
-                # non-numeric values would still crash the doc build
-                # after every query already ran (review r14 ×2)
-                if (
-                    isinstance(obj, dict)
-                    and isinstance(obj.get("warm_median"), (int, float))
-                    and isinstance(obj.get("cold"), (int, float))
-                    and isinstance(obj.get("warm"), list)
-                ):
-                    parsed, line = obj, cand
-                    break
+            parsed, line = parse_result_line(out_s)
         if parsed is not None:
             results[name] = parsed
             print(line, file=sys.stderr)
         else:
+            lines = out_s.strip().splitlines() if out_s.strip() else []
             tail = lines[-1] if lines else ""
             results[name] = {
                 "query": name,
@@ -296,61 +368,10 @@ def main() -> None:
         # write the artifact to the default file (review r13)
         raise SystemExit(f"unexpected extra arguments: {operands[2:]}")
     if out:
-        # validate writability BEFORE any work — the artifact is written
-        # only after the whole multi-minute suite, so a typo'd directory
-        # would discard every result at the very end (review r15; same
-        # validate-then-measure rule as the timeout env check). Runs
-        # AFTER the other argument checks, and unlinks a file the probe
-        # itself created: an aborted run must leave "never ran" (no
-        # file), not a spurious empty artifact (review r15 pass 4).
-        # The probe NEVER consults exists() and NEVER opens with an
-        # implicit create: it attempts an O_EXCL create first (the only
-        # file it ever unlinks is one that call itself made), and on
-        # FileExistsError probes with O_APPEND WITHOUT O_CREAT — an
-        # open that cannot manufacture a 0-byte artifact if the file
-        # vanishes in between (the residual recreate-and-keep race a
-        # review found in the open('a') fallback; ADVICE r15 + review
-        # r16 x2). A FileNotFoundError from the no-create probe means the
-        # world flipped between the two calls — retry the create side;
-        # a path flip-flopping under concurrent create/delete is
-        # writable on any reading of events, so the bounded loop falls
-        # through as success. realpath targets the file itself behind a
-        # (dangling or live) symlink and never the user's symlink
-        # (review r15 passes 5+6).
-        try:
-            target = os.path.realpath(out)
-            for _ in range(4):
-                try:
-                    os.close(
-                        os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-                    )
-                except FileExistsError:
-                    try:
-                        os.close(os.open(target, os.O_WRONLY | os.O_APPEND))
-                    except FileNotFoundError:
-                        continue  # vanished again — retry the create probe
-                    break  # someone's data: probed writable, left alone
-                try:
-                    os.unlink(target)
-                except FileNotFoundError:
-                    pass  # raced away again — nothing of ours remains
-                except OSError as e:
-                    # create succeeded but the delete didn't (exotic:
-                    # dir went immutable/sticky between the calls) — the
-                    # path may well be writable, but the probe can no
-                    # longer uphold its own contract ("an aborted run
-                    # leaves no file"): its 0-byte artifact is stuck on
-                    # disk. Refuse LOUDLY and NAME the leftover instead
-                    # of exiting "not writable" with a silent stranded
-                    # file (ADVICE r16).
-                    raise SystemExit(
-                        f"--out probe created {target!r} but could not "
-                        f"remove it ({e}); a 0-byte probe artifact "
-                        f"remains — delete it and retry"
-                    )
-                break
-        except OSError as e:
-            raise SystemExit(f"--out path {out!r} is not writable: {e}")
+        # runs AFTER the other argument checks (validate-then-measure,
+        # cheapest refusals first); the probe itself moved to
+        # probe_out_writable so bench_ab shares it (review r18 pass 2)
+        probe_out_writable(out)
     if suite:
         _run_suite(reps, sf_dir, out or os.path.join(_REPO, "BENCH_ISOLATED.json"))
         return
