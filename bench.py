@@ -198,13 +198,25 @@ def stage_bucket(
     buckets: dict[str, list] = {name: [] for name in windows}
     active: dict[str, set] = {name: set() for name in windows}
     anon_active: dict[str, int] = {name: 0 for name in windows}
+    # unattributable rows carry the same attempt-dedup trust as the
+    # ACTIVE path (r17 pass 7: a duplicated REST row must not read as
+    # two lost stages) — id-less ones count individually like
+    # anon_active; non-dict rows have no identity at all and count
+    # per row (review r18 pass 3 ×2: non-dicts previously vanished
+    # silently, and duplicates double-counted)
+    unattr_keys: set = set()
     unattributable = 0
     for s in stages if isinstance(stages, list) else ():
         if not isinstance(s, dict):
+            unattributable += 1
             continue
         ts = _parse_rest_ts(s.get("submissionTime"))
         if ts is None:
-            unattributable += 1
+            key = (s.get("stageId"), s.get("attemptId"))
+            if key == (None, None):
+                unattributable += 1
+            else:
+                unattr_keys.add(key)
             continue
         for name, (t0, t1) in windows.items():
             if t0 <= ts <= t1:
@@ -223,9 +235,10 @@ def stage_bucket(
                 else:
                     buckets[name].append(s)
                 break
+    lost_everywhere = unattributable + len(unattr_keys)
     for name in windows:
         roll = stage_rollup(buckets[name])
-        lagging = len(active[name]) + anon_active[name] + unattributable
+        lagging = len(active[name]) + anon_active[name] + lost_everywhere
         if lagging:
             # an ALL-active bucket still declares its lost coverage
             # (review r17 pass 7): {"incomplete": n} with no ratio is

@@ -38,6 +38,11 @@ def bench_trend():
     return _load_tool("bench_trend")
 
 
+@pytest.fixture(scope="module")
+def bench_ab():
+    return _load_tool("bench_ab")
+
+
 class _FakeProc:
     """Stand-in for the per-query child: canned stdout/stderr + exit."""
 
@@ -493,6 +498,159 @@ def test_trend_weather_flag(bench_trend, tmp_path, monkeypatch, capsys):
     # --gate without --weather keeps its r14 contract on the same inputs
     assert run("clean", "tainted", "--gate") == 0
     assert "# GATE PASS" in capsys.readouterr().out
+
+
+def _ab_tree(tmp_path, name):
+    """A minimal 'bench-capable tree' for bench_ab's root validation."""
+    root = tmp_path / name
+    (root / "tools").mkdir(parents=True)
+    (root / "tools" / "bench_isolated.py").write_text("# stub\n")
+    return str(root)
+
+
+def _ab_run(bench_ab, monkeypatch, tmp_path, side_results, queries="q"):
+    """Drive bench_ab.main() with doubles for every subprocess seam:
+    _run_side pops canned results per (side) call order, _probe returns
+    a healthy envelope dict, _registry_names knows only 'q'. Returns
+    the artifact doc."""
+    healthy = {
+        "first_touch_gb_s": 5.0, "steal_pct": 0.2,
+        "cpu_parallel_scale": 20.0,
+    }
+    calls = {"old": 0, "new": 0}
+
+    def fake_run_side(root, query, reps, sf_dir, tmo):
+        side = "old" if root.endswith("old") else "new"
+        res = side_results[side][calls[side]]
+        calls[side] += 1
+        return dict(res)
+
+    monkeypatch.setattr(bench_ab, "_run_side", fake_run_side)
+    monkeypatch.setattr(bench_ab, "_probe", lambda: dict(healthy))
+    monkeypatch.setattr(bench_ab, "_registry_names", lambda root: {"q"})
+    monkeypatch.setattr(bench_ab, "_git_sha", lambda root: "stub-sha")
+    out = str(tmp_path / "ab.json")
+    monkeypatch.setattr(bench_ab.sys, "argv", [
+        "bench_ab.py", _ab_tree(tmp_path, "old"), _ab_tree(tmp_path, "new"),
+        "--queries", queries, "--reps", "2", "--out", out,
+    ])
+    bench_ab.main()
+    return json.loads(open(out).read())
+
+
+OK_RUN = {"query": "q", "cold": 1.0, "warm": [0.5, 0.6], "warm_median": 0.5}
+
+
+def test_ab_full_ladder_reports_drift(bench_ab, monkeypatch, tmp_path):
+    """The clean path: four ok runs → pooled medians + drift, weather
+    certified by the probe doubles."""
+    doc = _ab_run(bench_ab, monkeypatch, tmp_path, {
+        "old": [dict(OK_RUN), dict(OK_RUN)],
+        "new": [
+            {**OK_RUN, "warm": [0.6, 0.7]},
+            {**OK_RUN, "warm": [0.6, 0.7]},
+        ],
+    })
+    row = doc["queries"]["q"]
+    assert row["old_median"] == 0.6 and row["new_median"] == 0.7
+    assert row["drift"] == round((0.7 - 0.6) / 0.6, 4)
+    assert doc["weather_ok"] is True
+    assert doc["old_sha"] == "stub-sha"
+
+
+def test_ab_incomplete_ladder_withholds_drift(bench_ab, monkeypatch, tmp_path):
+    """Review r18 pass 2: a lost ladder slot breaks the A-B-B-A
+    cancellation — the surviving runs of that side sample a different
+    part of the window, re-acquiring the environmental bias the ladder
+    cancels — so the row declares itself and carries NO drift verdict."""
+    doc = _ab_run(bench_ab, monkeypatch, tmp_path, {
+        "old": [dict(OK_RUN), {"error": "timeout after 600s"}],
+        "new": [dict(OK_RUN), dict(OK_RUN)],
+    })
+    row = doc["queries"]["q"]
+    assert "incomplete ladder" in row["error"] and "old#1" in row["error"]
+    assert "drift" not in row and "old_median" not in row
+
+
+def test_ab_unpoolable_side_is_an_error_row(bench_ab, monkeypatch, tmp_path):
+    """Review r18 pass 3: parse_result_line only requires `warm` to BE
+    a list — a side whose warm entries are non-numeric pools to None
+    and must land as an error row, not a TypeError that loses the
+    artifact at the end of a multi-hour run (the pass-2 rework dropped
+    this guard)."""
+    bad = {**OK_RUN, "warm": ["n/a", "n/a"]}
+    doc = _ab_run(bench_ab, monkeypatch, tmp_path, {
+        "old": [dict(bad), dict(bad)],
+        "new": [dict(OK_RUN), dict(OK_RUN)],
+    })
+    row = doc["queries"]["q"]
+    assert row["error"] == "a side produced no poolable warm samples"
+    assert "drift" not in row
+
+
+def test_ab_unknown_query_refuses_before_any_run(
+    bench_ab, monkeypatch, tmp_path
+):
+    """Review r18 pass 2: a typo'd name refuses via the no-Spark
+    registry probe BEFORE any multi-minute ladder, naming the side."""
+    ran = []
+    monkeypatch.setattr(
+        bench_ab, "_run_side",
+        lambda *a, **k: ran.append(a) or dict(OK_RUN),
+    )
+    monkeypatch.setattr(bench_ab, "_registry_names", lambda root: {"q"})
+    monkeypatch.setattr(bench_ab.sys, "argv", [
+        "bench_ab.py", _ab_tree(tmp_path, "old"), _ab_tree(tmp_path, "new"),
+        "--queries", "q,typo_q", "--out", str(tmp_path / "ab.json"),
+    ])
+    with pytest.raises(SystemExit) as e:
+        bench_ab.main()
+    assert "unknown queries" in str(e.value) and "typo_q" in str(e.value)
+    assert ran == []  # refused before any ladder run
+
+
+def test_ab_pooled_median(bench_ab):
+    """Pooling is over the warm reps of a side's runs; error dicts and
+    non-numeric/bool entries are ignored; nothing poolable -> None."""
+    pm = bench_ab._pooled_median
+    assert pm([{"warm": [3.0, 1.0]}, {"warm": [2.0]}]) == 2.0
+    assert pm([{"warm": [1.0, True, "x"]}, {"error": "boom"}]) == 1.0
+    assert pm([{"error": "boom"}]) is None
+    assert pm([{"warm": []}]) is None
+
+
+def test_query_timeout_contract(bench_isolated, monkeypatch):
+    """The shared reps-scaled allowance (review r18 pass 2 factored it
+    out of _run_suite for bench_ab): default scales with reps, the env
+    override wins, 0/negative disables, NaN/garbage refuse loudly
+    before any query runs."""
+    monkeypatch.delenv("BENCH_ISOLATED_TIMEOUT", raising=False)
+    assert bench_isolated.query_timeout(3) == 120.0 + 300.0 * 4
+    monkeypatch.setenv("BENCH_ISOLATED_TIMEOUT", "42.5")
+    assert bench_isolated.query_timeout(3) == 42.5
+    monkeypatch.setenv("BENCH_ISOLATED_TIMEOUT", "0")
+    assert bench_isolated.query_timeout(3) is None
+    monkeypatch.setenv("BENCH_ISOLATED_TIMEOUT", "-1")
+    assert bench_isolated.query_timeout(3) is None
+    for bad in ("nan", "soon"):
+        monkeypatch.setenv("BENCH_ISOLATED_TIMEOUT", bad)
+        with pytest.raises(SystemExit):
+            bench_isolated.query_timeout(3)
+
+
+def test_parse_result_line_contract(bench_isolated):
+    """The shared acceptance predicate (one copy since review r18
+    pass 2): reverse scan, numeric projection keys required, noise and
+    lookalikes rejected."""
+    f = bench_isolated.parse_result_line
+    parsed, line = f("# noise\n" + RESULT_LINE + "\ntrailing junk\n")
+    assert parsed["warm_median"] == 0.5 and line == RESULT_LINE
+    assert f("") == (None, "")
+    assert f("null\n17\n") == (None, "")
+    assert f(json.dumps({"warm_median": 0.5})) == (None, "")
+    assert f(
+        json.dumps({"cold": "n/a", "warm": "n/a", "warm_median": "n/a"})
+    ) == (None, "")
 
 
 def test_trend_stage_floor_gates(bench_trend, tmp_path, monkeypatch, capsys):
@@ -1257,16 +1415,29 @@ def test_stage_bucket_unattributable_rows_taint_every_window():
         {"stageId": 4, "attemptId": 0,
          "submissionTime": "2026-08-16T17:58:03.123PST",
          "executorRunTime": 1000, "executorCpuTime": 100e6},
+        # a DUPLICATED garbled REST row counts once (same attempt-dedup
+        # trust as the ACTIVE path, r17 pass 7 / review r18 pass 3)
+        {"stageId": 3, "attemptId": 0, "submissionTime": "garbled",
+         "executorRunTime": 1000, "executorCpuTime": 100e6},
+        # a non-dict row is as unattributable as a garbled timestamp —
+        # it must not vanish silently (review r18 pass 3); id-less
+        # garbled rows have no identity and count individually
+        "corrupt",
+        {"submissionTime": "garbled",
+         "executorRunTime": 1, "executorCpuTime": 1e6},
+        {"submissionTime": "garbled",
+         "executorRunTime": 1, "executorCpuTime": 1e6},
     ]
     out = bench.stage_bucket(stages, {"qA": (1000.0, 1010.0),
                                       "qB": (2000.0, 2010.0)})
-    # qA keeps its billable rollup but declares the 3 lost rows; qB —
-    # with nothing billable — still declares them (never None)
+    # qA keeps its billable rollup but declares the 6 lost rows (3
+    # identified + 1 non-dict + 2 id-less); qB — with nothing
+    # billable — still declares them (never None)
     assert out["qA"] == {
         "stages": 1, "run_ms": 1000, "cpu_ms": 900, "cpu_over_run": 0.9,
-        "incomplete": 3,
+        "incomplete": 6,
     }
-    assert out["qB"] == {"incomplete": 3}
+    assert out["qB"] == {"incomplete": 6}
     # a stage with a VALID ts outside every window is the warm-up /
     # gap case and still drops silently — only unattributable rows
     # taint

@@ -275,9 +275,17 @@ def main() -> None:
         else:
             om = _pooled_median(runs["old"])
             nm = _pooled_median(runs["new"])
-            row["old_median"] = om
-            row["new_median"] = nm
-            row["drift"] = round((nm - om) / om, 4) if om else None
+            if om is None or nm is None:
+                # parse_result_line only requires `warm` to BE a list —
+                # a side whose warm entries are non-numeric (or empty)
+                # pools to None, and the drift arithmetic would
+                # TypeError away the whole artifact (review r18 pass 3
+                # — this guard was dropped by pass 2's rework)
+                row["error"] = "a side produced no poolable warm samples"
+            else:
+                row["old_median"] = om
+                row["new_median"] = nm
+                row["drift"] = round((nm - om) / om, 4) if om else None
         results[q] = row
         probes.append(_probe())
 
