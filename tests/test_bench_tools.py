@@ -501,9 +501,11 @@ def test_trend_weather_flag(bench_trend, tmp_path, monkeypatch, capsys):
 
 
 def _ab_tree(tmp_path, name):
-    """A minimal 'bench-capable tree' for bench_ab's root validation."""
+    """A minimal 'bench-capable tree' for bench_ab's root validation.
+    Idempotent: a test may drive several _ab_run ladders on one
+    tmp_path."""
     root = tmp_path / name
-    (root / "tools").mkdir(parents=True)
+    (root / "tools").mkdir(parents=True, exist_ok=True)
     (root / "tools" / "bench_isolated.py").write_text("# stub\n")
     return str(root)
 
@@ -586,6 +588,43 @@ def test_ab_unpoolable_side_is_an_error_row(bench_ab, monkeypatch, tmp_path):
     row = doc["queries"]["q"]
     assert row["error"] == "a side produced no poolable warm samples"
     assert "drift" not in row
+
+
+def test_ab_records_stage_floor_and_collapse(bench_ab, monkeypatch, tmp_path):
+    """r18: children embed their own app's stage rollup, so the ladder
+    self-certifies in-run window quality — the row records the min
+    floor across runs and NAMES collapsed runs (below STAGE_FLOOR)
+    without withholding drift (both sides share the weather under
+    alternation; a collapse is annotated, not fatal)."""
+    sw_ok = {"stages": 4, "run_ms": 100, "cpu_ms": 80, "cpu_over_run": 0.8}
+    sw_bad = {"stages": 4, "run_ms": 100, "cpu_ms": 15, "cpu_over_run": 0.15}
+    doc = _ab_run(bench_ab, monkeypatch, tmp_path, {
+        "old": [dict(OK_RUN), dict(OK_RUN)],  # old tree: no channel
+        "new": [
+            {**OK_RUN, "stage_weather": dict(sw_ok)},
+            {**OK_RUN, "stage_weather": dict(sw_bad)},
+        ],
+    })
+    row = doc["queries"]["q"]
+    assert row["stage_floor"] == 0.15
+    assert row["window_collapse"] == ["new#1"]
+    assert "drift" in row  # annotated, not withheld
+    # all-clean floors: recorded, no collapse key
+    doc = _ab_run(bench_ab, monkeypatch, tmp_path, {
+        "old": [dict(OK_RUN), dict(OK_RUN)],
+        "new": [
+            {**OK_RUN, "stage_weather": dict(sw_ok)},
+            {**OK_RUN, "stage_weather": dict(sw_ok)},
+        ],
+    })
+    row = doc["queries"]["q"]
+    assert row["stage_floor"] == 0.8 and "window_collapse" not in row
+    # no channel anywhere (two pre-r18 trees): no floor keys at all
+    doc = _ab_run(bench_ab, monkeypatch, tmp_path, {
+        "old": [dict(OK_RUN), dict(OK_RUN)],
+        "new": [dict(OK_RUN), dict(OK_RUN)],
+    })
+    assert "stage_floor" not in doc["queries"]["q"]
 
 
 def test_ab_unknown_query_refuses_before_any_run(

@@ -46,6 +46,10 @@ if _TOOLS not in sys.path:
 # (validate-then-measure for --out). One copy each (review r18 pass 2).
 import bench_isolated as _bi  # noqa: E402
 
+# the calibrated in-run collapse threshold — one source of truth in
+# bench_trend (see its STAGE_FLOOR note for the anchors)
+from bench_trend import STAGE_FLOOR  # noqa: E402
+
 
 def _probe() -> dict | None:
     """Bracketing host probe — best-effort, same contract as bench.py's
@@ -286,6 +290,29 @@ def main() -> None:
                 row["old_median"] = om
                 row["new_median"] = nm
                 row["drift"] = round((nm - om) / om, 4) if om else None
+        # per-run stage floors (r18): NEW-side children embed their own
+        # app's rollup (stage_weather), so the ladder self-certifies
+        # in-run window quality per run. A collapsed run is ANNOTATED,
+        # not withheld — the A B B A alternation exposes both sides to
+        # the same weather, so a collapse biases the comparison far
+        # less than it biases an absolute timing; the reader (and
+        # SCALE.md) weighs it. Old-tree children predate the channel
+        # and contribute no floor.
+        floors = [
+            (f"{side}#{i}", r["stage_weather"]["cpu_over_run"])
+            for side in ("old", "new")
+            for i, r in enumerate(runs[side])
+            if isinstance(r.get("stage_weather"), dict)
+            and "incomplete" not in r["stage_weather"]
+            and isinstance(
+                r["stage_weather"].get("cpu_over_run"), (int, float)
+            )
+        ]
+        if floors:
+            row["stage_floor"] = min(f for _, f in floors)
+            collapsed = sorted(t for t, f in floors if f < STAGE_FLOOR)
+            if collapsed:
+                row["window_collapse"] = collapsed
         results[q] = row
         probes.append(_probe())
 
