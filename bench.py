@@ -167,6 +167,21 @@ def _parse_rest_ts(s: object) -> float | None:
         return None
 
 
+def _stage_key(s: dict) -> tuple | None:
+    """(stageId, attemptId) when it is a usable identity: hashable and
+    not entirely id-less. None otherwise — an id-less or
+    unhashable-id row (a list/dict where an int belongs) is treated as
+    anonymous, counted individually, instead of crashing the channel
+    at artifact-build time after every query already ran (review r18
+    pass 4: ids.add() on an unhashable key raised TypeError)."""
+    key = (s.get("stageId"), s.get("attemptId"))
+    try:
+        hash(key)
+    except TypeError:
+        return None
+    return None if key == (None, None) else key
+
+
 def stage_bucket(
     stages: list | None, windows: dict[str, tuple[float, float]]
 ) -> dict[str, dict | None]:
@@ -200,11 +215,18 @@ def stage_bucket(
     anon_active: dict[str, int] = {name: 0 for name in windows}
     # unattributable rows carry the same attempt-dedup trust as the
     # ACTIVE path (r17 pass 7: a duplicated REST row must not read as
-    # two lost stages) — id-less ones count individually like
-    # anon_active; non-dict rows have no identity at all and count
-    # per row (review r18 pass 3 ×2: non-dicts previously vanished
-    # silently, and duplicates double-counted)
+    # two lost stages) — id-less / unhashable-id ones count
+    # individually like anon_active; non-dict rows have no identity at
+    # all and count per row (review r18 pass 3 ×2: non-dicts
+    # previously vanished silently, and duplicates double-counted).
+    # Resolution happens AFTER the pass: a garbled row whose attempt
+    # was also seen attributed (billed in a bucket, or ACTIVE) is a
+    # duplicate of accounted work, not lost coverage — counting it
+    # would mark an otherwise fully-covered query incomplete, which
+    # under the gating floor EXCLUDES it from the very check it should
+    # feed (review r18 pass 4)
     unattr_keys: set = set()
+    placed_keys: set = set()
     unattributable = 0
     for s in stages if isinstance(stages, list) else ():
         if not isinstance(s, dict):
@@ -212,8 +234,8 @@ def stage_bucket(
             continue
         ts = _parse_rest_ts(s.get("submissionTime"))
         if ts is None:
-            key = (s.get("stageId"), s.get("attemptId"))
-            if key == (None, None):
+            key = _stage_key(s)
+            if key is None:
                 unattributable += 1
             else:
                 unattr_keys.add(key)
@@ -224,18 +246,23 @@ def stage_bucket(
                     # dedup by attempt, same trust as the completed
                     # path (review r17 pass 7: a duplicated REST row
                     # must not read as two lagging stages) — except
-                    # id-less rows, which would all collapse into one
-                    # (None, None) entry and UNDERCOUNT; those count
+                    # id-less/unhashable rows, which would collapse
+                    # into one entry and UNDERCOUNT; those count
                     # individually instead (review r17 pass 8)
-                    key = (s.get("stageId"), s.get("attemptId"))
-                    if key == (None, None):
+                    key = _stage_key(s)
+                    if key is None:
                         anon_active[name] += 1
                     else:
                         active[name].add(key)
                 else:
                     buckets[name].append(s)
+                    key = _stage_key(s)
+                    if key is not None:
+                        placed_keys.add(key)
                 break
-    lost_everywhere = unattributable + len(unattr_keys)
+    for keys in active.values():
+        placed_keys |= keys
+    lost_everywhere = unattributable + len(unattr_keys - placed_keys)
     for name in windows:
         roll = stage_rollup(buckets[name])
         lagging = len(active[name]) + anon_active[name] + lost_everywhere
@@ -285,15 +312,16 @@ def stage_rollup(stages: list | None) -> dict | None:
     for s in stages:
         if not isinstance(s, dict):
             continue
-        key = (s.get("stageId"), s.get("attemptId"))
-        # id-less rows have no identity to dedup BY — all of them would
-        # collapse into one (None, None) entry and the second valid one
-        # would silently vanish from the sums; mirror stage_bucket's
-        # anon handling (review r17 pass 8 gave the ACTIVE path exactly
-        # this treatment): each anon row stands alone — valid = billed
-        # individually, malformed = lost coverage individually
-        # (ADVICE r17)
-        anon = key == (None, None)
+        key = _stage_key(s)
+        # id-less (or unhashable-id) rows have no identity to dedup
+        # BY — all of them would collapse into one entry and the
+        # second valid one would silently vanish from the sums; mirror
+        # stage_bucket's anon handling (review r17 pass 8 gave the
+        # ACTIVE path exactly this treatment): each anon row stands
+        # alone — valid = billed individually, malformed = lost
+        # coverage individually (ADVICE r17; unhashable ids review r18
+        # pass 4)
+        anon = key is None
         if not anon and key in ids:
             continue
         r = s.get("executorRunTime")

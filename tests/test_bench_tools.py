@@ -625,6 +625,33 @@ def test_ab_records_stage_floor_and_collapse(bench_ab, monkeypatch, tmp_path):
         "new": [dict(OK_RUN), dict(OK_RUN)],
     })
     assert "stage_floor" not in doc["queries"]["q"]
+    assert "stage_partial" not in doc["queries"]["q"]
+    # review r18 pass 4: a run CARRYING the key but proving nothing —
+    # None rollup (fetch died), partial coverage, poisoned bool/NaN
+    # ratio — is DECLARED in stage_partial, never silently dropped (a
+    # collapse's own lagging stage is the likeliest partial source);
+    # poisoned ratios never feed the floor math or mint a collapse
+    doc = _ab_run(bench_ab, monkeypatch, tmp_path, {
+        "old": [dict(OK_RUN), dict(OK_RUN)],
+        "new": [
+            {**OK_RUN, "stage_weather": None},
+            {**OK_RUN, "stage_weather": {
+                "cpu_over_run": 0.12, "incomplete": 1}},
+        ],
+    })
+    row = doc["queries"]["q"]
+    assert row["stage_partial"] == ["new#0", "new#1"]
+    assert "stage_floor" not in row and "window_collapse" not in row
+    doc = _ab_run(bench_ab, monkeypatch, tmp_path, {
+        "old": [dict(OK_RUN), dict(OK_RUN)],
+        "new": [
+            {**OK_RUN, "stage_weather": {"cpu_over_run": False}},
+            {**OK_RUN, "stage_weather": {"cpu_over_run": float("nan")}},
+        ],
+    })
+    row = doc["queries"]["q"]
+    assert row["stage_partial"] == ["new#0", "new#1"]
+    assert "stage_floor" not in row and "window_collapse" not in row
 
 
 def test_ab_unknown_query_refuses_before_any_run(
@@ -1291,6 +1318,15 @@ def test_stage_rollup_idless_rows_bill_individually():
         "stages": 1, "run_ms": 1000, "cpu_ms": 500, "cpu_over_run": 0.5,
         "incomplete": 2,
     }
+    # an UNHASHABLE stageId is an identity-less row too: billed
+    # individually, never a TypeError at artifact-build time (review
+    # r18 pass 4)
+    assert bench.stage_rollup([
+        {"stageId": [1], "attemptId": 0, **anon},
+        {"stageId": [1], "attemptId": 0, **anon},
+    ]) == {
+        "stages": 2, "run_ms": 2000, "cpu_ms": 1000, "cpu_over_run": 0.5,
+    }
 
 
 def test_stage_weather_advisory_extraction(bench_trend):
@@ -1486,6 +1522,30 @@ def test_stage_bucket_unattributable_rows_taint_every_window():
         {"qA": (1000.0, 1010.0)},
     )
     assert out == {"qA": None}
+    # review r18 pass 4 ×2: (a) a garbled DUPLICATE of an attempt that
+    # was also billed (or ACTIVE) is accounted work, not lost coverage
+    # — counting it would mark a fully-covered query incomplete and
+    # EXCLUDE it from the gating floor it should feed; (b) an
+    # unhashable stageId must not crash the channel — it counts
+    # individually like an id-less row
+    out = bench.stage_bucket([
+        {"stageId": 3, "attemptId": 0, "submissionTime": _rest_iso(1001),
+         "executorRunTime": 1000, "executorCpuTime": 150e6},
+        {"stageId": 3, "attemptId": 0, "submissionTime": "garbled",
+         "executorRunTime": 1000, "executorCpuTime": 150e6},
+        {"stageId": 7, "attemptId": 0, "submissionTime": _rest_iso(1002),
+         "status": "ACTIVE", "executorRunTime": 1, "executorCpuTime": 1e6},
+        {"stageId": 7, "attemptId": 0, "submissionTime": "garbled",
+         "executorRunTime": 1, "executorCpuTime": 1e6},
+        {"stageId": [13], "attemptId": 0, "submissionTime": "garbled",
+         "executorRunTime": 1, "executorCpuTime": 1e6},
+    ], {"qA": (1000.0, 1010.0)})
+    # billed stage 3 + ACTIVE stage 7 (1 incomplete) + 1 unhashable
+    # unattributable; the two garbled duplicates resolve as accounted
+    assert out["qA"] == {
+        "stages": 1, "run_ms": 1000, "cpu_ms": 150, "cpu_over_run": 0.15,
+        "incomplete": 2,
+    }
 
 
 def test_stage_bucket_all_active_window_declares_zero_coverage():

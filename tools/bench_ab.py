@@ -290,29 +290,49 @@ def main() -> None:
                 row["old_median"] = om
                 row["new_median"] = nm
                 row["drift"] = round((nm - om) / om, 4) if om else None
-        # per-run stage floors (r18): NEW-side children embed their own
+        # per-run stage floors (r18): r18+ children embed their own
         # app's rollup (stage_weather), so the ladder self-certifies
         # in-run window quality per run. A collapsed run is ANNOTATED,
         # not withheld — the A B B A alternation exposes both sides to
         # the same weather, so a collapse biases the comparison far
         # less than it biases an absolute timing; the reader (and
-        # SCALE.md) weighs it. Old-tree children predate the channel
-        # and contribute no floor.
-        floors = [
-            (f"{side}#{i}", r["stage_weather"]["cpu_over_run"])
-            for side in ("old", "new")
-            for i, r in enumerate(runs[side])
-            if isinstance(r.get("stage_weather"), dict)
-            and "incomplete" not in r["stage_weather"]
-            and isinstance(
-                r["stage_weather"].get("cpu_over_run"), (int, float)
-            )
-        ]
+        # SCALE.md) weighs it. Classification mirrors bench_trend's
+        # _stage_weather_of (review r18 pass 4): a run that CARRIES the
+        # key but proves nothing — None/partial-coverage rollup, or a
+        # poisoned bool/NaN ratio — is declared in `stage_partial`,
+        # never silently dropped (a collapse's own lagging stage is
+        # the likeliest source of a partial rollup, so silence would
+        # mask exactly the runs the channel exists to name). Runs
+        # WITHOUT the key are pre-r18 children: channel absent, no
+        # declaration.
+        import math
+
+        floors = []
+        partial = []
+        for side in ("old", "new"):
+            for i, r in enumerate(runs[side]):
+                if "stage_weather" not in r:
+                    continue
+                sw = r.get("stage_weather")
+                tag = f"{side}#{i}"
+                v = sw.get("cpu_over_run") if isinstance(sw, dict) else None
+                if (
+                    isinstance(sw, dict)
+                    and "incomplete" not in sw
+                    and isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                    and math.isfinite(v)
+                ):
+                    floors.append((tag, float(v)))
+                else:
+                    partial.append(tag)
         if floors:
             row["stage_floor"] = min(f for _, f in floors)
             collapsed = sorted(t for t, f in floors if f < STAGE_FLOOR)
             if collapsed:
                 row["window_collapse"] = collapsed
+        if partial:
+            row["stage_partial"] = partial
         results[q] = row
         probes.append(_probe())
 
