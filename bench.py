@@ -256,12 +256,17 @@ def stage_bucket(
                         active[name].add(key)
                 else:
                     buckets[name].append(s)
-                    key = _stage_key(s)
-                    if key is not None:
-                        placed_keys.add(key)
                 break
-    for keys in active.values():
-        placed_keys |= keys
+        # EVERY row with a parseable ts has a known location — billed
+        # in a bucket, counted ACTIVE, or deliberately dropped as
+        # warm-up/gap (no window matched). All three are accounted
+        # work, so a later garbled duplicate of the same attempt is
+        # not lost coverage (review r18 pass 5: the first fix only
+        # recorded billed rows, so a garbled duplicate of an
+        # out-of-window warm-up stage still tainted every query)
+        key = _stage_key(s)
+        if key is not None:
+            placed_keys.add(key)
     lost_everywhere = unattributable + len(unattr_keys - placed_keys)
     for name in windows:
         roll = stage_rollup(buckets[name])

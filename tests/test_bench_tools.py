@@ -1546,6 +1546,20 @@ def test_stage_bucket_unattributable_rows_taint_every_window():
         "stages": 1, "run_ms": 1000, "cpu_ms": 150, "cpu_over_run": 0.15,
         "incomplete": 2,
     }
+    # review r18 pass 5: a garbled duplicate of a row whose valid twin
+    # fell OUTSIDE every window (warm-up/gap — deliberately dropped)
+    # is a duplicate of ACCOUNTED work too, not lost coverage
+    out = bench.stage_bucket([
+        {"stageId": 1, "attemptId": 0, "submissionTime": _rest_iso(1001),
+         "executorRunTime": 1000, "executorCpuTime": 900e6},
+        {"stageId": 5, "attemptId": 0, "submissionTime": _rest_iso(500),
+         "executorRunTime": 10, "executorCpuTime": 1e6},  # warm-up
+        {"stageId": 5, "attemptId": 0, "submissionTime": "garbled",
+         "executorRunTime": 10, "executorCpuTime": 1e6},
+    ], {"qA": (1000.0, 1010.0)})
+    assert out["qA"] == {
+        "stages": 1, "run_ms": 1000, "cpu_ms": 900, "cpu_over_run": 0.9,
+    }
 
 
 def test_stage_bucket_all_active_window_declares_zero_coverage():

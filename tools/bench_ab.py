@@ -46,9 +46,10 @@ if _TOOLS not in sys.path:
 # (validate-then-measure for --out). One copy each (review r18 pass 2).
 import bench_isolated as _bi  # noqa: E402
 
-# the calibrated in-run collapse threshold — one source of truth in
-# bench_trend (see its STAGE_FLOOR note for the anchors)
-from bench_trend import STAGE_FLOOR  # noqa: E402
+# the calibrated in-run collapse threshold and the one rollup-usability
+# predicate — single sources of truth in bench_trend (see its
+# STAGE_FLOOR note for the anchors)
+from bench_trend import STAGE_FLOOR, full_coverage_ratio  # noqa: E402
 
 
 def _probe() -> dict | None:
@@ -305,25 +306,16 @@ def main() -> None:
         # mask exactly the runs the channel exists to name). Runs
         # WITHOUT the key are pre-r18 children: channel absent, no
         # declaration.
-        import math
-
         floors = []
         partial = []
         for side in ("old", "new"):
             for i, r in enumerate(runs[side]):
                 if "stage_weather" not in r:
                     continue
-                sw = r.get("stage_weather")
                 tag = f"{side}#{i}"
-                v = sw.get("cpu_over_run") if isinstance(sw, dict) else None
-                if (
-                    isinstance(sw, dict)
-                    and "incomplete" not in sw
-                    and isinstance(v, (int, float))
-                    and not isinstance(v, bool)
-                    and math.isfinite(v)
-                ):
-                    floors.append((tag, float(v)))
+                v = full_coverage_ratio(r.get("stage_weather"))
+                if v is not None:
+                    floors.append((tag, v))
                 else:
                     partial.append(tag)
         if floors:

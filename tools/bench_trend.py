@@ -186,6 +186,29 @@ DISPERSION_HARD = 2.0
 STAGE_FLOOR = 0.3
 
 
+def full_coverage_ratio(sw: object) -> float | None:
+    """The one classification of a stage rollup as USABLE for the
+    floor: a dict with no `incomplete` marker (partial coverage must
+    not feed the gate — review r17 pass 7) whose cpu_over_run is a
+    finite non-bool number (NaN/inf/True would pass comparisons
+    silently or mint fake floors). Shared by _stage_weather_of and
+    bench_ab's per-run annotation (review r18 pass 5: two verbatim
+    copies of this predicate would diverge at the next tightening).
+    Returns the ratio, or None for anything else."""
+    import math
+
+    if not isinstance(sw, dict) or "incomplete" in sw:
+        return None
+    v = sw.get("cpu_over_run")
+    if (
+        isinstance(v, (int, float))
+        and not isinstance(v, bool)
+        and math.isfinite(v)
+    ):
+        return float(v)
+    return None
+
+
 def _stage_weather_of(doc: object) -> dict | None:
     """The artifact's per-query in-run stage rollups
     (`queries_stage_weather`, r17 — executor CPU vs wall over each
@@ -204,8 +227,6 @@ def _stage_weather_of(doc: object) -> dict | None:
     which must read as a degraded measurement, never as 'channel
     absent' (review r18 pass 1 — the fail-open shape). Since r18 the
     floor GATES under --weather --gate; see STAGE_FLOOR."""
-    import math
-
     if not isinstance(doc, dict) or "queries_stage_weather" not in doc:
         return None
     sw = doc.get("queries_stage_weather")
@@ -214,16 +235,9 @@ def _stage_weather_of(doc: object) -> dict | None:
     full: list = []
     partial: list = []
     for q, v in sw.items():
-        if not isinstance(v, dict) or "incomplete" in v:
-            partial.append(str(q))
-            continue
-        r = v.get("cpu_over_run")
-        if (
-            isinstance(r, (int, float))
-            and not isinstance(r, bool)
-            and math.isfinite(r)
-        ):
-            full.append((float(r), str(q)))
+        r = full_coverage_ratio(v)
+        if r is not None:
+            full.append((r, str(q)))
         else:
             partial.append(str(q))
     return {"range": sorted(full), "partial": sorted(partial)}
