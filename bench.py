@@ -233,8 +233,8 @@ def stage_bucket(
             unattributable += 1
             continue
         ts = _parse_rest_ts(s.get("submissionTime"))
+        key = _stage_key(s)
         if ts is None:
-            key = _stage_key(s)
             if key is None:
                 unattributable += 1
             else:
@@ -249,7 +249,6 @@ def stage_bucket(
                     # id-less/unhashable rows, which would collapse
                     # into one entry and UNDERCOUNT; those count
                     # individually instead (review r17 pass 8)
-                    key = _stage_key(s)
                     if key is None:
                         anon_active[name] += 1
                     else:
@@ -264,7 +263,6 @@ def stage_bucket(
         # not lost coverage (review r18 pass 5: the first fix only
         # recorded billed rows, so a garbled duplicate of an
         # out-of-window warm-up stage still tainted every query)
-        key = _stage_key(s)
         if key is not None:
             placed_keys.add(key)
     lost_everywhere = unattributable + len(unattr_keys - placed_keys)

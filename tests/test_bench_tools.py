@@ -1546,9 +1546,17 @@ def test_stage_bucket_unattributable_rows_taint_every_window():
         "stages": 1, "run_ms": 1000, "cpu_ms": 150, "cpu_over_run": 0.15,
         "incomplete": 2,
     }
-    # review r18 pass 5: a garbled duplicate of a row whose valid twin
-    # fell OUTSIDE every window (warm-up/gap — deliberately dropped)
-    # is a duplicate of ACCOUNTED work too, not lost coverage
+
+
+def test_stage_bucket_accounted_duplicates_do_not_taint():
+    """Review r18 pass 5: a garbled duplicate of a row whose valid twin
+    fell OUTSIDE every window (warm-up/gap — deliberately dropped) is a
+    duplicate of ACCOUNTED work, not lost coverage — only genuinely
+    unlocatable attempts taint (named separately from the tainting test
+    so a regression here reports the right invariant; review r18
+    pass 6)."""
+    import bench
+
     out = bench.stage_bucket([
         {"stageId": 1, "attemptId": 0, "submissionTime": _rest_iso(1001),
          "executorRunTime": 1000, "executorCpuTime": 900e6},
