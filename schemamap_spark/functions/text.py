@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from schemamap_spark.operators.dedup import shingles
+from schemamap_spark.operators.dedup import shingles, shingles_from_tokens
 
 # Marker tokens per language. Deterministic heuristic: the language with the
 # most marker hits wins; ties (incl. zero hits) resolve alphabetically-first
@@ -28,20 +28,38 @@ WORD_REGEX = r"[a-zA-Z]+|[0-9]+"  # BPE-ish pre-tokenizer word model
 STOPWORDS = ["the", "a", "of", "and", "is", "to", "in"]
 
 
-def token_count(col: str = "text") -> Column:
-    return F.size(F.split(F.col(col), " "))
+# Several functions below tokenize internally (split on ' '). When a caller
+# evaluates MANY of them over the same text — the text_profile battery runs
+# six — each expression re-splits the full string, and the shingle walk in
+# doc_fingerprint re-splits per ELEMENT access (the shingles() caveat). The
+# optional `toks_col` parameter points them at a PRE-SPLIT token-array
+# column instead: project `split(text, ' ') as toks` once (Catalyst's
+# CollapseProject keeps a multiply-referenced non-cheap projection
+# materialized per row) and every function reads the array. Same
+# tokenization, same values — only the number of split() evaluations per
+# row changes (guide §1.2 step 2: per-task work).
+
+
+def _toks(col: str, toks_col: str | None) -> Column:
+    return F.col(toks_col) if toks_col else F.split(F.col(col), " ")
+
+
+def token_count(col: str = "text", toks_col: str | None = None) -> Column:
+    return F.size(_toks(col, toks_col))
 
 
 def word_count(col: str = "text") -> Column:
     return F.size(F.regexp_extract_all(F.col(col), F.lit(WORD_REGEX), F.lit(0)))
 
 
-def _marker_hits(col: str, markers: list[str]) -> Column:
+def _marker_hits(
+    col: str, markers: list[str], toks_col: str | None = None
+) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(F.split(F.col(col), " "), lambda t: F.array_contains(arr, t)))
+    return F.size(F.filter(_toks(col, toks_col), lambda t: F.array_contains(arr, t)))
 
 
-def lang_id(col: str = "text") -> Column:
+def lang_id(col: str = "text", toks_col: str | None = None) -> Column:
     """Predicted language code. Deterministic argmax over marker-token hits:
     build (hits, lang) structs, take array_max with lang as DESC tiebreak
     inverted to get alphabetic preference, require >0 hits."""
@@ -51,7 +69,7 @@ def lang_id(col: str = "text") -> Column:
     # so alphabetically-first wins ties.
     entries = [
         F.struct(
-            _marker_hits(col, LANG_MARKERS[lang]).alias("hits"),
+            _marker_hits(col, LANG_MARKERS[lang], toks_col).alias("hits"),
             F.lit(len(langs) - i).alias("pref"),
             F.lit(lang).alias("lang"),
         )
@@ -61,35 +79,45 @@ def lang_id(col: str = "text") -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def stopword_ratio(col: str = "text") -> Column:
-    toks = F.split(F.col(col), " ")
+def stopword_ratio(col: str = "text", toks_col: str | None = None) -> Column:
+    toks = _toks(col, toks_col)
     arr = F.array(*[F.lit(s) for s in STOPWORDS])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("double") / F.size(toks).cast("double")
 
 
-def distinct_token_ratio(col: str = "text") -> Column:
-    toks = F.split(F.col(col), " ")
+def distinct_token_ratio(col: str = "text", toks_col: str | None = None) -> Column:
+    toks = _toks(col, toks_col)
     return F.size(F.array_distinct(toks)).cast("double") / F.size(toks).cast("double")
 
 
-def quality_score(col: str = "text") -> Column:
+def quality_score(col: str = "text", toks_col: str | None = None) -> Column:
     """Composite [0,1] quality heuristic: length saturation (100 tokens),
     lexical diversity, and a mild stopword-presence prior. Deterministic,
     portable arithmetic (exercised against the DuckDB oracle)."""
-    length_component = F.least(token_count(col).cast("double") / F.lit(100.0), F.lit(1.0))
+    length_component = F.least(
+        token_count(col, toks_col).cast("double") / F.lit(100.0), F.lit(1.0)
+    )
     return F.round(
         0.5 * length_component
-        + 0.4 * distinct_token_ratio(col)
-        + 0.1 * F.least(stopword_ratio(col) * 5.0, F.lit(1.0)),
+        + 0.4 * distinct_token_ratio(col, toks_col)
+        + 0.1 * F.least(stopword_ratio(col, toks_col) * 5.0, F.lit(1.0)),
         6,
     )
 
 
-def doc_fingerprint(col: str = "text", k: int = 3) -> Column:
+def doc_fingerprint(
+    col: str = "text", k: int = 3, toks_col: str | None = None
+) -> Column:
     """Winnowing-lite fingerprint: minimum md5 digest over k-token shingles.
     Stable under permutation-free edits elsewhere in the doc; portable
-    (md5 is identical everywhere)."""
-    return F.array_min(F.transform(shingles(col, k), lambda s: F.md5(s)))
+    (md5 is identical everywhere). Prefer `toks_col` in pipelines: the
+    one-shot shingles() path re-splits the text per shingle element (the
+    shingles_from_tokens docstring caveat), making this the single most
+    expensive expression of the text_profile battery."""
+    sh = (
+        shingles_from_tokens(toks_col, k) if toks_col else shingles(col, k)
+    )
+    return F.array_min(F.transform(sh, lambda s: F.md5(s)))
 
 
 # ---------------------------------------------------------------------------

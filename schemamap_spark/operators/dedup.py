@@ -207,38 +207,41 @@ def _band_rows(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     payload through a 64-way posexplode would dominate the shuffle."""
     rows_per_band = num_hashes // bands
     P = 2_147_483_647  # 2^31 - 1
-    base = sh.withColumn(
-        "hs", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(P)))
-    )
+    # The whole signature/banding projection is built as TWO SQL strings
+    # (one parse round-trip each) instead of ~100 nested Column objects:
+    # every F.<fn>() call is a py4j round-trip, and at 64 hashes × 32 bands
+    # the Column-by-Column construction alone cost ~0.9 s of driver wall
+    # per bench run (6.5k JVM calls profiled, r18). The parsed expression
+    # tree — and therefore every hash value, the committed LSH goldens,
+    # and the incremental band store — is IDENTICAL: same xxhash64/pmod
+    # arithmetic with the same long-typed constants (guide §1.2: per-task
+    # work includes the driver's plan-construction work in PySpark).
+    base = sh.withColumn("hs", F.expr(f"transform(sh, s -> pmod(xxhash64(s), {P}L))"))
 
-    def _minhash(seed: int):
+    def _minhash_sql(seed: int) -> str:
         a = (0x9E3779B9 * (seed + 1)) % (P - 1) + 1
         b = (0x85EBCA6B * (seed + 7)) % P
-        return F.array_min(
-            F.transform("hs", lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(P)))
-        )
+        return f"array_min(transform(hs, h -> pmod(h * {a}L + {b}L, {P}L)))"
 
     sig = base.select(
         "doc_id",
-        F.array(*[_minhash(i) for i in range(num_hashes)]).alias("sig"),
+        F.expr(
+            "array(" + ", ".join(_minhash_sql(i) for i in range(num_hashes)) + ")"
+        ).alias("sig"),
     )
+
+    def _band_sql(b: int) -> str:
+        # element_at(sig, n) is 1-based; sig[n] is 0-based — same element
+        els = ", ".join(
+            f"cast(sig[{b * rows_per_band + r}] as string)"
+            for r in range(rows_per_band)
+        )
+        return f"xxhash64(concat_ws(',', {els}))"
+
     return sig.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
+            F.expr("array(" + ", ".join(_band_sql(b) for b in range(bands)) + ")")
         ).alias("band", "bucket"),
     )
 

@@ -128,8 +128,17 @@ def dsir_weights_from_features(
     if alpha <= 0:
         raise ValueError(f"smoothing alpha must be positive, got {alpha}")
     raw = raw_features if raw_features is not None else candidate_features
-    t_counts = bucket_counts(target_features, "ct")
-    r_counts = bucket_counts(raw, "cr")
+    # Both models are <= B rows but each feeds TWO consumers (its broadcast
+    # join and its grand-total aggregate) — and t_counts a THIRD (the
+    # empty-target guard below). Unpersisted, every consumer re-ran the
+    # full tokenize→hash→aggregate pipeline of its corpus: the target
+    # corpus was tokenized three times per call and the candidate features
+    # re-aggregated twice (guide §2.4 — remove repeated subtrees outright).
+    # Persisted, the guard's head(1) is the one materialization of
+    # t_counts and everything downstream is a <=B-row cache read;
+    # ContextCleaner unpersists with the returned plan (module pattern).
+    t_counts = bucket_counts(target_features, "ct").persist()
+    r_counts = bucket_counts(raw, "cr").persist()
     # an empty target would make every model total NULL and every weight a
     # silent 0 — fail the contract loudly instead (pq_train convention);
     # the probe costs one small scan of the (tiny) target side only

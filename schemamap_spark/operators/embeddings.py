@@ -287,7 +287,7 @@ def pq_topk(
     exact = (
         cands.join(F.broadcast(qdf), "query_id")
         .join(cdf, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("sim"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (
@@ -504,7 +504,7 @@ def ivf_pq_search_encoded(
     exact = (
         cands.join(F.broadcast(qdf), "query_id")
         .join(cdf, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("sim"))
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (

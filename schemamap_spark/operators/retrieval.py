@@ -66,6 +66,7 @@ def bm25_topk(
     query_text_col: str = "text",
     index: DataFrame | None = None,
     n_docs: int | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, doc_id, score_micros,
     rank), rank ordered by (score_micros desc, doc_id) — a total order, so
@@ -84,7 +85,15 @@ def bm25_topk(
     wrong-corpus index can therefore never silently mix with a fresh
     docs count and skew idf. An index-derived N counts indexed documents
     only (NULL-text docs never produce index rows); pass `n_docs` to
-    assert the true corpus size when those differ."""
+    assert the true corpus size when those differ.
+
+    `ordered=False` skips the final (query_id, rank) orderBy — same rows,
+    same ranks, unspecified row order. For consumers that treat the result
+    as a SET (candidate generation for hybrid_rerank_topk / rrf_fuse), the
+    global sort is a range Exchange the downstream union/aggregate
+    immediately destroys; Catalyst does not eliminate it on its own
+    (measured in the r18 hybrid_rerank plan — guide §2.4, an orderBy used
+    only to make output deterministic)."""
     from pyspark.sql import Window
 
     if k < 1:
@@ -126,16 +135,6 @@ def bm25_topk(
         )
     else:
         stats_1row = idx_stats.select(F.col("n_idx").alias("n"), "avgdl")
-    df_map = index.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    if max_df_ratio is not None:
-        # stop-term guard: N rides in via the same 1-row broadcast instead
-        # of a separate eager docs.count() action
-        df_map = (
-            df_map.crossJoin(F.broadcast(stats_1row.select("n")))
-            .filter(F.col("df") <= F.lit(max_df_ratio) * F.col("n"))
-            .drop("n")
-        )
-
     q_terms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -145,6 +144,29 @@ def bm25_topk(
         )
         .distinct()
     )
+    # Per-term df over ONLY the query's terms (guide §3.2 — pre-filter the
+    # big side before aggregating/shuffling it): the former
+    # index.groupBy("term") aggregated the ENTIRE vocabulary — a
+    # vocab-wide shuffle at corpus scale — to produce df values of which
+    # the scoring join then kept only the query terms' handful. Restricting
+    # the postings with a broadcast semi-join FIRST leaves the same df
+    # values (the index keeps every document of a surviving term; (doc_id,
+    # term) rows are unique, so count(*) = document frequency) while the
+    # only shuffle left is over the touched posting lists. The query side
+    # is bounded by contract, so the broadcast is safe at any corpus size.
+    df_map = (
+        index.join(F.broadcast(q_terms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    if max_df_ratio is not None:
+        # stop-term guard: N rides in via the same 1-row broadcast instead
+        # of a separate eager docs.count() action
+        df_map = (
+            df_map.crossJoin(F.broadcast(stats_1row.select("n")))
+            .filter(F.col("df") <= F.lit(max_df_ratio) * F.col("n"))
+            .drop("n")
+        )
     # idf and the length normalization mirror the DuckDB oracle term for
     # term — operand order matters for bit-equal doubles
     idf = F.log(
@@ -156,9 +178,12 @@ def bm25_topk(
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
     contrib = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
+    # the (query term × df) side is queries × terms rows — explicitly
+    # broadcast so the posting-list side (the only corpus-scale frame
+    # here) is probed in place and never shuffled by term, regardless of
+    # what the planner estimates for the aggregated df_map (guide §3.1)
     scored = (
-        q_terms.join(df_map, "term")
-        .join(index, "term")
+        index.join(F.broadcast(q_terms.join(df_map, "term")), "term")
         .crossJoin(F.broadcast(stats_1row))
         .groupBy("query_id", "doc_id")
         .agg(F.sum(F.round(contrib * 1e6).cast("bigint")).alias("score_micros"))
@@ -166,12 +191,12 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_micros"), F.col("doc_id")
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_micros", "rank")
-        .orderBy("query_id", "rank")
     )
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def hybrid_rerank_topk(
@@ -248,7 +273,7 @@ def hybrid_rerank_topk(
     scored = (
         scored
         .select(
-            "query_id", "doc_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim")
+            "query_id", "doc_id", cosine("q_vec", "c_vec").alias("sim")
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "doc_id")

@@ -48,7 +48,21 @@ def collect_bounded_queries(q: DataFrame, what: str) -> list:
     return rows
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """The _dot expression as a SQL fragment over two column NAMES — one
+    parser round-trip instead of the ~15 py4j calls each Column-built
+    zip_with/aggregate lambda pair costs (the hybrid_rerank/ann builders
+    evaluated 8+ dots per plan ≈ 0.2 s of pure driver wall, r18 profile).
+    Identical expression semantics: same casts, same double-typed seed."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
 def _dot(a, b) -> F.Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -57,12 +71,20 @@ def _dot(a, b) -> F.Column:
 
 
 def _norm(a) -> F.Column:
+    if isinstance(a, str):
+        return F.expr(f"sqrt({_dot_sql(a, a)})")
     return F.sqrt(_dot(a, a))
 
 
 def cosine(a, b) -> F.Column:
     # try_divide: a zero-norm vector yields NULL (cosine undefined), not an
-    # ANSI DIVIDE_BY_ZERO error; consumers drop NULL/NaN sims explicitly
+    # ANSI DIVIDE_BY_ZERO error; consumers drop NULL/NaN sims explicitly.
+    # String operands take the one-round-trip SQL path (same expression).
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"try_divide({_dot_sql(a, b)}, "
+            f"sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+        )
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
@@ -215,10 +237,15 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "expr",
+    ordered: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector (self excluded).
 
     Output: (query_id, neighbor_id, rank, cosine_sim round6).
+    `ordered=False` skips the final (query_id, rank) orderBy — same rows
+    and ranks, unspecified row order; use it when the result feeds a
+    set-shaped consumer (candidate union, fusion, eval joins), where the
+    global sort is a range Exchange the consumer immediately destroys.
 
     method="expr" (default): per-pair zip_with/aggregate dot products —
     all-JVM, whole-stage-codegen, ideal up to a few hundred dims.
@@ -256,16 +283,20 @@ def cosine_topk(
     # dropped. The nanvl is load-bearing: Spark SQL orders NaN GREATER
     # than every numeric, so a bare `NaN > 0` is TRUE and a NaN-element
     # vector would pass the guard and rank as every query's top neighbor.
-    def _finite_nonzero(col):
-        return F.try_divide(F.lit(1.0), F.nanvl(_dot(col, col), F.lit(0.0))) > 0
+    def _finite_nonzero(name: str):
+        # name-based SQL path: one parse instead of a lambda-pair tree
+        return F.expr(
+            f"try_divide(cast(1.0 as double), "
+            f"nanvl({_dot_sql(name, name)}, cast(0.0 as double))) > 0"
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).filter(_finite_nonzero(F.col("q_vec")))
+    ).filter(_finite_nonzero("q_vec"))
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
         "neighbor_id",
-    ).filter(_finite_nonzero(F.col("c_vec")))
+    ).filter(_finite_nonzero("c_vec"))
     if method == "matmul":
         scored = _matmul_candidates(c, q, k)
     elif method == "expr":
@@ -275,18 +306,18 @@ def cosine_topk(
             .select(
                 "query_id",
                 "neighbor_id",
-                cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+                cosine("q_vec", "c_vec").alias("sim"),
             )
         )
     else:
         raise ValueError(f"unknown cosine_topk method: {method!r}")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
-        .orderBy("query_id", "rank")
     )
+    return out.orderBy("query_id", "rank") if ordered else out
 
 
 def _matmul_candidates(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
@@ -460,7 +491,7 @@ def lsh_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("sim"))
         .distinct()  # a neighbor can surface via several probes
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -536,7 +567,7 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), "centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"))
+        .select("query_id", "neighbor_id", cosine("q_vec", "c_vec").alias("sim"))
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")

@@ -330,9 +330,12 @@ def rrf_hybrid_q(spark, sf):
     q_text = docs.filter(F.col("doc_id").isin(*_BM25_QUERY_DOCS)).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    lex = bm25_topk(docs, q_text, k=5)
+    # ordered=False: rrf_fuse consumes (query, doc, rank) as a SET — the
+    # retrievers' own output orderBys would each add a range Exchange the
+    # fusion aggregate immediately destroys (same rows/ranks either way)
+    lex = bm25_topk(docs, q_text, k=5, ordered=False)
     q_vec = emb.filter(F.col("vec_id").isin(*_BM25_QUERY_DOCS))
-    dense = cosine_topk(emb, q_vec, k=5).select(
+    dense = cosine_topk(emb, q_vec, k=5, ordered=False).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([lex, dense], rrf_k=60, top=10)
@@ -354,9 +357,12 @@ def hybrid_rerank_q(spark, sf):
     q_text = docs.filter(F.col("doc_id").isin(*_BM25_QUERY_DOCS)).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    lex = bm25_topk(docs, q_text, k=5)
+    # ordered=False: the rerank consumes candidates as a SET (distinct
+    # union) — the retrievers' own orderBys are range Exchanges it
+    # immediately destroys (same rows/ranks either way)
+    lex = bm25_topk(docs, q_text, k=5, ordered=False)
     q_vec = emb.filter(F.col("vec_id").isin(*_BM25_QUERY_DOCS))
-    dense = cosine_topk(emb, q_vec, k=5).select(
+    dense = cosine_topk(emb, q_vec, k=5, ordered=False).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
@@ -602,19 +608,22 @@ def retrieval_eval_q(spark, sf):
     q_text = docs.filter(F.col("doc_id").isin(*_BM25_QUERY_DOCS)).select(
         F.col("doc_id").alias("query_id"), "text"
     )
-    lex = bm25_topk(docs, q_text, k=5)
+    # ordered=False throughout: every frame below feeds joins/aggregates
+    # (candidate union, eval joins), never an order-sensitive consumer
+    lex = bm25_topk(docs, q_text, k=5, ordered=False)
     q_vec = emb.filter(F.col("vec_id").isin(*_BM25_QUERY_DOCS))
-    dense = cosine_topk(emb, q_vec, k=5).select(
+    dense = cosine_topk(emb, q_vec, k=5, ordered=False).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     hybrid = hybrid_rerank_topk([lex, dense], emb, q_vec, k=5)
 
     emb_t = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
     trunc = cosine_topk(
-        emb_t, emb_t.filter(F.col("vec_id").isin(*_BM25_QUERY_DOCS)), k=5
+        emb_t, emb_t.filter(F.col("vec_id").isin(*_BM25_QUERY_DOCS)), k=5,
+        ordered=False,
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
 
-    qrels = cosine_topk(emb, q_vec, k=10).select(
+    qrels = cosine_topk(emb, q_vec, k=10, ordered=False).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         (F.lit(11) - F.col("rank")).alias("rel"),

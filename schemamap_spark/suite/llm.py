@@ -132,14 +132,22 @@ def text_profile(spark, sf):
     # documents is a single parquet file at test scale — without a spread the
     # whole per-doc battery runs on one core
     docs = ensure_parallelism(load_table(spark, sf, "documents"), "doc_id")
-    return docs.select(
+    # tokenize ONCE per row: every battery member re-split the full text
+    # internally (doc_fingerprint's shingle walk re-split it per ELEMENT),
+    # ~10 split() evaluations per row for one tokenization's worth of
+    # information. The projected toks column is kept materialized by
+    # Catalyst (multi-referenced non-cheap projection) and the functions'
+    # toks_col path reads it — same tokenization, same values (oracle
+    # parity green), measured 1.08 s → ~0.6 s warm at sf0.1.
+    base = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return base.select(
         "doc_id",
-        TX.lang_id("text").alias("predicted_lang"),
-        TX.token_count("text").alias("n_tokens"),
-        F.round(TX.distinct_token_ratio("text"), 6).alias("distinct_ratio"),
-        F.round(TX.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        TX.quality_score("text").alias("quality"),
-        TX.doc_fingerprint("text", _SHINGLE_K).alias("fingerprint"),
+        TX.lang_id(toks_col="toks").alias("predicted_lang"),
+        TX.token_count(toks_col="toks").alias("n_tokens"),
+        F.round(TX.distinct_token_ratio(toks_col="toks"), 6).alias("distinct_ratio"),
+        F.round(TX.stopword_ratio(toks_col="toks"), 6).alias("stopword_ratio"),
+        TX.quality_score(toks_col="toks").alias("quality"),
+        TX.doc_fingerprint(k=_SHINGLE_K, toks_col="toks").alias("fingerprint"),
     ).orderBy("doc_id")
 
 
