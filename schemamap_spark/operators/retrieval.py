@@ -113,28 +113,36 @@ def bm25_topk(
         index = bm25_index(docs, id_col, text_col).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-    # N and avgdl as one broadcastable 1-row frame, from ONE pass over the
-    # per-doc rows. Internally-built index: N counts ALL docs (NULL-text
-    # docs drop out of the index, but standard BM25's N is the corpus
-    # size), so it comes from `docs` — a count-only aggregate that prunes
-    # to zero columns, not a second tokenization. Caller-supplied index:
-    # N comes from the index itself (or the explicit n_docs override) so
-    # the statistics can never disagree with the postings being scored.
-    idx_stats = (
-        index.groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
-        .agg(F.count(F.lit(1)).alias("n_idx"), F.avg("dl").alias("avgdl"))
-    )
+    # N and avgdl as one broadcastable 1-row frame. Internally-built index:
+    # N counts ALL docs (NULL-text docs drop out of the index, but standard
+    # BM25's N is the corpus size) and avgdl averages the indexed docs' dl
+    # — BOTH from one aggregate pass over `docs` directly. avg(size(split))
+    # over docs ≡ the former index-side avg(first(dl) per doc): a doc has
+    # index rows iff its text is non-NULL (split of '' still yields ['']),
+    # dl IS size(toks), and integer summation is FP-exact below 2^53, so
+    # the value is bit-identical in any order. This replaces a
+    # groupBy(doc_id) over the whole index + a second aggregate + a
+    # crossJoin-broadcast (three sequential stages per call) with one
+    # aggregate (guide §2.4). Caller-supplied index: stats still come from
+    # the index itself (or the explicit n_docs override) so they can never
+    # disagree with the postings being scored.
     if owns_index:
-        stats_1row = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
-            F.broadcast(idx_stats.select("avgdl"))
-        )
-    elif n_docs is not None:
-        stats_1row = idx_stats.select(
-            F.lit(int(n_docs)).cast("long").alias("n"), "avgdl"
+        stats_1row = docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
         )
     else:
-        stats_1row = idx_stats.select(F.col("n_idx").alias("n"), "avgdl")
+        idx_stats = (
+            index.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n_idx"), F.avg("dl").alias("avgdl"))
+        )
+        if n_docs is not None:
+            stats_1row = idx_stats.select(
+                F.lit(int(n_docs)).cast("long").alias("n"), "avgdl"
+            )
+        else:
+            stats_1row = idx_stats.select(F.col("n_idx").alias("n"), "avgdl")
     q_terms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),

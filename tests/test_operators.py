@@ -1801,10 +1801,14 @@ def test_bm25_index_tokenizes_once(spark):
     assert reuse >= 2, f"cached index not reused (found {reuse} cache scans):\n{plan}"
     # every corpus tokenization (explode of the doc token array) in the
     # printout is the cached relation's child plan reprinted under an
-    # InMemoryTableScan — none standalone. The single live explode is the
-    # query side (array_distinct over query tokens).
+    # InMemoryTableScan — none standalone. The live explodes are the QUERY
+    # side only (array_distinct over query tokens): one feeding the scoring
+    # join, and since r18 one more deriving the df semi-join's term set —
+    # both bounded-small broadcast branches by the query-side contract
+    # (duplicating a bounded subtree beats the vocab-wide df aggregation
+    # the r18 restructure removed).
     assert plan.count("Generate explode(toks") <= reuse, plan
-    assert plan.count("Generate explode(array_distinct") == 1, plan
+    assert 1 <= plan.count("Generate explode(array_distinct") <= 2, plan
 
     # a caller-supplied prebuilt index is honored (no internal rebuild) and
     # gives identical results
