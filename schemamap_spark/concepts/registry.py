@@ -25,6 +25,11 @@ ConceptFn = Callable[[object], Column]
 class ConceptRegistry:
     def __init__(self, include_builtins: bool = True):
         self._concepts: dict[str, ConceptFn] = dict(BUILTIN_CONCEPTS) if include_builtins else {}
+        # bumped on every (re)definition — lets consumers (engine.columns)
+        # memoize the PLAN of the concept-wide view per registry state and
+        # still see new concepts immediately (the reference's view is
+        # regenerated on define, not on every SELECT)
+        self.version = 0
 
     def define(self, name: str, fn: ConceptFn) -> str:
         """Register (or replace) a concept. Idempotent, like the reference's
@@ -32,6 +37,7 @@ class ConceptRegistry:
         if not _IDENT_RE.match(name):
             raise ValueError(f"invalid concept name: {name!r}")
         self._concepts[name] = fn
+        self.version += 1
         return name
 
     def names(self) -> list[str]:

@@ -46,6 +46,9 @@ class SchemamapEngine:
         )
         self._i18n: dict = {}
         self._smo: DataFrame | None = None
+        # (smo snapshot, registry version, frame) — see columns()/status()
+        self._columns_plan: tuple | None = None
+        self._status_plan: tuple | None = None
 
     # --- SMO lifecycle ---------------------------------------------------
     def refresh(self, concurrently: bool = False) -> DataFrame:
@@ -82,11 +85,42 @@ class SchemamapEngine:
 
     # --- derived views ----------------------------------------------------
     def columns(self) -> DataFrame:
-        """Wide, concept-extended view (the reference's dynamic `columns`)."""
-        return self.concepts.wide_columns(self.smo())
+        """Wide, concept-extended view (the reference's dynamic `columns`).
+
+        The PLAN is memoized per (concept-registry version, SMO snapshot):
+        building the 15 concept expression trees costs ~0.3 s of driver
+        wall per call (r18 profile) for a view whose definition only
+        changes on define_concept / refresh — the reference likewise
+        regenerates its view on (re)definition, not per SELECT. Reference
+        identity (`is`) keys the snapshot: refresh() rebinds self._smo, so
+        a stale plan can never survive a refresh. Every action on the
+        returned frame still recomputes from the snapshot — this caches no
+        data beyond what the localCheckpoint already holds."""
+        smo = self.smo()
+        cached = self._columns_plan
+        if (
+            cached is not None
+            and cached[0] is smo
+            and cached[1] == self.concepts.version
+        ):
+            return cached[2]
+        wide = self.concepts.wide_columns(smo)
+        self._columns_plan = (smo, self.concepts.version, wide)
+        return wide
 
     def status(self) -> DataFrame:
-        return status_aggregate(self.columns())
+        # same plan-memo discipline (and invalidation key) as columns()
+        smo = self.smo()
+        cached = self._status_plan
+        if (
+            cached is not None
+            and cached[0] is smo
+            and cached[1] == self.concepts.version
+        ):
+            return cached[2]
+        st = status_aggregate(self.columns())
+        self._status_plan = (smo, self.concepts.version, st)
+        return st
 
     def status_json(self) -> str:
         row = self.status().collect()[0].asDict()

@@ -65,3 +65,28 @@ def test_status_consistency(engine):
     assert st.ignored_table_count == st.schema_migration_table_count
     assert st.surrogate_key_count + st.natural_key_count == st.primary_key_count
     assert st.pii_count > 0 and st.indexed_count > 0
+
+
+def test_columns_plan_memo_invalidation(engine):
+    """r18: columns()/status() memoize the concept-wide PLAN per
+    (registry version, SMO snapshot). The memo must be invisible:
+    repeated calls return the same prepared frame (no per-call expression
+    rebuild), a define_concept invalidates it immediately, and refresh()
+    rebinds it to the new snapshot."""
+    w1 = engine.columns()
+    assert engine.columns() is w1  # plan reuse, not a rebuild
+    s1 = engine.status()
+    assert engine.status() is s1
+
+    engine.concepts.define("memo_probe", lambda smo: smo["column_name"].isNotNull())
+    w2 = engine.columns()
+    assert w2 is not w1
+    assert "is_memo_probe" in [f.name for f in w2.schema.fields]
+    assert engine.status() is not s1  # status keys on the same version
+
+    smo_before = engine.smo()
+    engine.refresh()
+    assert engine.smo() is not smo_before
+    w3 = engine.columns()
+    assert w3 is not w2  # new snapshot -> new plan
+    assert "is_memo_probe" in [f.name for f in w3.schema.fields]
