@@ -49,6 +49,7 @@ class SchemamapEngine:
         # (smo snapshot, registry version, frame) — see columns()/status()
         self._columns_plan: tuple | None = None
         self._status_plan: tuple | None = None
+        self._candidates_plan: tuple | None = None
 
     # --- SMO lifecycle ---------------------------------------------------
     def refresh(self, concurrently: bool = False) -> DataFrame:
@@ -131,7 +132,17 @@ class SchemamapEngine:
         return json.dumps(row, indent=2, sort_keys=True, default=str)
 
     def master_data_entity_candidates(self) -> DataFrame:
-        return master_data_entity_candidates(self.catalog)
+        # plan-memo per catalog (same discipline as columns()/status()):
+        # the candidate-ranking PLAN is a pure function of the catalog's
+        # scan definitions — data-independent — so rebuilding its
+        # expression trees per call only costs driver wall; every action
+        # on the returned frame still re-reads the catalog's scans
+        cached = self._candidates_plan
+        if cached is not None and cached[0] is self.catalog:
+            return cached[1]
+        df = master_data_entity_candidates(self.catalog)
+        self._candidates_plan = (self.catalog, df)
+        return df
 
     # --- misc SDK parity ---------------------------------------------------
     def doctor(self, role_edges: DataFrame | None = None, table_grants: DataFrame | None = None) -> dict:
