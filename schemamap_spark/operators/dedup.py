@@ -291,32 +291,29 @@ def simhash_fingerprints(
     so correctness is pinned by a committed golden parquet
     (tools/gen_simhash_golden.py) rather than a recomputing oracle."""
     sh = _shingled(docs, k, id_col, text_col)
-    hashed = sh.select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("hs"))
+    hashed = sh.select("doc_id", F.expr("transform(sh, s -> xxhash64(s))").alias("hs"))
 
-    def _bit_vote(bit: int):
-        return F.aggregate(
-            "hs",
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ).alias(f"b{bit}")
+    # SQL-string construction, same rationale as _band_rows: the 64 vote
+    # aggregates + 64 bit selects as TWO parses instead of ~130 nested
+    # Column trees (each a py4j round-trip). Identical arithmetic —
+    # if(cond, 1, -1) types and evaluates exactly as the former
+    # when/otherwise, shiftleft(1L, bit) is the same long shift (a 2**63
+    # literal would overflow; the shift is fine) — pinned by the committed
+    # simhash golden parquet.
+    def _bit_vote_sql(bit: int) -> str:
+        return (
+            f"aggregate(hs, 0, (acc, h) -> "
+            f"acc + if((shiftright(h, {bit}) & 1) = 1, 1, -1)) as b{bit}"
+        )
 
-    bit_sums = hashed.select("doc_id", *[_bit_vote(bit) for bit in range(64)])
-    return bit_sums.select(
-        "doc_id",
-        sum(
-            [
-                F.when(
-                    F.col(f"b{bit}") > 0,
-                    # shiftleft instead of 2**bit literal: bit 63 overflows a
-                    # signed long literal but is fine as a JVM shift
-                    F.shiftleft(F.lit(1).cast("long"), bit),
-                ).otherwise(F.lit(0).cast("long"))
-                for bit in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    bit_sums = hashed.selectExpr(
+        "doc_id", *[_bit_vote_sql(bit) for bit in range(64)]
     )
+    fp = " + ".join(
+        f"if(b{bit} > 0, shiftleft(cast(1 as bigint), {bit}), cast(0 as bigint))"
+        for bit in range(64)
+    )
+    return bit_sums.selectExpr("doc_id", f"cast(0 as bigint) + {fp} as simhash")
 
 
 def simhash_near_pairs(
