@@ -37,3 +37,24 @@ def test_ns_to_us_is_exact(spark, tmp_path):
 def test_double_division_would_have_been_wrong():
     # documents WHY the fix exists: double round-trip disagrees on these inputs
     assert any(int(ns / 1000) != ns // 1000 for ns in NS_CASES)
+
+
+def test_load_table_plan_cache(spark):
+    """r18: load_table memoizes the resolved relation per (session, dir,
+    table) — metadata only. Second call returns the same prepared frame;
+    fresh=True re-resolves (and refreshes the entry); distinct dirs/tables
+    never collide."""
+    from schemamap_spark.session import load_table
+
+    a1 = load_table(spark, "/root/testdata/sf0.001", "nation")
+    a2 = load_table(spark, "/root/testdata/sf0.001", "nation")
+    assert a1 is a2
+    b = load_table(spark, "/root/testdata/sf0.01", "nation")
+    assert b is not a1  # keyed by dir
+    c = load_table(spark, "/root/testdata/sf0.001", "region")
+    assert c is not a1  # keyed by table
+    f = load_table(spark, "/root/testdata/sf0.001", "nation", fresh=True)
+    assert f is not a1
+    assert sorted(map(tuple, f.collect())) == sorted(map(tuple, a1.collect()))
+    # fresh refreshed the cache entry
+    assert load_table(spark, "/root/testdata/sf0.001", "nation") is f
