@@ -528,6 +528,10 @@ def main() -> None:
     windows: dict[str, tuple[float, float]] = {}
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
+        # label the query's jobs in the UI (guide §1.5) — makes the SQL/
+        # stage tabs attributable when debugging a bench run; the stage
+        # channel itself buckets by submission-time windows, not labels
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         w0 = time.time()
         runs = []
         # 1 cold + 3 warm runs: the cold run pays one-time codegen/JIT
@@ -544,6 +548,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.monotonic() - t0, 3))
         windows[name] = (w0, time.time())
+        spark.sparkContext.setJobDescription(None)
         cold[name] = runs[0]
         warm_runs[name] = runs[1:]
         timings[name] = sorted(runs[1:])[1]
