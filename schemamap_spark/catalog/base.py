@@ -35,6 +35,14 @@ IGNORED_SCHEMAS = (
 
 
 class CatalogAdapter(abc.ABC):
+    # True when relations()/columns() introspect the live catalog EAGERLY
+    # and embed the rows in the returned plan (createDataFrame of listed
+    # tables): a memoized plan over such frames snapshots the table set at
+    # build time, so plan caches must be skipped (engine.
+    # master_data_entity_candidates). Lazy adapters (parquet/JDBC scans)
+    # re-read their source on every action and stay memo-safe.
+    materializes_snapshots: bool = False
+
     @abc.abstractmethod
     def relations(self) -> DataFrame: ...
 

@@ -39,6 +39,11 @@ INDEXES_SCHEMA = T.StructType([
 
 
 class SparkNativeCatalog(CatalogAdapter):
+    # relations()/columns() enumerate spark.catalog eagerly into
+    # createDataFrame rows — the returned plan is a snapshot, so engine
+    # plan memos must not cache it (see CatalogAdapter.materializes_snapshots)
+    materializes_snapshots = True
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
 

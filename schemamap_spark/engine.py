@@ -67,6 +67,10 @@ class SchemamapEngine:
 
         # canonical sort only when persisting (byte-stable snapshot files);
         # in-memory consumers (status, concepts) don't pay for it
+        # refresh is the user's "re-read the catalog" signal: drop the
+        # candidates plan memo too (columns/status memos key on the SMO
+        # snapshot identity, which this method rebinds)
+        self._candidates_plan = None
         smo = build_smo(self.catalog, ordered=self.warehouse_dir is not None)
         if self.warehouse_dir:
             fs = fscommit.fs_for(self.warehouse_dir, self.spark)
@@ -135,8 +139,16 @@ class SchemamapEngine:
         # plan-memo per catalog (same discipline as columns()/status()):
         # the candidate-ranking PLAN is a pure function of the catalog's
         # scan definitions — data-independent — so rebuilding its
-        # expression trees per call only costs driver wall; every action
-        # on the returned frame still re-reads the catalog's scans
+        # expression trees per call only costs driver wall. The memo is
+        # only sound for LAZY adapters (parquet/JDBC scans re-read their
+        # source on every action); an adapter that materializes catalog
+        # snapshots at plan-build time (SparkNativeCatalog's
+        # createDataFrame of the listed tables) would freeze the table
+        # set forever, so those skip the memo entirely (ADVICE r18).
+        # refresh() also clears the memo — it is the user's explicit
+        # "re-read the catalog" signal.
+        if getattr(self.catalog, "materializes_snapshots", False):
+            return master_data_entity_candidates(self.catalog)
         cached = self._candidates_plan
         if cached is not None and cached[0] is self.catalog:
             return cached[1]

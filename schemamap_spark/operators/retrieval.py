@@ -127,9 +127,20 @@ def bm25_topk(
     # the index itself (or the explicit n_docs override) so they can never
     # disagree with the postings being scored.
     if owns_index:
+        # NULL-text docs must be SKIPPED by the average, matching the old
+        # index-derived avg(dl) under any session config: with
+        # spark.sql.ansi.enabled=false (possible for an externally-built
+        # session) size(split(NULL)) is -1, not NULL, and would silently
+        # skew avgdl — the explicit when() guard is ANSI-independent
+        # (ADVICE r18).
         stats_1row = docs.agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg(F.size(F.split(F.col(text_col), " "))).alias("avgdl"),
+            F.avg(
+                F.when(
+                    F.col(text_col).isNotNull(),
+                    F.size(F.split(F.col(text_col), " ")),
+                )
+            ).alias("avgdl"),
         )
     else:
         idx_stats = (

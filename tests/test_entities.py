@@ -119,3 +119,47 @@ def test_versioned_bootstrap_applies_once(tmp_path):
     migs.append(Migration(3, "upgrade", lambda: ran.append(3)))
     assert apply_migrations(store, migs) == ["V000003: upgrade"]
     assert store.current() == 3 and len(store.history()) == 3
+
+
+def test_candidates_see_native_catalog_changes(spark):
+    """ADVICE/VERDICT r18: SparkNativeCatalog's relations()/columns()
+    enumerate the live Spark catalog EAGERLY into createDataFrame plans,
+    so the engine's candidates plan memo would freeze the table set at
+    first call. Such adapters must bypass the memo: a table created
+    after the first candidates() call appears in the next one."""
+    from schemamap_spark import SchemamapEngine
+    from schemamap_spark.catalog import SparkNativeCatalog
+
+    engine = SchemamapEngine(spark, SparkNativeCatalog(spark))
+    spark.range(3).toDF("id").createOrReplaceTempView("_tmp_native_probe")
+    spark.sql(
+        "create table if not exists native_cand_a as select id from _tmp_native_probe"
+    )
+    try:
+        first = engine.master_data_entity_candidates()
+        names1 = {r.table_name for r in first.collect()}
+        assert "native_cand_a" in names1
+        assert "native_cand_b" not in names1
+
+        spark.sql(
+            "create table if not exists native_cand_b as "
+            "select id from _tmp_native_probe"
+        )
+        names2 = {
+            r.table_name for r in engine.master_data_entity_candidates().collect()
+        }
+        assert "native_cand_b" in names2  # the r18 staleness bug: memo froze this out
+    finally:
+        spark.sql("drop table if exists native_cand_a")
+        spark.sql("drop table if exists native_cand_b")
+        spark.catalog.dropTempView("_tmp_native_probe")
+
+
+def test_candidates_memo_cleared_by_refresh(engine):
+    """For lazy adapters the candidates plan memo is valid across calls
+    (same prepared frame) but refresh() — the explicit re-read-the-catalog
+    signal — must drop it."""
+    c1 = engine.master_data_entity_candidates()
+    assert engine.master_data_entity_candidates() is c1  # plan reuse
+    engine.refresh()
+    assert engine.master_data_entity_candidates() is not c1
