@@ -31,6 +31,18 @@ K1 = 1.2
 B = 0.75
 
 
+def _dlit(x: float) -> str:
+    """A Python float as a Spark SQL DOUBLE literal with the exact same
+    bits as F.lit(x): repr round-trips doubles, and the 'D' suffix keeps
+    the parser from reading the token as DECIMAL. Scientific-notation
+    reprs (1e-07) go through a string cast, which Spark parses with
+    Double.parseDouble — also exact."""
+    r = repr(float(x))
+    if "e" in r or "E" in r:
+        return f"cast('{r}' as double)"
+    return f"{r}D"
+
+
 def bm25_index(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -77,9 +89,9 @@ def bm25_topk(
 
     Pass a precomputed `index` (from bm25_index, ideally persisted or
     parquet-backed) to amortize tokenization across calls; otherwise one is
-    built from `docs` and cached internally (the cache lives for the
-    session — repeated ad-hoc calls should pass an index rather than
-    accumulate per-call caches). When `index` is supplied it is the SINGLE
+    built from `docs` inline and persisted through a fingerprint-named temp
+    view (one view + one cache entry per distinct corpus plan, reused
+    across calls — see the owns-index comment). When `index` is supplied it is the SINGLE
     source of corpus statistics: N, avgdl, and the stop-term guard all
     derive from the index, and `docs` is ignored — a stale or
     wrong-corpus index can therefore never silently mix with a fresh
@@ -94,66 +106,94 @@ def bm25_topk(
     immediately destroys; Catalyst does not eliminate it on its own
     (measured in the r18 hybrid_rerank plan — guide §2.4, an orderBy used
     only to make output deterministic)."""
-    from pyspark.sql import Window
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if index is not None and n_docs is not None and n_docs < 1:
         raise ValueError(f"n_docs must be >= 1, got {n_docs}")
-    # The inverted index feeds THREE consumers below (N/avgdl aggregate,
-    # per-term df map, scoring join). Unpersisted, Spark would re-run the
-    # full corpus tokenize→explode→groupBy once per consumer — at corpus
-    # scale that is 3 scans of every byte of text. Persist it so the
-    # tokenization happens exactly once; the cache lives for the lifetime
-    # of the returned (lazy) result plan.
     owns_index = index is None
     if owns_index:
+        # The scoring pipeline — stats, df map, scoring, rank cut — is
+        # ONE spark.sql statement (guide §1.2 driver work): classic
+        # PySpark analyzes eagerly per DataFrame op, so the former ~15
+        # chained ops paid ~15 analyzer passes over a growing tree per
+        # call — the r18 stage timeline showed hybrid_rerank's FIRST
+        # stage submitting at +0.62 s of a 1.58 s warm run, nearly all
+        # driver-side construction. One SQL block is one parse + one
+        # analysis; the physical plan is the former Column chain's (r19
+        # plan diff; _dlit keeps every double literal bit-identical to
+        # the former F.lit constants).
+        #
+        # The inverted index feeds TWO consumers in the SQL (df map,
+        # scoring join). Unpersisted, Spark would re-run the full corpus
+        # tokenize→explode→groupBy once per consumer — at corpus scale
+        # that is 2 scans of every byte of text (CTE inlining gives the
+        # copies different pruned columns, so exchange reuse does NOT
+        # dedup them — measured). The index is therefore registered as a
+        # temp view and the VIEW-wrapped reference persisted — the
+        # standard `CACHE TABLE view` pattern, and the only persist shape
+        # a spark.sql reference can actually hit: CacheManager keys on
+        # the normalized plan, and a view reference resolves to a
+        # View-wrapped tree that never matches a bare persisted frame
+        # (measured on 4.1). The view name is a digest of the docs plan
+        # + column choice, so repeated calls over the same corpus re-use
+        # one view + one cache entry instead of accumulating per call.
+        # Stats: N and avgdl in one aggregate pass over `docs` directly
+        # (avg(size(split)) ≡ the index-side avg of first(dl) per doc —
+        # r18 equivalence argument), NULL-text docs skipped
+        # ANSI-independently via the CASE guard (ADVICE r18: with ansi
+        # off, size(split(NULL)) is -1, not NULL).
+        import hashlib
+
         from pyspark import StorageLevel
 
-        index = bm25_index(docs, id_col, text_col).persist(
-            StorageLevel.MEMORY_AND_DISK
+        spark = docs.sparkSession
+        fingerprint = hashlib.sha1(
+            (
+                docs._jdf.queryExecution().analyzed().toString()
+                + f"|{id_col}|{text_col}"
+            ).encode()
+        ).hexdigest()[:12]
+        vname = f"_schemamap_bm25_idx_{fingerprint}"
+        bm25_index(docs, id_col, text_col).createOrReplaceTempView(vname)
+        spark.table(vname).persist(StorageLevel.MEMORY_AND_DISK)
+        sql = (
+            "with stats as (\n"
+            "  select count(1) as n,\n"
+            f"         avg(case when `{text_col}` is not null\n"
+            f"             then size(split(`{text_col}`, ' ')) end) as avgdl\n"
+            "  from {docs}\n"
+            "),\n"
+            + _bm25_scoring_tail_sql(
+                vname, k, k1, b, max_df_ratio, query_id_col, query_text_col,
+                ordered,
+            )
         )
-    # N and avgdl as one broadcastable 1-row frame. Internally-built index:
-    # N counts ALL docs (NULL-text docs drop out of the index, but standard
-    # BM25's N is the corpus size) and avgdl averages the indexed docs' dl
-    # — BOTH from one aggregate pass over `docs` directly. avg(size(split))
-    # over docs ≡ the former index-side avg(first(dl) per doc): a doc has
-    # index rows iff its text is non-NULL (split of '' still yields ['']),
-    # dl IS size(toks), and integer summation is FP-exact below 2^53, so
-    # the value is bit-identical in any order. This replaces a
-    # groupBy(doc_id) over the whole index + a second aggregate + a
-    # crossJoin-broadcast (three sequential stages per call) with one
-    # aggregate (guide §2.4). Caller-supplied index: stats still come from
-    # the index itself (or the explicit n_docs override) so they can never
-    # disagree with the postings being scored.
-    if owns_index:
-        # NULL-text docs must be SKIPPED by the average, matching the old
-        # index-derived avg(dl) under any session config: with
-        # spark.sql.ansi.enabled=false (possible for an externally-built
-        # session) size(split(NULL)) is -1, not NULL, and would silently
-        # skew avgdl — the explicit when() guard is ANSI-independent
-        # (ADVICE r18).
-        stats_1row = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(
-                F.when(
-                    F.col(text_col).isNotNull(),
-                    F.size(F.split(F.col(text_col), " ")),
-                )
-            ).alias("avgdl"),
+        return spark.sql(sql, docs=docs, queries=queries)
+    # Caller-supplied index: the Column-chain formulation. A spark.sql
+    # reference to a DataFrame goes through a generated temp view, and a
+    # View-wrapped subtree does NOT match the caller's CacheManager entry
+    # (measured on 4.1: a persisted frame referenced via {df} substitution
+    # recomputes instead of hitting its InMemoryRelation) — the docstring
+    # tells callers to persist their index, so this path must stay in
+    # DataFrame land to honor that cache. It is also the SHORT path: no
+    # index build, no docs aggregate — the per-op analysis tail the SQL
+    # formulation removes barely exists here.
+    from pyspark.sql import Window
+
+    # index-derived stats (single-stats-source contract): N, avgdl from
+    # the index itself (or the explicit n_docs override) so they can
+    # never disagree with the postings being scored
+    idx_stats = (
+        index.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(F.count(F.lit(1)).alias("n_idx"), F.avg("dl").alias("avgdl"))
+    )
+    if n_docs is not None:
+        stats_1row = idx_stats.select(
+            F.lit(int(n_docs)).cast("long").alias("n"), "avgdl"
         )
     else:
-        idx_stats = (
-            index.groupBy("doc_id")
-            .agg(F.first("dl").alias("dl"))
-            .agg(F.count(F.lit(1)).alias("n_idx"), F.avg("dl").alias("avgdl"))
-        )
-        if n_docs is not None:
-            stats_1row = idx_stats.select(
-                F.lit(int(n_docs)).cast("long").alias("n"), "avgdl"
-            )
-        else:
-            stats_1row = idx_stats.select(F.col("n_idx").alias("n"), "avgdl")
+        stats_1row = idx_stats.select(F.col("n_idx").alias("n"), "avgdl")
     q_terms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -163,16 +203,8 @@ def bm25_topk(
         )
         .distinct()
     )
-    # Per-term df over ONLY the query's terms (guide §3.2 — pre-filter the
-    # big side before aggregating/shuffling it): the former
-    # index.groupBy("term") aggregated the ENTIRE vocabulary — a
-    # vocab-wide shuffle at corpus scale — to produce df values of which
-    # the scoring join then kept only the query terms' handful. Restricting
-    # the postings with a broadcast semi-join FIRST leaves the same df
-    # values (the index keeps every document of a surviving term; (doc_id,
-    # term) rows are unique, so count(*) = document frequency) while the
-    # only shuffle left is over the touched posting lists. The query side
-    # is bounded by contract, so the broadcast is safe at any corpus size.
+    # per-term df over ONLY the query's terms (guide §3.2): broadcast
+    # semi-join pre-filter instead of a vocab-wide aggregation
     df_map = (
         index.join(F.broadcast(q_terms.select("term").distinct()), "term")
         .groupBy("term")
@@ -199,8 +231,7 @@ def bm25_topk(
     contrib = idf * (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom
     # the (query term × df) side is queries × terms rows — explicitly
     # broadcast so the posting-list side (the only corpus-scale frame
-    # here) is probed in place and never shuffled by term, regardless of
-    # what the planner estimates for the aggregated df_map (guide §3.1)
+    # here) is probed in place and never shuffled by term (guide §3.1)
     scored = (
         index.join(F.broadcast(q_terms.join(df_map, "term")), "term")
         .crossJoin(F.broadcast(stats_1row))
@@ -216,6 +247,86 @@ def bm25_topk(
         .select("query_id", "doc_id", "score_micros", "rank")
     )
     return out.orderBy("query_id", "rank") if ordered else out
+
+
+def _bm25_scoring_tail_sql(
+    index_ref: str,
+    k: int,
+    k1: float,
+    b: float,
+    max_df_ratio: float | None,
+    query_id_col: str,
+    query_text_col: str,
+    ordered: bool,
+) -> str:
+    """The qt/dfm/scored/ranked CTEs + final select of the one-shot BM25
+    SQL, over an index relation named `index_ref` and a `stats` CTE
+    (n, avgdl) assumed already defined. Kept separate so the fragment is
+    reusable and the owns-index assembly above stays readable."""
+    if max_df_ratio is not None:
+        # stop-term guard: N rides in via the same 1-row broadcast
+        # instead of a separate eager docs.count() action
+        dfm_sql = (
+            "dfm0 as (\n"
+            "  select /*+ BROADCAST(t) */ term, count(1) as df\n"
+            f"  from {index_ref} join (select distinct term from qt) as t"
+            " using (term)\n"
+            "  group by term\n"
+            "),\n"
+            "dfm as (\n"
+            "  select /*+ BROADCAST(s) */ term, df\n"
+            "  from dfm0 cross join (select n from stats) as s\n"
+            f"  where df <= {_dlit(max_df_ratio)} * n\n"
+            ")"
+        )
+    else:
+        dfm_sql = (
+            "dfm as (\n"
+            "  select /*+ BROADCAST(t) */ term, count(1) as df\n"
+            f"  from {index_ref} join (select distinct term from qt) as t"
+            " using (term)\n"
+            "  group by term\n"
+            ")"
+        )
+    contrib = (
+        f"ln((cast(st.n as double) - qd.df + 0.5D) / (qd.df + 0.5D) + 1.0D)"
+        f" * (cast(i.tf as double) * {_dlit(k1 + 1.0)})"
+        f" / (i.tf + {_dlit(k1)} * (1.0D - {_dlit(b)}"
+        f" + {_dlit(b)} * i.dl / st.avgdl))"
+    )
+    return (
+        "qt as (\n"
+        "  select distinct query_id, term from (\n"
+        f"    select `{query_id_col}` as query_id,\n"
+        f"           explode(array_distinct(split(`{query_text_col}`, ' ')))"
+        " as term\n"
+        "    from {queries}\n"
+        "  )\n"
+        "),\n"
+        f"{dfm_sql},\n"
+        "qd as (\n"
+        "  select q.query_id, q.term, d.df from qt as q join dfm as d"
+        " using (term)\n"
+        "),\n"
+        "scored as (\n"
+        "  select /*+ BROADCAST(qd, st) */ qd.query_id, i.doc_id,\n"
+        f"         sum(cast(round({contrib} * 1000000.0D) as bigint))"
+        " as score_micros\n"
+        f"  from {index_ref} as i join qd using (term) cross join stats"
+        " as st\n"
+        "  group by qd.query_id, i.doc_id\n"
+        "),\n"
+        "ranked as (\n"
+        "  select query_id, doc_id, score_micros,\n"
+        "         cast(row_number() over (\n"
+        "           partition by query_id order by score_micros desc, doc_id\n"
+        "         ) as int) as rank\n"
+        "  from scored\n"
+        ")\n"
+        "select query_id, doc_id, score_micros, rank from ranked\n"
+        f"where rank <= {int(k)}"
+        + ("\norder by query_id, rank" if ordered else "")
+    )
 
 
 def hybrid_rerank_topk(
@@ -258,7 +369,20 @@ def hybrid_rerank_topk(
     scale. The corpus is therefore never shuffled OR broadcast: one scan,
     hash-probe per row. Candidate-side size is bounded by the same
     bounded-queries contract as cosine_topk (queries × systems × depth
-    rows, each carrying one query vector)."""
+    rows, each carrying one query vector).
+
+    Deliberately NOT the one-shot spark.sql formulation bm25_topk's
+    owns-index path uses (r19): rankings here are routinely persisted
+    Window-over-MapInPandas plans (ann_index_search output — the
+    documented usage), and substituting that shape into spark.sql via
+    {df} view-wrapping crashes plan canonicalization at action time
+    whenever the session cache is non-empty (measured on 4.1:
+    java.util.NoSuchElementException "key not found: query_id#...", from
+    CacheManager.lookupCachedData canonicalizing the view-wrapped
+    subtree). The Column chain analyzes the same tree shape without the
+    View wrapper and is immune; the ~10 eager per-op analyzer passes it
+    pays were measured at ~0.05 s on the bench corpus — not worth an
+    input-dependent crash."""
     from pyspark.sql import Window
 
     from schemamap_spark.operators.similarity import cosine
