@@ -25,7 +25,15 @@ class FixtureCatalog(CatalogAdapter):
             # custom --fixtures dir predating them would break doctor(), which
             # used to fall back to the repo defaults — keep that behavior
             path = os.path.join(DEFAULT_FIXTURE_DIR, f"{name}.parquet")
-        return self.spark.read.parquet(path)
+        # route through the session-scoped relation cache (session.load_table,
+        # r18): build_smo alone re-read four fixture relations per call at
+        # ~80 ms each of pure listing+footer driver wall — identical metadata
+        # for immutable fixture files. Data is still scanned per action; only
+        # the resolved relation is reused. Callers that rewrite a fixture dir
+        # mid-session (tools/gen_fixtures) run in their own process.
+        from schemamap_spark.session import load_table
+
+        return load_table(self.spark, os.path.dirname(path), name)
 
     def relations(self) -> DataFrame:
         return self._read("cat_rel")

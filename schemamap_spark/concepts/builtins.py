@@ -150,3 +150,54 @@ BUILTIN_CONCEPTS = {
     "external_reference": is_external_reference,
     "ignored_table": is_ignored_table,
 }
+
+
+def _sql_in(col: str, names: list[str]) -> str:
+    return f"{col} in ({', '.join(repr(n) for n in names)})"
+
+
+_SQL_PK = "exists(constraints, c -> c.type = 'p')"
+_SQL_FK = "exists(constraints, c -> c.type = 'f')"
+_SQL_NATURAL = (
+    "exists(constraints, c -> c.type = 'p' and c.sequence_name is null)"
+    " and default_value is null"
+)
+_SQL_EXT_LIKE = " or ".join(
+    f"lower(column_name) like '{p}'"
+    for p in ["%_id", "%url%", "%uri%", "%_ref%", "%_code%", "%uuid%",
+              "%guid%", "%external_%"]
+)
+
+# The same 15 concepts as parse-once SQL strings — the wide_columns hot
+# path (ConceptRegistry.wide_columns) uses these instead of compiling 15
+# Column trees whose F.exists lambdas each cost a dozen py4j round trips
+# (~0.35 s of driver wall per registry (re)build, r19 profile; guide §1.2
+# driver work). Pinned equal to the Column forms row-for-row on the
+# fixture SMO by tests/test_concepts.py; the Column factories above stay
+# the public composition surface (`registry.column`, struct accessors).
+BUILTIN_CONCEPT_SQL = {
+    "pii": f"lower(column_name) rlike '{PII_REGEX}'",
+    "metadata": _sql_in("column_name", METADATA_COLUMN_NAMES),
+    "schema_migration_table": _sql_in("table_name", MIGRATION_TABLE_NAMES),
+    "primary_key": _SQL_PK,
+    "foreign_key": _SQL_FK,
+    "unique_key": (
+        "exists(constraints, c -> c.type = 'u')"
+        " or exists(indexes, i -> i.type = 'u')"
+    ),
+    "check_constrained": "exists(constraints, c -> c.type = 'c')",
+    "exclusion_constrained": "exists(constraints, c -> c.type = 'x')",
+    "indexed": (
+        "exists(constraints, c -> c.type in ('p', 'x'))"
+        " or exists(indexes, i -> i.type in ('i', 'x'))"
+    ),
+    "generated": "exists(constraints, c -> c.type = 'g')",
+    "natural_key": _SQL_NATURAL,
+    "surrogate_key": f"{_SQL_PK} and not ({_SQL_NATURAL})",
+    "self_reference": (
+        "exists(constraints, c -> c.type = 'f' and contains("
+        "lower(c.definition), concat(' references ', lower(table_name), '(')))"
+    ),
+    "external_reference": f"(not {_SQL_FK}) and ({_SQL_EXT_LIKE})",
+    "ignored_table": _sql_in("table_name", MIGRATION_TABLE_NAMES),
+}

@@ -50,8 +50,26 @@ class ConceptRegistry:
         """SMO → `columns` view: SMO columns + one is_<concept> boolean each.
 
         Regenerated on every call, so newly defined concepts appear
-        immediately (reference's redefine_smo_view_with_concepts)."""
-        return smo_df.select(
-            "*",
-            *[self._concepts[n](smo_df).alias(f"is_{n}") for n in self.names()],
-        )
+        immediately (reference's redefine_smo_view_with_concepts).
+
+        Builtins that have NOT been overridden take the parse-once SQL
+        form (BUILTIN_CONCEPT_SQL — one JVM parse each instead of a
+        dozen py4j round trips per F.exists lambda; guide §1.2); a
+        user-redefined or new concept uses its Column factory. Both
+        forms are pinned row-equal by tests/test_concepts.py."""
+        from pyspark.sql import functions as F
+
+        from schemamap_spark.concepts.builtins import BUILTIN_CONCEPT_SQL
+
+        cols = []
+        for n in self.names():
+            fn = self._concepts[n]
+            sql = (
+                BUILTIN_CONCEPT_SQL.get(n)
+                if fn is BUILTIN_CONCEPTS.get(n)
+                else None
+            )
+            cols.append(
+                F.expr(sql).alias(f"is_{n}") if sql else fn(smo_df).alias(f"is_{n}")
+            )
+        return smo_df.select("*", *cols)

@@ -90,3 +90,38 @@ def test_columns_plan_memo_invalidation(engine):
     w3 = engine.columns()
     assert w3 is not w2  # new snapshot -> new plan
     assert "is_memo_probe" in [f.name for f in w3.schema.fields]
+
+
+def test_builtin_sql_forms_match_column_forms(engine):
+    """r19: wide_columns compiles un-overridden builtins from
+    BUILTIN_CONCEPT_SQL (one JVM parse each) instead of the F.exists
+    Column lambdas (a dozen py4j round trips each). The two forms must
+    be indistinguishable row-for-row over the full fixture SMO —
+    including NULL default_value/definition rows — or q22's oracle hash
+    would drift."""
+    from schemamap_spark.concepts.builtins import (
+        BUILTIN_CONCEPT_SQL,
+        BUILTIN_CONCEPTS,
+    )
+
+    smo = engine.smo()
+    assert set(BUILTIN_CONCEPT_SQL) == set(BUILTIN_CONCEPTS)
+    sql_side = smo.select(
+        "schema_name", "table_name", "column_name",
+        *[F.expr(s).alias(n) for n, s in sorted(BUILTIN_CONCEPT_SQL.items())],
+    )
+    col_side = smo.select(
+        "schema_name", "table_name", "column_name",
+        *[fn(smo).alias(n) for n, fn in sorted(BUILTIN_CONCEPTS.items())],
+    )
+    a = sorted(map(tuple, sql_side.collect()))
+    b = sorted(map(tuple, col_side.collect()))
+    assert a == b
+
+
+def test_overridden_builtin_uses_column_factory(engine):
+    """A user redefinition of a builtin name must win over the SQL fast
+    path (the `fn is BUILTIN_CONCEPTS[name]` identity guard)."""
+    engine.concepts.define("pii", lambda smo: F.lit(True))
+    wide = engine.columns()
+    assert wide.filter(~F.col("is_pii")).head(1) == []
