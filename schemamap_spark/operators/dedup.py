@@ -140,6 +140,15 @@ def jaccard_similar_pairs(
         .withColumn("prefix_len", F.floor((1.0 - threshold) * F.col("sz")).cast("int") + 1)
         .filter(F.col("rnk") <= F.col("prefix_len"))
         .select("doc_id", "s", "rnk", "sz")
+        # persisted: this prefix index (explode + global-frequency join +
+        # per-doc window — two shuffles of every shingle) feeds BOTH sides
+        # of the candidate self-join; unpersisted the whole subtree runs
+        # once per side whenever one side broadcasts (exchange reuse only
+        # dedups identical shuffle exchanges, never broadcast builds).
+        # Prefix rows are (id, shingle, 2 ints) bounded by the prefix cut —
+        # a fraction of the already-persisted `sh`. Same lifetime
+        # convention as the other dedup persists.
+        .persist()
     )
 
     # Positional (ppjoin-style) suffix bound before the expensive verify:
@@ -271,7 +280,16 @@ def minhash_lsh_similar_pairs(
     """
     # persisted: reused by the signature branch and both verify branches
     sh = _shingled(docs, k, id_col, text_col).persist()
-    banded = _band_rows(sh, num_hashes, bands)
+    # banded persisted too: it feeds BOTH sides of the self-join below, and
+    # unpersisted the 64-minhash signature projection — the dominant CPU
+    # cost of the whole operator — is computed once PER SIDE (the r19
+    # before-plan shows the full sig/banding subtree twice, nodes 10-12 and
+    # 16-18; when one side broadcasts, exchange reuse can never dedup
+    # them). Band rows are 3 small ints per (doc × band) — bounded
+    # metadata, never the shingle arrays — so the cache is cheap at any
+    # scale; incremental_minhash_dedup has persisted the same frame since
+    # it shipped. Same ContextCleaner lifetime as `sh` above.
+    banded = _band_rows(sh, num_hashes, bands).persist()
     cand = (
         banded.alias("a")
         .join(
@@ -342,7 +360,13 @@ def simhash_near_pairs(
         # need max_hamming+1 chunks of >= 2 bits each from 64 bits; beyond
         # that the chunk join degenerates to near-all-pairs anyway
         raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
-    simhash = simhash_fingerprints(docs, k, id_col, text_col)
+    # persisted: the fingerprint subtree (shingle hash + 64 vote
+    # aggregates, the operator's dominant CPU) feeds BOTH sides of the
+    # chunk self-join below; unpersisted it is computed once per side
+    # (broadcast builds can never share it via exchange reuse). One row
+    # of 2 longs per doc — bounded at any scale. Same ContextCleaner
+    # lifetime convention as the other dedup persists.
+    simhash = simhash_fingerprints(docs, k, id_col, text_col).persist()
 
     nchunks = max_hamming + 1
     base, rem = divmod(64, nchunks)
