@@ -241,11 +241,15 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_micros"), F.col("doc_id")
     )
-    out = (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score_micros", "rank")
-    )
+    # rank computed in the same projection as the output columns (one
+    # analyzer pass fewer than withColumn → filter → select; the rank
+    # filter still pushes below the projection into WindowGroupLimit)
+    out = scored.select(
+        "query_id",
+        "doc_id",
+        "score_micros",
+        F.row_number().over(w).cast("int").alias("rank"),
+    ).filter(F.col("rank") <= k)
     return out.orderBy("query_id", "rank") if ordered else out
 
 
@@ -400,6 +404,15 @@ def hybrid_rerank_topk(
     cands = slim[0]
     for r in slim[1:]:
         cands = cands.unionByName(r)
+    if exclude_self:
+        # self-exclusion references only candidate columns, so it commutes
+        # with the distinct and both joins — applied HERE it filters the
+        # slim (query, doc) union instead of the corpus-joined tree, and
+        # costs one eager analyzer pass over a ~10-node subtree instead of
+        # the ~100-node full plan (PySpark analyzes per op; the rerank
+        # chain was the largest single build term of the hybrid bench
+        # query, r19 build profile — guide §1.2 driver work)
+        cands = cands.filter(F.col("query_id") != F.col("doc_id"))
     qv = queries.select(
         F.col(query_col if query_col in queries.columns else id_col).alias(
             "query_id"
@@ -410,20 +423,21 @@ def hybrid_rerank_topk(
         F.col(id_col).alias("doc_id"), F.col(vec_col).alias("c_vec")
     )
     cand_q = cands.distinct().join(F.broadcast(qv), "query_id")
-    scored = cv.join(F.broadcast(cand_q), "doc_id")
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("doc_id"))
-    scored = (
-        scored
-        .select(
-            "query_id", "doc_id", cosine("q_vec", "c_vec").alias("sim")
-        )
+    scored = cv.join(F.broadcast(cand_q), "doc_id").select(
+        "query_id", "doc_id", cosine("q_vec", "c_vec").alias("sim")
     )
+    # rank + rounded sim in ONE projection (rank filter still pushes
+    # through to WindowGroupLimit): two fewer full-tree analyzer passes
+    # than the former withColumn → filter → select chain, same plan
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "doc_id")
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.select(
+            "query_id",
+            "doc_id",
+            F.row_number().over(w).cast("int").alias("rank"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
         .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "rank", F.round("sim", 6).alias("cosine_sim"))
         .orderBy("query_id", "rank")
     )
 
@@ -495,10 +509,17 @@ def rrf_fuse(
         F.count(F.lit(1)).alias("n_systems"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf_micros"), "doc_id")
+    # same one-projection rank fusion as bm25_topk/cosine_topk (one
+    # analyzer pass fewer; WindowGroupLimit unaffected)
     return (
-        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        fused.select(
+            "query_id",
+            "doc_id",
+            "rrf_micros",
+            "n_systems",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
         .filter(F.col("rank") <= top)
-        .select("query_id", "doc_id", "rrf_micros", "n_systems", "rank")
         .orderBy("query_id", "rank")
     )
 

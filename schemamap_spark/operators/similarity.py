@@ -312,11 +312,15 @@ def cosine_topk(
     else:
         raise ValueError(f"unknown cosine_topk method: {method!r}")
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("cosine_sim"))
-    )
+    # rank + rounded sim in ONE projection (one analyzer pass fewer than
+    # withColumn → filter → select; rank filter still reaches
+    # WindowGroupLimit below the projection)
+    out = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).alias("rank"),
+        F.round("sim", 6).alias("cosine_sim"),
+    ).filter(F.col("rank") <= k)
     return out.orderBy("query_id", "rank") if ordered else out
 
 
