@@ -1616,3 +1616,115 @@ def test_stage_bucket_idless_active_rows_count_individually():
     ]
     out = bench.stage_bucket(stages, {"q": (1000.0, 1010.0)})
     assert out["q"] == {"incomplete": 3}
+
+
+# --- bench_gated_series: the healthy-window acceptance predicate ----------
+
+
+@pytest.fixture(scope="module")
+def bench_gated():
+    return _load_tool("bench_gated_series")
+
+
+def _gated_doc(bench_gated, monkeypatch, probes, child_results):
+    """Drive run_series over one query with scripted probe verdicts and
+    child results. `probes` feeds (_wait_for_window, _probe-after,
+    _weather_ok-after) triples per attempt; `child_results` one dict per
+    attempt."""
+    seq = {"i": -1}
+
+    def fake_wait(tries, wait_s):
+        seq["i"] += 1
+        before_ok = probes[seq["i"]][0]
+        return ({"fake": "probe"} if before_ok else None, before_ok)
+
+    def fake_child(q, reps, sf_dir, tmo):
+        return child_results[seq["i"]]
+
+    def fake_probe():
+        return {"fake": "after_probe"}
+
+    def fake_weather(p):
+        after_ok = probes[seq["i"]][1]
+        return (after_ok, [] if after_ok else ["steal_pct 20 > 5.0"])
+
+    monkeypatch.setattr(bench_gated, "_wait_for_window", fake_wait)
+    monkeypatch.setattr(bench_gated, "_run_child", fake_child)
+    monkeypatch.setattr(bench_gated, "_probe", fake_probe)
+    monkeypatch.setattr(bench_gated, "_weather_ok", fake_weather)
+    return bench_gated.run_series(
+        ["fake_q"], 3, "/nonexistent", len(probes), 1, 0.0
+    )
+
+
+_CLEAN_CHILD = {
+    "query": "fake_q", "cold": 2.0, "warm": [0.5, 0.4, 0.6],
+    "warm_median": 0.5,
+    "stage_weather": {"stages": 4, "run_ms": 800, "cpu_ms": 640,
+                      "cpu_over_run": 0.8},
+}
+
+
+def test_gated_accepts_clean_run(bench_gated, monkeypatch):
+    """Both bracketing probes clean + stage floor above the gate →
+    accepted, with probes, floor and try count embedded."""
+    doc = _gated_doc(
+        bench_gated, monkeypatch, [(True, True)], [_CLEAN_CHILD]
+    )
+    row = doc["queries"]["fake_q"]
+    assert row["accepted"]["warm_median"] == 0.5
+    assert row["accepted"]["stage_floor"] == 0.8
+    assert row["accepted"]["tries"] == 1
+    assert row["accepted"]["probe_before"] == {"fake": "probe"}
+    assert row["rejected_attempts"] == []
+    assert doc["all_accepted"] is True and doc["accepted_total"] == 0.5
+
+
+def test_gated_rejects_collapsed_floor_then_accepts(bench_gated, monkeypatch):
+    """An in-run stage floor below STAGE_FLOOR is a window collapse:
+    the attempt is REJECTED AND LOGGED (never silently dropped), and a
+    later clean attempt still lands."""
+    collapsed = dict(_CLEAN_CHILD)
+    collapsed["warm_median"] = 3.1
+    collapsed["stage_weather"] = {
+        "stages": 4, "run_ms": 10000, "cpu_ms": 1000, "cpu_over_run": 0.1,
+    }
+    doc = _gated_doc(
+        bench_gated, monkeypatch,
+        [(True, True), (True, True)], [collapsed, _CLEAN_CHILD],
+    )
+    row = doc["queries"]["fake_q"]
+    assert row["accepted"]["warm_median"] == 0.5
+    assert row["accepted"]["tries"] == 2
+    assert len(row["rejected_attempts"]) == 1
+    rej = row["rejected_attempts"][0]
+    assert "stage floor" in rej["verdict"] and rej["warm_median"] == 3.1
+
+
+def test_gated_rejects_dirty_closing_probe(bench_gated, monkeypatch):
+    """A run whose CLOSING probe is outside the envelope is rejected
+    even when the child completed: the window may have collapsed after
+    the last stage the in-run channel saw."""
+    doc = _gated_doc(
+        bench_gated, monkeypatch, [(True, False)], [_CLEAN_CHILD]
+    )
+    row = doc["queries"]["fake_q"]
+    assert row["accepted"] is None
+    assert "closing probe" in row["rejected_attempts"][0]["verdict"]
+    assert doc["all_accepted"] is False and doc["accepted_total"] is None
+
+
+def test_gated_no_window_exhausts_tries(bench_gated, monkeypatch):
+    """When no window ever opens, every attempt is logged as such and
+    the query row declares itself unaccepted — the artifact PROVES no
+    window opened rather than silently measuring weather."""
+    doc = _gated_doc(
+        bench_gated, monkeypatch,
+        [(False, True), (False, True)], [None, None],
+    )
+    row = doc["queries"]["fake_q"]
+    assert row["accepted"] is None
+    assert [a["verdict"] for a in row["rejected_attempts"]] == [
+        "no window opened in poll budget",
+        "no window opened in poll budget",
+    ]
